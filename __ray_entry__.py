@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module;
+nothing here (or in ``basicocr_ray``) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+* ``entry()``     — flagship main-content extraction pipeline on
+                    /root/testdata/sf0.001 (documents wrapped into
+                    Common-Crawl-style pages, extracted back).
+* ``queries()``   — one callable per implemented operator (SURVEY.md §2).
+* ``oracle_sql()``— DuckDB twins for every SQL-expressible query; keys
+                    missing here get the weaker rows-only check.
 """
 
 from __future__ import annotations
@@ -20,25 +18,34 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: documents → synthetic
+    Common-Crawl-style pages (url, html, lang) → tokenize → score → CTC
+    greedy decode → extracted rows. Returns a lazy ray.data.Dataset."""
+    import pyarrow as pa
+
+    from basicocr_ray.config import ExtractConfig
+    from basicocr_ray.pipelines.queries import _read
+    from basicocr_ray.sources.docpages import docs_to_pages_batch
+    from basicocr_ray.stages.extract import extract_batch
+
+    cfg = ExtractConfig()
+    ds = _read("/root/testdata/sf0.001", "documents",
+               columns=["doc_id", "text", "lang"])
+
+    def wrap_extract(batch: pa.Table) -> pa.Table:
+        pages = docs_to_pages_batch(batch)
+        return extract_batch(pages, cfg)
+
+    return ds.map_batches(wrap_extract, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from basicocr_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from basicocr_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

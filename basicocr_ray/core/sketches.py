@@ -1,0 +1,105 @@
+"""Mergeable sketches for near-duplicate detection: MinHash + SimHash.
+
+Public-knowledge constructions (Broder 1997 MinHash; Charikar 2002 SimHash;
+banding/LSH per Mining of Massive Datasets ch.3). Vectorized with numpy;
+all randomness comes from fixed seeds so signatures are reproducible across
+workers and rounds — a hard requirement for distributed dedup.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _hash64(token: str) -> int:
+    """Stable 64-bit token hash (md5-derived; NEVER Python hash(), which is
+    salted per-process and would break cross-worker determinism)."""
+    return struct.unpack("<Q", hashlib.md5(token.encode("utf-8")).digest()[:8])[0]
+
+
+def shingles(text: str, k: int = 5) -> set[str]:
+    """Character k-shingles of the lowercased text."""
+    text = text.lower()
+    if len(text) <= k:
+        return {text} if text else set()
+    return {text[i : i + k] for i in range(len(text) - k + 1)}
+
+
+class MinHasher:
+    """num_perm universal-hash MinHash over character shingles.
+
+    h_i(x) = (a_i * x + b_i) mod p  (p = 2^61-1), coefficients drawn once
+    from a seeded generator — identical in every worker.
+    """
+
+    def __init__(self, num_perm: int = 64, k: int = 5, seed: int = 1234):
+        self.num_perm = num_perm
+        self.k = k
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = shingles(text, self.k)
+        if not sh:
+            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        xs = np.fromiter((_hash64(s) for s in sh), dtype=np.uint64, count=len(sh))
+        # (num_perm, n_shingles) without overflow: use object->mod via python ints
+        # is slow; uint64 wraparound is fine as a PRF as long as it is the
+        # same everywhere (documented deviation from exact mod-p hashing).
+        vals = (self.a[:, None] * xs[None, :] + self.b[:, None]) % _MERSENNE
+        return vals.min(axis=1)
+
+    @staticmethod
+    def jaccard_estimate(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+        return float(np.mean(sig_a == sig_b))
+
+    def bands(self, sig: np.ndarray, num_bands: int = 16) -> list[tuple[int, int]]:
+        """LSH banding: → [(band_id, band_hash)]; docs sharing any pair are
+        near-dup candidates (MMDS ch.3 banding technique)."""
+        rows = self.num_perm // num_bands
+        out = []
+        for b in range(num_bands):
+            chunk = sig[b * rows : (b + 1) * rows]
+            h = hashlib.md5(chunk.tobytes()).digest()[:8]
+            out.append((b, struct.unpack("<Q", h)[0]))
+        return out
+
+
+def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
+    """Exact character-k-gram Jaccard similarity (the verify step behind
+    MinHash candidates)."""
+    sa, sb = shingles(a, k), shingles(b, k)
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter)
+
+
+def simhash(text: str, token_k: int = 4) -> int:
+    """64-bit SimHash over character k-grams (Charikar 2002): sum ±1 per bit
+    weighted by gram occurrences, sign → bit."""
+    grams = list(shingles(text, token_k))
+    if not grams:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for g in grams:
+        h = _hash64(g)
+        bits = np.unpackbits(
+            np.frombuffer(struct.pack("<Q", h), dtype=np.uint8)
+        ).astype(np.int64)
+        acc += bits * 2 - 1
+    out = 0
+    for i, v in enumerate(acc):
+        if v > 0:
+            out |= 1 << i
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")

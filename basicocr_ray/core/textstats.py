@@ -1,0 +1,154 @@
+"""Text analysis kernels: tokenization, character classes, language ID,
+quality scoring, fingerprinting.
+
+Character-class predicates re-express the reference's code-point range
+tests (`/root/reference/contrib/trietree/src/trietree_correct.py:21-43`:
+`is_chinese`/`is_alphabet`/`is_number`/`is_other`) and the segmentation of
+strings into homogeneous runs (`string2List`, `:74-91`). Language ID and
+quality scoring are the n-gram/stopword heuristics a training-data pipeline
+needs (task brief) — public-knowledge heuristics, no external models.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+# Whitespace tokenization — the contract shared with the DuckDB oracle
+# (`regexp_split_to_array(text, '\s+')`). Lowercasing is the caller's choice.
+_WS_SPLIT_RE = re.compile(r"\s+")
+
+# Run segmentation (string2List analogue): CJK | latin word | digits.
+_RUN_RE = re.compile(r"([一-鿿]+)|([A-Za-z]+)|([0-9]+)")
+
+_PUNCT_RE = re.compile(r"[.,;:!?'\"()\[\]{}\-—…。，；：！？、]")
+
+
+def ws_tokens(text: str, lower: bool = True) -> list[str]:
+    """Whitespace tokens, empty strings removed (matches the oracle SQL
+    `regexp_split_to_array(lower(text),'\\s+')` minus empties)."""
+    if lower:
+        text = text.lower()
+    return [t for t in _WS_SPLIT_RE.split(text) if t]
+
+
+def char_runs(text: str) -> list[str]:
+    """Segment into runs of CJK / alphabetic / numeric chars, dropping
+    "other" chars (`string2List`, trietree_correct.py:74-91)."""
+    out: list[str] = []
+    for m in _RUN_RE.finditer(text):
+        out.append(m.group(0))
+    return out
+
+
+def is_chinese(ch: str) -> bool:
+    return "一" <= ch <= "鿿"
+
+
+def is_alphabet(ch: str) -> bool:
+    return ("a" <= ch <= "z") or ("A" <= ch <= "Z")
+
+
+def is_number(ch: str) -> bool:
+    return "0" <= ch <= "9"
+
+
+def is_other(ch: str) -> bool:
+    return not (is_chinese(ch) or is_alphabet(ch) or is_number(ch))
+
+
+# ---------------------------------------------------------------------------
+# Language identification — closed-set heuristic {en, de, es, zh, ja, other}.
+# Signals: CJK/kana character fractions, then per-language stopword hits.
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = {
+    "en": frozenset("the a of to and in is it you that was for on are".split()),
+    "de": frozenset("der die das und ist nicht ein ich sie mit auf für den".split()),
+    "es": frozenset("el la de que y en un los se no por las una es".split()),
+}
+ALL_STOPWORDS = frozenset().union(*_STOPWORDS.values())
+
+
+def lang_id(text: str) -> str:
+    if not text:
+        return "other"
+    n = len(text)
+    n_cjk = sum(1 for c in text if "一" <= c <= "鿿")
+    n_kana = sum(1 for c in text if "぀" <= c <= "ヿ")
+    if n_kana / n > 0.05:
+        return "ja"
+    if n_cjk / n > 0.25:
+        return "zh"
+    toks = ws_tokens(text)
+    if not toks:
+        return "other"
+    scores = {
+        lang: sum(1 for t in toks if t in sw) for lang, sw in _STOPWORDS.items()
+    }
+    # deterministic tie-break: max hits, then language name
+    best = max(scores.items(), key=lambda kv: (kv[1], kv[0]))
+    return best[0] if best[1] > 0 else "other"
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring — length / punctuation / stopword ratios (task brief).
+# ---------------------------------------------------------------------------
+
+def quality_stats(text: str) -> dict[str, float]:
+    toks = ws_tokens(text)
+    n_tok = len(toks)
+    n_stop = sum(1 for t in toks if t in _STOPWORDS["en"])
+    n_punct = len(_PUNCT_RE.findall(text))
+    n_chars = len(text)
+    mean_tok = (sum(len(t) for t in toks) / n_tok) if n_tok else 0.0
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tok,
+        "n_stop": n_stop,
+        "stop_ratio": (n_stop / n_tok) if n_tok else 0.0,
+        "punct_ratio": (n_punct / n_chars) if n_chars else 0.0,
+        "mean_token_len": mean_tok,
+    }
+
+
+def quality_score(text: str) -> float:
+    """Composite [0,1] quality score — monotone in length (saturating),
+    penalized for extreme punctuation / token-length pathologies."""
+    s = quality_stats(text)
+    length_part = min(1.0, s["n_tokens"] / 100.0)
+    punct_part = 1.0 if s["punct_ratio"] <= 0.2 else max(0.0, 1.0 - (s["punct_ratio"] - 0.2) * 4)
+    tok_part = 1.0 if 2.0 <= s["mean_token_len"] <= 12.0 else 0.5
+    return round(length_part * punct_part * tok_part, 6)
+
+
+# ---------------------------------------------------------------------------
+# Fingerprints.
+# ---------------------------------------------------------------------------
+
+def md5_hex(text: str) -> str:
+    """Exact content fingerprint — matches DuckDB `md5(text)`."""
+    return hashlib.md5(text.encode("utf-8")).hexdigest()
+
+
+_ROLL_BASE = 1000003
+_ROLL_MOD = (1 << 61) - 1
+
+
+def rolling_fingerprint(text: str, window: int = 16) -> int:
+    """Winnowing-style document fingerprint: min of rolling hashes over
+    ``window``-byte windows (Karp–Rabin rolling hash, Schleimer et al.
+    winnowing). Deterministic; returns 0 for short texts."""
+    data = text.encode("utf-8")
+    if len(data) < window:
+        data = data + b"\x00" * (window - len(data))
+    h = 0
+    power = pow(_ROLL_BASE, window - 1, _ROLL_MOD)
+    best = None
+    for i, b in enumerate(data):
+        if i >= window:
+            h = (h - data[i - window] * power) % _ROLL_MOD
+        h = (h * _ROLL_BASE + b) % _ROLL_MOD
+        if i >= window - 1:
+            best = h if best is None else min(best, h)
+    return best or 0

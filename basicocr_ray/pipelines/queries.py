@@ -1,0 +1,900 @@
+"""Driver-contract queries: one Ray Data pipeline per operator from
+SURVEY.md §2, each with (where SQL-expressible) a DuckDB oracle twin in
+`ORACLE_SQL`. Column names/aliases are IDENTICAL on both sides — the driver
+hashes values after sorting columns by name.
+
+Float discipline: aggregates over doubles are rounded HALF-UP (matching
+DuckDB ``round()``) via `_round_half_up`; pure per-row arithmetic is left
+unrounded (bitwise-identical IEEE ops on both sides); int aggregates stay
+exact.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from datetime import datetime
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from basicocr_ray.config import ExtractConfig
+from basicocr_ray.core.textstats import md5_hex, ws_tokens
+from basicocr_ray.sources.docpages import docs_to_pages_batch
+from basicocr_ray.stages.extract import extract_batch
+from basicocr_ray.stages.wide import (
+    count_terms,
+    make_ngram_items,
+    token_items,
+    top_k,
+)
+
+
+def _p(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(_p(sf_dir, table), columns=columns)
+
+
+def _round_half_up(x: float, n: int) -> float:
+    """DuckDB-compatible round (half away from zero for positives)."""
+    m = 10.0 ** n
+    return math.floor(x * m + 0.5) / m if x >= 0 else -math.floor(-x * m + 0.5) / m
+
+
+def _round_col(df: pd.DataFrame, col: str, n: int) -> pd.DataFrame:
+    df[col] = [_round_half_up(float(v), n) for v in df[col]]
+    return df
+
+
+# ===========================================================================
+# Relational / TPC-H-ish (G1/G2/G5, M6, T2/T5, J-patterns)
+# ===========================================================================
+
+def q01_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: filtered scan → partial pre-agg per batch → tiny
+    final groupby (the G4 partial+final pattern; shuffle carries ≤ 6 rows
+    per batch, not 6M rows)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cutoff = pa.scalar(datetime(2000, 1, 1), type=pa.timestamp("us"))
+        batch = batch.filter(pc.less(batch["l_shipdate"], cutoff))
+        df = batch.to_pandas()
+        df["disc_price"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(
+                sum_qty=("l_quantity", "sum"),
+                sum_base_price=("l_extendedprice", "sum"),
+                sum_disc_price=("disc_price", "sum"),
+                n_rows=("l_quantity", "size"),
+            )
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+    )
+    df = agg.to_pandas()
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        df = _round_col(df, c, 2)
+    df["n_rows"] = df["n_rows"].astype("int64")
+    return df
+
+
+def q02_orders_topk(sf_dir: str):
+    """Global top-k: sort (desc, key-tiebreak) + limit (T3/T5/T6)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return top_k(ds, 10, "o_totalprice", "o_orderkey")
+
+
+def q03_revenue_by_status(sf_dir: str):
+    """Vectorized filter + computed column + grouped rollup (M6/G1)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_linestatus", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def rev(batch: pa.Table) -> pa.Table:
+        lo = pa.scalar(datetime(1996, 1, 1), type=pa.timestamp("us"))
+        hi = pa.scalar(datetime(1998, 1, 1), type=pa.timestamp("us"))
+        batch = batch.filter(
+            pc.and_(
+                pc.greater_equal(batch["l_shipdate"], lo),
+                pc.less(batch["l_shipdate"], hi),
+            )
+        )
+        revenue = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(1.0, batch["l_discount"])
+        )
+        return pa.table(
+            {"l_linestatus": batch["l_linestatus"], "revenue": revenue}
+        )
+
+    agg = (
+        ds.map_batches(rev, batch_format="pyarrow")
+        .groupby("l_linestatus")
+        .aggregate(Sum("revenue", alias_name="revenue"), Count(alias_name="n"))
+    )
+    df = agg.to_pandas()
+    df = _round_col(df, "revenue", 2)
+    df["n"] = df["n"].astype("int64")
+    return df
+
+
+def q04_region_rollup(sf_dir: str):
+    """Broadcast dimension join (J1-pattern): nation⋈region loaded driver-
+    side (tiny), shipped in the closure; fact table never shuffles."""
+    from ray.data.aggregate import Count, Sum
+
+    nation = pq.read_table(_p(sf_dir, "nation")).to_pandas()
+    region = pq.read_table(_p(sf_dir, "region")).to_pandas()
+    nk_to_region = dict(
+        zip(
+            nation["n_nationkey"],
+            nation["n_regionkey"].map(
+                dict(zip(region["r_regionkey"], region["r_name"]))
+            ),
+        )
+    )
+
+    ds = _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+
+    def add_region(batch: pa.Table) -> pa.Table:
+        rn = [nk_to_region.get(k) for k in batch["c_nationkey"].to_pylist()]
+        return pa.table(
+            {"r_name": pa.array(rn, pa.string()), "c_acctbal": batch["c_acctbal"]}
+        )
+
+    agg = (
+        ds.map_batches(add_region, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(
+            Count(alias_name="n_customers"),
+            Sum("c_acctbal", alias_name="sum_acctbal"),
+        )
+    )
+    df = agg.to_pandas()
+    df = _round_col(df, "sum_acctbal", 2)
+    df["n_customers"] = df["n_customers"].astype("int64")
+    return df
+
+
+def q05_events_hourly(sf_dir: str):
+    """Tumbling-window aggregate (streaming-shaped, SURVEY §2.9): floor ts
+    to the hour inside map_batches, group on (hour, type)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["hour"] = df["ts"].dt.floor("h")
+        return df[["hour", "event_type", "value"]]
+
+    agg = (
+        ds.map_batches(bucket, batch_format="pandas")
+        .groupby(["hour", "event_type"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+    df = agg.to_pandas()
+    df = _round_col(df, "sum_value", 2)
+    df["n"] = df["n"].astype("int64")
+    return df
+
+
+def q06_events_asof(sf_dir: str):
+    """As-of join (custom operator, SURVEY build-brief): each purchase →
+    most recent STRICTLY earlier event of the same user. Partition by
+    user_id, sort-in-group, pandas merge_asof per group — the documented
+    partitioning assumption is `user_id` co-location."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def asof_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        left = g.loc[g["event_type"] == "purchase", ["event_id", "ts"]]
+        if left.empty:
+            return pd.DataFrame(
+                {"event_id": pd.Series([], dtype="int64"),
+                 "prior_event_id": pd.Series([], dtype="int64"),
+                 "gap_us": pd.Series([], dtype="int64")}
+            )
+        right = g[["event_id", "ts"]].rename(
+            columns={"event_id": "prior_event_id"}
+        )
+        right["prior_ts"] = right["ts"]
+        m = pd.merge_asof(
+            left, right, on="ts", allow_exact_matches=False, direction="backward"
+        )
+        m = m.dropna(subset=["prior_event_id"])
+        gap = (m["ts"] - m["prior_ts"]) // pd.Timedelta(microseconds=1)
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"].astype("int64"),
+                "prior_event_id": m["prior_event_id"].astype("int64"),
+                "gap_us": gap.astype("int64"),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(asof_group, batch_format="pandas")
+
+
+def q17_sessionize(sf_dir: str):
+    """Session windows (30-min gap) per user — groupby + in-group ordered
+    scan (SURVEY §2.9 streaming translation)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    gap = pd.Timedelta(minutes=30)
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        new = (g["ts"].diff() > gap) | g["ts"].diff().isna()
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_events": [len(g)],
+                "n_sessions": [int(new.sum())],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+
+
+def q18_topk_per_group(sf_dir: str):
+    """Per-group top-k (T3 flavor): 2 priciest orders per customer."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True],
+            kind="mergesort",
+        ).head(2)
+
+    return ds.groupby("o_custkey").map_groups(topk, batch_format="pandas")
+
+
+def q19_distinct_langs(sf_dir: str):
+    """DISTINCT one column (D-flavor; `Dataset.unique`)."""
+    vals = _read(sf_dir, "documents", columns=["lang"]).unique("lang")
+    return pd.DataFrame({"lang": sorted(vals)})
+
+
+def q28_events_scalar(sf_dir: str):
+    """Scalar function showcase (§2.8): vectorized arithmetic + string fn;
+    unrounded double math is bitwise-identical to the oracle."""
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater_equal(batch["value"], 100.0))
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "event_type_u": pc.utf8_upper(batch["event_type"]),
+                "adj_value": pc.add(batch["value"], 10.0),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q29_orders_by_segment(sf_dir: str):
+    """Fact⋈dim broadcast join + rollup (J1 at fact scale)."""
+    from ray.data.aggregate import Count, Sum
+
+    cust = pq.read_table(
+        _p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    )
+    seg = dict(
+        zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())
+    )
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def add_seg(batch: pa.Table) -> pa.Table:
+        s = [seg.get(k) for k in batch["o_custkey"].to_pylist()]
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(s, pa.string()),
+                "o_totalprice": batch["o_totalprice"],
+            }
+        )
+
+    agg = (
+        ds.map_batches(add_seg, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("o_totalprice", alias_name="sum_totalprice"),
+        )
+    )
+    df = agg.to_pandas()
+    df = _round_col(df, "sum_totalprice", 2)
+    df["n_orders"] = df["n_orders"].astype("int64")
+    return df
+
+
+def q30_union_distinct(sf_dir: str):
+    """Union + global distinct count (D/Set ops)."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey"]).map_batches(
+        lambda b: pa.table({"k": b["l_orderkey"]}), batch_format="pyarrow"
+    )
+    od = _read(sf_dir, "orders", columns=["o_orderkey"]).map_batches(
+        lambda b: pa.table({"k": b["o_orderkey"]}), batch_format="pyarrow"
+    )
+    n = len(li.union(od).unique("k"))
+    return pd.DataFrame({"n": pd.Series([n], dtype="int64")})
+
+
+# ===========================================================================
+# Text / wide ops over `documents` (G3/G4/G7, M-ops, dedup, trie, AC)
+# ===========================================================================
+
+def q07_token_freq(sf_dir: str):
+    """Word-frequency build (G3): flat_map tokens → partial counts →
+    groupby sum → top-100."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+    counts = count_terms(ds, "text", token_items, "token")
+    return top_k(counts, 100, "cnt", "token")
+
+
+def q08_bigram_freq(sf_dir: str):
+    """n-gram count/merge (G4) with n=2 — the language-model.md:168-197
+    sharded count-then-merge, as partial+final groupby."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+    counts = count_terms(ds, "text", make_ngram_items(2), "bigram")
+    return top_k(counts, 100, "cnt", "bigram")
+
+
+def q26_trigram_freq(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["text"])
+    counts = count_terms(ds, "text", make_ngram_items(3), "trigram")
+    return top_k(counts, 100, "cnt", "trigram")
+
+
+def q09_lang_rollup(sf_dir: str):
+    """Per-language quality rollup (G7/G1): exact int sums, derived mean."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    agg = ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
+    )
+    df = agg.to_pandas()
+    df["n_docs"] = df["n_docs"].astype("int64")
+    df["sum_chars"] = df["sum_chars"].astype("int64")
+    df["mean_chars"] = [
+        _round_half_up(s / n, 6) for s, n in zip(df["sum_chars"], df["n_docs"])
+    ]
+    return df
+
+
+def q10_dedup_exact(sf_dir: str):
+    """Exact dedup (D3): content hash → per-group representative."""
+    from basicocr_ray.stages.dedup import exact_dedup_groups
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_dedup_groups(ds, "doc_id", "text")
+
+
+def q11_fingerprint(sf_dir: str):
+    """Document fingerprinting: md5 content hash (matches DuckDB md5())."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "fp": pa.array(
+                    [md5_hex(t or "") for t in batch["text"].to_pylist()],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def q12_token_count(sf_dir: str):
+    """Per-doc token counting (text-analysis op)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def cnt(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(
+                    [len(ws_tokens(t or "")) for t in batch["text"].to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return ds.map_batches(cnt, batch_format="pyarrow")
+
+
+_STOP5 = ("the", "a", "data", "key", "value")
+
+
+def q16_quality(sf_dir: str):
+    """Quality scoring: token/stopword stats per doc (text-analysis op)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def q(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        nt, ns, ratio = [], [], []
+        for t in batch["text"].to_pylist():
+            toks = ws_tokens(t or "")
+            s = sum(1 for x in toks if x in _STOP5)
+            nt.append(len(toks))
+            ns.append(s)
+            ratio.append(_round_half_up(s / len(toks), 6) if toks else 0.0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(nt, pa.int64()),
+                "n_stop": pa.array(ns, pa.int64()),
+                "stop_ratio": pa.array(ratio, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(q, batch_format="pyarrow")
+
+
+def q20_ac_strip(sf_dir: str):
+    """AC-automaton boilerplate-phrase stripping (A3/J3) on an actor pool;
+    non-overlapping phrase set ⇒ equivalent to the oracle's chained
+    replace()."""
+    from basicocr_ray.stages.correct import ACStripper
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    stripped = ds.map_batches(
+        ACStripper,
+        fn_constructor_kwargs={
+            "phrases": ["vector window", "hash scan"],
+            "column": "text",
+            "out_column": "stripped_text",
+        },
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    return stripped.select_columns(["doc_id", "stripped_text"])
+
+
+def q21_trie_correct(sf_dir: str):
+    """Trie-corrector end-to-end (A2): dictionary = corpus token counts
+    (G3 output broadcast); deterministically corrupt every 7th token (drop
+    last char when len>3) then correct with bounded-edit-distance trie
+    search (max_cost 1, retry +3, tie ladder per trietree_correct.py)."""
+    import ray
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    dict_rows = count_terms(ds, "text", token_items, "token").take_all()
+    entries = [(r["token"], int(r["cnt"])) for r in dict_rows]
+    entries_ref = ray.put(entries)
+
+    class CorruptCorrect:
+        def __init__(self, entries_ref):
+            from basicocr_ray.core.trie import TrieDict
+
+            self.trie = TrieDict(ray.get(entries_ref))
+            self._cache: dict[str, str] = {}
+
+        def _correct(self, tok: str) -> str:
+            hit = self._cache.get(tok)
+            if hit is None:
+                hit = self.trie.correct(tok, 1)
+                self._cache[tok] = hit
+            return hit
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_pylist()
+            out = []
+            for did, t in zip(ids, batch["text"].to_pylist()):
+                toks = (t or "").lower().split()
+                fixed = []
+                for i, tok in enumerate(toks):
+                    if (did + i) % 7 == 0 and len(tok) > 3:
+                        tok = tok[:-1]
+                    fixed.append(self._correct(tok))
+                out.append(" ".join(fixed))
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "corrected_text": pa.array(out, pa.large_string()),
+                }
+            )
+
+    return ds.map_batches(
+        CorruptCorrect,
+        fn_constructor_kwargs={"entries_ref": entries_ref},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+
+# ===========================================================================
+# Extraction roundtrips (the flagship, SQL-verified)
+# ===========================================================================
+
+def _roundtrip(sf_dir: str, chunked: bool, cfg: ExtractConfig):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def wrap_extract(batch: pa.Table) -> pa.Table:
+        pages = docs_to_pages_batch(batch, chunked=chunked)
+        ext = extract_batch(pages, cfg)
+        return pa.table(
+            {"doc_id": pages["doc_id"], "main_text": ext["main_text"]}
+        )
+
+    return ds.map_batches(wrap_extract, batch_format="pyarrow")
+
+
+def q13_extract_roundtrip(sf_dir: str):
+    """documents → boilerplate HTML wrap → FULL extraction → must equal the
+    original text byte-for-byte (single content block)."""
+    return _roundtrip(sf_dir, chunked=False, cfg=ExtractConfig())
+
+
+def q14_extract_multiblock(sf_dir: str):
+    """Multi-block variant: content split across many <p>; CTC-style
+    collapse with join_sep=' ' must reassemble the exact original text."""
+    return _roundtrip(sf_dir, chunked=True, cfg=ExtractConfig(join_sep=" "))
+
+
+# ===========================================================================
+# Embeddings: ANN + near-dup (similarity-search ops)
+# ===========================================================================
+
+def q15_ann_cosine(sf_dir: str):
+    """Brute-force cosine top-10 neighbors of vec_id 0 (float64, rounded 6
+    — matches DuckDB list_cosine_similarity over DOUBLE[])."""
+    from basicocr_ray.stages.embed import ann_topk
+
+    qtab = pq.read_table(_p(sf_dir, "embeddings"))
+    qrow = qtab.filter(pc.equal(qtab["vec_id"], 0))
+    qvec = np.asarray(qrow["embedding"].to_pylist()[0], dtype=np.float64)
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    res = ann_topk(ds, qvec, k=10, exclude_ids=frozenset({0})).to_pandas()
+    res = _round_col(res, "sim", 6)
+    return res
+
+
+def q24_embed_dup_pairs(sf_dir: str):
+    """Embedding near-dup via cosine LSH: corpus ∪ exact copies
+    (vec_id + 10000) → every (v, v+10000) pair must be found (recall 1.0
+    for exact dups: identical signature ⇒ same bucket)."""
+    from basicocr_ray.stages.embed import cosine_lsh_pairs
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def clone(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": pc.add(batch["vec_id"], 10000),
+                "embedding": batch["embedding"],
+            }
+        )
+
+    both = ds.union(ds.map_batches(clone, batch_format="pyarrow"))
+    return cosine_lsh_pairs(both, threshold=0.95)
+
+
+def q22_minhash_neardup(sf_dir: str):
+    """MinHash-LSH near-duplicate pairs over the REAL documents corpus
+    (which contains planted near-dups): shingle→minhash per batch → band
+    buckets (32 bands × 2 rows: P(miss | J=0.8) = (1-0.8^2)^32 ≈ 6e-15) →
+    candidate pairs → exact 5-gram-Jaccard verify ≥ 0.8. Oracle = DuckDB
+    brute-force pairwise Jaccard — the LSH path must reproduce it exactly."""
+    from basicocr_ray.stages.dedup import (
+        minhash_candidate_pairs,
+        verify_pairs_jaccard,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_candidate_pairs(ds, "doc_id", "text", num_bands=32)
+    texts = {r["doc_id"]: r["text"] for r in ds.take_all()}
+    verified = verify_pairs_jaccard(pairs, texts, threshold=0.8)
+    return verified.select_columns(["id_a", "id_b"])
+
+
+def q23_simhash_dup(sf_dir: str):
+    """Exact-duplicate detection via SimHash bucketing: documents ∪ exact
+    copies (doc_id + 10000); identical-signature buckets propose
+    candidates, md5 text-equality verifies (signature collisions of
+    merely-similar docs are filtered out). Every (d, d+10000) pair must
+    surface — and nothing else (the corpus has no exact dups)."""
+    from basicocr_ray.stages.dedup import simhash_exact_dup_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def clone(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.add(batch["doc_id"], 10000),
+                "text": batch["text"],
+            }
+        )
+
+    both = ds.union(ds.map_batches(clone, batch_format="pyarrow"))
+    return simhash_exact_dup_pairs(both, "doc_id", "text")
+
+
+# ===========================================================================
+# Registry + oracle SQL
+# ===========================================================================
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_orders_topk": q02_orders_topk,
+    "q03_revenue_by_status": q03_revenue_by_status,
+    "q04_region_rollup": q04_region_rollup,
+    "q05_events_hourly": q05_events_hourly,
+    "q06_events_asof": q06_events_asof,
+    "q07_token_freq": q07_token_freq,
+    "q08_bigram_freq": q08_bigram_freq,
+    "q09_lang_rollup": q09_lang_rollup,
+    "q10_dedup_exact": q10_dedup_exact,
+    "q11_fingerprint": q11_fingerprint,
+    "q12_token_count": q12_token_count,
+    "q13_extract_roundtrip": q13_extract_roundtrip,
+    "q14_extract_multiblock": q14_extract_multiblock,
+    "q15_ann_cosine": q15_ann_cosine,
+    "q16_quality": q16_quality,
+    "q17_sessionize": q17_sessionize,
+    "q18_topk_per_group": q18_topk_per_group,
+    "q19_distinct_langs": q19_distinct_langs,
+    "q20_ac_strip": q20_ac_strip,
+    "q21_trie_correct": q21_trie_correct,
+    "q22_minhash_neardup": q22_minhash_neardup,
+    "q23_simhash_dup": q23_simhash_dup,
+    "q24_embed_dup_pairs": q24_embed_dup_pairs,
+    "q26_trigram_freq": q26_trigram_freq,
+    "q28_events_scalar": q28_events_scalar,
+    "q29_orders_by_segment": q29_orders_by_segment,
+    "q30_union_distinct": q30_union_distinct,
+}
+
+_TOKS = r"regexp_split_to_array(lower(text), '\s+')"
+
+ORACLE_SQL = {
+    "q01_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               count(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '2000-01-01'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q02_orders_topk": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    "q03_revenue_by_status": """
+        SELECT l_linestatus,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_linestatus
+    """,
+    "q04_region_rollup": """
+        SELECT r_name, count(*) AS n_customers,
+               round(sum(c_acctbal), 2) AS sum_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "q05_events_hourly": """
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "q06_events_asof": """
+        SELECT e.event_id,
+               o.event_id AS prior_event_id,
+               epoch_us(e.ts) - epoch_us(o.ts) AS gap_us
+        FROM events e
+        ASOF JOIN events o
+          ON e.user_id = o.user_id AND e.ts > o.ts
+        WHERE e.event_type = 'purchase'
+    """,
+    "q07_token_freq": f"""
+        SELECT token, count(*) AS cnt FROM (
+          SELECT unnest({_TOKS}) AS token FROM documents
+        ) WHERE token <> ''
+        GROUP BY token ORDER BY cnt DESC, token LIMIT 100
+    """,
+    "q08_bigram_freq": f"""
+        SELECT bigram, count(*) AS cnt FROM (
+          SELECT unnest(list_transform(
+            range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]
+          )) AS bigram
+          FROM (SELECT {_TOKS} AS toks FROM documents)
+        ) GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 100
+    """,
+    "q26_trigram_freq": f"""
+        SELECT trigram, count(*) AS cnt FROM (
+          SELECT unnest(list_transform(
+            range(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+          )) AS trigram
+          FROM (SELECT {_TOKS} AS toks FROM documents)
+        ) GROUP BY trigram ORDER BY cnt DESC, trigram LIMIT 100
+    """,
+    "q09_lang_rollup": """
+        SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+               round(sum(n_chars)::DOUBLE / count(*), 6) AS mean_chars
+        FROM documents GROUP BY lang
+    """,
+    "q10_dedup_exact": """
+        SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+        FROM documents GROUP BY text
+    """,
+    "q11_fingerprint": """
+        SELECT doc_id, md5(text) AS fp FROM documents
+    """,
+    "q12_token_count": f"""
+        SELECT doc_id,
+               len(list_filter({_TOKS}, t -> t <> '')) AS n_tokens
+        FROM documents
+    """,
+    "q13_extract_roundtrip": """
+        SELECT doc_id, text AS main_text FROM documents
+    """,
+    "q14_extract_multiblock": """
+        SELECT doc_id, text AS main_text FROM documents
+    """,
+    "q15_ann_cosine": """
+        SELECT e2.vec_id,
+               round(list_cosine_similarity(
+                 CAST(e1.embedding AS DOUBLE[]),
+                 CAST(e2.embedding AS DOUBLE[])), 6) AS sim
+        FROM embeddings e1, embeddings e2
+        WHERE e1.vec_id = 0 AND e2.vec_id <> 0
+        ORDER BY list_cosine_similarity(
+                 CAST(e1.embedding AS DOUBLE[]),
+                 CAST(e2.embedding AS DOUBLE[])) DESC, e2.vec_id
+        LIMIT 10
+    """,
+    "q16_quality": f"""
+        SELECT doc_id,
+               len(list_filter(toks, t -> t <> '')) AS n_tokens,
+               len(list_filter(toks,
+                   t -> t IN ('the','a','data','key','value'))) AS n_stop,
+               CASE WHEN len(list_filter(toks, t -> t <> '')) = 0 THEN 0.0
+                    ELSE round(
+                      len(list_filter(toks,
+                        t -> t IN ('the','a','data','key','value')))::DOUBLE
+                      / len(list_filter(toks, t -> t <> '')), 6)
+               END AS stop_ratio
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    """,
+    "q17_sessionize": """
+        SELECT user_id, count(*) AS n_events, sum(is_new) AS n_sessions
+        FROM (
+          SELECT user_id,
+                 CASE WHEN prev_ts IS NULL
+                        OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM (
+            SELECT user_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_ts
+            FROM events
+          )
+        ) GROUP BY user_id
+    """,
+    "q18_topk_per_group": """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders
+        ) WHERE rn <= 2
+    """,
+    "q19_distinct_langs": "SELECT DISTINCT lang FROM documents",
+    "q20_ac_strip": """
+        SELECT doc_id,
+               replace(replace(text, 'vector window', ''),
+                       'hash scan', '') AS stripped_text
+        FROM documents
+    """,
+    "q21_trie_correct": f"""
+        WITH tl AS (
+          SELECT doc_id, {_TOKS} AS toks FROM documents
+        ),
+        toks AS (
+          SELECT doc_id, CAST(r.i AS BIGINT) AS i, tl.toks[CAST(r.i AS BIGINT) + 1] AS tok
+          FROM tl, range(2000) r(i) WHERE r.i < len(tl.toks)
+        ),
+        ctoks AS (
+          SELECT doc_id, i,
+                 CASE WHEN (doc_id + i) % 7 = 0 AND len(tok) > 3
+                      THEN substr(tok, 1, len(tok) - 1) ELSE tok END AS ctok
+          FROM toks
+        ),
+        dict AS (
+          SELECT tok AS word, count(*) AS freq FROM toks GROUP BY tok
+        ),
+        distinct_c AS (SELECT DISTINCT ctok FROM ctoks),
+        best AS (
+          SELECT ctok, word FROM (
+            SELECT c.ctok, d.word,
+                   row_number() OVER (
+                     PARTITION BY c.ctok
+                     ORDER BY levenshtein(c.ctok, d.word),
+                              CASE WHEN len(d.word) = len(c.ctok)
+                                   THEN 0 ELSE 1 END,
+                              d.freq DESC, d.word) AS rn
+            FROM distinct_c c CROSS JOIN dict d
+            WHERE levenshtein(c.ctok, d.word) <= 4
+          ) WHERE rn = 1
+        )
+        SELECT t.doc_id,
+               string_agg(COALESCE(b.word, t.ctok), ' ' ORDER BY t.i)
+                 AS corrected_text
+        FROM ctoks t LEFT JOIN best b ON b.ctok = t.ctok
+        GROUP BY t.doc_id
+    """,
+    "q22_minhash_neardup": """
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(len(lower(text)) - 4),
+                   i -> substr(lower(text), CAST(i AS BIGINT) + 1, 5))) AS g
+          FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE (len(list_intersect(a.g, b.g))::DOUBLE
+               / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))) >= 0.8
+    """,
+    "q23_simhash_dup": """
+        SELECT doc_id AS id_a, doc_id + 10000 AS id_b FROM documents
+    """,
+    "q24_embed_dup_pairs": """
+        SELECT vec_id AS id_a, vec_id + 10000 AS id_b FROM embeddings
+    """,
+    "q28_events_scalar": """
+        SELECT event_id, upper(event_type) AS event_type_u,
+               value + 10.0 AS adj_value
+        FROM events WHERE value >= 100.0
+    """,
+    "q29_orders_by_segment": """
+        SELECT c_mktsegment, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_totalprice
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "q30_union_distinct": """
+        SELECT count(DISTINCT k) AS n FROM (
+          SELECT l_orderkey AS k FROM lineitem
+          UNION ALL SELECT o_orderkey AS k FROM orders
+        )
+    """,
+}

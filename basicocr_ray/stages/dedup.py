@@ -1,0 +1,245 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, embedding-based.
+
+All follow the same scale discipline: per-document sketching happens inside
+`map_batches` (no shuffle), the shuffle moves only SMALL keys (hashes,
+band buckets, signatures), and expensive verification runs only on
+candidate pairs (MMDS ch.3 banding; Broder 1997; Charikar 2002).
+
+Exact dedup is the D3 operator of SURVEY §2.7 (hash-partition on content
+fingerprint → per-group first); the reference's only dedup is the CTC
+adjacent collapse (D1) which lives in core.decode.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from basicocr_ray.core.sketches import MinHasher, ngram_jaccard, simhash, hamming64
+from basicocr_ray.core.textstats import md5_hex
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_groups(ds, id_column: str, text_column: str):
+    """→ (doc_id, n_dups): representative (min id) + multiplicity per
+    distinct text. The shuffle carries (id, fp) only — text stays put."""
+
+    def add_fp(batch: pa.Table) -> pa.Table:
+        fps = [md5_hex(t or "") for t in batch[text_column].to_pylist()]
+        return pa.table(
+            {
+                id_column: batch[id_column],
+                "fp": pa.array(fps, pa.string()),
+            }
+        )
+
+    def first_per_group(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {id_column: [df[id_column].min()], "n_dups": [len(df)]}
+        )
+
+    return (
+        ds.map_batches(add_fp, batch_format="pyarrow")
+        .groupby("fp")
+        .map_groups(first_per_group, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+def minhash_candidate_pairs(
+    ds,
+    id_column: str,
+    text_column: str,
+    num_perm: int = 64,
+    num_bands: int = 16,
+    shingle_k: int = 5,
+):
+    """→ Dataset of candidate (id_a, id_b) pairs (id_a < id_b), deduped.
+
+    shingle→minhash per batch → explode to (band_id, band_hash, id) rows →
+    groupby band bucket → pairs within bucket. The shuffle moves 16 small
+    ints per document, never text."""
+    hasher = MinHasher(num_perm=num_perm, k=shingle_k)
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        ids_out, bids, bhashes = [], [], []
+        for i, t in zip(
+            batch[id_column].to_pylist(), batch[text_column].to_pylist()
+        ):
+            sig = hasher.signature(t or "")
+            for bid, bh in hasher.bands(sig, num_bands):
+                ids_out.append(i)
+                bids.append(bid)
+                bhashes.append(bh)
+        return pa.table(
+            {
+                id_column: pa.array(ids_out, pa.int64()),
+                "band_id": pa.array(bids, pa.int32()),
+                "band_hash": pa.array(bhashes, pa.uint64()),
+            }
+        )
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(df[id_column].unique())
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pd.DataFrame({"id_a": a, "id_b": b})
+
+    pairs = (
+        ds.map_batches(to_bands, batch_format="pyarrow")
+        .groupby(["band_id", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    # dedupe pairs found in multiple bands (small relative to corpus)
+    def first(df: pd.DataFrame) -> pd.DataFrame:
+        return df.head(1)
+
+    return pairs.groupby(["id_a", "id_b"]).map_groups(first, batch_format="pandas")
+
+
+def verify_pairs_jaccard(
+    pairs_ds,
+    texts_by_id: dict[int, str],
+    threshold: float,
+    shingle_k: int = 5,
+):
+    """Candidate pairs → confirmed near-dups with exact n-gram Jaccard.
+
+    ``texts_by_id`` is a broadcast lookup (``ray.put`` once, read per
+    actor/task). At 100 TB scale this side would not fit — there you
+    bucket-join pairs back to texts on id (hash-partitioned join) instead;
+    the broadcast variant is the small-side fast path (SURVEY §2.4)."""
+    import ray
+
+    ref = ray.put(texts_by_id)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        a = batch["id_a"].to_pylist()
+        b = batch["id_b"].to_pylist()
+        sims = [
+            ngram_jaccard(lookup.get(x, ""), lookup.get(y, ""), shingle_k)
+            for x, y in zip(a, b)
+        ]
+        out = pa.table(
+            {
+                "id_a": pa.array(a, pa.int64()),
+                "id_b": pa.array(b, pa.int64()),
+                "jaccard": pa.array(sims, pa.float64()),
+            }
+        )
+        return out.filter(pa.compute.greater_equal(out["jaccard"], threshold))
+
+    return pairs_ds.map_batches(verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+def simhash_exact_dup_pairs(ds, id_column: str, text_column: str):
+    """Exact-duplicate pairs via SimHash bucketing: group by the full
+    64-bit signature (identical docs always collide), verify with md5 text
+    equality inside the bucket — signature collisions between
+    merely-similar docs are rejected. The shuffle carries (id, sig, fp);
+    text never moves."""
+
+    def sig_fp(batch: pa.Table) -> pa.Table:
+        ids = batch[id_column].to_pylist()
+        texts = batch[text_column].to_pylist()
+        return pa.table(
+            {
+                id_column: pa.array(ids, pa.int64()),
+                "sig": pa.array(
+                    [simhash(t or "") for t in texts], pa.uint64()
+                ),
+                "fp": pa.array([md5_hex(t or "") for t in texts], pa.string()),
+            }
+        )
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_column)
+        ids = df[id_column].tolist()
+        fps = df["fp"].tolist()
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if fps[i] == fps[j]:
+                    a.append(ids[i])
+                    b.append(ids[j])
+        return pd.DataFrame({"id_a": a, "id_b": b})
+
+    return (
+        ds.map_batches(sig_fp, batch_format="pyarrow")
+        .groupby("sig")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+
+
+def simhash_pairs(
+    ds,
+    id_column: str,
+    text_column: str,
+    max_hamming: int = 3,
+    token_k: int = 4,
+):
+    """→ (id_a, id_b, hamming) pairs with distance ≤ max_hamming.
+
+    Bucketing: split the 64-bit signature into 4 × 16-bit chunks — any pair
+    within hamming ≤ 3 shares at least one exact chunk (pigeonhole), so
+    grouping by (chunk_id, chunk_value) has perfect recall; verification
+    computes the true distance inside each bucket."""
+
+    def to_chunks(batch: pa.Table) -> pa.Table:
+        ids_out, cids, cvals, sigs = [], [], [], []
+        for i, t in zip(
+            batch[id_column].to_pylist(), batch[text_column].to_pylist()
+        ):
+            sig = simhash(t or "", token_k)
+            for c in range(4):
+                ids_out.append(i)
+                cids.append(c)
+                cvals.append((sig >> (16 * c)) & 0xFFFF)
+                sigs.append(sig)
+        return pa.table(
+            {
+                id_column: pa.array(ids_out, pa.int64()),
+                "chunk_id": pa.array(cids, pa.int32()),
+                "chunk_val": pa.array(cvals, pa.int32()),
+                "sig": pa.array(sigs, pa.uint64()),
+            }
+        )
+
+    def bucket_verify(df: pd.DataFrame) -> pd.DataFrame:
+        rows = df.drop_duplicates(subset=[id_column]).sort_values(id_column)
+        ids = rows[id_column].tolist()
+        sigs = rows["sig"].tolist()
+        a, b, h = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                d = hamming64(int(sigs[i]), int(sigs[j]))
+                if d <= max_hamming:
+                    a.append(ids[i])
+                    b.append(ids[j])
+                    h.append(d)
+        return pd.DataFrame({"id_a": a, "id_b": b, "hamming": h})
+
+    pairs = (
+        ds.map_batches(to_chunks, batch_format="pyarrow")
+        .groupby(["chunk_id", "chunk_val"])
+        .map_groups(bucket_verify, batch_format="pandas")
+    )
+
+    def first(df: pd.DataFrame) -> pd.DataFrame:
+        return df.head(1)
+
+    return pairs.groupby(["id_a", "id_b"]).map_groups(first, batch_format="pandas")

@@ -1,0 +1,120 @@
+"""Embedding operators: brute-force ANN top-k and LSH-bucketed near-dup.
+
+Scale shapes (task brief):
+* top-k: per-batch numpy matmul against a BROADCAST query matrix
+  (`ray.put` once), local top-k per batch, tiny global sort — the
+  baseline; an IVF variant would pre-cluster and prune batches by
+  centroid, same per-batch kernel.
+* near-dup: random-hyperplane signatures (Charikar 2002 cosine LSH) →
+  bucket groupby → exact cosine verify within buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _stack(col) -> np.ndarray:
+    """list<float> column → (n, d) float64 matrix."""
+    return np.asarray(col.to_pylist(), dtype=np.float64)
+
+
+def ann_topk(
+    ds,
+    query_vec: np.ndarray,
+    k: int = 10,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    exclude_ids: frozenset[int] = frozenset(),
+):
+    """→ Dataset (vec_id, sim): exact cosine top-k vs one query vector.
+
+    query_vec is closure-captured (tiny); for a query MATRIX use ray.put
+    and fetch in an actor __init__. Per-batch local top-k keeps the global
+    sort input at k × num_batches rows."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_column].to_pylist(), dtype=np.int64)
+        m = _stack(batch[vec_column])
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (m @ qn) / norms
+        mask = ~np.isin(ids, list(exclude_ids)) if exclude_ids else slice(None)
+        ids, sims = ids[mask], sims[mask]
+        # local top-k (sim desc, id asc) — deterministic
+        order = np.lexsort((ids, -sims))[:k]
+        return pa.table(
+            {
+                id_column: pa.array(ids[order], pa.int64()),
+                "sim": pa.array(sims[order], pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow").sort(
+        ["sim", id_column], descending=[True, False]
+    ).limit(k)
+
+
+def cosine_lsh_pairs(
+    ds,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    n_planes: int = 16,
+    threshold: float = 0.95,
+    seed: int = 7,
+    dim: int = 64,
+):
+    """→ (id_a, id_b) pairs with exact cosine ≥ threshold among LSH-bucket
+    collisions. Exact duplicates always collide (same signature) → recall
+    1.0 for the dup case; near-dups at angle θ collide with prob
+    (1 - θ/π)^n_planes per table (single-table variant; add rotations for
+    higher recall at scale)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+
+    def to_buckets(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_column].to_pylist(), dtype=np.int64)
+        m = _stack(batch[vec_column])
+        bits = (m @ planes) > 0
+        sig = np.zeros(len(ids), dtype=np.int64)
+        for j in range(n_planes):
+            sig |= bits[:, j].astype(np.int64) << j
+        # carry the vector through the (small-bucket) shuffle for verify
+        return pa.table(
+            {
+                id_column: pa.array(ids, pa.int64()),
+                "bucket": pa.array(sig, pa.int64()),
+                vec_column: batch[vec_column],
+            }
+        )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_column)
+        ids = df[id_column].tolist()
+        m = np.asarray(df[vec_column].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        mn = m / norms[:, None]
+        sims = mn @ mn.T
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if sims[i, j] >= threshold:
+                    a.append(ids[i])
+                    b.append(ids[j])
+        return pd.DataFrame({"id_a": a, "id_b": b})
+
+    pairs = (
+        ds.map_batches(to_buckets, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(verify, batch_format="pandas")
+    )
+
+    def first(df: pd.DataFrame) -> pd.DataFrame:
+        return df.head(1)
+
+    return pairs.groupby(["id_a", "id_b"]).map_groups(first, batch_format="pandas")

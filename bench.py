@@ -1,0 +1,181 @@
+"""Benchmark harness — headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+   "extract": {"n_docs": ..., "docs_per_sec": ..., "mb_per_sec": ...}}
+
+--scaling: runs the headline extraction twice in FRESH processes at
+RAY_GRAFT_CPUS=8 and =32 on the same input (the sandbox stand-in for the
+north-rule's N vs 4N cluster sizes) and reports both throughputs plus
+scaling efficiency = (T8/T32)/4.
+
+The synthetic pages corpus (plateGen-analogue fixtures at bench scale) is
+generated ONCE into /tmp and reused — generation is never part of a timed
+region; one untimed read warms the page cache before timing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+BENCH_PAGES_ROWS = int(os.environ.get("BENCH_PAGES_ROWS", "40000"))
+PAGES_CACHE = f"/tmp/basicocr_bench/pages_{BENCH_PAGES_ROWS}"
+
+
+def ensure_pages_corpus() -> str:
+    """Deterministic pages corpus at bench scale, generated in parallel via
+    ray.data.range → map_batches (per-index seeded RNG, FIXTURES.md)."""
+    import pyarrow as pa
+    import ray.data
+
+    from basicocr_ray.fixtures.gen import synthesize_page, EPOCH_US
+
+    marker = os.path.join(PAGES_CACHE, "_DONE")
+    if os.path.exists(marker):
+        return PAGES_CACHE
+    shutil.rmtree(PAGES_CACHE, ignore_errors=True)
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_pylist()
+        rows = [synthesize_page(i) for i in ids]
+        return pa.table(
+            {
+                "url": pa.array([r["url"] for r in rows], pa.string()),
+                "warc_ts": pa.array(
+                    [EPOCH_US + i * 1000 for i in ids], pa.timestamp("us")
+                ),
+                "html": pa.array([r["html"] for r in rows], pa.large_binary()),
+                "text": pa.array([r["text"] for r in rows], pa.large_string()),
+                "lang": pa.array([r["lang"] for r in rows], pa.string()),
+            }
+        )
+
+    (
+        ray.data.range(BENCH_PAGES_ROWS)
+        .map_batches(synth, batch_format="pyarrow", batch_size=2000)
+        .write_parquet(PAGES_CACHE)
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return PAGES_CACHE
+
+
+def bench_extract(pages_dir: str) -> dict:
+    from basicocr_ray.pipelines.extract_pipeline import run_extract_job
+
+    out = "/tmp/basicocr_bench/extract_out"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.perf_counter()
+    stats = run_extract_job(pages_dir, out, resume=False)
+    sec = time.perf_counter() - t0
+    n_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(pages_dir)
+        for f in fs
+    )
+    return {
+        "sec": sec,
+        "n_docs": stats["n_rows"],
+        "docs_per_sec": round(stats["n_rows"] / sec, 1),
+        "input_mb_per_sec": round(n_bytes / 1e6 / sec, 1),
+    }
+
+
+def main() -> None:
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    if "--scaling" in sys.argv:
+        # fresh processes per parallelism level; same input both times
+        def run(ncpu: int) -> dict:
+            env = dict(
+                os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_EXTRACT_ONLY="1"
+            )
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, check=True,
+            ).stdout
+            return json.loads(out.strip().splitlines()[-1])
+
+        lo, hi = run(8), run(32)
+        eff = (lo["queries"]["extract"] / hi["queries"]["extract"]) / (32 / 8)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency_8_to_32",
+                    "value": round(eff, 3),
+                    "unit": "ratio",
+                    "sec_8": lo["queries"]["extract"],
+                    "sec_32": hi["queries"]["extract"],
+                    "docs_per_sec_8": lo["extract"]["docs_per_sec"],
+                    "docs_per_sec_32": hi["extract"]["docs_per_sec"],
+                    "sf": sf,
+                }
+            )
+        )
+        return
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=num_cpus, include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    pages_dir = ensure_pages_corpus()
+    # warm OS page cache (untimed) so we measure compute, not first-read IO
+    import ray.data as rd
+
+    rd.read_parquet(pages_dir, columns=["url"]).count()
+
+    queries: dict[str, float] = {}
+    ext = bench_extract(pages_dir)
+    queries["extract"] = round(ext.pop("sec"), 2)
+
+    if not os.environ.get("BENCH_EXTRACT_ONLY"):
+        from basicocr_ray.pipelines.queries import QUERIES
+
+        bench_qs = [
+            "q01_pricing_summary", "q05_events_hourly", "q06_events_asof",
+            "q07_token_freq", "q08_bigram_freq", "q15_ann_cosine",
+            "q10_dedup_exact", "q17_sessionize",
+        ]
+        for name in bench_qs:
+            t0 = time.perf_counter()
+            res = QUERIES[name](sf_dir)
+            # force execution for lazy Datasets
+            if hasattr(res, "to_pandas"):
+                res = res.to_pandas()
+            queries[name] = round(time.perf_counter() - t0, 2)
+
+    total = round(sum(queries.values()), 2)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "num_cpus": num_cpus,
+                "extract": ext,
+            }
+        )
+    )
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

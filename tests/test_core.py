@@ -1,0 +1,210 @@
+"""Unit goldens for the pure kernels — mirrors the reference's only test
+file (`contrib/crnn/test/test_utils.py`): tiny hand-computed goldens for
+pure functions, including error paths."""
+
+from __future__ import annotations
+
+import pytest
+
+from basicocr_ray.config import ExtractConfig
+from basicocr_ray.core.ac import ACAutomaton
+from basicocr_ray.core.charset import sniff_decode, sniff_encoding
+from basicocr_ray.core.decode import ctc_collapse, greedy_decode
+from basicocr_ray.core.normalize import collapse_ws, string_b2q, string_q2b, uniform
+from basicocr_ray.core.score import score_values
+from basicocr_ray.core.sketches import (
+    MinHasher,
+    hamming64,
+    ngram_jaccard,
+    simhash,
+)
+from basicocr_ray.core.textstats import (
+    char_runs,
+    lang_id,
+    md5_hex,
+    quality_stats,
+    rolling_fingerprint,
+    ws_tokens,
+)
+from basicocr_ray.core.trie import TrieDict
+from basicocr_ray.core.vocab import Vocab
+
+
+# --- CTC collapse (test_utils.py:31-68 analogues) --------------------------
+
+def test_ctc_collapse_ea_golden():
+    # the [5,5,0,1] → "ea" case of test_utils.py:53-56
+    assert ctc_collapse([5, 5, 0, 1]) == [5, 1]
+
+
+def test_ctc_collapse_blank_separated_repeats_kept():
+    # "--hh-e-l-ll-oo" → "hello" (crnn.md:58,66): blank-separated repeats stay
+    assert ctc_collapse([2, 0, 2]) == [2, 2]
+    assert ctc_collapse([0, 0, 0]) == []
+    assert ctc_collapse([]) == []
+
+
+def test_vocab_roundtrip_and_error_path():
+    v = Vocab("abcde")
+    codes, lens = v.encode(["ab", "cde"])
+    assert codes == [1, 2, 3, 4, 5] and lens == [2, 3]
+    assert v.decode(codes, lens, raw=True) == ["ab", "cde"]
+    assert v.decode([5, 5, 0, 1], [4]) == ["ea"]
+    with pytest.raises(ValueError):  # test_utils.py:59-62 error path
+        v.decode([1, 2], [3])
+
+
+def test_greedy_decode_blocks():
+    texts = ["nav nav", "para one", "para one", "ads", "para two"]
+    keeps = [False, True, True, False, True]
+    cfg = ExtractConfig()
+    main, spans, n = greedy_decode(texts, keeps, cfg)
+    # adjacent dup "para one" collapsed; blank resets nothing here
+    assert main == "para one\n\npara two"
+    assert n == 2
+    assert spans == [(0, 8, 1), (10, 18, 4)]
+    # blank between repeats → both kept (CTC rule)
+    main2, _, _ = greedy_decode(
+        ["x", "drop", "x"], [True, False, True], cfg
+    )
+    assert main2 == "x\n\nx"
+    with pytest.raises(ValueError):
+        greedy_decode(["a"], [True, False], cfg)
+
+
+def test_greedy_decode_spans_offsets():
+    cfg = ExtractConfig(join_sep=" ")
+    main, spans, _ = greedy_decode(["ab", "cd"], [True, True], cfg)
+    assert main == "ab cd"
+    assert spans == [(0, 2, 0), (3, 5, 1)]
+    assert main[spans[1][0] : spans[1][1]] == "cd"
+
+
+# --- normalization (trietree_correct.py:45-72) -----------------------------
+
+def test_width_fold_goldens():
+    assert string_q2b("　") == " "
+    assert string_q2b("ＡＢＣ！") == "ABC!"
+    assert string_b2q("ABC!") == "ＡＢＣ！"
+    assert uniform("ＡＢＣ！ Ｘ") == "abc! x"
+
+
+def test_collapse_ws():
+    assert collapse_ws("  a \t b\n\nc d　 ") == "a b c d"
+
+
+# --- charset sniffing ------------------------------------------------------
+
+def test_charset_ladder():
+    assert sniff_encoding("中文".encode("utf-8")) == "utf-8"
+    gbk = ('<meta charset="gbk"><p>' + "中文" * 4 + "</p>").encode("gbk")
+    assert sniff_encoding(gbk) == "gbk"
+    assert sniff_encoding(b"\xff plain latin") == "latin-1"
+    assert sniff_encoding(b"\xef\xbb\xbfabc") == "utf-8-sig"
+    # lying meta charset falls through to utf-8
+    lying = ('<meta charset="ascii"><p>' + "中文" + "</p>").encode("utf-8")
+    assert sniff_encoding(lying) == "utf-8"
+    with pytest.raises(ValueError):
+        sniff_decode(b"")
+
+
+# --- scoring ---------------------------------------------------------------
+
+def test_score_values():
+    td, ld, score, keep = score_values(100, 1, 0)
+    assert keep and ld == 0.0 and td == 50.0
+    # link-heavy → drop
+    assert score_values(100, 0, 90)[3] is False
+    # too short → drop
+    assert score_values(5, 0, 0)[3] is False
+    # empty block: link_density defined as 1.0
+    assert score_values(0, 0, 0)[1] == 1.0
+
+
+# --- trie corrector (trietree_correct.py tie-break ladder) -----------------
+
+def test_trie_correct_branches():
+    t = TrieDict(
+        [("hello", 10), ("help", 5), ("hell", 20), ("word", 9), ("world", 7)]
+    )
+    assert t.correct("hello") == "hello"          # dist-0 exact hit
+    assert t.correct("helo") == "hell"            # same-length pref → max freq
+    assert t.correct("wor") == "word"             # unique after length pref
+    assert t.correct("zzzzzzzzzz") == "zzzzzzzzzz"  # nothing within maxCost+3
+    # retry ladder: dist 2 found only on the +3 retry
+    assert t.correct("hexxo") == "hello"
+
+
+def test_trie_tiebreak_lexicographic():
+    t = TrieDict([("aa", 5), ("ab", 5)])
+    # dist 1 each, same length, same freq → lexicographically smallest
+    assert t.correct("ac") == "aa"
+
+
+def test_trie_search_prune():
+    t = TrieDict([("abcdef", 1)])
+    assert t.search("abcdef", 0) == [("abcdef", 0, 1)]
+    assert t.search("xyzxyz", 1) == []
+
+
+# --- AC automaton ----------------------------------------------------------
+
+def test_ac_find_and_strip():
+    ac = ACAutomaton(["he", "she", "his", "hers"])
+    hits = {(s, e, p) for s, e, p in ac.find_all("ushers")}
+    assert hits == {(1, 4, "she"), (2, 4, "he"), (2, 6, "hers")}
+    ac2 = ACAutomaton(["vector window", "hash scan"])
+    s = "a vector window b hash scan c"
+    assert ac2.strip(s) == s.replace("vector window", "").replace("hash scan", "")
+    # leftmost-longest: "she" wins over "he" at overlap
+    ac3 = ACAutomaton(["she", "he"])
+    assert ac3.strip("she") == ""
+
+
+# --- text stats ------------------------------------------------------------
+
+def test_tokens_and_runs():
+    assert ws_tokens("The  fast\nkey") == ["the", "fast", "key"]
+    assert char_runs("abc123中文,def") == ["abc", "123", "中文", "def"]
+
+
+def test_lang_id_closed_set():
+    assert lang_id("the cat is on the mat and it was good") == "en"
+    assert lang_id("der hund ist nicht da und die katze") == "de"
+    assert lang_id("el perro y la casa de los niños") == "es"
+    assert lang_id("这是一个中文句子没有假名") == "zh"
+    assert lang_id("これは日本語のぶんしょうです") == "ja"
+    assert lang_id("") == "other"
+
+
+def test_quality_and_fingerprints():
+    s = quality_stats("the quick brown fox.")
+    assert s["n_tokens"] == 4 and s["n_stop"] == 1
+    assert md5_hex("abc") == "900150983cd24fb0d6963f7d28e17f72"
+    assert rolling_fingerprint("hello world abc def") == rolling_fingerprint(
+        "hello world abc def"
+    )
+
+
+# --- sketches --------------------------------------------------------------
+
+def test_minhash_similarity_ordering():
+    mh = MinHasher()
+    a = "the quick brown fox jumps over the lazy dog and runs far away"
+    b = a + "!"
+    c = "completely different text about databases and query engines"
+    sab = MinHasher.jaccard_estimate(mh.signature(a), mh.signature(b))
+    sac = MinHasher.jaccard_estimate(mh.signature(a), mh.signature(c))
+    assert sab > 0.8 > sac
+    assert mh.signature(a).tolist() == mh.signature(a).tolist()  # deterministic
+
+
+def test_ngram_jaccard_and_simhash():
+    assert ngram_jaccard("abcdef", "abcdef") == 1.0
+    assert ngram_jaccard("abcdef", "zzzzzz") == 0.0
+    assert simhash("same text") == simhash("same text")
+    assert hamming64(simhash("aaa bbb ccc"), simhash("aaa bbb ccc")) == 0
+    assert (
+        hamming64(simhash("the quick brown fox"), simhash("the quick brown fix"))
+        < hamming64(simhash("the quick brown fox"), simhash("unrelated stuff here"))
+    )

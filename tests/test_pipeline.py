@@ -1,0 +1,171 @@
+"""Distributed correctness: byte-identity of the Ray pipeline vs the
+single-doc oracle, invariance under batch size / parallelism, resume
+semantics, skew splitting, failed routing, staged == fused."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from basicocr_ray.config import ExtractConfig
+from basicocr_ray.core.oracle import extract_one
+
+
+def _expected_map(pages_path: str) -> dict[str, str]:
+    tab = pq.read_table(pages_path, columns=["url", "html"])
+    out = {}
+    for url, html in zip(tab["url"].to_pylist(), tab["html"].to_pylist()):
+        out[url] = extract_one(html)["main_text"]
+    return out
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_flagship_byte_identity_and_resume(fixture_pages, tmp_path):
+    import ray.data
+
+    from basicocr_ray.pipelines.extract_pipeline import run_extract_job
+    from basicocr_ray.state.manifest import load_done_partitions
+
+    out = str(tmp_path / "out")
+    stats = run_extract_job(fixture_pages, out)
+    assert not stats["skipped"]
+    assert stats["n_rows"] == 800
+
+    expected = _expected_map(fixture_pages)
+    got = ray.data.read_parquet(out, columns=["url", "main_text", "ok"]).to_pandas()
+    # duplicate urls exist in the fixture (1%): compare per output row
+    n_checked = 0
+    for url, text in zip(got["url"], got["main_text"]):
+        if url in expected:
+            # url-dup rows have two possible payloads; skip exact assert there
+            dup = (got["url"] == url).sum() > 1
+            if not dup:
+                assert text == expected[url], url
+                n_checked += 1
+    assert n_checked >= 770
+    assert (~got["ok"]).sum() == stats["n_failed"]
+
+    # resume: all partitions recorded done, second run is a no-op
+    stats2 = run_extract_job(fixture_pages, out)
+    assert stats2["skipped"]
+
+    # partial resume: drop one manifest → exactly that partition reruns
+    fp = stats["input_fingerprint"]
+    victims = sorted(load_done_partitions(out, fp))[:2]
+    for v in victims:
+        os.remove(os.path.join(out, "_manifests", f"part={v}.json"))
+    stats3 = run_extract_job(fixture_pages, out)
+    assert stats3["partitions_computed"] == 2
+    assert stats3["partitions_done_prior"] == 30
+    got2 = ray.data.read_parquet(out, columns=["url", "main_text"]).to_pandas()
+    assert len(got2) == len(got)  # no duplicated output rows after resume
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_stale_fingerprint_forces_recompute(fixture_pages, tmp_path):
+    from basicocr_ray.pipelines.extract_pipeline import run_extract_job
+
+    out = str(tmp_path / "out")
+    run_extract_job(fixture_pages, out)
+    # touch the input → fingerprint changes → everything recomputes
+    os.utime(fixture_pages)
+    stats = run_extract_job(fixture_pages, out)
+    assert not stats["skipped"]
+    assert stats["partitions_computed"] == 32
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_batchsize_and_skew_invariance(fixture_pages, tmp_path):
+    """The determinism property that actually guards distribution: results
+    identical under different batch sizes and the skew-split branch."""
+    import ray.data
+
+    from basicocr_ray.pipelines.extract_pipeline import build_extract_ds
+    from basicocr_ray.sources.pages import read_pages
+
+    def run(cfg, **kw):
+        ds = build_extract_ds(read_pages(fixture_pages), cfg, **kw)
+        df = ds.to_pandas()[["url", "main_text"]]
+        return df.sort_values(["url", "main_text"]).reset_index(drop=True)
+
+    base = run(ExtractConfig())
+    small = run(ExtractConfig(batch_size_small=7))
+    skew = run(ExtractConfig(oversize_bytes=20_000), skew_split=True)
+    nopdf = run(ExtractConfig(), pdf_branch=False)
+    assert base.equals(small)
+    assert base.equals(skew)
+    assert base.equals(nopdf)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_staged_equals_fused(fixture_pages):
+    """tokenize → score → decode staged pipeline == fused extract_batch."""
+    import ray.data
+
+    from basicocr_ray.stages.extract import (
+        decode_batch,
+        extract_batch,
+        score_batch,
+        tokenize_batch,
+    )
+
+    pages = ray.data.read_parquet(fixture_pages, columns=["url", "html", "lang"])
+
+    def not_pdf(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(
+            pc.invert(pc.equal(pc.binary_slice(b["html"], 0, 4), b"%PDF"))
+        )
+
+    html_only = pages.map_batches(not_pdf, batch_format="pyarrow")
+    fused = (
+        html_only.map_batches(extract_batch, batch_format="pyarrow")
+        .to_pandas()[["url", "main_text", "n_blocks_kept"]]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    staged = (
+        html_only.map_batches(tokenize_batch, batch_format="pyarrow")
+        .map_batches(score_batch, batch_format="pyarrow")
+        .map_batches(decode_batch, batch_format="pyarrow")
+        .to_pandas()[["url", "main_text", "n_blocks_kept"]]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert fused.equals(staged)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_failed_routing(fixture_pages, tmp_path):
+    import ray.data
+
+    from basicocr_ray.pipelines.extract_pipeline import run_extract_job
+
+    out = str(tmp_path / "out")
+    stats = run_extract_job(fixture_pages, out)
+    failed_dir = os.path.join(out, "_failed")
+    assert os.path.isdir(failed_dir)
+    failed = ray.data.read_parquet(failed_dir).to_pandas()
+    assert len(failed) == stats["n_failed"]
+    assert (failed["error"] != "").all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_metrics_rollup(fixture_pages, tmp_path):
+    import ray.data
+
+    from basicocr_ray.pipelines.extract_pipeline import run_extract_job
+
+    out = str(tmp_path / "out")
+    stats = run_extract_job(fixture_pages, out)
+    metrics = ray.data.read_parquet(os.path.join(out, "_metrics")).to_pandas()
+    assert metrics["n_docs"].sum() == stats["n_rows"]
+    assert set(metrics.columns) >= {
+        "lang", "partition_id", "n_docs", "n_ok", "mean_blocks_kept",
+        "n_bytes_in", "n_bytes_out",
+    }
