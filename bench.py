@@ -24,7 +24,7 @@ import subprocess
 import sys
 import time
 
-BENCH_PAGES_ROWS = int(os.environ.get("BENCH_PAGES_ROWS", "40000"))
+BENCH_PAGES_ROWS = int(os.environ.get("BENCH_PAGES_ROWS", "400000"))
 PAGES_CACHE = f"/tmp/basicocr_bench/pages_{BENCH_PAGES_ROWS}"
 
 
@@ -57,7 +57,9 @@ def ensure_pages_corpus() -> str:
         )
 
     (
-        ray.data.range(BENCH_PAGES_ROWS)
+        # ~96 files so read parallelism scales past 32 workers (a 16-file
+        # corpus caps the read stage at 16 tasks and flattens scaling)
+        ray.data.range(BENCH_PAGES_ROWS, override_num_blocks=96)
         .map_batches(synth, batch_format="pyarrow", batch_size=2000)
         .write_parquet(PAGES_CACHE)
     )
@@ -67,7 +69,15 @@ def ensure_pages_corpus() -> str:
 
 
 def bench_extract(pages_dir: str) -> dict:
-    from basicocr_ray.pipelines.extract_pipeline import run_extract_job
+    from basicocr_ray.pipelines.extract_pipeline import (
+        build_extract_ds,
+        run_extract_job,
+    )
+    from basicocr_ray.sources.pages import read_pages
+
+    # warm-up: spawn the worker pool + import the library in every worker
+    # (untimed — measures the pipeline, not Python process cold-start)
+    build_extract_ds(read_pages(pages_dir).limit(2000)).count()
 
     out = "/tmp/basicocr_bench/extract_out"
     shutil.rmtree(out, ignore_errors=True)

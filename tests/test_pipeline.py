@@ -94,11 +94,13 @@ def test_batchsize_and_skew_invariance(fixture_pages, tmp_path):
 
     base = run(ExtractConfig())
     small = run(ExtractConfig(batch_size_small=7))
-    skew = run(ExtractConfig(oversize_bytes=20_000), skew_split=True)
+    skew = run(ExtractConfig(oversize_bytes=20_000), pdf_branch="split", skew_split=True)
     nopdf = run(ExtractConfig(), pdf_branch=False)
+    split = run(ExtractConfig(), pdf_branch="split")
     assert base.equals(small)
     assert base.equals(skew)
     assert base.equals(nopdf)
+    assert base.equals(split)
 
 
 @pytest.mark.usefixtures("ray_session")
