@@ -1,0 +1,107 @@
+"""Bigram language model: distributed count/merge → broadcast scorer.
+
+SURVEY §2 G4/A5: the reference's n-gram pipeline is `split -l 10000` →
+per-shard `ngram-count` → `merge-batch-counts` → `make-big-lm` → apply
+(`docs/yangzhanku/n-gram/language-model.md:140-197`). Ray translation:
+
+  counts  = partial token/bigram counts per batch → groupby sum (G3/G4)
+  model   = driver-side fit (add-one smoothed conditional log-probs) —
+            the artifact is small (vocab²-bounded, sparse)
+  scoring = broadcast the model via ray.put, score docs per batch in an
+            actor pool (A5: LM applied to sequences)
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow as pa
+
+from basicocr_ray.stages.wide import count_terms, make_ngram_items, token_items
+
+
+class BigramLM:
+    """Add-one-smoothed bigram LM over whitespace tokens.
+
+    Deterministic: probabilities are rationals evaluated in fixed order;
+    scores are log-sums rounded at presentation time only."""
+
+    def __init__(
+        self,
+        unigram_counts: dict[str, int],
+        bigram_counts: dict[str, int],
+    ):
+        self.uni = dict(unigram_counts)
+        self.bi = dict(bigram_counts)
+        self.vocab_size = len(self.uni)
+        self.total = sum(self.uni.values())
+
+    def logp_bigram(self, w1: str, w2: str) -> float:
+        num = self.bi.get(w1 + " " + w2, 0) + 1
+        den = self.uni.get(w1, 0) + self.vocab_size
+        return math.log(num / den)
+
+    def logp_unigram(self, w: str) -> float:
+        return math.log((self.uni.get(w, 0) + 1) / (self.total + self.vocab_size))
+
+    def score(self, tokens: list[str]) -> float:
+        """Mean per-token log-probability (length-normalized)."""
+        if not tokens:
+            return 0.0
+        lp = self.logp_unigram(tokens[0])
+        for a, b in zip(tokens, tokens[1:]):
+            lp += self.logp_bigram(a, b)
+        return lp / len(tokens)
+
+
+def fit_bigram_lm(docs_ds, text_column: str = "text") -> BigramLM:
+    """Distributed counts (partial+final, the merge-batch-counts shape) →
+    small driver-side model object ready for broadcast."""
+    uni_rows = count_terms(docs_ds, text_column, token_items, "token").take_all()
+    bi_rows = count_terms(
+        docs_ds, text_column, make_ngram_items(2), "bigram"
+    ).take_all()
+    return BigramLM(
+        {r["token"]: int(r["cnt"]) for r in uni_rows},
+        {r["bigram"]: int(r["cnt"]) for r in bi_rows},
+    )
+
+
+class LMScorer:
+    """Actor-pool scorer: model fetched from the object store once per
+    actor (`ray.put` broadcast, J1 pattern), applied per batch (A5)."""
+
+    def __init__(self, model_ref, text_column: str = "text", id_column: str = "doc_id"):
+        import ray
+
+        self.lm: BigramLM = ray.get(model_ref) if isinstance(
+            model_ref, ray.ObjectRef
+        ) else model_ref
+        self.text_column = text_column
+        self.id_column = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_column].to_pylist()
+        scores = [
+            round(self.lm.score((t or "").lower().split()), 6)
+            for t in batch[self.text_column].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lm_score": pa.array(scores, pa.float64()),
+            }
+        )
+
+
+def score_documents(docs_ds, model: BigramLM, concurrency: int = 2):
+    """docs → (doc_id, lm_score) via broadcast model + actor pool."""
+    import ray
+
+    ref = ray.put(model)
+    return docs_ds.map_batches(
+        LMScorer,
+        fn_constructor_kwargs={"model_ref": ref},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

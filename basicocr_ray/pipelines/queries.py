@@ -641,6 +641,141 @@ def q23_simhash_dup(sf_dir: str):
     return simhash_exact_dup_pairs(both, "doc_id", "text")
 
 
+def q25_normalize(sf_dir: str):
+    """Width-fold + lowercase normalization (M8, `trietree_correct.py:45-72`
+    `uniform`): full-width → half-width then lowercase. On the ASCII
+    `documents` corpus Q2B is the identity, so the oracle reduces to
+    lower(text); the fold itself is golden-tested in tests/test_core.py."""
+    from basicocr_ray.core.normalize import uniform
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "norm_text": pa.array(
+                    [uniform(t or "") for t in batch["text"].to_pylist()],
+                    pa.large_string(),
+                ),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+_VOCAB_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
+
+def q27_vocab_roundtrip(sf_dir: str):
+    """Label codec end-to-end (M3/M4, `utils.py:44-101`): encode each doc
+    against a fixed alphabet (unknown chars dropped), decode raw, compare.
+    Output: (doc_id, n_codes, roundtrip_ok); the oracle computes n_codes as
+    the length of the alphabet-filtered text and asserts roundtrip_ok."""
+    from basicocr_ray.core.vocab import Vocab
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    vocab = Vocab(_VOCAB_ALPHABET)
+    allowed = frozenset(_VOCAB_ALPHABET)
+
+    def rt(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        n_codes, oks = [], []
+        for t in batch["text"].to_pylist():
+            t = (t or "").lower()
+            codes, lens = vocab.encode([t])
+            decoded = vocab.decode(codes, lens, raw=True)[0]
+            expected = "".join(c for c in t if c in allowed)
+            n_codes.append(lens[0])
+            oks.append(decoded == expected)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_codes": pa.array(n_codes, pa.int64()),
+                "roundtrip_ok": pa.array(oks, pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(rt, batch_format="pyarrow")
+
+
+def q31_events_sliding(sf_dir: str):
+    """Sliding-window aggregate (1 h window, 30 min step): each event lands
+    in two windows; window starts are epoch-second integers so both sides
+    stay in exact int arithmetic. Partial counts per batch, then a small
+    groupby sum (no row-level shuffle)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def windows(df: pd.DataFrame) -> pd.DataFrame:
+        # normalize to ns first: pandas may carry datetime64[us] or [ns]
+        # depending on the arrow conversion path
+        epoch_s = df["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000_000
+        bucket = (epoch_s // 1800) * 1800
+        out = pd.concat(
+            [
+                pd.DataFrame({"user_id": df["user_id"], "window_start": bucket}),
+                pd.DataFrame(
+                    {"user_id": df["user_id"], "window_start": bucket - 1800}
+                ),
+            ]
+        )
+        g = out.groupby(["user_id", "window_start"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    agg = (
+        ds.map_batches(windows, batch_format="pandas")
+        .groupby(["user_id", "window_start"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    df = agg.to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return df
+
+
+def q32_lm_score(sf_dir: str):
+    """Bigram LM fit (distributed count/merge, G4) + broadcast scoring
+    (A5). Log-prob floats are libm-dependent → no SQL oracle (rows-only);
+    semantics are unit-tested in tests/test_multimodal_lm.py."""
+    from basicocr_ray.pipelines.lm import fit_bigram_lm, score_documents
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    lm = fit_bigram_lm(ds)
+    return score_documents(ds, lm)
+
+
+def q33_image_features(sf_dir: str):
+    """Multimodal plumbing end-to-end: synthesize deterministic binary
+    image payloads per embeddings row, run the ImageFeatureExtractor actor
+    pool, return the SQL-checkable columns (decode kernel is the fixture
+    stub — see stages/multimodal.py)."""
+    from basicocr_ray.stages.multimodal import (
+        ImageFeatureExtractor,
+        make_image_payload,
+    )
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id"])
+
+    def payloads(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_pylist()
+        return pa.table(
+            {
+                "item_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(
+                    [make_image_payload(i, 32 + (i % 16), 24 + (i % 8)) for i in ids],
+                    pa.large_binary(),
+                ),
+            }
+        )
+
+    feats = ds.map_batches(payloads, batch_format="pyarrow").map_batches(
+        ImageFeatureExtractor, batch_format="pyarrow", batch_size=256,
+        concurrency=2,
+    )
+    return feats.select_columns(["item_id", "width", "height", "ok"])
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -670,10 +805,15 @@ QUERIES = {
     "q22_minhash_neardup": q22_minhash_neardup,
     "q23_simhash_dup": q23_simhash_dup,
     "q24_embed_dup_pairs": q24_embed_dup_pairs,
+    "q25_normalize": q25_normalize,
     "q26_trigram_freq": q26_trigram_freq,
+    "q27_vocab_roundtrip": q27_vocab_roundtrip,
     "q28_events_scalar": q28_events_scalar,
     "q29_orders_by_segment": q29_orders_by_segment,
     "q30_union_distinct": q30_union_distinct,
+    "q31_events_sliding": q31_events_sliding,
+    "q32_lm_score": q32_lm_score,
+    "q33_image_features": q33_image_features,
 }
 
 _TOKS = r"regexp_split_to_array(lower(text), '\s+')"
@@ -879,6 +1019,34 @@ ORACLE_SQL = {
     """,
     "q24_embed_dup_pairs": """
         SELECT vec_id AS id_a, vec_id + 10000 AS id_b FROM embeddings
+    """,
+    "q25_normalize": """
+        SELECT doc_id, lower(text) AS norm_text FROM documents
+    """,
+    "q27_vocab_roundtrip": """
+        SELECT doc_id,
+               length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
+                 AS n_codes,
+               TRUE AS roundtrip_ok
+        FROM documents
+    """,
+    "q31_events_sliding": """
+        SELECT user_id, window_start, count(*) AS n FROM (
+          SELECT user_id,
+                 -- integer µs floor-division: epoch(ts)::BIGINT would
+                 -- ROUND fractional seconds and shift boundary events
+                 unnest([ (epoch_us(ts) // 1800000000) * 1800,
+                          (epoch_us(ts) // 1800000000) * 1800 - 1800 ])
+                   AS window_start
+          FROM events
+        ) GROUP BY user_id, window_start
+    """,
+    "q33_image_features": """
+        SELECT vec_id AS item_id,
+               CAST(32 + (vec_id % 16) AS INTEGER) AS width,
+               CAST(24 + (vec_id % 8) AS INTEGER) AS height,
+               TRUE AS ok
+        FROM embeddings
     """,
     "q28_events_scalar": """
         SELECT event_id, upper(event_type) AS event_type_u,

@@ -1,0 +1,165 @@
+"""Multimodal column stages — image/audio payloads as opaque binary.
+
+Task-brief requirement: treat image/audio/video as ``binary`` columns with
+typed metadata; decode / feature-extract / resize / frame-sample run as
+actor-pool `map_batches` stages. The decode KERNELS are stubs here (no
+image/audio libraries in this container — real decoding raises
+NotImplementedError unless the payload uses the deterministic fixture
+convention), but the Ray-side plumbing — schema, batch sizing, actor
+signature, output layout — is real and tested.
+
+Fixture payload conventions (deterministic fakes):
+  * image: b"IMG!" + width:uint16le + height:uint16le + pixel-seed bytes
+  * audio: b"AUD!" + sample_rate:uint32le + n_samples:uint32le + seed bytes
+Anything else → routed to the failed path (ok=False), mirroring the
+corrupt-skip behavior of `contrib/crnn/dataset.py:53-55` and the payload
+probe of `tool/tolmdb.py:10-22` (`checkImageIsValid`).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+IMAGE_MAGIC = b"IMG!"
+AUDIO_MAGIC = b"AUD!"
+
+IMAGE_FEATURES_SCHEMA = pa.schema(
+    [
+        ("item_id", pa.int64()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("mean_pixel", pa.float64()),
+        ("phash", pa.uint64()),
+        ("ok", pa.bool_()),
+        ("error", pa.string()),
+    ]
+)
+
+
+def _try_real_image_decode(data: bytes):
+    """Real decode path — gated import; absent in this container."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError:
+        raise NotImplementedError(
+            "real image decoding needs an imaging library not present in "
+            "this environment; only IMG! fixture payloads are supported"
+        ) from None
+    raise NotImplementedError("real image branch not wired")
+
+
+class ImageFeatureExtractor:
+    """Actor-pool stage: binary image column → typed feature columns.
+
+    ``__init__`` is where a real deployment loads its vision model once per
+    actor (the A1 pattern); ``__call__`` processes an Arrow batch. Use
+    small ``batch_size`` for large payloads (SURVEY §4 memory row)."""
+
+    def __init__(self, payload_column: str = "payload", id_column: str = "item_id"):
+        self.payload_column = payload_column
+        self.id_column = id_column
+        # model-load placeholder: deterministic hash-derived "embedding"
+        self.seed = 0x5EED
+
+    def _features(self, data: bytes) -> tuple[int, int, float, int]:
+        if not data or not data.startswith(IMAGE_MAGIC):
+            _try_real_image_decode(data)
+        w, h = struct.unpack("<HH", data[4:8])
+        seed = zlib.crc32(data[8:]) ^ self.seed
+        rng = np.random.default_rng(seed)
+        # deterministic fake pixel statistics + 64-bit perceptual-hash stand-in
+        mean_pixel = float(rng.random())
+        phash = int(rng.integers(0, 1 << 63, dtype=np.int64))
+        return w, h, mean_pixel, phash
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_column].to_pylist()
+        ws, hs, means, phs, oks, errs = [], [], [], [], [], []
+        for data in batch[self.payload_column].to_pylist():
+            try:
+                w, h, m, p = self._features(data if data is not None else b"")
+                ws.append(w); hs.append(h); means.append(m); phs.append(p)
+                oks.append(True); errs.append("")
+            except Exception as exc:
+                ws.append(0); hs.append(0); means.append(0.0); phs.append(0)
+                oks.append(False)
+                errs.append(f"{type(exc).__name__}: {exc}"[:120])
+        return pa.table(
+            {
+                "item_id": pa.array(ids, pa.int64()),
+                "width": pa.array(ws, pa.int32()),
+                "height": pa.array(hs, pa.int32()),
+                "mean_pixel": pa.array(means, pa.float64()),
+                "phash": pa.array(phs, pa.uint64()),
+                "ok": pa.array(oks, pa.bool_()),
+                "error": pa.array(errs, pa.string()),
+            }
+        )
+
+
+class AudioFrameSampler:
+    """Actor-pool stage: binary audio column → fixed-rate frame features
+    (n_frames × n_mels stand-in as a list<float> column)."""
+
+    def __init__(
+        self,
+        payload_column: str = "payload",
+        id_column: str = "item_id",
+        frame_hop_s: float = 0.5,
+        n_features: int = 8,
+    ):
+        self.payload_column = payload_column
+        self.id_column = id_column
+        self.frame_hop_s = frame_hop_s
+        self.n_features = n_features
+
+    def _frames(self, data: bytes) -> tuple[int, int, list[float]]:
+        if not data or not data.startswith(AUDIO_MAGIC):
+            raise NotImplementedError(
+                "real audio decoding needs an audio library not present in "
+                "this environment; only AUD! fixture payloads are supported"
+            )
+        rate, n_samples = struct.unpack("<II", data[4:12])
+        duration = n_samples / max(1, rate)
+        n_frames = max(1, int(duration / self.frame_hop_s))
+        rng = np.random.default_rng(zlib.crc32(data[12:]))
+        feats = rng.random(n_frames * self.n_features).round(6).tolist()
+        return rate, n_frames, feats
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_column].to_pylist()
+        rates, nfs, feats, oks, errs = [], [], [], [], []
+        for data in batch[self.payload_column].to_pylist():
+            try:
+                r, nf, f = self._frames(data if data is not None else b"")
+                rates.append(r); nfs.append(nf); feats.append(f)
+                oks.append(True); errs.append("")
+            except Exception as exc:
+                rates.append(0); nfs.append(0); feats.append([])
+                oks.append(False)
+                errs.append(f"{type(exc).__name__}: {exc}"[:120])
+        return pa.table(
+            {
+                "item_id": pa.array(ids, pa.int64()),
+                "sample_rate": pa.array(rates, pa.int32()),
+                "n_frames": pa.array(nfs, pa.int32()),
+                "features": pa.array(feats, pa.list_(pa.float32())),
+                "ok": pa.array(oks, pa.bool_()),
+                "error": pa.array(errs, pa.string()),
+            }
+        )
+
+
+def make_image_payload(item_id: int, width: int = 32, height: int = 24) -> bytes:
+    """Deterministic fixture image payload."""
+    body = struct.pack("<HH", width, height) + str(item_id).encode() * 3
+    return IMAGE_MAGIC + body
+
+
+def make_audio_payload(item_id: int, rate: int = 16000, seconds: float = 2.0) -> bytes:
+    body = struct.pack("<II", rate, int(rate * seconds)) + str(item_id).encode() * 3
+    return AUDIO_MAGIC + body
