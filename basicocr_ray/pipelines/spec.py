@@ -1,0 +1,177 @@
+"""Config-driven pipeline composition (SURVEY §2 S5 / §2.10).
+
+The reference binds its pipelines with config files (the AC pipeline's
+`dataPath.xml`, `Test.java:124-145`; comment-toggled alphabets in
+`keys.py:2-5`; argparse flags in `crnn_main.py:27-51`). Engine equivalent:
+a JSON/dict pipeline spec naming an input table, an ordered list of steps
+from a registered op table, and an optional output path — composed into
+one lazy Dataset chain.
+
+    spec = {
+      "input": {"table": "documents", "columns": ["doc_id", "text"]},
+      "steps": [
+        {"op": "strip_phrases", "phrases": ["vector window"]},
+        {"op": "quality"},
+        {"op": "filter_ge", "column": "n_tokens", "value": 20}
+      ],
+      "output": "/tmp/out"            # optional: write_parquet sink
+    }
+    ds = run_spec(spec, sf_dir)
+
+Steps are UDF hooks in the reference's sense (`dataset.py:18,35-36`
+transform injection): each op is a (name, params) pair resolved against
+OP_REGISTRY, so users extend the engine by registering ops, not by
+editing pipelines."""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Callable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _op_strip_phrases(ds, params):
+    from basicocr_ray.stages.correct import ACStripper
+
+    return ds.map_batches(
+        ACStripper,
+        fn_constructor_kwargs={
+            "phrases": list(params["phrases"]),
+            "column": params.get("column", "text"),
+            "out_column": params.get("out_column", "stripped_text"),
+        },
+        batch_format="pyarrow",
+        concurrency=int(params.get("concurrency", 2)),
+    )
+
+
+def _op_correct(ds, params):
+    from basicocr_ray.stages.correct import TrieCorrector
+
+    return ds.map_batches(
+        TrieCorrector,
+        fn_constructor_kwargs={
+            "entries": [tuple(e) for e in params["dictionary"]],
+            "column": params.get("column", "text"),
+            "out_column": params.get("out_column", "corrected_text"),
+            "max_cost": int(params.get("max_cost", 1)),
+        },
+        batch_format="pyarrow",
+        concurrency=int(params.get("concurrency", 2)),
+    )
+
+
+def _op_langid(ds, params):
+    from basicocr_ray.core.textstats import lang_id
+
+    col = params.get("column", "text")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "pred_lang",
+            pa.array([lang_id(t or "") for t in batch[col].to_pylist()],
+                     pa.string()),
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _op_quality(ds, params):
+    from basicocr_ray.core.textstats import quality_score, ws_tokens
+
+    col = params.get("column", "text")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch[col].to_pylist()
+        return batch.append_column(
+            "n_tokens",
+            pa.array([len(ws_tokens(t or "")) for t in texts], pa.int64()),
+        ).append_column(
+            "quality",
+            pa.array([quality_score(t or "") for t in texts], pa.float64()),
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _op_fingerprint(ds, params):
+    from basicocr_ray.core.textstats import md5_hex
+
+    col = params.get("column", "text")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "fp",
+            pa.array([md5_hex(t or "") for t in batch[col].to_pylist()],
+                     pa.string()),
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _op_filter_ge(ds, params):
+    col, val = params["column"], params["value"]
+    return ds.map_batches(
+        lambda b: b.filter(pc.greater_equal(b[col], val)),
+        batch_format="pyarrow",
+    )
+
+
+def _op_select(ds, params):
+    return ds.select_columns(list(params["columns"]))
+
+
+def _op_extract(ds, params):
+    """pages-shaped input → extracted columns (the flagship as a step)."""
+    from basicocr_ray.config import ExtractConfig
+    from basicocr_ray.stages.extract import extract_batch
+
+    cfg = ExtractConfig(**params.get("config", {}))
+    return ds.map_batches(
+        lambda b: extract_batch(b, cfg), batch_format="pyarrow",
+        batch_size=cfg.batch_size_small,
+    )
+
+
+OP_REGISTRY: dict[str, Callable] = {
+    "strip_phrases": _op_strip_phrases,
+    "correct": _op_correct,
+    "langid": _op_langid,
+    "quality": _op_quality,
+    "fingerprint": _op_fingerprint,
+    "filter_ge": _op_filter_ge,
+    "select": _op_select,
+    "extract": _op_extract,
+}
+
+
+def run_spec(spec: dict | str, sf_dir: str):
+    """Compose and return the lazy Dataset for a pipeline spec (dict, JSON
+    string, or path to a JSON file). Writes to spec["output"] if set."""
+    import ray.data
+
+    if isinstance(spec, str):
+        if os.path.exists(spec):
+            with open(spec) as f:
+                spec = json.load(f)
+        else:
+            spec = json.loads(spec)
+
+    inp = spec["input"]
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, f"{inp['table']}.parquet"),
+        columns=inp.get("columns"),
+    )
+    for step in spec.get("steps", []):
+        op = OP_REGISTRY.get(step["op"])
+        if op is None:
+            raise ValueError(
+                f"unknown op {step['op']!r}; registered: {sorted(OP_REGISTRY)}"
+            )
+        ds = op(ds, step)
+    if spec.get("output"):
+        ds.write_parquet(spec["output"])
+    return ds

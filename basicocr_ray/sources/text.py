@@ -1,0 +1,34 @@
+"""Line-stream source/sink (SURVEY §2 S4).
+
+The reference's AC pipeline reads UTF-8 lines and writes transformed lines
+(`contrib/acautomata/.../Test.java:73-82` read, `:25-39` write). Ray
+translation: `ray.data.read_text` → per-batch transforms → parquet/text
+sink, with a line-number column for order-sensitive consumers."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data
+
+
+def read_lines(paths: str | list[str]):
+    """Text file(s) → Dataset(text: string)."""
+    return ray.data.read_text(paths)
+
+
+def lines_to_table(ds):
+    """Normalize read_text output to a (line: large_string) schema."""
+
+    def norm(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"line": pa.array(batch["text"].to_pylist(), pa.large_string())}
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def write_lines(ds, out_dir: str, column: str = "line"):
+    """Dataset → newline-delimited text files (one per block)."""
+    return ds.select_columns([column]).write_csv(
+        out_dir, include_header=False
+    )

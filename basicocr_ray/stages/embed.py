@@ -59,6 +59,64 @@ def ann_topk(
     ).limit(k)
 
 
+def ivf_topk(
+    ds,
+    query_vec: np.ndarray,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    exclude_ids: frozenset[int] = frozenset(),
+    seed: int = 11,
+    dim: int = 64,
+):
+    """IVF-style approximate top-k: the scale path for ANN.
+
+    Coarse quantizer = seeded random-projection centroids (a real
+    deployment would k-means a sample; random centroids keep this
+    deterministic with no training pass). Each batch assigns its vectors
+    to the nearest centroid VECTORIZED and scores only vectors whose
+    centroid is among the query's ``n_probe`` nearest — pruning
+    (1 - n_probe/n_clusters) of the corpus from the dot-product work.
+    With ``n_probe == n_clusters`` this is exactly brute-force `ann_topk`
+    (asserted in tests). Returns (vec_id, sim)."""
+    rng = np.random.default_rng(seed)
+    centroids = rng.standard_normal((n_clusters, dim))
+    centroids /= np.linalg.norm(centroids, axis=1)[:, None]
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    probe = set(np.argsort(-(centroids @ qn))[:n_probe].tolist())
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_column].to_pylist(), dtype=np.int64)
+        m = _stack(batch[vec_column])
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        assign = np.argmax((m / norms[:, None]) @ centroids.T, axis=1)
+        keep = np.fromiter((a in probe for a in assign), dtype=bool, count=len(ids))
+        if exclude_ids:
+            keep &= ~np.isin(ids, list(exclude_ids))
+        ids, mm, nn = ids[keep], m[keep], norms[keep]
+        if len(ids) == 0:
+            return pa.table(
+                {id_column: pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
+            )
+        sims = (mm @ qn) / nn
+        order = np.lexsort((ids, -sims))[:k]
+        return pa.table(
+            {
+                id_column: pa.array(ids[order], pa.int64()),
+                "sim": pa.array(sims[order], pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow").sort(
+        ["sim", id_column], descending=[True, False]
+    ).limit(k)
+
+
 def cosine_lsh_pairs(
     ds,
     id_column: str = "vec_id",

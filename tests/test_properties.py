@@ -1,0 +1,115 @@
+"""Property-based tests (hypothesis) for the pure kernels — the SURVEY §5.2
+property level: roundtrips, idempotence, and equivalence laws that guard
+distributed correctness without needing a cluster."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from basicocr_ray.config import ExtractConfig
+from basicocr_ray.core.ac import ACAutomaton
+from basicocr_ray.core.charset import sniff_decode
+from basicocr_ray.core.decode import ctc_collapse, greedy_decode
+from basicocr_ray.core.normalize import collapse_ws, string_b2q, string_q2b
+from basicocr_ray.core.trie import TrieDict
+from basicocr_ray.core.vocab import Vocab
+
+ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789 "
+_vocab = Vocab(ALPHABET)
+
+alpha_text = st.text(alphabet=ALPHABET, max_size=60)
+ascii_band = st.text(
+    alphabet=st.characters(min_codepoint=0x21, max_codepoint=0x7E), max_size=40
+)
+
+
+@given(st.lists(alpha_text, max_size=8))
+def test_vocab_encode_decode_roundtrip(texts):
+    codes, lens = _vocab.encode(texts)
+    assert _vocab.decode(codes, lens, raw=True) == texts
+
+
+@given(st.lists(st.integers(min_value=0, max_value=5), max_size=30))
+def test_ctc_collapse_matches_spec(seq):
+    # independent restatement of utils.py:85-89: emit x_i iff x_i != blank
+    # and x_i != x_{i-1} (blank-SEPARATED repeats are kept: [1,0,1] → [1,1])
+    want = [
+        x for i, x in enumerate(seq) if x != 0 and (i == 0 or seq[i - 1] != x)
+    ]
+    out = ctc_collapse(seq)
+    assert out == want
+    assert 0 not in out  # no blanks survive
+
+
+@given(ascii_band)
+def test_width_fold_roundtrip(text):
+    assert string_q2b(string_b2q(text)) == text
+
+
+@given(st.text(max_size=80))
+def test_collapse_ws_idempotent(text):
+    once = collapse_ws(text)
+    assert collapse_ws(once) == once
+
+
+@given(st.lists(st.tuples(alpha_text.filter(bool), st.booleans()), max_size=10))
+def test_greedy_decode_span_integrity(blocks):
+    texts = [collapse_ws(t) or "x" for t, _ in blocks]
+    keeps = [k for _, k in blocks]
+    cfg = ExtractConfig(collapse_adjacent_dups=False)
+    main, spans, n = greedy_decode(texts, keeps, cfg)
+    assert n == sum(keeps)
+    for (s, e, bid) in spans:
+        assert main[s:e] == texts[bid]
+        assert keeps[bid]
+
+
+@given(st.text(min_size=1, max_size=200).filter(lambda t: t.strip()))
+@settings(max_examples=50)
+def test_charset_utf8_roundtrip(text):
+    decoded, enc = sniff_decode(text.encode("utf-8"))
+    if enc in ("utf-8", "utf-8-sig"):
+        assert decoded == text
+
+
+@st.composite
+def dict_and_query(draw):
+    words = draw(
+        st.lists(
+            st.text(alphabet="abcdef", min_size=1, max_size=6),
+            min_size=1, max_size=8, unique=True,
+        )
+    )
+    query = draw(st.text(alphabet="abcdef", min_size=1, max_size=6))
+    return words, query
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(cur[j - 1] + 1, prev[j] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(dict_and_query())
+@settings(max_examples=80)
+def test_trie_search_matches_bruteforce(dq):
+    words, query = dq
+    trie = TrieDict((w, 1) for w in words)
+    for cost in (0, 1, 2):
+        got = {(w, d) for w, d, _ in trie.search(query, cost)}
+        want = {(w, _lev(query, w)) for w in words if _lev(query, w) <= cost}
+        assert got == want
+
+
+@given(
+    st.text(alphabet="xyz ", max_size=60),
+    st.text(alphabet="xyz", min_size=2, max_size=4),
+)
+@settings(max_examples=80)
+def test_ac_single_pattern_equals_str_replace(text, pattern):
+    ac = ACAutomaton([pattern])
+    assert ac.strip(text) == text.replace(pattern, "")

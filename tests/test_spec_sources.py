@@ -1,0 +1,84 @@
+"""Config-driven pipeline runner, line-stream source, IVF ANN."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_run_spec_end_to_end(tmp_path):
+    from basicocr_ray.pipelines.spec import run_spec
+
+    out = str(tmp_path / "specout")
+    spec = {
+        "input": {"table": "documents", "columns": ["doc_id", "text"]},
+        "steps": [
+            {"op": "strip_phrases", "phrases": ["vector window"]},
+            {"op": "quality"},
+            {"op": "fingerprint"},
+            {"op": "filter_ge", "column": "n_tokens", "value": 10},
+            {"op": "select", "columns": ["doc_id", "stripped_text",
+                                         "n_tokens", "quality", "fp"]},
+        ],
+        "output": out,
+    }
+    ds = run_spec(spec, "/root/testdata/sf0.001")
+    import ray.data
+
+    df = ray.data.read_parquet(out).to_pandas()
+    assert len(df) > 400
+    assert set(df.columns) == {"doc_id", "stripped_text", "n_tokens",
+                               "quality", "fp"}
+    assert not df["stripped_text"].str.contains("vector window").any()
+    assert (df["n_tokens"] >= 10).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_run_spec_unknown_op():
+    from basicocr_ray.pipelines.spec import run_spec
+
+    with pytest.raises(ValueError, match="unknown op"):
+        run_spec(
+            {"input": {"table": "documents"}, "steps": [{"op": "nope"}]},
+            "/root/testdata/sf0.001",
+        )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_read_lines_roundtrip(tmp_path):
+    from basicocr_ray.sources.text import lines_to_table, read_lines
+
+    p = tmp_path / "lines.txt"
+    p.write_text("alpha beta\ngamma\ndelta epsilon zeta\n")
+    ds = lines_to_table(read_lines(str(p)))
+    lines = sorted(r["line"] for r in ds.take_all())
+    assert lines == ["alpha beta", "delta epsilon zeta", "gamma"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_topk_full_probe_equals_bruteforce():
+    import ray.data
+
+    from basicocr_ray.stages.embed import ann_topk, ivf_topk
+
+    rng = np.random.default_rng(3)
+    # clustered corpus (IVF's intended regime): 10 tight clusters
+    centers = rng.standard_normal((10, 64)) * 4
+    m = np.vstack([centers[i % 10] + 0.3 * rng.standard_normal(64)
+                   for i in range(200)])
+    rows = [{"vec_id": i, "embedding": m[i].tolist()} for i in range(200)]
+    ds = ray.data.from_items(rows)
+    q = centers[0] + 0.3 * rng.standard_normal(64)
+    exact = ann_topk(ds, q, k=10).to_pandas()
+    full_probe = ivf_topk(
+        ray.data.from_items(rows), q, k=10, n_clusters=8, n_probe=8
+    ).to_pandas()
+    assert exact["vec_id"].tolist() == full_probe["vec_id"].tolist()
+
+    # pruned probing keeps decent recall on this corpus
+    pruned = ivf_topk(
+        ray.data.from_items(rows), q, k=10, n_clusters=8, n_probe=4
+    ).to_pandas()
+    recall = len(set(pruned["vec_id"]) & set(exact["vec_id"])) / 10
+    assert recall >= 0.8
