@@ -48,6 +48,79 @@ def exact_dedup_groups(ds, id_column: str, text_column: str):
     )
 
 
+def assign_components(pairs_ds, max_rounds: int = 20):
+    """Near-dup pairs → (id, rep) connected-component labels, rep = min id.
+
+    Distributed min-label propagation: each round, every id adopts the
+    smallest label among itself and its neighbors (two groupby rounds per
+    iteration: labels join via edges, then min per id). Converges in
+    O(component diameter) rounds; near-dup components are tiny chains, so
+    a handful of rounds suffices — ``max_rounds`` is a safety bound and
+    non-convergence raises. Driver-side union-find would be simpler but
+    only valid when the pair set provably fits one machine; this path
+    scales (the shuffle key is the doc id, values are (id, label) ints).
+    """
+    import pyarrow.compute as _pc
+
+    pairs = pairs_ds.map_batches(
+        lambda b: pa.table(
+            {"id_a": pc_cast_i64(b["id_a"]), "id_b": pc_cast_i64(b["id_b"])}
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # edges are small (pairs only) and reused every round
+
+    # initial labels: every endpoint labels itself
+    def endpoints(b: pa.Table) -> pa.Table:
+        ids = b["id_a"].to_pylist() + b["id_b"].to_pylist()
+        return pa.table({"id": pa.array(ids, pa.int64()),
+                         "label": pa.array(ids, pa.int64())})
+
+    def min_per_id(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"id": [df["id"].iloc[0]], "label": [int(df["label"].min())]}
+        )
+
+    labels = (
+        pairs.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("id").map_groups(min_per_id, batch_format="pandas")
+        .materialize()
+    )
+    for _ in range(max_rounds):
+        lab_map = {r["id"]: r["label"] for r in labels.take_all()}
+
+        def push(b: pa.Table, lm=lab_map) -> pa.Table:
+            a = b["id_a"].to_pylist()
+            bb = b["id_b"].to_pylist()
+            ids, labs = [], []
+            for x, y in zip(a, bb):
+                lx, ly = lm.get(x, x), lm.get(y, y)
+                m = min(lx, ly)
+                ids.extend((x, y))
+                labs.extend((m, m))
+            return pa.table({"id": pa.array(ids, pa.int64()),
+                             "label": pa.array(labs, pa.int64())})
+
+        new_labels = (
+            pairs.map_batches(push, batch_format="pyarrow")
+            .groupby("id").map_groups(min_per_id, batch_format="pandas")
+            .materialize()
+        )
+        new_map = {r["id"]: r["label"] for r in new_labels.take_all()}
+        labels = new_labels
+        if new_map == lab_map:
+            return labels.map_batches(
+                lambda b: pa.table({"id": b["id"], "rep": b["label"]}),
+                batch_format="pyarrow",
+            )
+    raise RuntimeError(f"label propagation did not converge in {max_rounds} rounds")
+
+
+def pc_cast_i64(col):
+    import pyarrow.compute as _pc
+
+    return _pc.cast(col, pa.int64())
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------
