@@ -123,23 +123,26 @@ def tokenize_html(text: str, cfg: ExtractConfig = DEFAULT_CONFIG) -> list[Block]
                 piece = _unescape(raw)
                 pieces.append(piece)
                 if a_depth > 0:
-                    link_chars += len(collapse_ws(piece))
+                    # raw piece length (pre-fold): cheap and clamped later
+                    link_chars += len(piece)
             break
-        if m.start() > pos:
-            raw = text[pos : m.start()]
+        mstart = m.start()
+        if mstart > pos:
+            raw = text[pos:mstart]
             if drop_depth == 0:
                 piece = _unescape(raw)
                 pieces.append(piece)
                 if a_depth > 0:
-                    link_chars += len(collapse_ws(piece))
+                    link_chars += len(piece)
         pos = m.end()
-        name = m.group(2)
+        closing_slash, name, attrs = m.group(1), m.group(2), m.group(3)
         if name is None:  # comment / doctype / CDATA / PI
             continue
         name = name.lower()
-        closing = m.group(1) == "/"
-        attrs = m.group(3) or ""
-        self_closing = attrs.rstrip().endswith("/")
+        closing = closing_slash == "/"
+        self_closing = bool(attrs) and attrs.rstrip().endswith("/")
+        if attrs is None:
+            attrs = ""
 
         if not closing and name in RAW_TEXT_TAGS and not self_closing:
             # skip raw content to the matching close tag (case-insensitive)

@@ -54,6 +54,20 @@ from basicocr_ray.state import manifest as mf
 PDF_PREFIX = b"%PDF"
 
 
+def _staging_dir(out_dir: str) -> str:
+    """Shuffle-staging location. Defaults to ``out_dir/_staging`` (shared
+    storage on a cluster); ``BASICOCR_STAGING_DIR`` overrides it — point it
+    at fast local media (tmpfs / NVMe) when the output filesystem cannot
+    absorb the transient spill+merge traffic at full parallelism. The dir
+    is keyed by a hash of out_dir so concurrent jobs never collide."""
+    import hashlib as _hl
+
+    base = os.environ.get("BASICOCR_STAGING_DIR")
+    if not base:
+        return os.path.join(out_dir, "_staging")
+    return os.path.join(base, _hl.md5(out_dir.encode()).hexdigest()[:12])
+
+
 def _is_pdf_mask(batch: pa.Table) -> pa.ChunkedArray | pa.Array:
     return pc.equal(pc.binary_slice(batch["html"], 0, 4), PDF_PREFIX)
 
@@ -291,7 +305,7 @@ def run_extract_job(
     # stale staged fragments from a crashed run must never be merged
     import shutil as _sh
 
-    _sh.rmtree(os.path.join(out_dir, "_staging"), ignore_errors=True)
+    _sh.rmtree(_staging_dir(out_dir), ignore_errors=True)
     if not todo:
         return {"skipped": True, "partitions_done": len(done), "n_rows": 0}
 
@@ -313,7 +327,7 @@ def run_extract_job(
     # the staging dir is the shared object store / S3 prefix); it is
     # barrier-free and scales linearly where Ray's sort-based AllToAll
     # stalled at low parallelism.
-    staging = os.path.join(out_dir, "_staging")
+    staging = _staging_dir(out_dir)
     os.makedirs(os.path.join(out_dir, "_failed"), exist_ok=True)
 
     def spill_fragments(batch: pa.Table) -> pa.Table:
@@ -329,7 +343,8 @@ def run_extract_job(
             d = os.path.join(staging, f"pid={pid}")
             os.makedirs(d, exist_ok=True)
             path = os.path.join(d, f"frag-{name}.parquet")
-            pa.parquet.write_table(sub, path + ".tmp")
+            # staging is transient: skip compression CPU
+            pa.parquet.write_table(sub, path + ".tmp", compression="none")
             os.replace(path + ".tmp", path)
             out_pids.append(pid)
         return pa.table({"pid": pa.array(out_pids, pa.int32())})
