@@ -342,9 +342,12 @@ def run_extract_job(
             ).hexdigest()[:16]
             d = os.path.join(staging, f"pid={pid}")
             os.makedirs(d, exist_ok=True)
-            path = os.path.join(d, f"frag-{name}.parquet")
-            # staging is transient: skip compression CPU
-            pa.parquet.write_table(sub, path + ".tmp", compression="none")
+            path = os.path.join(d, f"frag-{name}.arrow")
+            # transient staging: Arrow IPC stream, no compression — encode
+            # is near-memcpy vs parquet's column encoding
+            with pa.OSFile(path + ".tmp", "wb") as f:
+                with pa.ipc.new_file(f, sub.schema) as w:
+                    w.write_table(sub)
             os.replace(path + ".tmp", path)
             out_pids.append(pid)
         return pa.table({"pid": pa.array(out_pids, pa.int32())})
@@ -361,10 +364,15 @@ def run_extract_job(
 
         out_rows = []
         for pid in batch["pid"].to_pylist():
-            frags = sorted(_glob.glob(os.path.join(staging, f"pid={pid}", "*.parquet")))
+            frags = sorted(_glob.glob(os.path.join(staging, f"pid={pid}", "*.arrow")))
             if not frags:
                 continue
-            tbl = pa.concat_tables([pa.parquet.read_table(f) for f in frags])
+
+            def _read_ipc(path: str) -> pa.Table:
+                with pa.memory_map(path) as mm:
+                    return pa.ipc.open_file(mm).read_all()
+
+            tbl = pa.concat_tables([_read_ipc(f) for f in frags])
             pdir = mf.partition_dir(out_dir, pid)
             os.makedirs(pdir, exist_ok=True)
             target = os.path.join(pdir, "data.parquet")
