@@ -776,6 +776,54 @@ def q33_image_features(sf_dir: str):
     return feats.select_columns(["item_id", "width", "height", "ok"])
 
 
+def q34_bucketed_join_revenue(sf_dir: str):
+    """Large⋈large join via the explicit bucketed hash join (guide
+    pattern; both sides fact-scale so no broadcast): lineitem ⋈ orders on
+    orderkey, then revenue per (order, customer), global top-100. Rows
+    shuffle once each, keyed by bucket."""
+    from ray.data.aggregate import Sum
+
+    from basicocr_ray.stages.joins import bucketed_hash_join
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "okey": b["l_orderkey"],
+                "rev": pc.multiply(
+                    b["l_extendedprice"], pc.subtract(1.0, b["l_discount"])
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    od = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).map_batches(
+        lambda b: pa.table({"okey": b["o_orderkey"], "o_custkey": b["o_custkey"]}),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_hash_join(li, od, "okey", ["rev"], ["o_custkey"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["okey", "o_custkey"], as_index=False).agg(
+            revenue=("rev", "sum")
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby(["okey", "o_custkey"])
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+    top = (
+        agg.sort(["revenue", "okey"], descending=[True, False])
+        .limit(100)
+        .to_pandas()
+    )
+    top["okey"] = top["okey"].astype("int64")
+    top["o_custkey"] = top["o_custkey"].astype("int64")
+    return _round_col(top, "revenue", 2)
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -813,6 +861,7 @@ QUERIES = {
     "q30_union_distinct": q30_union_distinct,
     "q31_events_sliding": q31_events_sliding,
     "q32_lm_score": q32_lm_score,
+    "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q33_image_features": q33_image_features,
 }
 
@@ -1040,6 +1089,14 @@ ORACLE_SQL = {
                    AS window_start
           FROM events
         ) GROUP BY user_id, window_start
+    """,
+    "q34_bucketed_join_revenue": """
+        SELECT l_orderkey AS okey, o_custkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+        ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, okey
+        LIMIT 100
     """,
     "q33_image_features": """
         SELECT vec_id AS item_id,

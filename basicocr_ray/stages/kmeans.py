@@ -1,0 +1,94 @@
+"""Distributed Lloyd k-means over an embedding column.
+
+Iterative-algorithm pattern (task brief "IVF ... as the scale path"):
+centroids broadcast each round; every batch computes partial
+(sum, count) per cluster VECTORIZED (no per-row Python); the driver
+reduces the tiny (k × dim) partials and updates centroids. The data never
+shuffles — per round it is one `map_batches` pass, so cost is
+O(rounds × scan), the canonical distributed-kmeans shape.
+
+Deterministic: init centroids are the first k vectors in vec-id order
+(k-means|| style seeding would also be deterministic but needs a second
+scan; id-order init keeps tests exact), ties in assignment break to the
+lowest cluster index via argmin.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _assign(m: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    # squared euclidean via ||x||² - 2x·c + ||c||²; argmin ties → lowest idx
+    d = (
+        (m * m).sum(axis=1)[:, None]
+        - 2.0 * (m @ centroids.T)
+        + (centroids * centroids).sum(axis=1)[None, :]
+    )
+    return np.argmin(d, axis=1)
+
+
+def kmeans_fit(
+    ds,
+    k: int = 8,
+    n_iters: int = 10,
+    vec_column: str = "embedding",
+    id_column: str = "vec_id",
+    dim: int = 64,
+) -> np.ndarray:
+    """→ (k, dim) centroid matrix after ``n_iters`` Lloyd rounds."""
+    # deterministic init: k lowest-id vectors (one tiny sorted take)
+    first = ds.sort(id_column).limit(k).take_all()
+    centroids = np.asarray([r[vec_column] for r in first], dtype=np.float64)
+
+    for _ in range(n_iters):
+        cen = centroids  # broadcast via closure capture (k×dim is tiny)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            m = np.asarray(batch[vec_column].to_pylist(), dtype=np.float64)
+            a = _assign(m, cen)
+            sums = np.zeros((k, m.shape[1]))
+            counts = np.zeros(k, dtype=np.int64)
+            np.add.at(sums, a, m)
+            np.add.at(counts, a, 1)
+            nz = counts > 0
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(k)[nz], pa.int32()),
+                    "count": pa.array(counts[nz], pa.int64()),
+                    "vec_sum": pa.array(sums[nz].tolist(),
+                                        pa.list_(pa.float64())),
+                }
+            )
+
+        rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+        sums = np.zeros((k, centroids.shape[1]))
+        counts = np.zeros(k, dtype=np.int64)
+        for r in rows:
+            sums[r["cluster"]] += np.asarray(r["vec_sum"])
+            counts[r["cluster"]] += r["count"]
+        new = centroids.copy()
+        nz = counts > 0
+        new[nz] = sums[nz] / counts[nz][:, None]
+        if np.allclose(new, centroids, atol=1e-12):
+            return new
+        centroids = new
+    return centroids
+
+
+def kmeans_assign(ds, centroids: np.ndarray, vec_column: str = "embedding",
+                  id_column: str = "vec_id"):
+    """→ Dataset (id, cluster) with the final assignment."""
+    cen = np.asarray(centroids, dtype=np.float64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        m = np.asarray(batch[vec_column].to_pylist(), dtype=np.float64)
+        return pa.table(
+            {
+                id_column: batch[id_column],
+                "cluster": pa.array(_assign(m, cen), pa.int32()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")

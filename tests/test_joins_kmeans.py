@@ -1,0 +1,79 @@
+"""Bucketed hash join + distributed k-means."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bucketed_join_matches_pandas():
+    import ray.data
+
+    from basicocr_ray.stages.joins import bucketed_hash_join
+
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame(
+        {"k": rng.integers(0, 50, 300), "lv": rng.integers(0, 1000, 300)}
+    )
+    right = pd.DataFrame(
+        {"k": rng.integers(0, 50, 120), "rv": rng.integers(0, 1000, 120)}
+    )
+    got = (
+        bucketed_hash_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            "k", ["lv"], ["rv"], num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    want = (
+        left.merge(right, on="k", how="inner")
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)[["k", "lv", "rv"]]
+    )
+    assert got[["k", "lv", "rv"]].astype("int64").equals(want.astype("int64"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bucketed_join_no_matches():
+    import ray.data
+
+    from basicocr_ray.stages.joins import bucketed_hash_join
+
+    left = pd.DataFrame({"k": [1, 2], "lv": [10, 20]})
+    right = pd.DataFrame({"k": [3, 4], "rv": [30, 40]})
+    got = bucketed_hash_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        "k", ["lv"], ["rv"], num_buckets=4,
+    ).to_pandas()
+    assert len(got) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmeans_recovers_clusters():
+    import ray.data
+
+    from basicocr_ray.stages.kmeans import kmeans_assign, kmeans_fit
+
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((4, 64)) * 10
+    m = np.vstack([centers[i % 4] + 0.2 * rng.standard_normal(64)
+                   for i in range(400)])
+    rows = [{"vec_id": i, "embedding": m[i].tolist()} for i in range(400)]
+    ds = ray.data.from_items(rows)
+    centroids = kmeans_fit(ds, k=4, n_iters=10)
+    assigned = kmeans_assign(ds, centroids).to_pandas()
+    # every true cluster maps to exactly one learned cluster
+    assigned["truth"] = assigned["vec_id"] % 4
+    purity = (
+        assigned.groupby("truth")["cluster"]
+        .agg(lambda s: s.value_counts().iloc[0] / len(s))
+        .min()
+    )
+    assert purity == 1.0
+    # determinism across runs
+    c2 = kmeans_fit(ray.data.from_items(rows), k=4, n_iters=10)
+    assert np.array_equal(centroids, c2)
