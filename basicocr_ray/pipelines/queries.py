@@ -824,6 +824,60 @@ def q34_bucketed_join_revenue(sf_dir: str):
     return _round_col(top, "revenue", 2)
 
 
+def q35_running_totals(sf_dir: str):
+    """Ordered-window running aggregates per user (the reference's
+    `averager` as a STREAM, SURVEY §2.9): row_number and cumulative count
+    in exact ints; cumulative value sum rounded (both engines accumulate
+    in the same (ts, event_id) order)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        out = pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64"),
+                "user_id": g["user_id"].astype("int64"),
+                "rn": np.arange(1, len(g) + 1, dtype="int64"),
+                "cum_value": [
+                    _round_half_up(v, 2) for v in g["value"].cumsum()
+                ],
+            }
+        )
+        return out
+
+    return ds.groupby("user_id").map_groups(running, batch_format="pandas")
+
+
+def q36_distinct_pairs(sf_dir: str):
+    """Multi-column DISTINCT via groupby-first (set op beyond
+    single-column `unique`)."""
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+
+    def first(df: pd.DataFrame) -> pd.DataFrame:
+        return df.head(1)
+
+    return ds.groupby(["lang", "source"]).map_groups(first, batch_format="pandas")
+
+
+def q37_event_stats(sf_dir: str):
+    """Min/Max/Count per group — selection aggregates are exact on doubles
+    (no accumulation-order sensitivity)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    df = (
+        ds.groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Min("value", alias_name="min_value"),
+            Max("value", alias_name="max_value"),
+        )
+        .to_pandas()
+    )
+    df["n"] = df["n"].astype("int64")
+    return df
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -862,6 +916,9 @@ QUERIES = {
     "q31_events_sliding": q31_events_sliding,
     "q32_lm_score": q32_lm_score,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
+    "q35_running_totals": q35_running_totals,
+    "q36_distinct_pairs": q36_distinct_pairs,
+    "q37_event_stats": q37_event_stats,
     "q33_image_features": q33_image_features,
 }
 
@@ -1097,6 +1154,23 @@ ORACLE_SQL = {
         GROUP BY 1, 2
         ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, okey
         LIMIT 100
+    """,
+    "q35_running_totals": """
+        SELECT event_id, user_id,
+               row_number() OVER w AS rn,
+               round(sum(value) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING), 2) AS cum_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "q36_distinct_pairs": """
+        SELECT DISTINCT lang, source FROM documents
+    """,
+    "q37_event_stats": """
+        SELECT event_type, count(*) AS n,
+               min(value) AS min_value, max(value) AS max_value
+        FROM events GROUP BY event_type
     """,
     "q33_image_features": """
         SELECT vec_id AS item_id,
