@@ -161,15 +161,8 @@ def tokenize_html(text: str, cfg: ExtractConfig = DEFAULT_CONFIG) -> list[Block]
             if name in VOID_TAGS or self_closing:
                 continue
             if closing:
-                if name in DROP_TAGS and name in stack:
-                    # pop to (and including) the matching drop container
-                    while stack:
-                        top = stack.pop()
-                        if top in DROP_TAGS:
-                            drop_depth -= 1
-                        if top == name:
-                            break
-                elif name in stack:
+                if name in stack:
+                    # pop to (and including) the matching container
                     while stack:
                         top = stack.pop()
                         if top in DROP_TAGS:

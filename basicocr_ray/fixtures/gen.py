@@ -95,10 +95,10 @@ def synthesize_page(row_index: int, seed: int = SEED) -> dict:
     is_oversized = (not is_corrupt and not is_pdf) and u[1] < 0.005
     is_dup = (not is_corrupt and not is_pdf) and u[0] < 0.01 and row_index > 0
     if is_dup:
-        # duplicate of the previous row's url (content regenerated → exact
-        # url-dup with differing payload, the D3 dedup case)
-        prev = synthesize_page.__wrapped_prev__(row_index - 1, seed)
-        url = prev
+        # duplicate of the previous row's ACTUAL url (following dup chains:
+        # if row i-1 was itself a dup its emitted url is further back) —
+        # exact url-dup with differing payload, the D3 dedup case
+        url = _actual_url(row_index - 1, seed)
 
     n_paras = int(rng.integers(2, 6))
     if is_oversized:
@@ -156,18 +156,32 @@ def synthesize_page(row_index: int, seed: int = SEED) -> dict:
     }
 
 
-def _prev_url(row_index: int, seed: int) -> str:
+def _base_meta(row_index: int, seed: int) -> tuple[str, bool]:
+    """(base url, is_dup) for a row, replaying the generator's rng draws
+    in the exact order `synthesize_page` makes them."""
     rng = np.random.default_rng(seed * 1_000_003 + row_index)
-    rng.random(4)
+    u = rng.random(4)
     lang = ["en", "zh", "de", "ja"][
         int(np.searchsorted([0.60, 0.85, 0.95], rng.random()))
     ]
-    rng.random()
+    rng.random()  # charset draw
     site = int(rng.integers(0, 500))
-    return f"https://site{site:04d}.example/{lang}/page{row_index:07d}"
+    url = f"https://site{site:04d}.example/{lang}/page{row_index:07d}"
+    is_corrupt = u[2] < 0.002
+    is_pdf = (not is_corrupt) and u[3] < 0.01
+    is_dup = (not is_corrupt and not is_pdf) and u[0] < 0.01 and row_index > 0
+    return url, is_dup
 
 
-synthesize_page.__wrapped_prev__ = _prev_url
+def _actual_url(row_index: int, seed: int) -> str:
+    """The url a row actually EMITS: its base url, unless the row is a dup,
+    in which case walk back to the nearest non-dup ancestor's base url."""
+    i = row_index
+    while True:
+        url, is_dup = _base_meta(i, seed)
+        if not is_dup or i == 0:
+            return url
+        i -= 1
 
 
 PAGES_SCHEMA = pa.schema(

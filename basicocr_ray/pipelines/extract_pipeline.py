@@ -69,7 +69,13 @@ def _staging_dir(out_dir: str) -> str:
 
 
 def _is_pdf_mask(batch: pa.Table) -> pa.ChunkedArray | pa.Array:
-    return pc.equal(pc.binary_slice(batch["html"], 0, 4), PDF_PREFIX)
+    # NULL html must coalesce to False: a null mask value fails BOTH a
+    # filter(mask) and a filter(invert(mask)), silently dropping the row —
+    # null-payload rows must instead reach the extractor's failed path
+    return pc.coalesce(
+        pc.equal(pc.binary_slice(batch["html"], 0, 4), PDF_PREFIX),
+        pa.scalar(False),
+    )
 
 
 def _add_routing(batch: pa.Table, num_partitions: int) -> pa.Table:
@@ -78,7 +84,7 @@ def _add_routing(batch: pa.Table, num_partitions: int) -> pa.Table:
         [partition_of(u, num_partitions) for u in batch["url"].to_pylist()],
         pa.int32(),
     )
-    nbytes = pc.binary_length(batch["html"])
+    nbytes = pc.coalesce(pc.binary_length(batch["html"]), pa.scalar(0))
     return batch.append_column("partition_id", pids).append_column(
         "_nbytes", pc.cast(nbytes, pa.int64())
     )
@@ -302,10 +308,15 @@ def run_extract_job(
     done = mf.load_done_partitions(out_dir, input_fp) if resume else set()
     todo = [p for p in range(cfg.num_partitions) if p not in done]
     mf.clear_stale_partitions(out_dir, todo)
-    # stale staged fragments from a crashed run must never be merged
+    # stale staged fragments from a crashed run must never be merged, and
+    # recomputed partitions must not keep a stale failed-row mirror
     import shutil as _sh
 
     _sh.rmtree(_staging_dir(out_dir), ignore_errors=True)
+    for pid in todo:
+        fpath = os.path.join(out_dir, "_failed", f"part-{pid}.parquet")
+        if os.path.exists(fpath):
+            os.remove(fpath)
     if not todo:
         return {"skipped": True, "partitions_done": len(done), "n_rows": 0}
 
@@ -432,13 +443,23 @@ def run_extract_job(
 
     _shutil.rmtree(staging, ignore_errors=True)
 
-    # metrics table (G7) — tiny, written driver-side
+    # metrics table (G7) — tiny, written driver-side. On a resumed run,
+    # keep prior partitions' rows and replace only the recomputed ones.
     mdir = os.path.join(out_dir, "_metrics")
     os.makedirs(mdir, exist_ok=True)
+    mpath = os.path.join(mdir, "metrics.parquet")
+    todo_set = set(todo)
+    if done and os.path.exists(mpath):
+        prior = pa.parquet.read_table(mpath).to_pandas()
+        prior = prior[~prior["partition_id"].astype(int).isin(todo_set)]
+        metrics_df = (
+            __import__("pandas").concat([prior, metrics_df], ignore_index=True)
+        )
     pa.parquet.write_table(
         pa.Table.from_pandas(metrics_df, preserve_index=False),
-        os.path.join(mdir, "metrics.parquet"),
+        mpath + ".tmp",
     )
+    os.replace(mpath + ".tmp", mpath)
 
     # partitions with zero input rows still need manifests (they are "done")
     seen = set(metrics_df["partition_id"].astype(int))

@@ -559,7 +559,13 @@ def q13_extract_roundtrip(sf_dir: str):
 def q14_extract_multiblock(sf_dir: str):
     """Multi-block variant: content split across many <p>; CTC-style
     collapse with join_sep=' ' must reassemble the exact original text."""
-    return _roundtrip(sf_dir, chunked=True, cfg=ExtractConfig(join_sep=" "))
+    return _roundtrip(
+        sf_dir, chunked=True,
+        # adjacent-dup collapse must be off: a text repeating the same
+        # 16-word chunk twice would otherwise lose the repeat and break
+        # byte-identity with the oracle
+        cfg=ExtractConfig(join_sep=" ", collapse_adjacent_dups=False),
+    )
 
 
 # ===========================================================================

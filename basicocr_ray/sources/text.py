@@ -28,7 +28,22 @@ def lines_to_table(ds):
 
 
 def write_lines(ds, out_dir: str, column: str = "line"):
-    """Dataset → newline-delimited text files (one per block)."""
-    return ds.select_columns([column]).write_csv(
-        out_dir, include_header=False
-    )
+    """Dataset → newline-delimited text files, one per batch (bytes are the
+    raw column values — no CSV quoting/escaping; idempotent content-hashed
+    names so task retries cannot duplicate output)."""
+    import hashlib
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        lines = [v if v is not None else "" for v in batch[column].to_pylist()]
+        payload = ("\n".join(lines) + "\n").encode("utf-8")
+        name = hashlib.md5(payload).hexdigest()[:16]
+        path = os.path.join(out_dir, f"part-{name}.txt")
+        with open(path + ".tmp", "wb") as f:
+            f.write(payload)
+        os.replace(path + ".tmp", path)
+        return pa.table({"n_lines": pa.array([len(lines)], pa.int64())})
+
+    return ds.map_batches(write_batch, batch_format="pyarrow").sum("n_lines")

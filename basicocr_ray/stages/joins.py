@@ -32,6 +32,12 @@ def bucketed_hash_join(
     so the union is well-formed; the per-bucket join is a pandas merge."""
     lcols = [key] + [c for c in left_columns if c != key]
     rcols = [key] + [c for c in right_columns if c != key]
+    overlap = (set(lcols) & set(rcols)) - {key}
+    if overlap:
+        raise ValueError(
+            f"non-key columns present on both sides: {sorted(overlap)}; "
+            "rename before joining"
+        )
     all_cols = lcols + [c for c in rcols if c not in lcols]
 
     ls, rs = left_ds.schema(), right_ds.schema()
@@ -61,16 +67,19 @@ def bucketed_hash_join(
     left_t = left_ds.map_batches(prep(lcols, "l"), batch_format="pyarrow")
     right_t = right_ds.map_batches(prep(rcols, "r"), batch_format="pyarrow")
 
-    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    def join_bucket(tbl: pa.Table) -> pa.Table:
+        # arrow-backed pandas: int64-with-nulls stays int64[pyarrow]
+        # (plain pandas would coerce to float64 and corrupt ids > 2^53)
+        df = tbl.to_pandas(types_mapper=pd.ArrowDtype)
         l = df.loc[df["_side"] == "l", lcols]
         r = df.loc[df["_side"] == "r", rcols]
         if l.empty or r.empty:
-            return pd.DataFrame({c: pd.Series([], dtype=df[c].dtype)
-                                 for c in all_cols})
-        return l.merge(r, on=key, how="inner", sort=False)[all_cols]
+            return tbl.select(all_cols).slice(0, 0)
+        out = l.merge(r, on=key, how="inner", sort=False)[all_cols]
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     return (
         left_t.union(right_t)
         .groupby("_bucket")
-        .map_groups(join_bucket, batch_format="pandas")
+        .map_groups(join_bucket, batch_format="pyarrow")
     )

@@ -57,7 +57,9 @@ class PdfParser:
                 "url": pa.array(urls, pa.string()),
                 "main_text": pa.array(texts, pa.large_string()),
                 "spans": pa.array(spans, SPAN_TYPE),
-                "n_blocks": pa.array([1 if t else 0 for t in texts], pa.int32()),
+                # parity with core.oracle.extract_one's PDF path: n_blocks
+                # is 1 for every parsed PDF (kept count may still be 0)
+                "n_blocks": pa.array([1] * len(texts), pa.int32()),
                 "n_blocks_kept": pa.array(
                     [1 if t else 0 for t in texts], pa.int32()
                 ),

@@ -25,7 +25,8 @@ import sys
 import time
 
 BENCH_PAGES_ROWS = int(os.environ.get("BENCH_PAGES_ROWS", "800000"))
-PAGES_CACHE = f"/tmp/basicocr_bench/pages_{BENCH_PAGES_ROWS}"
+# v2: dup-chain url fix in the generator invalidates older caches
+PAGES_CACHE = f"/tmp/basicocr_bench/pages_v2_{BENCH_PAGES_ROWS}"
 
 
 def ensure_pages_corpus() -> str:
