@@ -40,7 +40,7 @@ class ExtractConfig:
 
     # --- skew handling (SURVEY §4: alignCollate keep_ratio hazard) ---
     oversize_bytes: int = 1 << 20  # html larger than this goes to the big-doc branch
-    batch_size_small: int = 1024
+    batch_size_small: int = 512
     batch_size_big: int = 8
 
 

@@ -9,6 +9,7 @@ workers and rounds — a hard requirement for distributed dedup.
 from __future__ import annotations
 
 import hashlib
+import math
 import struct
 
 import numpy as np
@@ -69,6 +70,64 @@ class MinHasher:
             h = hashlib.md5(chunk.tobytes()).digest()[:8]
             out.append((b, struct.unpack("<Q", h)[0]))
         return out
+
+
+class HyperLogLog:
+    """Mergeable approximate distinct counter (Flajolet et al. 2007,
+    with the standard small-range linear-counting correction).
+
+    The register array is the partial-aggregation unit: one sketch per
+    batch inside `map_batches`, registers max-merged in a tiny final step
+    — the sketch shape the guide prescribes for distinct counts at scale
+    (a `unique()` shuffle moves every key; this moves 2^p bytes/batch)."""
+
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+        if p == 4:
+            self.alpha = 0.673
+        elif p == 5:
+            self.alpha = 0.697
+        elif p == 6:
+            self.alpha = 0.709
+        else:
+            self.alpha = 0.7213 / (1 + 1.079 / self.m)
+
+    def add(self, token: str) -> None:
+        h = _hash64(token)
+        idx = h >> (64 - self.p)
+        rest = h << self.p & ((1 << 64) - 1)
+        rank = 1 if rest == 0 else min(64 - self.p + 1, 65 - rest.bit_length())
+        if rank > self.registers[idx]:
+            self.registers[idx] = rank
+
+    def update(self, tokens) -> "HyperLogLog":
+        for t in tokens:
+            self.add(t)
+        return self
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def count(self) -> float:
+        est = self.alpha * self.m * self.m / np.sum(
+            np.power(2.0, -self.registers.astype(np.float64))
+        )
+        zeros = int(np.sum(self.registers == 0))
+        if est <= 2.5 * self.m and zeros:
+            est = self.m * math.log(self.m / zeros)  # linear counting
+        return float(est)
+
+    def serialize(self) -> bytes:
+        return self.registers.tobytes()
+
+    @classmethod
+    def deserialize(cls, data: bytes, p: int = 12) -> "HyperLogLog":
+        h = cls(p)
+        h.registers = np.frombuffer(data, dtype=np.uint8).copy()
+        return h
 
 
 def ngram_jaccard(a: str, b: str, k: int = 5) -> float:

@@ -884,6 +884,25 @@ def q37_event_stats(sf_dir: str):
     return df
 
 
+def q38_event_median(sf_dir: str):
+    """Median per group — an exact order-statistic (selection + midpoint
+    average; both engines compute (a+b)/2 of the same two doubles). Per-
+    group medians run inside map_groups; at scale this is the operator
+    you'd replace with a mergeable KLL/t-digest sketch (noted in
+    core.sketches' docstring family)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value"].to_numpy())
+        n = len(v)
+        m = v[n // 2] if n % 2 else (v[n // 2 - 1] + v[n // 2]) / 2.0
+        return pd.DataFrame(
+            {"event_type": [g["event_type"].iloc[0]], "median_value": [m]}
+        )
+
+    return ds.groupby("event_type").map_groups(med, batch_format="pandas")
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -925,6 +944,7 @@ QUERIES = {
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
     "q37_event_stats": q37_event_stats,
+    "q38_event_median": q38_event_median,
     "q33_image_features": q33_image_features,
 }
 
@@ -1172,6 +1192,10 @@ ORACLE_SQL = {
     """,
     "q36_distinct_pairs": """
         SELECT DISTINCT lang, source FROM documents
+    """,
+    "q38_event_median": """
+        SELECT event_type, median(value) AS median_value
+        FROM events GROUP BY event_type
     """,
     "q37_event_stats": """
         SELECT event_type, count(*) AS n,

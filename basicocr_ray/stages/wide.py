@@ -71,6 +71,32 @@ def count_terms(
     return partials.groupby(key_name).aggregate(Sum("cnt", alias_name="cnt"))
 
 
+def approx_distinct(
+    ds,
+    text_column: str,
+    item_fn: Callable[[str], Iterable[str]],
+    p: int = 12,
+) -> float:
+    """Approximate distinct item count via mergeable HyperLogLog sketches:
+    one sketch per batch (the only thing each task emits is 2^p bytes),
+    max-merged driver-side. The exact alternative (`flat_map → unique`)
+    shuffles every key; this never shuffles — the sketch pattern the
+    reference's sharded count/merge docs gesture at, taken to its limit."""
+    from basicocr_ray.core.sketches import HyperLogLog
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        h = HyperLogLog(p)
+        for t in batch[text_column].to_pylist():
+            if t:
+                h.update(item_fn(t))
+        return pa.table({"sketch": pa.array([h.serialize()], pa.binary())})
+
+    merged = HyperLogLog(p)
+    for row in ds.map_batches(sketch, batch_format="pyarrow").take_all():
+        merged.merge(HyperLogLog.deserialize(row["sketch"], p))
+    return merged.count()
+
+
 def top_k(ds, k: int, key: str, tie_key: str):
     """Global top-k by (key desc, tie_key asc): per-batch local prune to k
     (partial top-k) before the tiny global sort — no full-data sort at

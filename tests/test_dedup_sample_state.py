@@ -86,3 +86,39 @@ def test_artifact_partial_merge(tmp_path):
     assert merged == {"min_chars": 20, "max_link_density": 0.35}
     # no artifact → defaults untouched
     assert load_artifact_partial(str(tmp_path / "none.json"), {"a": 1}) == {"a": 1}
+
+
+def test_hll_accuracy_and_merge():
+    from basicocr_ray.core.sketches import HyperLogLog
+
+    h = HyperLogLog()
+    h.update(f"tok{i}" for i in range(50000))
+    assert abs(h.count() - 50000) / 50000 < 0.03
+    a = HyperLogLog().update(f"x{i}" for i in range(3000))
+    b = HyperLogLog().update(f"x{i}" for i in range(1500, 4500))
+    merged = a.merge(b)
+    assert abs(merged.count() - 4500) / 4500 < 0.05
+    # tiny cardinalities hit the linear-counting branch exactly enough
+    small = HyperLogLog().update(["a", "b", "c"])
+    assert round(small.count()) == 3
+    rt = HyperLogLog.deserialize(merged.serialize())
+    assert rt.count() == merged.count()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_approx_distinct_vs_exact():
+    import ray.data
+
+    from basicocr_ray.stages.wide import approx_distinct, count_terms, token_items
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["text"]
+    )
+    exact = count_terms(
+        ray.data.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet", columns=["text"]
+        ),
+        "text", token_items,
+    ).count()
+    est = approx_distinct(ds, "text", token_items)
+    assert abs(est - exact) / exact < 0.05
