@@ -123,6 +123,107 @@ def quality_score(text: str) -> float:
 
 
 # ---------------------------------------------------------------------------
+# Web-corpus quality filters (public-practice rules in the C4 / Gopher
+# family: Raffel et al. 2020; Rae et al. 2021 — thresholds are the
+# commonly-published ones, all overridable).
+# ---------------------------------------------------------------------------
+
+def repetition_stats(text: str) -> dict[str, float]:
+    """Duplicate-line and duplicate-paragraph fractions (char-weighted)."""
+    lines = [l for l in text.split("\n") if l.strip()]
+    paras = [p for p in text.split("\n\n") if p.strip()]
+
+    def dup_char_frac(parts: list[str]) -> float:
+        if not parts:
+            return 0.0
+        seen: set[str] = set()
+        dup_chars = 0
+        total = 0
+        for p in parts:
+            total += len(p)
+            if p in seen:
+                dup_chars += len(p)
+            seen.add(p)
+        return dup_chars / total if total else 0.0
+
+    return {
+        "dup_line_frac": dup_char_frac(lines),
+        "dup_para_frac": dup_char_frac(paras),
+    }
+
+
+def quality_filter(
+    text: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_dup_line_frac: float = 0.30,
+    min_stop_hits: int = 2,
+) -> tuple[bool, str]:
+    """→ (keep, reason). First failing rule names the reason (''==kept).
+
+    Gopher-style document filter: word-count window, mean word length
+    window, symbol (#/…) ratio, duplicate-line fraction, and the ≥2
+    stopwords heuristic."""
+    toks = ws_tokens(text)
+    n = len(toks)
+    if n < min_words:
+        return False, "too_few_words"
+    if n > max_words:
+        return False, "too_many_words"
+    mean_len = sum(len(t) for t in toks) / n
+    if not (min_mean_word_len <= mean_len <= max_mean_word_len):
+        return False, "mean_word_len"
+    n_sym = text.count("#") + text.count("…") + text.count("�")
+    if n_sym / max(1, len(text)) > max_symbol_ratio:
+        return False, "symbol_ratio"
+    if repetition_stats(text)["dup_line_frac"] > max_dup_line_frac:
+        return False, "dup_lines"
+    if sum(1 for t in toks if t in ALL_STOPWORDS) < min_stop_hits:
+        return False, "too_few_stopwords"
+    return True, ""
+
+
+# ---------------------------------------------------------------------------
+# URL normalization — canonical key for url-based dedup/partitioning.
+# ---------------------------------------------------------------------------
+
+_TRACKING_PARAMS = frozenset(
+    "utm_source utm_medium utm_campaign utm_term utm_content gclid fbclid "
+    "ref referrer mc_cid mc_eid".split()
+)
+
+
+def normalize_url(url: str) -> str:
+    """Deterministic canonical form: lowercase scheme/host, strip default
+    ports, drop fragments and tracking params, sort remaining query params,
+    collapse trailing slash on bare paths."""
+    from urllib.parse import parse_qsl, urlencode, urlsplit, urlunsplit
+
+    try:
+        parts = urlsplit(url.strip())
+    except ValueError:
+        return url.strip()
+    scheme = parts.scheme.lower()
+    host = parts.netloc.lower()
+    for port, sch in ((":80", "http"), (":443", "https")):
+        if host.endswith(port) and scheme == sch:
+            host = host[: -len(port)]
+    q = [
+        (k, v)
+        for k, v in parse_qsl(parts.query, keep_blank_values=True)
+        if k.lower() not in _TRACKING_PARAMS
+    ]
+    q.sort()
+    path = parts.path or "/"
+    if path != "/" and path.endswith("/"):
+        path = path[:-1]
+    return urlunsplit((scheme, host, path, urlencode(q), ""))
+
+
+# ---------------------------------------------------------------------------
 # Fingerprints.
 # ---------------------------------------------------------------------------
 

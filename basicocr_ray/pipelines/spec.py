@@ -112,6 +112,45 @@ def _op_fingerprint(ds, params):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _op_quality_filter(ds, params):
+    from basicocr_ray.core.textstats import quality_filter
+
+    col = params.get("column", "text")
+    kwargs = {k: params[k] for k in (
+        "min_words", "max_words", "min_mean_word_len", "max_mean_word_len",
+        "max_symbol_ratio", "max_dup_line_frac", "min_stop_hits",
+    ) if k in params}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keeps, reasons = [], []
+        for t in batch[col].to_pylist():
+            k, r = quality_filter(t or "", **kwargs)
+            keeps.append(k)
+            reasons.append(r)
+        out = batch.append_column("qf_keep", pa.array(keeps, pa.bool_()))
+        out = out.append_column("qf_reason", pa.array(reasons, pa.string()))
+        if params.get("drop_rejected", False):
+            out = out.filter(out["qf_keep"])
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _op_normalize_url(ds, params):
+    from basicocr_ray.core.textstats import normalize_url
+
+    col = params.get("column", "url")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "norm_url",
+            pa.array([normalize_url(u or "") for u in batch[col].to_pylist()],
+                     pa.string()),
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def _op_filter_ge(ds, params):
     col, val = params["column"], params["value"]
     return ds.map_batches(
@@ -142,6 +181,8 @@ OP_REGISTRY: dict[str, Callable] = {
     "langid": _op_langid,
     "quality": _op_quality,
     "fingerprint": _op_fingerprint,
+    "quality_filter": _op_quality_filter,
+    "normalize_url": _op_normalize_url,
     "filter_ge": _op_filter_ge,
     "select": _op_select,
     "extract": _op_extract,

@@ -12,6 +12,7 @@ adjacent collapse (D1) which lives in core.decode.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -132,6 +133,7 @@ def minhash_candidate_pairs(
     num_perm: int = 64,
     num_bands: int = 16,
     shingle_k: int = 5,
+    max_bucket_size: int = 500,
 ):
     """→ Dataset of candidate (id_a, id_b) pairs (id_a < id_b), deduped.
 
@@ -158,25 +160,67 @@ def minhash_candidate_pairs(
             }
         )
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(df[id_column].unique())
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"id_a": a, "id_b": b})
+    def band_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        """All candidate pairs of ONE band (coarse group): per-bucket work
+        happens as an in-process pandas groupby, not as one Ray map_groups
+        task per bucket — a corpus has millions of (band, hash) buckets
+        and per-group task overhead dominates otherwise."""
+        a_out: list[int] = []
+        b_out: list[int] = []
+        for _, ids_s in df.groupby("band_hash")[id_column]:
+            ids = sorted(ids_s.unique())
+            n = len(ids)
+            if n < 2:
+                continue
+            if n > max_bucket_size:
+                # hot-bucket guard: a bucket this large is a degenerate
+                # near-identical cluster (or adversarial collision); its
+                # O(n²) pairs would dominate the job. Skip — such clusters
+                # belong to exact dedup (or salt into sub-buckets).
+                continue
+            for i in range(n):
+                ai = ids[i]
+                for j in range(i + 1, n):
+                    a_out.append(ai)
+                    b_out.append(ids[j])
+        return pd.DataFrame(
+            {"id_a": pd.Series(a_out, dtype="int64"),
+             "id_b": pd.Series(b_out, dtype="int64")}
+        )
 
     pairs = (
         ds.map_batches(to_bands, batch_format="pyarrow")
-        .groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby("band_id")
+        .map_groups(band_pairs, batch_format="pandas")
     )
-    # dedupe pairs found in multiple bands (small relative to corpus)
-    def first(df: pd.DataFrame) -> pd.DataFrame:
-        return df.head(1)
+    return _dedupe_pairs(pairs)
 
-    return pairs.groupby(["id_a", "id_b"]).map_groups(first, batch_format="pandas")
+
+def _dedupe_pairs(pairs, extra_cols: tuple[str, ...] = ()):
+    """Distinct (id_a, id_b) via 64 coarse hash groups with a vectorized
+    pandas drop_duplicates inside each — NOT one map_groups per pair
+    (millions of tiny calls) and NOT a Ray Aggregate keyed on every pair
+    (its sort-based path stalls at high distinct-key cardinality here)."""
+    import pyarrow.compute as _pc
+
+    def add_cg(b: pa.Table) -> pa.Table:
+        cg = _pc.cast(
+            _pc.bit_wise_and(_pc.cast(b["id_a"], pa.int64()), 63), pa.int32()
+        )
+        return b.append_column("cg", cg)
+
+    cols = ["id_a", "id_b", *extra_cols]
+
+    def dd(df: pd.DataFrame) -> pd.DataFrame:
+        if extra_cols:  # keep the min of the extra column per pair
+            df = df.sort_values(cols, kind="mergesort")
+        return df.drop_duplicates(subset=["id_a", "id_b"])[cols]
+
+    return (
+        pairs.map_batches(add_cg, batch_format="pyarrow")
+        .groupby("cg")
+        .map_groups(dd, batch_format="pandas")
+    )
 
 
 def verify_pairs_jaccard(
@@ -239,22 +283,35 @@ def simhash_exact_dup_pairs(ds, id_column: str, text_column: str):
             }
         )
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(id_column)
-        ids = df[id_column].tolist()
-        fps = df["fp"].tolist()
+    def coarse_pairs(df: pd.DataFrame) -> pd.DataFrame:
         a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if fps[i] == fps[j]:
-                    a.append(ids[i])
-                    b.append(ids[j])
-        return pd.DataFrame({"id_a": a, "id_b": b})
+        for _, sub in df.groupby("sig"):
+            sub = sub.sort_values(id_column)
+            ids = sub[id_column].tolist()
+            fps = sub["fp"].tolist()
+            n = len(ids)
+            for i in range(n):
+                for j in range(i + 1, n):
+                    if fps[i] == fps[j]:
+                        a.append(ids[i])
+                        b.append(ids[j])
+        return pd.DataFrame({"id_a": pd.Series(a, dtype="int64"),
+                             "id_b": pd.Series(b, dtype="int64")})
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return batch.append_column(
+            "cg", _pc.cast(
+                _pc.bit_wise_and(batch["sig"], np.uint64(63)), pa.int32()
+            )
+        )
 
     return (
         ds.map_batches(sig_fp, batch_format="pyarrow")
-        .groupby("sig")
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("cg")
+        .map_groups(coarse_pairs, batch_format="pandas")
     )
 
 
@@ -292,27 +349,29 @@ def simhash_pairs(
             }
         )
 
-    def bucket_verify(df: pd.DataFrame) -> pd.DataFrame:
-        rows = df.drop_duplicates(subset=[id_column]).sort_values(id_column)
-        ids = rows[id_column].tolist()
-        sigs = rows["sig"].tolist()
+    def chunk_verify(df: pd.DataFrame) -> pd.DataFrame:
+        """One coarse group per chunk_id; per-value buckets handled by an
+        in-process pandas groupby (not one Ray task per tiny bucket)."""
         a, b, h = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                d = hamming64(int(sigs[i]), int(sigs[j]))
-                if d <= max_hamming:
-                    a.append(ids[i])
-                    b.append(ids[j])
-                    h.append(d)
-        return pd.DataFrame({"id_a": a, "id_b": b, "hamming": h})
+        for _, sub in df.groupby("chunk_val"):
+            rows = sub.drop_duplicates(subset=[id_column]).sort_values(id_column)
+            ids = rows[id_column].tolist()
+            sigs = rows["sig"].tolist()
+            n = len(ids)
+            for i in range(n):
+                for j in range(i + 1, n):
+                    d = hamming64(int(sigs[i]), int(sigs[j]))
+                    if d <= max_hamming:
+                        a.append(ids[i])
+                        b.append(ids[j])
+                        h.append(d)
+        return pd.DataFrame({"id_a": pd.Series(a, dtype="int64"),
+                             "id_b": pd.Series(b, dtype="int64"),
+                             "hamming": pd.Series(h, dtype="int64")})
 
     pairs = (
         ds.map_batches(to_chunks, batch_format="pyarrow")
-        .groupby(["chunk_id", "chunk_val"])
-        .map_groups(bucket_verify, batch_format="pandas")
+        .groupby("chunk_id")
+        .map_groups(chunk_verify, batch_format="pandas")
     )
-
-    def first(df: pd.DataFrame) -> pd.DataFrame:
-        return df.head(1)
-
-    return pairs.groupby(["id_a", "id_b"]).map_groups(first, batch_format="pandas")
+    return _dedupe_pairs(pairs, extra_cols=("hamming",))

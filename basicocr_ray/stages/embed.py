@@ -166,13 +166,27 @@ def cosine_lsh_pairs(
                     b.append(ids[j])
         return pd.DataFrame({"id_a": a, "id_b": b})
 
+    def coarse_verify(df: pd.DataFrame) -> pd.DataFrame:
+        outs = [verify(sub) for _, sub in df.groupby("bucket")]
+        outs = [o for o in outs if len(o)]
+        if not outs:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
     pairs = (
         ds.map_batches(to_buckets, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(verify, batch_format="pandas")
+        .map_batches(
+            lambda b: b.append_column(
+                "cg",
+                pa.array((np.asarray(b["bucket"].to_pylist()) & 63)
+                         .astype("int32"), pa.int32()),
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("cg")
+        .map_groups(coarse_verify, batch_format="pandas")
     )
+    from basicocr_ray.stages.dedup import _dedupe_pairs
 
-    def first(df: pd.DataFrame) -> pd.DataFrame:
-        return df.head(1)
-
-    return pairs.groupby(["id_a", "id_b"]).map_groups(first, batch_format="pandas")
+    return _dedupe_pairs(pairs)

@@ -180,6 +180,46 @@ def main() -> None:
     queries["extract"] = round(ext.pop("sec"), 2)
 
     if not os.environ.get("BENCH_EXTRACT_ONLY"):
+        import pyarrow as pa
+
+        # dedup + sketch throughput at corpus scale (the sf-dir documents
+        # table is only 500 rows — measure on the bench pages corpus)
+        from basicocr_ray.stages.dedup import minhash_candidate_pairs
+        from basicocr_ray.stages.wide import approx_distinct, token_items
+
+        def with_int_ids(limit_rows: int):
+            import zlib
+
+            def ids(b: pa.Table) -> pa.Table:
+                return pa.table(
+                    {
+                        "doc_id": pa.array(
+                            [zlib.crc32(u.encode()) for u in
+                             b["url"].to_pylist()],
+                            pa.int64(),
+                        ),
+                        "text": b["text"],
+                    }
+                )
+
+            return (
+                rd.read_parquet(pages_dir, columns=["url", "text"])
+                .limit(limit_rows)
+                .map_batches(ids, batch_format="pyarrow")
+            )
+
+        t0 = time.perf_counter()
+        n_pairs = minhash_candidate_pairs(
+            with_int_ids(100_000), "doc_id", "text", num_bands=16
+        ).count()
+        queries["dedup_minhash_100k"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        est = approx_distinct(
+            rd.read_parquet(pages_dir, columns=["text"]), "text", token_items
+        )
+        queries["hll_distinct_corpus"] = round(time.perf_counter() - t0, 2)
+
         from basicocr_ray.pipelines.queries import QUERIES
 
         bench_qs = [

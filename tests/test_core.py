@@ -208,3 +208,42 @@ def test_ngram_jaccard_and_simhash():
         hamming64(simhash("the quick brown fox"), simhash("the quick brown fix"))
         < hamming64(simhash("the quick brown fox"), simhash("unrelated stuff here"))
     )
+
+
+# --- web-corpus quality filters + url normalization ------------------------
+
+def test_quality_filter_rules():
+    from basicocr_ray.core.textstats import quality_filter
+
+    good = ("the quick brown fox jumps over the lazy dog and then it runs "
+            "far away to the old barn where it sleeps all day long " * 3)
+    assert quality_filter(good) == (True, "")
+    assert quality_filter("too short")[1] == "too_few_words"
+    assert quality_filter("a b c d e " * 20)[1] == "mean_word_len"
+    assert quality_filter(("#" * 30 + " the word is ") * 20)[1] == "symbol_ratio"
+    rep = "\n".join(["the same exact line of words here again"] * 30)
+    assert quality_filter(rep)[1] == "dup_lines"
+    nostop = "zzz qqq xxx www vvv mmm nnn kkk " * 10
+    assert quality_filter(nostop)[1] == "too_few_stopwords"
+
+
+def test_repetition_stats():
+    from basicocr_ray.core.textstats import repetition_stats
+
+    r = repetition_stats("aaa\nbbb\naaa")
+    assert 0 < r["dup_line_frac"] < 1
+    assert repetition_stats("x\ny\nz")["dup_line_frac"] == 0.0
+
+
+def test_normalize_url():
+    from basicocr_ray.core.textstats import normalize_url
+
+    assert (
+        normalize_url("HTTPS://Example.COM:443/Path/?b=2&a=1&utm_source=x#frag")
+        == "https://example.com/Path?a=1&b=2"
+    )
+    assert normalize_url("http://a.com/p/") == "http://a.com/p"
+    assert normalize_url("http://a.com") == "http://a.com/"
+    # idempotent
+    u = normalize_url("https://X.org/a?z=1&y=2&fbclid=abc")
+    assert normalize_url(u) == u

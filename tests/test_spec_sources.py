@@ -82,3 +82,51 @@ def test_ivf_topk_full_probe_equals_bruteforce():
     ).to_pandas()
     recall = len(set(pruned["vec_id"]) & set(exact["vec_id"])) / 10
     assert recall >= 0.8
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_quality_filter_and_url_ops():
+    import ray.data
+
+    from basicocr_ray.pipelines.spec import run_spec
+
+    ds = run_spec(
+        {
+            "input": {"table": "documents", "columns": ["doc_id", "text"]},
+            "steps": [
+                {"op": "quality_filter", "min_words": 20, "min_stop_hits": 1},
+            ],
+        },
+        "/root/testdata/sf0.001",
+    )
+    df = ds.to_pandas()
+    assert {"qf_keep", "qf_reason"} <= set(df.columns)
+    assert df.loc[~df["qf_keep"], "qf_reason"].ne("").all()
+    assert df["qf_keep"].any()
+
+    ds2 = run_spec(
+        {
+            "input": {"table": "documents", "columns": ["doc_id"]},
+            "steps": [],
+        },
+        "/root/testdata/sf0.001",
+    )
+    # normalize_url op over a synthesized url column
+    import pyarrow as pa
+
+    from basicocr_ray.pipelines.spec import OP_REGISTRY
+
+    withurl = ds2.map_batches(
+        lambda b: b.append_column(
+            "url",
+            pa.array(
+                [f"HTTP://X.org:80/p{i}/?utm_source=a&b=1" for i in
+                 b["doc_id"].to_pylist()],
+                pa.string(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    out = OP_REGISTRY["normalize_url"](withurl, {}).to_pandas()
+    assert out["norm_url"].str.startswith("http://x.org/p").all()
+    assert not out["norm_url"].str.contains("utm_source").any()
