@@ -903,6 +903,45 @@ def q38_event_median(sf_dir: str):
     return ds.groupby("event_type").map_groups(med, batch_format="pandas")
 
 
+def q39_staged_extract(sf_dir: str):
+    """The STAGED pipeline formulation (SURVEY §7.1.4: tokenize → score →
+    decode as separate map_batches stages, block sequence riding in a
+    nested list<struct> column) driven through the SQL gate: wrapped docs
+    tokenize to exactly one kept content block, and the decoded text must
+    be byte-identical to the original."""
+    from basicocr_ray.stages.extract import (
+        decode_batch,
+        score_batch,
+        tokenize_batch,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def wrap(batch: pa.Table) -> pa.Table:
+        pages = docs_to_pages_batch(batch)
+        return pages
+
+    staged = (
+        ds.map_batches(wrap, batch_format="pyarrow")
+        .map_batches(tokenize_batch, batch_format="pyarrow")
+        .map_batches(score_batch, batch_format="pyarrow")
+        .map_batches(decode_batch, batch_format="pyarrow")
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = [int(u.split(":", 1)[1]) for u in batch["url"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "main_text": batch["main_text"],
+                "n_blocks": pc.cast(batch["n_blocks"], pa.int64()),
+                "n_blocks_kept": pc.cast(batch["n_blocks_kept"], pa.int64()),
+            }
+        )
+
+    return staged.map_batches(project, batch_format="pyarrow")
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -945,6 +984,7 @@ QUERIES = {
     "q36_distinct_pairs": q36_distinct_pairs,
     "q37_event_stats": q37_event_stats,
     "q38_event_median": q38_event_median,
+    "q39_staged_extract": q39_staged_extract,
     "q33_image_features": q33_image_features,
 }
 
@@ -1192,6 +1232,12 @@ ORACLE_SQL = {
     """,
     "q36_distinct_pairs": """
         SELECT DISTINCT lang, source FROM documents
+    """,
+    "q39_staged_extract": """
+        SELECT doc_id, text AS main_text,
+               CAST(1 AS BIGINT) AS n_blocks,
+               CAST(1 AS BIGINT) AS n_blocks_kept
+        FROM documents
     """,
     "q38_event_median": """
         SELECT event_type, median(value) AS median_value
