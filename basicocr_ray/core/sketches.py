@@ -98,7 +98,10 @@ class HyperLogLog:
         h = _hash64(token)
         idx = h >> (64 - self.p)
         rest = h << self.p & ((1 << 64) - 1)
-        rank = 1 if rest == 0 else min(64 - self.p + 1, 65 - rest.bit_length())
+        # all-zero remainder ⇒ every one of the 64-p observable bits is a
+        # leading zero, so rank is the maximum 64-p+1 (not 1)
+        max_rank = 64 - self.p + 1
+        rank = max_rank if rest == 0 else min(max_rank, 65 - rest.bit_length())
         if rank > self.registers[idx]:
             self.registers[idx] = rank
 

@@ -4,9 +4,10 @@ Shape (SURVEY §3.1 translated):
 
     read_parquet(url, html, lang)                      # column-pruned read
       → map_batches(route: partition_id, resume-skip)  # vectorized
-      → map_batches(forwarding extract)                # elastic task pool:
-            HTML rows extracted inline; PDF rows forwarded via _pdf_html
-      → map_batches(PdfFinisher, concurrency=pool)     # warm-parser actors
+      → map_batches(inline extract)                    # elastic task pool:
+            HTML rows extracted inline; PDF rows parsed by the per-worker
+            WARM parser (stages.pdf.warm_parser — load-once, no actor hop;
+            pdf_branch="finisher"/"split" keep the actor-pool formulations)
       → spill fragments by partition_id → P merge tasks, each writing
         ONE data.parquet + failed mirror + manifest, returning metrics
 
@@ -110,6 +111,31 @@ def make_adaptive_extract(cfg: ExtractConfig, yield_bytes: int = 8 << 20):
     return fn
 
 
+def make_inline_extract(cfg: ExtractConfig):
+    """Default stage body: one elastic task pool does EVERYTHING.
+
+    HTML rows go through the adaptive generator; PDF rows are parsed by the
+    per-worker WARM parser (`stages.pdf.warm_parser` — load-once semantics
+    via worker-process reuse, no actor hop). Round-1 profiling showed the
+    forwarding+PdfFinisher formulation paid an every-row pass-through stage
+    (serialize + actor queue for ~99% non-PDF rows); this keeps the warm
+    state while deleting that hop."""
+    from basicocr_ray.stages.pdf import warm_parser
+
+    adaptive = make_adaptive_extract(cfg)
+
+    def fn(batch: pa.Table) -> Iterator[pa.Table]:
+        mask = _is_pdf_mask(batch)
+        n_pdf = pc.sum(pc.cast(mask, pa.int64())).as_py() or 0
+        if n_pdf:
+            pdf_part = batch.filter(mask)
+            yield warm_parser(cfg)(pdf_part)
+            batch = batch.filter(pc.invert(mask))
+        yield from adaptive(batch)
+
+    return fn
+
+
 def make_forwarding_extract(cfg: ExtractConfig):
     """Stage-1 task body: extract HTML rows inline (stateless, elastic
     tasks); FORWARD pdf rows untouched via a ``_pdf_html`` carry column so
@@ -181,10 +207,12 @@ def build_extract_ds(
 ):
     """Lazy pages → extracted Dataset (no materialization).
 
-    pdf_branch modes: True → forwarding tasks + PdfFinisher actor pool
-    (default, single read); "split" → separate filtered PDF actor-pool
-    branch union'd back (two-consumer formulation; 2× read); False →
-    stateless task pool, PDF handled inline by the shared kernel."""
+    pdf_branch modes: True → single elastic task pool, PDF rows parsed by
+    the per-worker warm parser (default, single read, no extra hop);
+    "finisher" → forwarding tasks + PdfFinisher actor pool (round-1
+    formulation, kept for comparison); "split" → separate filtered PDF
+    actor-pool branch union'd back (two-consumer formulation; 2× read);
+    False → stateless task pool, PDF handled inline by the shared kernel."""
     skip = frozenset(skip_pids or ())
 
     def route(batch: pa.Table) -> pa.Table:
@@ -207,6 +235,13 @@ def build_extract_ds(
         pdf_concurrency = (1, max(2, ncpu // 4))
 
     if pdf_branch is True:
+        return routed.map_batches(
+            make_inline_extract(cfg),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size_small,
+        )
+
+    if pdf_branch == "finisher":
         # heavy HTML work in elastic stateless tasks; PDF rows forwarded to
         # the small warm-parser actor pool downstream (single read; the
         # pool never reserves the whole cluster, so no upstream starvation)
@@ -287,8 +322,9 @@ def run_extract_job(
     out_dir: str,
     cfg: ExtractConfig = DEFAULT_CONFIG,
     resume: bool = True,
-    pdf_branch: bool = True,
+    pdf_branch: bool | str = True,
     skew_split: bool = False,
+    spill_batch_rows: int = 32768,
 ) -> dict:
     """Execute the flagship job end-to-end; returns job stats.
 
@@ -327,13 +363,23 @@ def run_extract_job(
 
     # Two-stage filesystem-staged exchange on crc32(url) % P (north-rule's
     # explicit hash-partitioning), instead of a Ray all-to-all:
-    #   stage 1: each extract task spills its batch split by partition_id
-    #            into _staging/pid=N/frag-<contenthash>.parquet (idempotent
-    #            under task retry: the name is a hash of the fragment's
-    #            urls, the write is tmp+rename);
-    #   stage 2: P merge tasks each concat their partition's fragments into
-    #            ONE data.parquet, mirror failed rows, publish the
-    #            partition manifest, and return per-language metrics rows.
+    #   stage 1: each spill batch is split by partition_id into
+    #            _staging/pid=N/frag-<contenthash>.arrow (idempotent under
+    #            task retry: the name is the md5 of the fragment's encoded
+    #            BYTES, the write is tmp+rename) and the spill emits one
+    #            (pid, frag, n_rows) metadata row per fragment;
+    #   stage 2: the tiny metadata relation (Spark's map-output-statuses
+    #            analogue — fragment names, never data) is collected
+    #            driver-side; P merge tasks each read EXACTLY their
+    #            partition's listed fragments into ONE data.parquet, mirror
+    #            failed rows, publish the partition manifest, and return
+    #            per-language metrics rows. If two distinct spill batches
+    #            produce byte-identical fragments (e.g. two single-row
+    #            batches of the same duplicated url) they collide on one
+    #            file by construction — the merge re-emits that fragment
+    #            once per metadata reference, so no row is ever lost while
+    #            retries (same bytes → same name → overwrite) stay
+    #            idempotent.
     # This is the map-side-spill / reduce-side-merge shuffle (on a cluster
     # the staging dir is the shared object store / S3 prefix); it is
     # barrier-free and scales linearly where Ray's sort-based AllToAll
@@ -345,45 +391,68 @@ def run_extract_job(
         import hashlib
 
         pids_here = pc.unique(batch["partition_id"]).to_pylist()
-        out_pids = []
+        out_pids, out_frags, out_rows = [], [], []
         for pid in pids_here:
             sub = batch.filter(pc.equal(batch["partition_id"], pid))
-            name = hashlib.md5(
-                "|".join(sub["url"].to_pylist()).encode()
-            ).hexdigest()[:16]
+            # transient staging: Arrow IPC, no compression — encode is
+            # near-memcpy vs parquet's column encoding; hash the encoded
+            # bytes so the name covers full content, not just urls
+            sink = pa.BufferOutputStream()
+            with pa.ipc.new_file(sink, sub.schema) as w:
+                w.write_table(sub)
+            buf = sink.getvalue()
+            name = hashlib.md5(memoryview(buf)).hexdigest()
             d = os.path.join(staging, f"pid={pid}")
             os.makedirs(d, exist_ok=True)
             path = os.path.join(d, f"frag-{name}.arrow")
-            # transient staging: Arrow IPC stream, no compression — encode
-            # is near-memcpy vs parquet's column encoding
             with pa.OSFile(path + ".tmp", "wb") as f:
-                with pa.ipc.new_file(f, sub.schema) as w:
-                    w.write_table(sub)
+                f.write(buf)
             os.replace(path + ".tmp", path)
             out_pids.append(pid)
-        return pa.table({"pid": pa.array(out_pids, pa.int32())})
+            out_frags.append(f"frag-{name}.arrow")
+            out_rows.append(sub.num_rows)
+        return pa.table(
+            {
+                "pid": pa.array(out_pids, pa.int32()),
+                "frag": pa.array(out_frags, pa.string()),
+                "n_rows": pa.array(out_rows, pa.int64()),
+            }
+        )
 
-    # coarse spill batches: each spill task writes ≤ P fragments, so the
-    # fragment count is (rows / 16k) × P, not (rows / extract-batch) × P —
+    # coarse spill batches: each spill batch writes ≤ P fragments, so the
+    # fragment count is bounded by ceil(rows / spill_batch) × P —
     # tiny-fragment explosions made the merge stage read-bound
-    extracted.map_batches(
-        spill_fragments, batch_format="pyarrow", batch_size=8192
-    ).count()
+    frag_meta = extracted.map_batches(
+        spill_fragments, batch_format="pyarrow", batch_size=spill_batch_rows
+    ).to_pandas()
+    # per-pid fragment reference counts: the multiplicity a merge task must
+    # re-emit each fragment with (identical-fragment collisions → count 2)
+    from collections import Counter
+
+    frag_counts: dict[int, Counter] = {}
+    for pid_v, frag_v in zip(frag_meta["pid"], frag_meta["frag"]):
+        frag_counts.setdefault(int(pid_v), Counter())[frag_v] += 1
 
     def merge_partition(batch: pa.Table) -> pa.Table:
-        import glob as _glob
+        import json as _json
 
         out_rows = []
-        for pid in batch["pid"].to_pylist():
-            frags = sorted(_glob.glob(os.path.join(staging, f"pid={pid}", "*.arrow")))
-            if not frags:
+        for pid, fjson in zip(
+            batch["pid"].to_pylist(), batch["frags"].to_pylist()
+        ):
+            fmap = _json.loads(fjson)
+            if not fmap:
                 continue
 
             def _read_ipc(path: str) -> pa.Table:
                 with pa.memory_map(path) as mm:
                     return pa.ipc.open_file(mm).read_all()
 
-            tbl = pa.concat_tables([_read_ipc(f) for f in frags])
+            parts = []
+            for frag, mult in sorted(fmap.items()):
+                t = _read_ipc(os.path.join(staging, f"pid={pid}", frag))
+                parts.extend([t] * mult)
+            tbl = pa.concat_tables(parts)
             pdir = mf.partition_dir(out_dir, pid)
             os.makedirs(pdir, exist_ok=True)
             target = os.path.join(pdir, "data.parquet")
@@ -434,7 +503,17 @@ def run_extract_job(
         return pa.concat_tables(out_rows)
 
     metrics_df = (
-        ray.data.from_items([{"pid": p} for p in todo])
+        ray.data.from_items(
+            [
+                {
+                    "pid": p,
+                    "frags": __import__("json").dumps(
+                        dict(frag_counts.get(p, {}))
+                    ),
+                }
+                for p in todo
+            ]
+        )
         .repartition(len(todo))
         .map_batches(merge_partition, batch_format="pyarrow", batch_size=1)
         .to_pandas()
@@ -475,5 +554,6 @@ def run_extract_job(
         "partitions_computed": len(todo),
         "n_rows": total_rows,
         "n_failed": n_failed,
+        "n_fragments": int(len(frag_meta)),
         "input_fingerprint": input_fp,
     }

@@ -1060,7 +1060,8 @@ ORACLE_SQL = {
         ) GROUP BY trigram ORDER BY cnt DESC, trigram LIMIT 100
     """,
     "q09_lang_rollup": """
-        SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                round(sum(n_chars)::DOUBLE / count(*), 6) AS mean_chars
         FROM documents GROUP BY lang
     """,
@@ -1108,7 +1109,8 @@ ORACLE_SQL = {
         FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
     """,
     "q17_sessionize": """
-        SELECT user_id, count(*) AS n_events, sum(is_new) AS n_sessions
+        SELECT user_id, count(*) AS n_events,
+               CAST(sum(is_new) AS BIGINT) AS n_sessions
         FROM (
           SELECT user_id,
                  CASE WHEN prev_ts IS NULL

@@ -17,6 +17,23 @@ from basicocr_ray.core.oracle import extract_text_pdf
 from basicocr_ray.stages.extract import SPAN_TYPE, partition_of
 
 
+_WARM: dict = {}
+
+
+def warm_parser(cfg: ExtractConfig) -> "PdfParser":
+    """Per-worker-process warm parser (load-once without an actor hop).
+
+    Ray reuses worker processes across map_batches tasks, so a module-level
+    cache gives the same amortized-`__init__` economics as an actor pool
+    (`crnn_main.py:102-116` load-once) while keeping the stage an ELASTIC
+    task pool — no pass-through hop for the ~99% non-PDF rows and no pool
+    sizing to starve the upstream read (NOTES_r1 deadlock hazard)."""
+    p = _WARM.get(cfg)
+    if p is None:
+        p = _WARM[cfg] = PdfParser(cfg)
+    return p
+
+
 class PdfParser:
     """Callable class for ``map_batches(PdfParser, concurrency=N)``.
 

@@ -41,6 +41,13 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
         return f"SCHEMA {list(a.columns)} vs {list(b.columns)}"
     if len(a) != len(b):
         return f"ROWCOUNT {len(a)} vs {len(b)}"
+    # dtype-strict, like the driver's typed hash: a float64-vs-int64 column
+    # (e.g. DuckDB HUGEINT sum → float64 via .df()) must FAIL here even when
+    # the values compare equal — this exact class hid the round-1 q09/q17
+    # driver hash mismatches behind the value-tolerant compare
+    for c in a.columns:
+        if a[c].dtype != b[c].dtype:
+            return f"DTYPE col {c}: ray={a[c].dtype} vs sql={b[c].dtype}"
     for c in a.columns:
         av, bv = a[c], b[c]
         try:

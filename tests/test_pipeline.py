@@ -97,10 +97,12 @@ def test_batchsize_and_skew_invariance(fixture_pages, tmp_path):
     skew = run(ExtractConfig(oversize_bytes=20_000), pdf_branch="split", skew_split=True)
     nopdf = run(ExtractConfig(), pdf_branch=False)
     split = run(ExtractConfig(), pdf_branch="split")
+    finisher = run(ExtractConfig(), pdf_branch="finisher")
     assert base.equals(small)
     assert base.equals(skew)
     assert base.equals(nopdf)
     assert base.equals(split)
+    assert base.equals(finisher)
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -171,3 +173,56 @@ def test_metrics_rollup(fixture_pages, tmp_path):
         "lang", "partition_id", "n_docs", "n_ok", "mean_blocks_kept",
         "n_bytes_in", "n_bytes_out",
     }
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_identical_duplicate_rows_survive_exchange(tmp_path):
+    """Two byte-identical input rows must yield two output rows even when
+    each lands in its own spill batch: their fragments collide on the
+    content-hash name by construction, and the multiplicity-aware merge
+    re-emits the shared fragment once per metadata reference."""
+    import ray.data
+
+    from basicocr_ray.pipelines.extract_pipeline import run_extract_job
+
+    html = b"<html><body><p>" + b"shared duplicated content here. " * 4 + b"</p></body></html>"
+    rows = pa.table(
+        {
+            "url": pa.array(
+                ["u:dup", "u:dup", "u:solo", "u:dup2", "u:dup2", "u:other"],
+                pa.string(),
+            ),
+            "html": pa.array(
+                [html, html, html + b"<!--x-->", html, html, html + b"<!--y-->"],
+                pa.large_binary(),
+            ),
+            "lang": pa.array(["en"] * 6, pa.string()),
+        }
+    )
+    src = str(tmp_path / "pages.parquet")
+    pq.write_table(rows, src)
+    out = str(tmp_path / "out")
+    # spill_batch_rows=1 forces one fragment per row → identical rows
+    # produce identical fragment names (the collision under test)
+    stats = run_extract_job(src, out, spill_batch_rows=1)
+    got = ray.data.read_parquet(out, columns=["url"]).to_pandas()
+    assert stats["n_rows"] == 6
+    assert len(got) == 6
+    assert (got["url"] == "u:dup").sum() == 2
+    assert (got["url"] == "u:dup2").sum() == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fragment_count_bounded(fixture_pages, tmp_path):
+    """Fragment-count guard: coarse spill batches keep the staged exchange's
+    file count bounded (≪ rows × partitions), so the merge stage never
+    becomes read-bound on tiny fragments."""
+    from basicocr_ray.config import DEFAULT_CONFIG
+    from basicocr_ray.pipelines.extract_pipeline import run_extract_job
+
+    out = str(tmp_path / "out")
+    stats = run_extract_job(fixture_pages, out)
+    assert stats["n_fragments"] >= 1
+    # each spill call writes ≤ P fragments; with 800 rows and 32k-row spill
+    # batches there are only a handful of calls
+    assert stats["n_fragments"] <= DEFAULT_CONFIG.num_partitions * 8

@@ -140,5 +140,5 @@ def test_pdf_modes_agree_on_empty_pdf():
         df = ds.to_pandas()
         return df[["url", "main_text", "n_blocks", "n_blocks_kept", "ok"]]
 
-    a, b, c = run(True), run("split"), run(False)
-    assert a.equals(b) and b.equals(c)
+    a, b, c, d = run(True), run("split"), run(False), run("finisher")
+    assert a.equals(b) and b.equals(c) and c.equals(d)
