@@ -54,13 +54,41 @@ class BigramLM:
         return lp / len(tokens)
 
 
-def fit_bigram_lm(docs_ds, text_column: str = "text") -> BigramLM:
+def fit_bigram_lm(
+    docs_ds,
+    text_column: str = "text",
+    max_vocab: int | None = None,
+    min_count: int = 1,
+) -> BigramLM:
     """Distributed counts (partial+final, the merge-batch-counts shape) →
-    small driver-side model object ready for broadcast."""
-    uni_rows = count_terms(docs_ds, text_column, token_items, "token").take_all()
-    bi_rows = count_terms(
-        docs_ds, text_column, make_ngram_items(2), "bigram"
-    ).take_all()
+    small driver-side model object ready for broadcast.
+
+    On an open-vocabulary corpus the full count tables are unbounded —
+    ``min_count`` (frequency floor) and ``max_vocab`` (top-K by count,
+    ties broken by token for determinism) prune DISTRIBUTEDLY, before
+    anything reaches the driver, so the broadcast stays bounded. Unpruned
+    defaults keep the fixture-scale oracle exact."""
+    import pyarrow.compute as _pc
+
+    def bounded(counts_ds, key: str):
+        if min_count > 1:
+            counts_ds = counts_ds.map_batches(
+                lambda b: b.filter(_pc.greater_equal(b["cnt"], min_count)),
+                batch_format="pyarrow",
+            )
+        if max_vocab is not None:
+            counts_ds = counts_ds.sort(
+                ["cnt", key], descending=[True, False]
+            ).limit(max_vocab)
+        return counts_ds.take_all()
+
+    uni_rows = bounded(
+        count_terms(docs_ds, text_column, token_items, "token"), "token"
+    )
+    bi_rows = bounded(
+        count_terms(docs_ds, text_column, make_ngram_items(2), "bigram"),
+        "bigram",
+    )
     return BigramLM(
         {r["token"]: int(r["cnt"]) for r in uni_rows},
         {r["bigram"]: int(r["cnt"]) for r in bi_rows},
@@ -82,14 +110,26 @@ class LMScorer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_column].to_pylist()
-        scores = [
-            round(self.lm.score((t or "").lower().split()), 6)
-            for t in batch[self.text_column].to_pylist()
-        ]
+        scores, n_tokens, sum_bi = [], [], []
+        for t in batch[self.text_column].to_pylist():
+            toks = (t or "").lower().split()
+            scores.append(round(self.lm.score(toks), 6))
+            n_tokens.append(len(toks))
+            # exact integer evidence of the count tables the score is built
+            # from — DuckDB reproduces these exactly (q32's hashable twin)
+            # where libm log-probs are platform-dependent
+            sum_bi.append(
+                sum(
+                    self.lm.bi.get(a + " " + b, 0)
+                    for a, b in zip(toks, toks[1:])
+                )
+            )
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
                 "lm_score": pa.array(scores, pa.float64()),
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "sum_bigram_count": pa.array(sum_bi, pa.int64()),
             }
         )
 

@@ -489,7 +489,15 @@ def q21_trie_correct(sf_dir: str):
     import ray
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    dict_rows = count_terms(ds, "text", token_items, "token").take_all()
+    # top-K cap (sorted+limited DISTRIBUTEDLY, before anything reaches the
+    # driver) keeps the dictionary broadcast bounded on an open-vocabulary
+    # corpus; 100k ≫ the fixture vocab so the oracle tie ladder is exact
+    dict_rows = (
+        count_terms(ds, "text", token_items, "token")
+        .sort(["cnt", "token"], descending=[True, False])
+        .limit(100_000)
+        .take_all()
+    )
     entries = [(r["token"], int(r["cnt"])) for r in dict_rows]
     entries_ref = ray.put(entries)
 
@@ -611,17 +619,21 @@ def q22_minhash_neardup(sf_dir: str):
     """MinHash-LSH near-duplicate pairs over the REAL documents corpus
     (which contains planted near-dups): shingle→minhash per batch → band
     buckets (32 bands × 2 rows: P(miss | J=0.8) = (1-0.8^2)^32 ≈ 6e-15) →
-    candidate pairs → exact 5-gram-Jaccard verify ≥ 0.8. Oracle = DuckDB
-    brute-force pairwise Jaccard — the LSH path must reproduce it exactly."""
+    candidate pairs → exact 5-gram-Jaccard verify ≥ 0.8, texts fetched via
+    the BUCKETED-JOIN verify (no full-corpus driver materialization — the
+    round-1 formulation broadcast an id→text dict built with take_all()).
+    Oracle = DuckDB brute-force pairwise Jaccard — the LSH path must
+    reproduce it exactly."""
     from basicocr_ray.stages.dedup import (
         minhash_candidate_pairs,
-        verify_pairs_jaccard,
+        verify_pairs_jaccard_join,
     )
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     pairs = minhash_candidate_pairs(ds, "doc_id", "text", num_bands=32)
-    texts = {r["doc_id"]: r["text"] for r in ds.take_all()}
-    verified = verify_pairs_jaccard(pairs, texts, threshold=0.8)
+    verified = verify_pairs_jaccard_join(
+        pairs, ds, "doc_id", "text", threshold=0.8
+    )
     return verified.select_columns(["id_a", "id_b"])
 
 
@@ -742,13 +754,18 @@ def q31_events_sliding(sf_dir: str):
 
 def q32_lm_score(sf_dir: str):
     """Bigram LM fit (distributed count/merge, G4) + broadcast scoring
-    (A5). Log-prob floats are libm-dependent → no SQL oracle (rows-only);
-    semantics are unit-tested in tests/test_multimodal_lm.py."""
+    (A5). The hashable result is the EXACT INTEGER EVIDENCE the score is
+    built from (token count + summed corpus bigram counts per doc), which
+    the DuckDB oracle reproduces bit-for-bit; the libm-dependent log-prob
+    itself stays out of the hash (semantics unit-tested in
+    tests/test_multimodal_lm.py)."""
     from basicocr_ray.pipelines.lm import fit_bigram_lm, score_documents
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     lm = fit_bigram_lm(ds)
-    return score_documents(ds, lm)
+    return score_documents(ds, lm).select_columns(
+        ["doc_id", "n_tokens", "sum_bigram_count"]
+    )
 
 
 def q33_image_features(sf_dir: str):
@@ -1214,6 +1231,27 @@ ORACLE_SQL = {
                    AS window_start
           FROM events
         ) GROUP BY user_id, window_start
+    """,
+    "q32_lm_score": f"""
+        WITH toks AS (
+          SELECT doc_id, list_filter({_TOKS}, t -> t <> '') AS toks
+          FROM documents
+        ),
+        bg AS (
+          SELECT doc_id, unnest(list_transform(
+            range(1, len(toks)),
+            i -> toks[i] || ' ' || toks[i+1]
+          )) AS bigram
+          FROM toks
+        ),
+        cnt AS (SELECT bigram, count(*) AS c FROM bg GROUP BY bigram),
+        per_doc AS (
+          SELECT bg.doc_id, CAST(sum(cnt.c) AS BIGINT) AS sum_bigram_count
+          FROM bg JOIN cnt USING (bigram) GROUP BY bg.doc_id
+        )
+        SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+               COALESCE(p.sum_bigram_count, 0) AS sum_bigram_count
+        FROM toks t LEFT JOIN per_doc p USING (doc_id)
     """,
     "q34_bucketed_join_revenue": """
         SELECT l_orderkey AS okey, o_custkey,

@@ -20,6 +20,32 @@ from basicocr_ray.core.sketches import MinHasher, ngram_jaccard, simhash, hammin
 from basicocr_ray.core.textstats import md5_hex
 
 
+def _coarse_salts(num_salt: int | None = None) -> int:
+    """Salt count for coarse-group shuffle keys, as a power of two.
+
+    Round 1 used FIXED fan-outs (4 chunk groups / 64 pair groups / one
+    group per band) — correct, but they cap shuffle parallelism at a
+    constant and make single-task group size O(corpus). Deriving the salt
+    count from ``ray.cluster_resources()`` keeps the in-process pandas
+    trick (few coarse groups, vectorized inner groupby) while letting the
+    fan-out grow with the cluster. Salting by ``hash & (S-1)`` keeps every
+    fine-grained bucket intact inside one group, so the emitted pair set
+    is invariant under S (tests assert this)."""
+    if num_salt is not None:
+        return 1 << max(0, int(num_salt - 1).bit_length())
+    try:
+        import ray
+
+        ncpu = (
+            int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized()
+            else 8
+        )
+    except Exception:
+        ncpu = 8
+    return 1 << max(3, int(2 * ncpu - 1).bit_length())
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -49,70 +75,118 @@ def exact_dedup_groups(ds, id_column: str, text_column: str):
     )
 
 
-def assign_components(pairs_ds, max_rounds: int = 20):
+def assign_components(pairs_ds, max_rounds: int = 30, num_salt: int | None = None):
     """Near-dup pairs → (id, rep) connected-component labels, rep = min id.
 
-    Distributed min-label propagation: each round, every id adopts the
-    smallest label among itself and its neighbors (two groupby rounds per
-    iteration: labels join via edges, then min per id). Converges in
-    O(component diameter) rounds; near-dup components are tiny chains, so
-    a handful of rounds suffices — ``max_rounds`` is a safety bound and
-    non-convergence raises. Driver-side union-find would be simpler but
-    only valid when the pair set provably fits one machine; this path
-    scales (the shuffle key is the doc id, values are (id, label) ints).
-    """
+    Fully distributed min-label propagation — nothing ever centralizes on
+    the driver (round 1 broadcast the whole label map per round via
+    ``take_all``; at billions of edges that is the scale-killer this
+    replaces):
+
+    per round
+      1. messages: each directed edge (src → dst) carries src's current
+         label to dst — a bucketed hash join of the edge list with the
+         label table on ``src`` (`stages.joins.bucketed_hash_join`, rows
+         shuffle once by key bucket);
+      2. combine: union(self labels, incoming labels) → coarse-grouped
+         pandas min per id (the house distinct/aggregate pattern).
+
+    Labels only ever decrease, so Σ label is strictly decreasing until
+    the fixpoint — convergence is detected by comparing that ONE scalar
+    aggregate per round (`ds.sum`), not by materializing the label map.
+    Converges in O(component diameter) rounds; near-dup components are
+    tiny clusters, so a handful of rounds suffices — ``max_rounds`` is a
+    safety bound and non-convergence raises."""
     import pyarrow.compute as _pc
 
-    pairs = pairs_ds.map_batches(
-        lambda b: pa.table(
-            {"id_a": pc_cast_i64(b["id_a"]), "id_b": pc_cast_i64(b["id_b"])}
-        ),
-        batch_format="pyarrow",
-    ).materialize()  # edges are small (pairs only) and reused every round
+    from basicocr_ray.stages.joins import bucketed_hash_join
 
-    # initial labels: every endpoint labels itself
-    def endpoints(b: pa.Table) -> pa.Table:
-        ids = b["id_a"].to_pylist() + b["id_b"].to_pylist()
-        return pa.table({"id": pa.array(ids, pa.int64()),
-                         "label": pa.array(ids, pa.int64())})
+    salts = _coarse_salts(num_salt)
+
+    # directed both ways: src's label flows to dst
+    def directed(b: pa.Table) -> pa.Table:
+        a = pc_cast_i64(b["id_a"]).combine_chunks()
+        bb = pc_cast_i64(b["id_b"]).combine_chunks()
+        if isinstance(a, pa.ChunkedArray):
+            a = a.chunk(0) if a.num_chunks else pa.array([], pa.int64())
+        if isinstance(bb, pa.ChunkedArray):
+            bb = bb.chunk(0) if bb.num_chunks else pa.array([], pa.int64())
+        return pa.table(
+            {
+                "src": pa.concat_arrays([a, bb]),
+                "dst": pa.concat_arrays([bb, a]),
+            }
+        )
+
+    edges = pairs_ds.map_batches(directed, batch_format="pyarrow").materialize()
+
+    def add_cg(b: pa.Table) -> pa.Table:
+        # defensive exact cast: Ray's groupby assembly can widen blocks to
+        # float64 when empty no-schema pandas blocks ride the union; values
+        # stay integral, so the cast is lossless
+        ids = _pc.cast(b["id"], pa.int64())
+        labs = _pc.cast(b["label"], pa.int64())
+        return pa.table(
+            {
+                "id": ids,
+                "label": labs,
+                "cg": _pc.cast(_pc.bit_wise_and(ids, salts - 1), pa.int32()),
+            }
+        )
 
     def min_per_id(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"id": [df["id"].iloc[0]], "label": [int(df["label"].min())]}
+        out = df.groupby("id", as_index=False)["label"].min()
+        return out.astype({"id": "int64", "label": "int64"})
+
+    def combine_min(lbl_ds):
+        return (
+            lbl_ds.map_batches(add_cg, batch_format="pyarrow")
+            .groupby("cg")
+            .map_groups(min_per_id, batch_format="pandas")
         )
 
-    labels = (
-        pairs.map_batches(endpoints, batch_format="pyarrow")
-        .groupby("id").map_groups(min_per_id, batch_format="pandas")
-        .materialize()
-    )
+    # initial labels: every endpoint labels itself
+    labels = combine_min(
+        edges.map_batches(
+            lambda b: pa.table({"id": b["src"], "label": b["src"]}),
+            batch_format="pyarrow",
+        )
+    ).materialize()
+    prev_total = labels.sum("label")
+
     for _ in range(max_rounds):
-        lab_map = {r["id"]: r["label"] for r in labels.take_all()}
-
-        def push(b: pa.Table, lm=lab_map) -> pa.Table:
-            a = b["id_a"].to_pylist()
-            bb = b["id_b"].to_pylist()
-            ids, labs = [], []
-            for x, y in zip(a, bb):
-                lx, ly = lm.get(x, x), lm.get(y, y)
-                m = min(lx, ly)
-                ids.extend((x, y))
-                labs.extend((m, m))
-            return pa.table({"id": pa.array(ids, pa.int64()),
-                             "label": pa.array(labs, pa.int64())})
-
-        new_labels = (
-            pairs.map_batches(push, batch_format="pyarrow")
-            .groupby("id").map_groups(min_per_id, batch_format="pandas")
-            .materialize()
+        incoming = bucketed_hash_join(
+            labels.map_batches(
+                lambda b: pa.table(
+                    {
+                        "src": _pc.cast(b["id"], pa.int64()),
+                        "label": _pc.cast(b["label"], pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            edges,
+            key="src",
+            left_columns=["label"],
+            right_columns=["dst"],
+            num_buckets=salts,
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "id": _pc.cast(b["dst"], pa.int64()),
+                    "label": _pc.cast(b["label"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
         )
-        new_map = {r["id"]: r["label"] for r in new_labels.take_all()}
-        labels = new_labels
-        if new_map == lab_map:
+        labels = combine_min(labels.union(incoming)).materialize()
+        total = labels.sum("label")
+        if total == prev_total:
             return labels.map_batches(
                 lambda b: pa.table({"id": b["id"], "rep": b["label"]}),
                 batch_format="pyarrow",
             )
+        prev_total = total
     raise RuntimeError(f"label propagation did not converge in {max_rounds} rounds")
 
 
@@ -134,34 +208,48 @@ def minhash_candidate_pairs(
     num_bands: int = 16,
     shingle_k: int = 5,
     max_bucket_size: int = 500,
+    num_salt: int | None = None,
+    hot_bucket_mode: str = "star",
 ):
     """→ Dataset of candidate (id_a, id_b) pairs (id_a < id_b), deduped.
 
     shingle→minhash per batch → explode to (band_id, band_hash, id) rows →
-    groupby band bucket → pairs within bucket. The shuffle moves 16 small
-    ints per document, never text."""
+    groupby salted band bucket ``band_id·S + (band_hash & (S-1))`` (S from
+    the cluster size — same band_hash always lands in the same group, so
+    the pair set is salt-invariant while parallelism scales out) → pairs
+    within bucket. The shuffle moves ``num_bands`` small ints per
+    document, never text.
+
+    Hot buckets (> max_bucket_size members — degenerate near-identical
+    clusters or adversarial collisions) would contribute O(n²) pairs that
+    dominate the job; ``hot_bucket_mode="star"`` (default) instead emits
+    the n−1 pairs linking every member to the bucket's minimum id, which
+    preserves the connected component the bucket represents (downstream
+    ``assign_components`` reconstructs the cluster) at linear cost.
+    ``"drop"`` restores the round-1 behavior of emitting nothing."""
     hasher = MinHasher(num_perm=num_perm, k=shingle_k)
+    salts = _coarse_salts(num_salt)
 
     def to_bands(batch: pa.Table) -> pa.Table:
-        ids_out, bids, bhashes = [], [], []
+        ids_out, bhashes, gks = [], [], []
         for i, t in zip(
             batch[id_column].to_pylist(), batch[text_column].to_pylist()
         ):
             sig = hasher.signature(t or "")
             for bid, bh in hasher.bands(sig, num_bands):
                 ids_out.append(i)
-                bids.append(bid)
                 bhashes.append(bh)
+                gks.append(bid * salts + (bh & (salts - 1)))
         return pa.table(
             {
                 id_column: pa.array(ids_out, pa.int64()),
-                "band_id": pa.array(bids, pa.int32()),
+                "gk": pa.array(gks, pa.int64()),
                 "band_hash": pa.array(bhashes, pa.uint64()),
             }
         )
 
     def band_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        """All candidate pairs of ONE band (coarse group): per-bucket work
+        """All candidate pairs of ONE salted band group: per-bucket work
         happens as an in-process pandas groupby, not as one Ray map_groups
         task per bucket — a corpus has millions of (band, hash) buckets
         and per-group task overhead dominates otherwise."""
@@ -173,10 +261,11 @@ def minhash_candidate_pairs(
             if n < 2:
                 continue
             if n > max_bucket_size:
-                # hot-bucket guard: a bucket this large is a degenerate
-                # near-identical cluster (or adversarial collision); its
-                # O(n²) pairs would dominate the job. Skip — such clusters
-                # belong to exact dedup (or salt into sub-buckets).
+                if hot_bucket_mode == "star":
+                    rep = ids[0]
+                    for j in range(1, n):
+                        a_out.append(rep)
+                        b_out.append(ids[j])
                 continue
             for i in range(n):
                 ai = ids[i]
@@ -190,22 +279,29 @@ def minhash_candidate_pairs(
 
     pairs = (
         ds.map_batches(to_bands, batch_format="pyarrow")
-        .groupby("band_id")
+        .groupby("gk")
         .map_groups(band_pairs, batch_format="pandas")
     )
-    return _dedupe_pairs(pairs)
+    return _dedupe_pairs(pairs, num_groups=num_salt)
 
 
-def _dedupe_pairs(pairs, extra_cols: tuple[str, ...] = ()):
-    """Distinct (id_a, id_b) via 64 coarse hash groups with a vectorized
-    pandas drop_duplicates inside each — NOT one map_groups per pair
-    (millions of tiny calls) and NOT a Ray Aggregate keyed on every pair
-    (its sort-based path stalls at high distinct-key cardinality here)."""
+def _dedupe_pairs(
+    pairs,
+    extra_cols: tuple[str, ...] = (),
+    num_groups: int | None = None,
+):
+    """Distinct (id_a, id_b) via cluster-sized coarse hash groups with a
+    vectorized pandas drop_duplicates inside each — NOT one map_groups per
+    pair (millions of tiny calls) and NOT a Ray Aggregate keyed on every
+    pair (its sort-based path stalls at high distinct-key cardinality)."""
     import pyarrow.compute as _pc
+
+    salts = _coarse_salts(num_groups)
 
     def add_cg(b: pa.Table) -> pa.Table:
         cg = _pc.cast(
-            _pc.bit_wise_and(_pc.cast(b["id_a"], pa.int64()), 63), pa.int32()
+            _pc.bit_wise_and(_pc.cast(b["id_a"], pa.int64()), salts - 1),
+            pa.int32(),
         )
         return b.append_column("cg", cg)
 
@@ -259,16 +355,94 @@ def verify_pairs_jaccard(
     return pairs_ds.map_batches(verify, batch_format="pyarrow")
 
 
+def verify_pairs_jaccard_join(
+    pairs_ds,
+    texts_ds,
+    id_column: str,
+    text_column: str,
+    threshold: float,
+    shingle_k: int = 5,
+    num_buckets: int | None = None,
+):
+    """Candidate pairs → confirmed near-dups, with texts fetched via two
+    bucketed hash joins instead of a driver-side broadcast.
+
+    The corpus-scale verify path (round 1 built the id→text dict with
+    ``ds.take_all()`` — a full-corpus driver materialization): join pairs
+    to texts on id_a, then on id_b; each text row shuffles once per join,
+    pairs carry only ids until the per-bucket pandas merge. Use
+    `verify_pairs_jaccard` (broadcast) only when the text table provably
+    fits one machine."""
+    import pyarrow.compute as _pc
+
+    from basicocr_ray.stages.joins import bucketed_hash_join
+
+    buckets = num_buckets or _coarse_salts(None)
+
+    def rename(key_name: str, text_name: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    key_name: pc_cast_i64(b[id_column]),
+                    text_name: b[text_column],
+                }
+            )
+
+        return fn
+
+    with_a = bucketed_hash_join(
+        pairs_ds,
+        texts_ds.map_batches(rename("id_a", "text_a"), batch_format="pyarrow"),
+        key="id_a",
+        left_columns=["id_b"],
+        right_columns=["text_a"],
+        num_buckets=buckets,
+    )
+    with_both = bucketed_hash_join(
+        with_a,
+        texts_ds.map_batches(rename("id_b", "text_b"), batch_format="pyarrow"),
+        key="id_b",
+        left_columns=["id_a", "text_a"],
+        right_columns=["text_b"],
+        num_buckets=buckets,
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_pylist()
+        b = batch["id_b"].to_pylist()
+        sims = [
+            ngram_jaccard(x or "", y or "", shingle_k)
+            for x, y in zip(
+                batch["text_a"].to_pylist(), batch["text_b"].to_pylist()
+            )
+        ]
+        out = pa.table(
+            {
+                "id_a": pa.array(a, pa.int64()),
+                "id_b": pa.array(b, pa.int64()),
+                "jaccard": pa.array(sims, pa.float64()),
+            }
+        )
+        return out.filter(_pc.greater_equal(out["jaccard"], threshold))
+
+    return with_both.map_batches(verify, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dup
 # ---------------------------------------------------------------------------
 
-def simhash_exact_dup_pairs(ds, id_column: str, text_column: str):
+def simhash_exact_dup_pairs(
+    ds, id_column: str, text_column: str, num_salt: int | None = None
+):
     """Exact-duplicate pairs via SimHash bucketing: group by the full
     64-bit signature (identical docs always collide), verify with md5 text
     equality inside the bucket — signature collisions between
     merely-similar docs are rejected. The shuffle carries (id, sig, fp);
-    text never moves."""
+    text never moves. Coarse groups are ``sig & (S-1)`` with S sized from
+    the cluster (same signature → same group, so results are
+    salt-invariant)."""
+    salts = _coarse_salts(num_salt)
 
     def sig_fp(batch: pa.Table) -> pa.Table:
         ids = batch[id_column].to_pylist()
@@ -303,7 +477,8 @@ def simhash_exact_dup_pairs(ds, id_column: str, text_column: str):
 
         return batch.append_column(
             "cg", _pc.cast(
-                _pc.bit_wise_and(batch["sig"], np.uint64(63)), pa.int32()
+                _pc.bit_wise_and(batch["sig"], np.uint64(salts - 1)),
+                pa.int32(),
             )
         )
 
@@ -321,37 +496,45 @@ def simhash_pairs(
     text_column: str,
     max_hamming: int = 3,
     token_k: int = 4,
+    num_salt: int | None = None,
 ):
     """→ (id_a, id_b, hamming) pairs with distance ≤ max_hamming.
 
     Bucketing: split the 64-bit signature into 4 × 16-bit chunks — any pair
     within hamming ≤ 3 shares at least one exact chunk (pigeonhole), so
     grouping by (chunk_id, chunk_value) has perfect recall; verification
-    computes the true distance inside each bucket."""
+    computes the true distance inside each bucket. The shuffle key is the
+    SALTED ``chunk_id·S + (chunk_val & (S-1))`` — round 1's bare chunk_id
+    gave exactly 4 groups, each holding every document's row (the clearest
+    fixed fan-out in the repo); same chunk_val still lands in one group so
+    recall is unchanged while parallelism scales with the cluster."""
+    salts = _coarse_salts(num_salt)
 
     def to_chunks(batch: pa.Table) -> pa.Table:
-        ids_out, cids, cvals, sigs = [], [], [], []
+        ids_out, gks, cvals, sigs = [], [], [], []
         for i, t in zip(
             batch[id_column].to_pylist(), batch[text_column].to_pylist()
         ):
             sig = simhash(t or "", token_k)
             for c in range(4):
+                cv = (sig >> (16 * c)) & 0xFFFF
                 ids_out.append(i)
-                cids.append(c)
-                cvals.append((sig >> (16 * c)) & 0xFFFF)
+                gks.append(c * salts + (cv & (salts - 1)))
+                cvals.append(cv)
                 sigs.append(sig)
         return pa.table(
             {
                 id_column: pa.array(ids_out, pa.int64()),
-                "chunk_id": pa.array(cids, pa.int32()),
+                "gk": pa.array(gks, pa.int64()),
                 "chunk_val": pa.array(cvals, pa.int32()),
                 "sig": pa.array(sigs, pa.uint64()),
             }
         )
 
     def chunk_verify(df: pd.DataFrame) -> pd.DataFrame:
-        """One coarse group per chunk_id; per-value buckets handled by an
-        in-process pandas groupby (not one Ray task per tiny bucket)."""
+        """One coarse group per (chunk_id, salt); per-value buckets handled
+        by an in-process pandas groupby (not one Ray task per tiny
+        bucket)."""
         a, b, h = [], [], []
         for _, sub in df.groupby("chunk_val"):
             rows = sub.drop_duplicates(subset=[id_column]).sort_values(id_column)
@@ -371,7 +554,7 @@ def simhash_pairs(
 
     pairs = (
         ds.map_batches(to_chunks, batch_format="pyarrow")
-        .groupby("chunk_id")
+        .groupby("gk")
         .map_groups(chunk_verify, batch_format="pandas")
     )
-    return _dedupe_pairs(pairs, extra_cols=("hamming",))
+    return _dedupe_pairs(pairs, extra_cols=("hamming",), num_groups=num_salt)

@@ -125,6 +125,7 @@ def cosine_lsh_pairs(
     threshold: float = 0.95,
     seed: int = 7,
     dim: int = 64,
+    num_salt: int | None = None,
 ):
     """→ (id_a, id_b) pairs with exact cosine ≥ threshold among LSH-bucket
     collisions. Exact duplicates always collide (same signature) → recall
@@ -174,19 +175,26 @@ def cosine_lsh_pairs(
                                  "id_b": pd.Series([], dtype="int64")})
         return pd.concat(outs, ignore_index=True)
 
+    from basicocr_ray.stages.dedup import _coarse_salts, _dedupe_pairs
+
+    # cluster-sized coarse groups (same bucket → same group, so the pair
+    # set is salt-invariant; round 1's fixed `& 63` capped fan-out)
+    salts = _coarse_salts(num_salt)
+
     pairs = (
         ds.map_batches(to_buckets, batch_format="pyarrow")
         .map_batches(
             lambda b: b.append_column(
                 "cg",
-                pa.array((np.asarray(b["bucket"].to_pylist()) & 63)
-                         .astype("int32"), pa.int32()),
+                pa.array(
+                    (np.asarray(b["bucket"].to_pylist()) & (salts - 1))
+                    .astype("int32"),
+                    pa.int32(),
+                ),
             ),
             batch_format="pyarrow",
         )
         .groupby("cg")
         .map_groups(coarse_verify, batch_format="pandas")
     )
-    from basicocr_ray.stages.dedup import _dedupe_pairs
-
-    return _dedupe_pairs(pairs)
+    return _dedupe_pairs(pairs, num_groups=num_salt)

@@ -122,3 +122,117 @@ def test_approx_distinct_vs_exact():
     ).count()
     est = approx_distinct(ds, "text", token_items)
     assert abs(est - exact) / exact < 0.05
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_salt_invariance_of_pair_sets():
+    """Distribution-correctness property of the salted coarse groups: the
+    emitted pair set is identical for any salt count, because salting by
+    `hash & (S-1)` never splits a fine-grained bucket across groups."""
+    import ray.data
+
+    from basicocr_ray.stages.dedup import (
+        minhash_candidate_pairs,
+        simhash_pairs,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda "
+        "mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega words"
+    )
+    rows = [
+        {"doc_id": i, "text": base + (f" tail{i % 7}" if i % 3 else "")}
+        for i in range(60)
+    ]
+
+    def pairset(pairs_ds):
+        df = pairs_ds.to_pandas()
+        return set(zip(df["id_a"], df["id_b"]))
+
+    ds = ray.data.from_items(rows)
+    mh_small = pairset(
+        minhash_candidate_pairs(ds, "doc_id", "text", num_bands=16, num_salt=2)
+    )
+    mh_big = pairset(
+        minhash_candidate_pairs(ds, "doc_id", "text", num_bands=16, num_salt=64)
+    )
+    assert mh_small == mh_big and len(mh_big) > 0
+
+    sh_small = pairset(simhash_pairs(ds, "doc_id", "text", num_salt=2))
+    sh_big = pairset(simhash_pairs(ds, "doc_id", "text", num_salt=64))
+    assert sh_small == sh_big
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hot_bucket_star_routing():
+    """A near-identical cluster larger than max_bucket_size must still
+    surface: star candidates (rep ↔ member) keep the component connected
+    instead of silently dropping all its pairs (round-1 behavior)."""
+    import ray.data
+
+    from basicocr_ray.stages.dedup import (
+        assign_components,
+        minhash_candidate_pairs,
+    )
+
+    base = (
+        "identical boilerplate page body repeated across the whole mirror "
+        "farm with no variation at all in any shingle of this text corpus"
+    )
+    n = 40
+    rows = [{"doc_id": i, "text": base} for i in range(n)]
+    rows.append({"doc_id": 999, "text": "totally different text entirely"})
+    ds = ray.data.from_items(rows)
+
+    pairs = minhash_candidate_pairs(
+        ds, "doc_id", "text", num_bands=8, max_bucket_size=10
+    )
+    df = pairs.to_pandas()
+    # star: exactly n-1 candidate pairs, all anchored at the min id
+    assert len(df) == n - 1
+    assert (df["id_a"] == 0).all()
+    comps = assign_components(pairs).to_pandas()
+    got = dict(zip(comps["id"], comps["rep"]))
+    assert got == {i: 0 for i in range(n)}
+
+    dropped = minhash_candidate_pairs(
+        ds, "doc_id", "text", num_bands=8, max_bucket_size=10,
+        hot_bucket_mode="drop",
+    ).to_pandas()
+    assert len(dropped) == 0  # the round-1 formulation, kept for comparison
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_assign_components_many_edges_no_driver_materialization():
+    """10^5-edge graph through the join-based propagation: correct labels,
+    and the code path contains no take_all/driver map (structural assert:
+    the source of assign_components must not call take_all)."""
+    import inspect
+
+    import numpy as np
+    import ray.data
+
+    from basicocr_ray.stages import dedup
+    from basicocr_ray.stages.dedup import assign_components
+
+    src = inspect.getsource(dedup.assign_components)
+    assert ".take_all(" not in src  # docstring may mention it; code must not call it
+
+    # 20k clusters of 5 nodes (ids k*5..k*5+4), edges = star within cluster
+    rng = np.random.default_rng(11)
+    ids = np.arange(100_000, dtype=np.int64)
+    roots = (ids // 5) * 5
+    mask = ids != roots
+    import pyarrow as pa
+
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array(roots[mask]),
+                "id_b": pa.array(ids[mask]),
+            }
+        )
+    )
+    out = assign_components(pairs).to_pandas()
+    assert len(out) == 100_000
+    assert (out["rep"] == (out["id"] // 5) * 5).all()
