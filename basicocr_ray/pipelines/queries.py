@@ -959,6 +959,56 @@ def q39_staged_extract(sf_dir: str):
     return staged.map_batches(project, batch_format="pyarrow")
 
 
+def q40_cjk_segment(sf_dir: str):
+    """Dictionary-based CJK segmentation end-to-end (M14, the HanLP pass of
+    `Test.java:20-53`): synthesize zh text from each document via a
+    BIJECTIVE token → 2-CJK-char mapping (every glyph char belongs to
+    exactly one word, so forward maximum matching provably recovers the
+    original token sequence), segment with the broadcast-lexicon FMM actor
+    pool, and return per-doc segment counts. The DuckDB twin computes the
+    same counts from the original whitespace tokens — equal by the
+    bijection, so the hash check verifies the segmenter recovered every
+    word boundary."""
+    import ray
+
+    from basicocr_ray.stages.segment import SegmentTokenizer
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    vocab = sorted(
+        r["token"]
+        for r in count_terms(ds, "text", token_items, "token").take_all()
+    )
+    mapping = {
+        tok: chr(0x4E00 + 2 * i) + chr(0x4E00 + 2 * i + 1)
+        for i, tok in enumerate(vocab)
+    }
+    map_ref = ray.put(mapping)
+
+    def make_zh(batch: pa.Table) -> pa.Table:
+        m = ray.get(map_ref)
+        texts = [
+            "".join(m[t] for t in (x or "").lower().split())
+            for x in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    lex_ref = ray.put(sorted(mapping.values()))
+    segged = ds.map_batches(make_zh, batch_format="pyarrow").map_batches(
+        SegmentTokenizer,
+        fn_constructor_kwargs={"lexicon_ref": lex_ref},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    return segged.select_columns(
+        ["doc_id", "n_segments", "n_distinct_segments"]
+    )
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -996,6 +1046,7 @@ QUERIES = {
     "q30_union_distinct": q30_union_distinct,
     "q31_events_sliding": q31_events_sliding,
     "q32_lm_score": q32_lm_score,
+    "q40_cjk_segment": q40_cjk_segment,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -1252,6 +1303,13 @@ ORACLE_SQL = {
         SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
                COALESCE(p.sum_bigram_count, 0) AS sum_bigram_count
         FROM toks t LEFT JOIN per_doc p USING (doc_id)
+    """,
+    "q40_cjk_segment": f"""
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_segments,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_segments
+        FROM (SELECT doc_id, list_filter({_TOKS}, t -> t <> '') AS toks
+              FROM documents)
     """,
     "q34_bucketed_join_revenue": """
         SELECT l_orderkey AS okey, o_custkey,

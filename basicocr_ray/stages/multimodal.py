@@ -2,11 +2,13 @@
 
 Task-brief requirement: treat image/audio/video as ``binary`` columns with
 typed metadata; decode / feature-extract / resize / frame-sample run as
-actor-pool `map_batches` stages. The decode KERNELS are stubs here (no
-image/audio libraries in this container — real decoding raises
-NotImplementedError unless the payload uses the deterministic fixture
-convention), but the Ray-side plumbing — schema, batch sizing, actor
-signature, output layout — is real and tested.
+actor-pool `map_batches` stages. IMAGE decoding is REAL for PNG payloads
+(stdlib codec in `core.png`: zlib inflate, scanline defiltering, luma,
+8×8 average hash); the deterministic ``IMG!`` fixture convention remains
+the hash-stable fast path for oracle-checked queries. AUDIO decoding
+stays a declared stub (no audio library in this container); the Ray-side
+plumbing — schema, batch sizing, actor signature, output layout — is real
+and tested for both.
 
 Fixture payload conventions (deterministic fakes):
   * image: b"IMG!" + width:uint16le + height:uint16le + pixel-seed bytes
@@ -40,16 +42,16 @@ IMAGE_FEATURES_SCHEMA = pa.schema(
 )
 
 
-def _try_real_image_decode(data: bytes):
-    """Real decode path — gated import; absent in this container."""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError:
-        raise NotImplementedError(
-            "real image decoding needs an imaging library not present in "
-            "this environment; only IMG! fixture payloads are supported"
-        ) from None
-    raise NotImplementedError("real image branch not wired")
+def _real_image_features(data: bytes) -> tuple[int, int, float, int]:
+    """REAL decode path: stdlib PNG codec (`core.png`) → genuine pixel
+    statistics + 8×8 average hash. Non-PNG payloads raise (→ failed
+    path); an imaging library, if ever present, would slot in here."""
+    from basicocr_ray.core.png import average_hash_64, decode_png, to_grayscale
+
+    arr = decode_png(data)  # raises ValueError for non-PNG/unsupported
+    gray = to_grayscale(arr)
+    h, w = gray.shape
+    return w, h, round(float(gray.mean()) / 255.0, 6), average_hash_64(gray)
 
 
 class ImageFeatureExtractor:
@@ -67,7 +69,7 @@ class ImageFeatureExtractor:
 
     def _features(self, data: bytes) -> tuple[int, int, float, int]:
         if not data or not data.startswith(IMAGE_MAGIC):
-            _try_real_image_decode(data)
+            return _real_image_features(data)
         w, h = struct.unpack("<HH", data[4:8])
         seed = zlib.crc32(data[8:]) ^ self.seed
         rng = np.random.default_rng(seed)

@@ -34,7 +34,9 @@ def test_image_feature_stage():
     assert good["ok"].all()
     assert good["width"].tolist() == [32 + i for i in range(20)]
     bad = out[out["item_id"] == 99].iloc[0]
-    assert not bad["ok"] and "NotImplementedError" in bad["error"]
+    # non-IMG! payloads now hit the REAL PNG codec; junk bytes fail its
+    # signature check and route to the failed path
+    assert not bad["ok"] and "ValueError" in bad["error"]
 
 
 @pytest.mark.usefixtures("ray_session")

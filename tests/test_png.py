@@ -1,0 +1,179 @@
+"""Real PNG codec goldens + image stage over hand-built PNGs."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from basicocr_ray.core.png import (
+    PNG_SIGNATURE,
+    average_hash_64,
+    decode_png,
+    encode_png,
+    to_grayscale,
+)
+
+
+def test_roundtrip_gray_rgb_rgba():
+    rng = np.random.default_rng(3)
+    for shape in [(5, 7), (4, 4, 3), (3, 9, 4)]:
+        arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        out = decode_png(encode_png(arr))
+        assert out.shape == arr.shape
+        assert (out == arr).all()
+
+
+def _manual_png(rows_with_filters, width, ch, color_type):
+    """Build a PNG whose scanlines use EXPLICIT filter types, computing the
+    filtered bytes from the reference recurrences of the PNG spec."""
+    raw = bytearray()
+    prev = np.zeros(width * ch, dtype=np.int64)
+    for ftype, row in rows_with_filters:
+        row = np.asarray(row, dtype=np.int64).reshape(width * ch)
+        filt = np.zeros_like(row)
+        for i in range(len(row)):
+            a = row[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:  # Paeth
+                pp = a + b - c
+                pa_, pb, pc_ = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
+            filt[i] = (row[i] - pred) & 0xFF
+        raw.append(ftype)
+        raw.extend(int(v) for v in filt)
+        prev = row
+
+    def chunk(ctype, payload):
+        crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+        return struct.pack(">I", len(payload)) + ctype + payload + struct.pack(">I", crc)
+
+    h = len(rows_with_filters)
+    ihdr = struct.pack(">IIBBBBB", width, h, 8, color_type, 0, 0, 0)
+    return (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_all_five_filters_decode():
+    rng = np.random.default_rng(9)
+    w, ch = 6, 3
+    rows = [rng.integers(0, 256, size=w * ch) for _ in range(5)]
+    png = _manual_png(list(zip([0, 1, 2, 3, 4], rows)), w, ch, color_type=2)
+    got = decode_png(png)
+    expect = np.stack([r.reshape(w, ch) for r in rows]).astype(np.uint8)
+    assert (got == expect).all()
+
+
+def test_multi_idat_chunks():
+    arr = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    png = encode_png(arr)
+    # split the single IDAT into two chunks byte-by-byte
+    sig = png[:8]
+    pos, chunks = 8, []
+    while pos < len(png):
+        (ln,) = struct.unpack(">I", png[pos : pos + 4])
+        ctype = png[pos + 4 : pos + 8]
+        payload = png[pos + 8 : pos + 8 + ln]
+        chunks.append((ctype, payload))
+        pos += 12 + ln
+
+    def chunk(ctype, payload):
+        crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+        return struct.pack(">I", len(payload)) + ctype + payload + struct.pack(">I", crc)
+
+    out = sig
+    for ctype, payload in chunks:
+        if ctype == b"IDAT":
+            half = len(payload) // 2
+            out += chunk(b"IDAT", payload[:half]) + chunk(b"IDAT", payload[half:])
+        else:
+            out += chunk(ctype, payload)
+    assert (decode_png(out) == arr).all()
+
+
+def test_reject_unsupported():
+    with pytest.raises(ValueError):
+        decode_png(b"JUNK" * 10)
+    arr = np.zeros((4, 4), dtype=np.uint8)
+    png = bytearray(encode_png(arr))
+    png[24] = 16  # bit depth byte in IHDR → 16-bit
+    # fix IHDR crc
+    ihdr = bytes(png[16:29])
+    png[29:33] = struct.pack(">I", zlib.crc32(b"IHDR" + ihdr[:13] if False else png[12:29]) & 0xFFFFFFFF)
+    with pytest.raises(ValueError):
+        decode_png(bytes(png))
+
+
+def test_average_hash_properties():
+    flat = np.full((16, 16), 100, dtype=np.float64)
+    h_flat = average_hash_64(flat)
+    half = np.zeros((16, 16), dtype=np.float64)
+    half[:, 8:] = 255.0
+    h_half = average_hash_64(half)
+    assert h_flat != h_half
+    # brightness-invariance of average hash: scaling all pixels keeps bits
+    assert average_hash_64(half * 0.5) == h_half
+
+
+def test_grayscale_luma():
+    rgb = np.zeros((1, 3, 3), dtype=np.uint8)
+    rgb[0, 0] = [255, 0, 0]
+    rgb[0, 1] = [0, 255, 0]
+    rgb[0, 2] = [0, 0, 255]
+    g = to_grayscale(rgb)[0]
+    assert abs(g[0] - 0.299 * 255) < 1e-9
+    assert abs(g[1] - 0.587 * 255) < 1e-9
+    assert abs(g[2] - 0.114 * 255) < 1e-9
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_image_stage_decodes_real_png():
+    """The actor-pool stage must exercise the REAL codec on PNG payloads
+    (and still take the fixture fast path for IMG! payloads)."""
+    import ray.data
+
+    from basicocr_ray.stages.multimodal import (
+        ImageFeatureExtractor,
+        make_image_payload,
+    )
+
+    rng = np.random.default_rng(21)
+    img0 = rng.integers(0, 256, size=(12, 17), dtype=np.uint8)
+    img1 = rng.integers(0, 256, size=(9, 5, 3), dtype=np.uint8)
+    rows = [
+        {"item_id": 0, "payload": encode_png(img0)},
+        {"item_id": 1, "payload": encode_png(img1)},
+        {"item_id": 2, "payload": make_image_payload(2, 32, 24)},
+        {"item_id": 3, "payload": b"not an image"},
+    ]
+    out = (
+        ray.data.from_items(rows)
+        .map_batches(ImageFeatureExtractor, batch_format="pyarrow", concurrency=1)
+        .to_pandas()
+        .sort_values("item_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["ok"]) == [True, True, True, False]
+    assert (out.loc[0, "width"], out.loc[0, "height"]) == (17, 12)
+    assert (out.loc[1, "width"], out.loc[1, "height"]) == (5, 9)
+    assert abs(
+        out.loc[0, "mean_pixel"] - round(float(img0.mean()) / 255.0, 6)
+    ) < 1e-9
+    g1 = to_grayscale(img1)
+    assert out.loc[1, "phash"] == average_hash_64(g1)
+    assert (out.loc[2, "width"], out.loc[2, "height"]) == (32, 24)
