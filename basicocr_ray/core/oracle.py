@@ -25,22 +25,20 @@ PDF_MAGIC = b"%PDF"
 
 
 def extract_text_pdf(data: bytes) -> str:
-    """Deterministic stub for the PDF branch (SURVEY.md §2 A4).
+    """PDF branch kernel (SURVEY.md §2 A4).
 
-    Real PDF parsing libraries are not available in this container; payloads
-    use the fixture convention ``%PDF-FAKE\\n<utf-8 text>``. A real
-    deployment would swap in a warm parser object here (gated import).
+    Two deterministic paths: the ``%PDF-FAKE\\n<utf-8 text>`` fixture
+    convention (byte-exact, used by oracle-checked queries), and the REAL
+    stdlib extractor (`core.pdf_text`: stream scan → FlateDecode inflate →
+    Tj/TJ text operators) for genuine PDF payloads. A full layout-parse
+    library, if ever present, would replace the real path behind the same
+    signature.
     """
     if data.startswith(b"%PDF-FAKE\n"):
         return data[len(b"%PDF-FAKE\n"):].decode("utf-8", "replace")
-    try:
-        import pdfminer  # noqa: F401  (not installed in this container)
-    except ImportError:
-        raise NotImplementedError(
-            "real PDF parsing requires a layout-parse library not present "
-            "in this environment; only %PDF-FAKE fixture payloads supported"
-        ) from None
-    raise NotImplementedError("real PDF branch not wired")
+    from basicocr_ray.core.pdf_text import extract_pdf_text
+
+    return extract_pdf_text(data)
 
 
 def extract_one(

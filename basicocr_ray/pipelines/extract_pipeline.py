@@ -224,7 +224,13 @@ def build_extract_ds(
             batch = batch.filter(mask)
         return batch
 
-    routed = pages.map_batches(route, batch_format="pyarrow")
+    # the routing pass exists for resume-skip filtering and skew bucketing;
+    # the extract kernel computes partition_id itself, so on a fresh
+    # non-skew run the whole per-row crc32 pre-pass is skipped
+    if skip or skew_split:
+        routed = pages.map_batches(route, batch_format="pyarrow")
+    else:
+        routed = pages
 
     if pdf_concurrency is None:
         # every row passes through the finisher pool (zero-copy for
@@ -324,7 +330,7 @@ def run_extract_job(
     resume: bool = True,
     pdf_branch: bool | str = True,
     skew_split: bool = False,
-    spill_batch_rows: int = 32768,
+    spill_batch_rows: int = 8192,
 ) -> dict:
     """Execute the flagship job end-to-end; returns job stats.
 
@@ -421,7 +427,11 @@ def run_extract_job(
 
     # coarse spill batches: each spill batch writes ≤ P fragments, so the
     # fragment count is bounded by ceil(rows / spill_batch) × P —
-    # tiny-fragment explosions made the merge stage read-bound
+    # tiny-fragment explosions made the merge stage read-bound. Measured
+    # (800k pages, 32 CPUs): 8192 → 71-73k docs/s, 16384 → 60-64k,
+    # 32768 → 59k — finer spill tasks pipeline better with the extract
+    # stage (NOTES_r1), so 8192 is the default; raise it only if the
+    # fragment count itself becomes the bottleneck at larger P
     frag_meta = extracted.map_batches(
         spill_fragments, batch_format="pyarrow", batch_size=spill_batch_rows
     ).to_pandas()

@@ -95,6 +95,120 @@ def fit_bigram_lm(
     )
 
 
+class BackoffBigramLM:
+    """Absolute-discounted bigram LM with unigram backoff — the
+    `make-big-lm` end state of the reference's n-gram pipeline
+    (`docs/yangzhanku/n-gram/language-model.md:192-197` prescribes
+    discounted/backoff smoothing; this is the standard absolute-discount
+    formulation, Ney–Essen–Kneser 1994):
+
+        P(w2|w1) = max(c(w1 w2) - D, 0)/c(w1) + λ(w1)·P_uni(w2)
+        λ(w1)    = D · N1+(w1 ·)/c(w1)        (leftover mass, exact)
+        D        = n1/(n1 + 2·n2)             (count-of-counts estimate)
+
+    where N1+(w1 ·) is the number of distinct bigram continuations of w1
+    and n1/n2 are the global counts of bigrams seen exactly once/twice —
+    both computed DISTRIBUTEDLY as aggregates over the count tables (the
+    count-of-count pass is just another partial+final groupby). Unseen w1
+    backs off fully to the add-one unigram distribution, so every
+    probability is positive and sums to 1 over the vocabulary."""
+
+    def __init__(
+        self,
+        unigram_counts: dict[str, int],
+        bigram_counts: dict[str, int],
+        n1: int,
+        n2: int,
+    ):
+        self.uni = dict(unigram_counts)
+        self.bi = dict(bigram_counts)
+        self.vocab_size = len(self.uni)
+        self.total = sum(self.uni.values())
+        self.discount = n1 / (n1 + 2 * n2) if (n1 + 2 * n2) > 0 else 0.5
+        # N1+(w1 ·): distinct continuations per history
+        self.n_cont: dict[str, int] = {}
+        for key in self.bi:
+            w1 = key.split(" ", 1)[0]
+            self.n_cont[w1] = self.n_cont.get(w1, 0) + 1
+
+    def p_unigram(self, w: str) -> float:
+        return (self.uni.get(w, 0) + 1) / (self.total + self.vocab_size)
+
+    def p_bigram(self, w1: str, w2: str) -> float:
+        c1 = self.uni.get(w1, 0)
+        if c1 == 0:
+            return self.p_unigram(w2)
+        c12 = self.bi.get(w1 + " " + w2, 0)
+        lam = self.discount * self.n_cont.get(w1, 0) / c1
+        return max(c12 - self.discount, 0.0) / c1 + lam * self.p_unigram(w2)
+
+    def score(self, tokens: list[str]) -> float:
+        """Mean per-token log-probability (length-normalized)."""
+        if not tokens:
+            return 0.0
+        lp = math.log(self.p_unigram(tokens[0]))
+        for a, b in zip(tokens, tokens[1:]):
+            lp += math.log(self.p_bigram(a, b))
+        return lp / len(tokens)
+
+
+def fit_backoff_lm(
+    docs_ds,
+    text_column: str = "text",
+    max_vocab: int | None = None,
+    min_count: int = 1,
+) -> BackoffBigramLM:
+    """Distributed counts + distributed COUNT-OF-COUNTS (n1, n2: bigrams
+    seen exactly once/twice — a second tiny partial+final aggregate over
+    the count table, never over the corpus) → discounted backoff model."""
+    import pyarrow.compute as _pc
+
+    bi_counts = count_terms(docs_ds, text_column, make_ngram_items(2), "bigram")
+    bi_counts = bi_counts.materialize()  # reused: count-of-counts + table
+
+    def coc(batch: pa.Table) -> pa.Table:
+        c = batch["cnt"]
+        return pa.table(
+            {
+                "n1": pa.array(
+                    [_pc.sum(_pc.cast(_pc.equal(c, 1), pa.int64())).as_py() or 0],
+                    pa.int64(),
+                ),
+                "n2": pa.array(
+                    [_pc.sum(_pc.cast(_pc.equal(c, 2), pa.int64())).as_py() or 0],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    coc_ds = bi_counts.map_batches(coc, batch_format="pyarrow")
+    n1 = coc_ds.sum("n1") or 0
+    n2 = coc_ds.sum("n2") or 0
+
+    def bounded(counts_ds, key: str):
+        if min_count > 1:
+            counts_ds = counts_ds.map_batches(
+                lambda b: b.filter(_pc.greater_equal(b["cnt"], min_count)),
+                batch_format="pyarrow",
+            )
+        if max_vocab is not None:
+            counts_ds = counts_ds.sort(
+                ["cnt", key], descending=[True, False]
+            ).limit(max_vocab)
+        return counts_ds.take_all()
+
+    uni_rows = bounded(
+        count_terms(docs_ds, text_column, token_items, "token"), "token"
+    )
+    bi_rows = bounded(bi_counts, "bigram")
+    return BackoffBigramLM(
+        {r["token"]: int(r["cnt"]) for r in uni_rows},
+        {r["bigram"]: int(r["cnt"]) for r in bi_rows},
+        int(n1),
+        int(n2),
+    )
+
+
 class LMScorer:
     """Actor-pool scorer: model fetched from the object store once per
     actor (`ray.put` broadcast, J1 pattern), applied per batch (A5)."""

@@ -163,10 +163,17 @@ def q04_region_rollup(sf_dir: str):
 
     ds = _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
 
+    # vectorized broadcast lookup: index_in + take instead of a per-row
+    # Python comprehension (the J1 dict is shipped as two parallel arrays)
+    lk_keys = pa.array(list(nk_to_region.keys()), pa.int64())
+    lk_vals = pa.array(list(nk_to_region.values()), pa.string())
+
     def add_region(batch: pa.Table) -> pa.Table:
-        rn = [nk_to_region.get(k) for k in batch["c_nationkey"].to_pylist()]
+        idx = pc.index_in(
+            pc.cast(batch["c_nationkey"], pa.int64()), value_set=lk_keys
+        )
         return pa.table(
-            {"r_name": pa.array(rn, pa.string()), "c_acctbal": batch["c_acctbal"]}
+            {"r_name": pc.take(lk_vals, idx), "c_acctbal": batch["c_acctbal"]}
         )
 
     agg = (
@@ -305,17 +312,21 @@ def q29_orders_by_segment(sf_dir: str):
     cust = pq.read_table(
         _p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
     )
-    seg = dict(
-        zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())
-    )
+    # vectorized broadcast lookup at fact scale: index_in against the dim
+    # key array + take on the dict-encoded segment values (no per-row
+    # Python in the hot map)
+    lk_keys = pc.cast(cust["c_custkey"], pa.int64()).combine_chunks()
+    lk_vals = cust["c_mktsegment"].combine_chunks()
 
     ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
     def add_seg(batch: pa.Table) -> pa.Table:
-        s = [seg.get(k) for k in batch["o_custkey"].to_pylist()]
+        idx = pc.index_in(
+            pc.cast(batch["o_custkey"], pa.int64()), value_set=lk_keys
+        )
         return pa.table(
             {
-                "c_mktsegment": pa.array(s, pa.string()),
+                "c_mktsegment": pc.take(lk_vals, idx),
                 "o_totalprice": batch["o_totalprice"],
             }
         )

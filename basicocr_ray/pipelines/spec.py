@@ -175,8 +175,45 @@ def _op_extract(ds, params):
     )
 
 
+def _op_segment(ds, params):
+    """Dictionary FMM segmentation (M14) as a spec step."""
+    import ray
+
+    from basicocr_ray.stages.segment import SegmentTokenizer
+
+    ref = ray.put(list(params["lexicon"]))
+    return ds.map_batches(
+        SegmentTokenizer,
+        fn_constructor_kwargs={
+            "lexicon_ref": ref,
+            "column": params.get("column", "text"),
+            "id_column": params.get("id_column", "doc_id"),
+        },
+        batch_format="pyarrow",
+        concurrency=int(params.get("concurrency", 2)),
+    )
+
+
+def _op_decode_image(ds, params):
+    """Image feature extraction (real PNG codec / IMG! fixture path)."""
+    from basicocr_ray.stages.multimodal import ImageFeatureExtractor
+
+    return ds.map_batches(
+        ImageFeatureExtractor,
+        fn_constructor_kwargs={
+            "payload_column": params.get("payload_column", "payload"),
+            "id_column": params.get("id_column", "item_id"),
+        },
+        batch_format="pyarrow",
+        batch_size=int(params.get("batch_size", 64)),
+        concurrency=int(params.get("concurrency", 2)),
+    )
+
+
 OP_REGISTRY: dict[str, Callable] = {
     "strip_phrases": _op_strip_phrases,
+    "segment": _op_segment,
+    "decode_image": _op_decode_image,
     "correct": _op_correct,
     "langid": _op_langid,
     "quality": _op_quality,

@@ -70,20 +70,28 @@ def ivf_topk(
     exclude_ids: frozenset[int] = frozenset(),
     seed: int = 11,
     dim: int = 64,
+    centroids: np.ndarray | None = None,
 ):
     """IVF-style approximate top-k: the scale path for ANN.
 
-    Coarse quantizer = seeded random-projection centroids (a real
-    deployment would k-means a sample; random centroids keep this
-    deterministic with no training pass). Each batch assigns its vectors
-    to the nearest centroid VECTORIZED and scores only vectors whose
-    centroid is among the query's ``n_probe`` nearest — pruning
-    (1 - n_probe/n_clusters) of the corpus from the dot-product work.
-    With ``n_probe == n_clusters`` this is exactly brute-force `ann_topk`
-    (asserted in tests). Returns (vec_id, sim)."""
-    rng = np.random.default_rng(seed)
-    centroids = rng.standard_normal((n_clusters, dim))
-    centroids /= np.linalg.norm(centroids, axis=1)[:, None]
+    Coarse quantizer = TRAINED centroids when provided (pass the output of
+    `stages.kmeans.kmeans_fit` — see `ivf_topk_trained`), else seeded
+    random-projection centroids (deterministic, zero training passes).
+    Each batch assigns its vectors to the nearest centroid VECTORIZED and
+    scores only vectors whose centroid is among the query's ``n_probe``
+    nearest — pruning (1 - n_probe/n_clusters) of the corpus from the
+    dot-product work. With ``n_probe == n_clusters`` this is exactly
+    brute-force `ann_topk` (asserted in tests). Returns (vec_id, sim)."""
+    if centroids is not None:
+        centroids = np.asarray(centroids, dtype=np.float64).copy()
+        n_clusters = len(centroids)
+        norms_c = np.linalg.norm(centroids, axis=1)
+        norms_c[norms_c == 0] = 1.0
+        centroids /= norms_c[:, None]
+    else:
+        rng = np.random.default_rng(seed)
+        centroids = rng.standard_normal((n_clusters, dim))
+        centroids /= np.linalg.norm(centroids, axis=1)[:, None]
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / np.linalg.norm(q)
     probe = set(np.argsort(-(centroids @ qn))[:n_probe].tolist())
@@ -115,6 +123,35 @@ def ivf_topk(
     return ds.map_batches(score, batch_format="pyarrow").sort(
         ["sim", id_column], descending=[True, False]
     ).limit(k)
+
+
+def ivf_topk_trained(
+    ds,
+    query_vec: np.ndarray,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    kmeans_iters: int = 5,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    exclude_ids: frozenset[int] = frozenset(),
+):
+    """IVF top-k with centroids TRAINED by the distributed k-means stage
+    (`stages.kmeans.kmeans_fit`, broadcast-partials, no shuffle) — the
+    recall-improving step over random-projection centroids: trained cells
+    follow the data distribution, so the query's n_probe cells hold more
+    of the true neighbors at equal probe cost."""
+    from basicocr_ray.stages.kmeans import kmeans_fit
+
+    cen = kmeans_fit(
+        ds, k=n_clusters, n_iters=kmeans_iters,
+        vec_column=vec_column, id_column=id_column,
+    )
+    return ivf_topk(
+        ds, query_vec, k=k, n_clusters=n_clusters, n_probe=n_probe,
+        id_column=id_column, vec_column=vec_column,
+        exclude_ids=exclude_ids, centroids=cen,
+    )
 
 
 def cosine_lsh_pairs(

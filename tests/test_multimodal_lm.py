@@ -100,3 +100,60 @@ def test_lm_distributed_fit_and_score():
     scored = scored.sort_values("doc_id").reset_index(drop=True)
     assert scored["lm_score"][0] == scored["lm_score"][1]
     assert scored["lm_score"][0] > scored["lm_score"][2]
+
+
+def test_backoff_lm_is_a_distribution():
+    """Absolute-discount backoff: P(w2|w1) must sum to 1 over the closed
+    vocabulary for every history, seen or unseen (the property add-one
+    bigram has but Katz-class models can get wrong)."""
+    from basicocr_ray.pipelines.lm import BackoffBigramLM
+
+    uni = {"a": 5, "b": 3, "c": 2}
+    bi = {"a a": 2, "a b": 2, "a c": 1, "b a": 2, "b b": 1, "c a": 2}
+    # count-of-counts over bi: n1 (cnt==1) = 2, n2 (cnt==2) = 4
+    lm = BackoffBigramLM(uni, bi, n1=2, n2=4)
+    assert abs(lm.discount - 2 / (2 + 8)) < 1e-12
+    for w1 in ["a", "b", "c", "zzz-unseen"]:
+        total = sum(lm.p_bigram(w1, w2) for w2 in uni)
+        # backoff mass goes to the add-one unigram dist, which also covers
+        # OOV; restricted to the vocab it sums to sum_vocab(P_uni) for the
+        # unseen-history case and to 1 - lam*(OOV unigram mass) otherwise —
+        # with no OOV tokens in the vocab sum check, use the exact bound:
+        vocab_uni_mass = sum(lm.p_unigram(w) for w in uni)
+        if lm.uni.get(w1, 0) == 0:
+            assert abs(total - vocab_uni_mass) < 1e-12
+        else:
+            c1 = lm.uni[w1]
+            seen_mass = sum(
+                max(lm.bi.get(f"{w1} {w2}", 0) - lm.discount, 0.0) / c1
+                for w2 in uni
+            )
+            lam = lm.discount * lm.n_cont.get(w1, 0) / c1
+            assert abs(total - (seen_mass + lam * vocab_uni_mass)) < 1e-12
+            # discounted mass exactly equals the redistributed mass when
+            # every continuation is in-vocab: seen + lam == 1
+            assert abs(seen_mass + lam - 1.0) < 1e-12
+    # unseen bigram with seen history still gets positive probability
+    assert lm.p_bigram("c", "b") > 0
+    assert lm.p_bigram("c", "b") < lm.p_bigram("c", "a")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fit_backoff_lm_distributed_counts():
+    import ray.data
+
+    from basicocr_ray.pipelines.lm import fit_backoff_lm
+
+    rows = [
+        {"doc_id": 0, "text": "a a b"},
+        {"doc_id": 1, "text": "a b c"},
+        {"doc_id": 2, "text": "b a"},
+    ]
+    lm = fit_backoff_lm(ray.data.from_items(rows))
+    assert lm.uni == {"a": 4, "b": 3, "c": 1}
+    assert lm.bi == {"a a": 1, "a b": 2, "b c": 1, "b a": 1}
+    # count-of-counts: bigrams seen once = 3 (a a, b c, b a), twice = 1
+    assert abs(lm.discount - 3 / (3 + 2)) < 1e-12
+    assert lm.n_cont == {"a": 2, "b": 2}
+    s = lm.score(["a", "b", "c"])
+    assert s < 0

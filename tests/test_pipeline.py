@@ -130,7 +130,7 @@ def test_staged_equals_fused(fixture_pages):
     fused = (
         html_only.map_batches(extract_batch, batch_format="pyarrow")
         .to_pandas()[["url", "main_text", "n_blocks_kept"]]
-        .sort_values("url")
+        .sort_values(["url", "main_text"])
         .reset_index(drop=True)
     )
     staged = (
@@ -138,7 +138,9 @@ def test_staged_equals_fused(fixture_pages):
         .map_batches(score_batch, batch_format="pyarrow")
         .map_batches(decode_batch, batch_format="pyarrow")
         .to_pandas()[["url", "main_text", "n_blocks_kept"]]
-        .sort_values("url")
+        # sort on BOTH columns: the fixture's duplicate-url rows carry
+        # different payloads, and block arrival order is nondeterministic
+        .sort_values(["url", "main_text"])
         .reset_index(drop=True)
     )
     assert fused.equals(staged)

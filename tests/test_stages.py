@@ -178,3 +178,32 @@ def test_pdf_parser_actor():
     )
     assert out["main_text"].tolist()[0] == "pdf text body"
     assert not out["ok"].tolist()[1]  # real-PDF parse unavailable → failed row
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_trained_centroids_recall():
+    """IVF with kmeans-trained centroids: full-probe equals brute force,
+    and on a clearly clustered corpus a 1-probe search already finds the
+    true top-k (the recall win trained cells buy)."""
+    import numpy as np
+    import ray.data
+
+    from basicocr_ray.stages.embed import ann_topk, ivf_topk_trained
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((4, 64)) * 5
+    rows = []
+    for i in range(400):
+        c = i % 4
+        rows.append(
+            {"vec_id": i, "embedding": (centers[c] + rng.standard_normal(64) * 0.05).tolist()}
+        )
+    ds = ray.data.from_items(rows)
+    q = centers[2] + rng.standard_normal(64) * 0.01
+
+    brute = ann_topk(ds, q, k=5).to_pandas()
+    full = ivf_topk_trained(ds, q, k=5, n_clusters=4, n_probe=4).to_pandas()
+    assert list(full["vec_id"]) == list(brute["vec_id"])
+
+    probed = ivf_topk_trained(ds, q, k=5, n_clusters=4, n_probe=1).to_pandas()
+    assert list(probed["vec_id"]) == list(brute["vec_id"])
