@@ -970,6 +970,59 @@ def q39_staged_extract(sf_dir: str):
     return staged.map_batches(project, batch_format="pyarrow")
 
 
+def q41_audio_frames(sf_dir: str):
+    """Audio frame-sampling plumbing end-to-end: deterministic AUD!
+    payloads per embeddings row (rate/duration derived from the id), the
+    AudioFrameSampler actor pool, and the SQL-checkable integer columns
+    (sample_rate, n_frames, n_features). The real WAV path is exercised
+    by tests/test_wav.py; this query hashes the fixture path's frame
+    arithmetic."""
+    from basicocr_ray.stages.multimodal import (
+        AudioFrameSampler,
+        make_audio_payload,
+    )
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id"])
+
+    def payloads(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_pylist()
+        return pa.table(
+            {
+                "item_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(
+                    [
+                        make_audio_payload(
+                            i, 8000 + (i % 8) * 1000, 1.0 + (i % 5) * 0.5
+                        )
+                        for i in ids
+                    ],
+                    pa.large_binary(),
+                ),
+            }
+        )
+
+    sampled = ds.map_batches(payloads, batch_format="pyarrow").map_batches(
+        AudioFrameSampler,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "item_id": batch["item_id"],
+                "sample_rate": pc.cast(batch["sample_rate"], pa.int64()),
+                "n_frames": pc.cast(batch["n_frames"], pa.int64()),
+                "n_features": pc.cast(
+                    pc.list_value_length(batch["features"]), pa.int64()
+                ),
+            }
+        )
+
+    return sampled.map_batches(project, batch_format="pyarrow")
+
+
 def q40_cjk_segment(sf_dir: str):
     """Dictionary-based CJK segmentation end-to-end (M14, the HanLP pass of
     `Test.java:20-53`): synthesize zh text from each document via a
@@ -1058,6 +1111,7 @@ QUERIES = {
     "q31_events_sliding": q31_events_sliding,
     "q32_lm_score": q32_lm_score,
     "q40_cjk_segment": q40_cjk_segment,
+    "q41_audio_frames": q41_audio_frames,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -1321,6 +1375,25 @@ ORACLE_SQL = {
                CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_segments
         FROM (SELECT doc_id, list_filter({_TOKS}, t -> t <> '') AS toks
               FROM documents)
+    """,
+    "q41_audio_frames": """
+        -- mirrors make_audio_payload's derivation + AudioFrameSampler's
+        -- fixture frame arithmetic: rate = 8000 + (id%8)*1000,
+        -- n_samples = int(rate * (1 + (id%5)*0.5)) (exact: halves),
+        -- n_frames = max(1, int((n_samples/rate) / 0.5)), 8 feats/frame
+        SELECT vec_id AS item_id,
+               CAST(8000 + (vec_id % 8) * 1000 AS BIGINT) AS sample_rate,
+               GREATEST(1, CAST(FLOOR(
+                 (CAST(CAST((8000 + (vec_id % 8) * 1000)
+                        * (1.0 + (vec_id % 5) * 0.5) AS BIGINT) AS DOUBLE)
+                  / (8000 + (vec_id % 8) * 1000)) / 0.5
+               ) AS BIGINT)) AS n_frames,
+               GREATEST(1, CAST(FLOOR(
+                 (CAST(CAST((8000 + (vec_id % 8) * 1000)
+                        * (1.0 + (vec_id % 5) * 0.5) AS BIGINT) AS DOUBLE)
+                  / (8000 + (vec_id % 8) * 1000)) / 0.5
+               ) AS BIGINT)) * 8 AS n_features
+        FROM embeddings
     """,
     "q34_bucketed_join_revenue": """
         SELECT l_orderkey AS okey, o_custkey,

@@ -2,13 +2,13 @@
 
 Task-brief requirement: treat image/audio/video as ``binary`` columns with
 typed metadata; decode / feature-extract / resize / frame-sample run as
-actor-pool `map_batches` stages. IMAGE decoding is REAL for PNG payloads
-(stdlib codec in `core.png`: zlib inflate, scanline defiltering, luma,
-8×8 average hash); the deterministic ``IMG!`` fixture convention remains
-the hash-stable fast path for oracle-checked queries. AUDIO decoding
-stays a declared stub (no audio library in this container); the Ray-side
-plumbing — schema, batch sizing, actor signature, output layout — is real
-and tested for both.
+actor-pool `map_batches` stages. Both decode kernels are REAL: PNG images
+via the stdlib codec in `core.png` (zlib inflate, scanline defiltering,
+luma, 8×8 average hash) and WAV/PCM audio via `core.wav` (RIFF parse,
+8/16/32-bit + float32, mono mixdown, per-frame RMS/ZCR/band features).
+The deterministic ``IMG!``/``AUD!`` fixture conventions remain the
+hash-stable fast paths for oracle-checked queries; payloads that are
+neither fixture nor a supported real format route to the failed path.
 
 Fixture payload conventions (deterministic fakes):
   * image: b"IMG!" + width:uint16le + height:uint16le + pixel-seed bytes
@@ -121,10 +121,15 @@ class AudioFrameSampler:
 
     def _frames(self, data: bytes) -> tuple[int, int, list[float]]:
         if not data or not data.startswith(AUDIO_MAGIC):
-            raise NotImplementedError(
-                "real audio decoding needs an audio library not present in "
-                "this environment; only AUD! fixture payloads are supported"
+            # REAL path: stdlib WAV/PCM codec (core.wav) → genuine frame
+            # features; non-WAV payloads raise ValueError → failed path
+            from basicocr_ray.core.wav import decode_wav, frame_features
+
+            rate, x = decode_wav(data if data is not None else b"")
+            n_frames, feats = frame_features(
+                x, rate, self.frame_hop_s, self.n_features
             )
+            return rate, n_frames, feats
         rate, n_samples = struct.unpack("<II", data[4:12])
         duration = n_samples / max(1, rate)
         n_frames = max(1, int(duration / self.frame_hop_s))

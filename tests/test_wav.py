@@ -1,0 +1,109 @@
+"""Real WAV codec goldens + audio stage over hand-built WAVs."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from basicocr_ray.core.wav import decode_wav, encode_wav, frame_features
+
+
+def test_roundtrip_16bit_pcm():
+    rate = 8000
+    t = np.arange(rate) / rate
+    x = 0.5 * np.sin(2 * np.pi * 440 * t)
+    r2, y = decode_wav(encode_wav(rate, x))
+    assert r2 == rate
+    assert len(y) == len(x)
+    assert np.abs(y - x).max() < 1e-3  # 16-bit quantization error bound
+
+
+def test_8bit_and_float32_formats():
+    rate = 4000
+    x = np.linspace(-1, 1, 100)
+    # hand-build an 8-bit unsigned PCM file
+    pcm8 = np.round((x * 127.0) + 128.0).clip(0, 255).astype(np.uint8).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate, 1, 8)
+    wav8 = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm8)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm8)) + pcm8)
+    r, y = decode_wav(wav8)
+    assert r == rate and np.abs(y - x).max() < 1 / 64
+
+    f32 = x.astype("<f4").tobytes()
+    fmtf = struct.pack("<HHIIHH", 3, 1, rate, rate * 4, 4, 32)
+    wavf = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmtf) + 8 + len(f32)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmtf)) + fmtf
+            + b"data" + struct.pack("<I", len(f32)) + f32)
+    r, y = decode_wav(wavf)
+    assert r == rate and np.abs(y - x).max() < 1e-6
+
+
+def test_stereo_mixdown():
+    rate = 1000
+    left = np.full(50, 0.5)
+    right = np.full(50, -0.5)
+    inter = np.empty(100)
+    inter[0::2], inter[1::2] = left, right
+    pcm = np.round(inter * 32767).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 2, rate, rate * 4, 4, 16)
+    wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    r, y = decode_wav(wav)
+    assert len(y) == 50
+    assert np.abs(y).max() < 1e-4  # L+R cancel
+
+
+def test_reject_non_wav_and_unsupported():
+    with pytest.raises(ValueError):
+        decode_wav(b"garbage")
+    # ADPCM format code 2 → unsupported
+    fmt = struct.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 4)
+    wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", 0))
+    with pytest.raises(ValueError):
+        decode_wav(wav)
+
+
+def test_frame_features_shape_and_determinism():
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(16000) * 0.1
+    n_frames, feats = frame_features(x, 16000, 0.5, 8)
+    assert n_frames == 2
+    assert len(feats) == 16
+    assert feats == frame_features(x, 16000, 0.5, 8)[1]
+    # silent audio → zero energy features
+    nf, fz = frame_features(np.zeros(8000), 16000, 0.5, 8)
+    assert nf == 1 and all(v == 0.0 for v in fz)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_audio_stage_decodes_real_wav():
+    import ray.data
+
+    from basicocr_ray.stages.multimodal import AudioFrameSampler, make_audio_payload
+
+    rate = 8000
+    t = np.arange(rate * 2) / rate
+    wav = encode_wav(rate, 0.3 * np.sin(2 * np.pi * 220 * t))
+    rows = [
+        {"item_id": 0, "payload": wav},
+        {"item_id": 1, "payload": make_audio_payload(1, 16000, 1.0)},
+        {"item_id": 2, "payload": b"junk"},
+    ]
+    out = (
+        ray.data.from_items(rows)
+        .map_batches(AudioFrameSampler, batch_format="pyarrow", concurrency=1)
+        .to_pandas()
+        .sort_values("item_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["ok"]) == [True, True, False]
+    assert out.loc[0, "sample_rate"] == rate
+    assert out.loc[0, "n_frames"] == 4  # 2 s / 0.5 s hop
+    assert len(out.loc[0, "features"]) == 4 * 8
+    assert "ValueError" in out.loc[2, "error"]
