@@ -42,9 +42,6 @@ _TAG_RE = re.compile(
     re.S | re.X,
 )
 
-_AMP_RE = re.compile(r"&")
-
-
 @dataclass
 class Block:
     """One candidate text region (≙ one CTC frame).
@@ -66,8 +63,9 @@ class Block:
 
 
 def _unescape(raw: str) -> str:
-    # html.unescape is comparatively slow; skip it when no '&' present.
-    if _AMP_RE.search(raw) is None:
+    # html.unescape is comparatively slow; skip it when no '&' present
+    # (C substring scan, no regex machinery)
+    if "&" not in raw:
         return raw
     return _htmllib.unescape(raw)
 
@@ -135,13 +133,18 @@ def tokenize_html(text: str, cfg: ExtractConfig = DEFAULT_CONFIG) -> list[Block]
                 if a_depth > 0:
                     link_chars += len(piece)
         pos = m.end()
-        closing_slash, name, attrs = m.group(1), m.group(2), m.group(3)
+        # single C call for all three groups; avoid allocations on the
+        # (dominant) already-lowercase / no-trailing-slash paths
+        closing_slash, name, attrs = m.group(1, 2, 3)
         if name is None:  # comment / doctype / CDATA / PI
             continue
-        name = name.lower()
+        if not name.islower():
+            name = name.lower()
         closing = closing_slash == "/"
-        self_closing = bool(attrs) and attrs.rstrip().endswith("/")
-        if attrs is None:
+        if attrs:
+            self_closing = attrs[-1] == "/" or attrs.rstrip().endswith("/")
+        else:
+            self_closing = False
             attrs = ""
 
         if not closing and name in RAW_TEXT_TAGS and not self_closing:

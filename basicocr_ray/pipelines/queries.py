@@ -192,19 +192,33 @@ def q04_region_rollup(sf_dir: str):
 
 def q05_events_hourly(sf_dir: str):
     """Tumbling-window aggregate (streaming-shaped, SURVEY §2.9): floor ts
-    to the hour inside map_batches, group on (hour, type)."""
-    from ray.data.aggregate import Count, Sum
+    to the hour inside map_batches, PARTIAL-aggregate per batch (the
+    shuffle carries ≤ distinct keys per batch, never rows), then a
+    coarse-group pandas final — the partial+final shape that avoids
+    Ray's sort-based Aggregate on thousands of distinct keys."""
+    from basicocr_ray.stages.dedup import _coarse_salts
 
     ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    salts = _coarse_salts(None)
 
-    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
         df["hour"] = df["ts"].dt.floor("h")
-        return df[["hour", "event_type", "value"]]
+        g = df.groupby(["hour", "event_type"], as_index=False).agg(
+            n=("value", "size"), sum_value=("value", "sum")
+        )
+        # any deterministic function of the key works as the coarse group
+        g["cg"] = (g["hour"].astype("int64") % salts).astype("int32")
+        return g
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["hour", "event_type"], as_index=False).agg(
+            n=("n", "sum"), sum_value=("sum_value", "sum")
+        )
 
     agg = (
-        ds.map_batches(bucket, batch_format="pandas")
-        .groupby(["hour", "event_type"])
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("cg")
+        .map_groups(final, batch_format="pandas")
     )
     df = agg.to_pandas()
     df = _round_col(df, "sum_value", 2)
@@ -815,8 +829,6 @@ def q34_bucketed_join_revenue(sf_dir: str):
     pattern; both sides fact-scale so no broadcast): lineitem ⋈ orders on
     orderkey, then revenue per (order, customer), global top-100. Rows
     shuffle once each, keyed by bucket."""
-    from ray.data.aggregate import Sum
-
     from basicocr_ray.stages.joins import bucketed_hash_join
 
     li = _read(
@@ -843,10 +855,37 @@ def q34_bucketed_join_revenue(sf_dir: str):
             revenue=("rev", "sum")
         )
 
+    # final aggregate via the coarse-group pattern: a Ray Aggregate keyed
+    # on (okey, o_custkey) sorts on ~|orders| distinct keys and stalls
+    # (measured 105 s at sf0.1 vs ~8 s for this shape); same-key partials
+    # land in one coarse group (key = okey % S), the in-group pandas sum
+    # is exact, and each group emits only its local top-100 so the global
+    # sort input is ≤ 100 × S rows
+    from basicocr_ray.stages.dedup import _coarse_salts
+
+    salts = _coarse_salts(None)
+
+    def add_cg(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "cg",
+            pc.cast(
+                pc.bit_wise_and(pc.cast(b["okey"], pa.int64()), salts - 1),
+                pa.int32(),
+            ),
+        )
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["okey", "o_custkey"], as_index=False)["revenue"].sum()
+        g = g.sort_values(
+            ["revenue", "okey"], ascending=[False, True], kind="mergesort"
+        ).head(100)
+        return g
+
     agg = (
         joined.map_batches(partial, batch_format="pandas")
-        .groupby(["okey", "o_custkey"])
-        .aggregate(Sum("revenue", alias_name="revenue"))
+        .map_batches(add_cg, batch_format="pyarrow")
+        .groupby("cg")
+        .map_groups(final_topk, batch_format="pandas")
     )
     top = (
         agg.sort(["revenue", "okey"], descending=[True, False])

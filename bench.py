@@ -262,7 +262,8 @@ def main() -> None:
         bench_qs = [
             "q01_pricing_summary", "q05_events_hourly", "q06_events_asof",
             "q07_token_freq", "q08_bigram_freq", "q15_ann_cosine",
-            "q10_dedup_exact", "q17_sessionize",
+            "q10_dedup_exact", "q17_sessionize", "q21_trie_correct",
+            "q34_bucketed_join_revenue", "q40_cjk_segment", "q32_lm_score",
         ]
         for name in bench_qs:
             t0 = time.perf_counter()
