@@ -209,6 +209,86 @@ def fit_backoff_lm(
     )
 
 
+class KneserNeyBigramLM(BackoffBigramLM):
+    """Interpolated Kneser–Ney bigram LM — the reference pipeline's
+    `make-big-lm` target (`language-model.md:192-197`) in its canonical
+    modern form (Kneser & Ney 1995; Chen & Goodman 1998): the backoff
+    distribution is the CONTINUATION probability
+
+        P_cont(w) = (N1+(· w) + 1) / (N_bigram_types + V)
+
+    (add-one smoothed so OOV words keep positive mass and the
+    distribution sums to 1 over the vocabulary), where N1+(· w) is the
+    number of distinct left contexts of w — computed DISTRIBUTEDLY from
+    the bigram count table (each (w1,w2) count row is one distinct
+    context by construction). Discount D comes from the same n1/n2
+    count-of-counts as the parent class."""
+
+    def __init__(
+        self,
+        unigram_counts: dict[str, int],
+        bigram_counts: dict[str, int],
+        n1: int,
+        n2: int,
+        continuation_counts: dict[str, int],
+        n_bigram_types: int | None = None,
+    ):
+        super().__init__(unigram_counts, bigram_counts, n1, n2)
+        self.cont = dict(continuation_counts)
+        self.n_bigram_types = (
+            n_bigram_types
+            if n_bigram_types is not None
+            else sum(self.cont.values())
+        )
+
+    def p_unigram(self, w: str) -> float:
+        # the backoff distribution IS the continuation distribution; it is
+        # also used for the sequence-initial token
+        return (self.cont.get(w, 0) + 1) / (self.n_bigram_types + self.vocab_size)
+
+
+def fit_kneser_ney_lm(
+    docs_ds,
+    text_column: str = "text",
+    max_vocab: int | None = None,
+    min_count: int = 1,
+) -> KneserNeyBigramLM:
+    """Backoff fit + one more distributed pass: continuation counts
+    N1+(· w) via a coarse-grouped row-count over the bigram-type table
+    (no corpus re-scan — the count table's rows ARE the distinct types)."""
+    import pyarrow.compute as _pc
+
+    base = fit_backoff_lm(
+        docs_ds, text_column, max_vocab=max_vocab, min_count=min_count
+    )
+
+    def w2_partial(batch: pa.Table) -> pa.Table:
+        # each bigram-type row contributes 1 to its w2's continuation count
+        from collections import Counter
+
+        c = Counter(
+            b.split(" ", 1)[1] for b in batch["bigram"].to_pylist()
+        )
+        return pa.table(
+            {
+                "w2": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    bi_counts = count_terms(docs_ds, text_column, make_ngram_items(2), "bigram")
+    n_types = 0
+    cont: dict[str, int] = {}
+    for row in (
+        bi_counts.map_batches(w2_partial, batch_format="pyarrow").take_all()
+    ):
+        cont[row["w2"]] = cont.get(row["w2"], 0) + int(row["n"])
+        n_types += int(row["n"])
+    lm = KneserNeyBigramLM(base.uni, base.bi, 1, 1, cont, n_types)
+    lm.discount = base.discount  # reuse the count-of-counts estimate
+    return lm
+
+
 class LMScorer:
     """Actor-pool scorer: model fetched from the object store once per
     actor (`ray.put` broadcast, J1 pattern), applied per batch (A5)."""

@@ -207,10 +207,27 @@ def main() -> None:
                           "num_cpus": num_cpus}))
         ray.shutdown()
         return
-    # warm OS page cache (untimed) so we measure compute, not first-read IO
+    # warm OS page cache (untimed) so we measure compute, not first-read
+    # IO: raw byte reads of the corpus AND the sf tables — a column-pruned
+    # parquet read would leave the html/text column chunks cold, which
+    # costs ~2× on the first timed pass when the cache has gone cold
     import ray.data as rd
 
-    rd.read_parquet(pages_dir, columns=["url"]).count()
+    def _warm(path: str) -> None:
+        if os.path.isdir(path):
+            for r, _, fs in os.walk(path):
+                for f in fs:
+                    if f.endswith(".parquet"):
+                        with open(os.path.join(r, f), "rb") as fh:
+                            while fh.read(1 << 24):
+                                pass
+        elif os.path.exists(path):
+            with open(path, "rb") as fh:
+                while fh.read(1 << 24):
+                    pass
+
+    _warm(pages_dir)
+    _warm(sf_dir)
 
     queries: dict[str, float] = {}
     ext = bench_extract(pages_dir)

@@ -157,3 +157,57 @@ def test_fit_backoff_lm_distributed_counts():
     assert lm.n_cont == {"a": 2, "b": 2}
     s = lm.score(["a", "b", "c"])
     assert s < 0
+
+
+def test_kneser_ney_is_a_distribution():
+    """KN bigram: P(w2|w1) sums to 1 over the closed vocab for seen
+    histories (discounted mass exactly redistributed via the continuation
+    distribution), and frequent-but-narrow words get LESS backoff mass
+    than versatile words — the property KN exists for."""
+    from basicocr_ray.pipelines.lm import KneserNeyBigramLM
+
+    # "francisco" only ever follows "san"; "the" has versatile contexts.
+    # History counts are CONSISTENT (uni[w] = Σ outgoing bigrams) so the
+    # discounted-mass identity holds exactly.
+    bi = {
+        "san francisco": 3, "francisco san": 2, "the dog": 2,
+        "the cat": 1, "dog the": 1, "cat the": 1,
+    }
+    uni = {"san": 3, "francisco": 2, "the": 3, "dog": 1, "cat": 1}
+    cont = {"francisco": 1, "san": 1, "dog": 1, "cat": 1, "the": 2}
+    lm = KneserNeyBigramLM(uni, bi, n1=3, n2=2, continuation_counts=cont)
+    assert lm.n_bigram_types == 6
+    # continuation prob: versatile "the" > narrow "francisco" despite
+    # francisco having the higher raw unigram count
+    assert lm.p_unigram("the") > lm.p_unigram("francisco")
+    vocab_mass = sum(lm.p_unigram(w) for w in uni)
+    for w1 in uni:
+        total = sum(lm.p_bigram(w1, w2) for w2 in uni)
+        c1 = lm.uni[w1]
+        seen = sum(
+            max(lm.bi.get(f"{w1} {w2}", 0) - lm.discount, 0.0) / c1
+            for w2 in uni
+        )
+        lam = lm.discount * lm.n_cont.get(w1, 0) / c1
+        assert abs(total - (seen + lam * vocab_mass)) < 1e-12
+        assert abs(seen + lam - 1.0) < 1e-12
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fit_kneser_ney_distributed():
+    import ray.data
+
+    from basicocr_ray.pipelines.lm import fit_kneser_ney_lm
+
+    rows = [
+        {"doc_id": 0, "text": "san francisco san francisco"},
+        {"doc_id": 1, "text": "the dog saw the cat"},
+    ]
+    lm = fit_kneser_ney_lm(ray.data.from_items(rows))
+    # distinct left contexts: francisco←{san}, san←{francisco},
+    # dog←{the}, cat←{the}, saw←{dog}, the←{saw}
+    assert lm.cont == {
+        "francisco": 1, "san": 1, "dog": 1, "cat": 1, "saw": 1, "the": 1,
+    }
+    assert lm.n_bigram_types == 6
+    assert lm.p_bigram("san", "francisco") > lm.p_bigram("san", "dog") > 0
