@@ -1009,6 +1009,86 @@ def q39_staged_extract(sf_dir: str):
     return staged.map_batches(project, batch_format="pyarrow")
 
 
+def q42_neardup_components(sf_dir: str):
+    """Near-dup clusters end-to-end: MinHash-LSH candidates → exact
+    Jaccard verify (bucketed join) → JOIN-BASED connected components
+    (distributed min-label propagation, `stages.dedup.assign_components`).
+    The DuckDB twin computes the same components from the brute-force
+    pair set with a recursive transitive closure."""
+    from basicocr_ray.stages.dedup import (
+        assign_components,
+        minhash_candidate_pairs,
+        verify_pairs_jaccard_join,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_candidate_pairs(ds, "doc_id", "text", num_bands=32)
+    verified = verify_pairs_jaccard_join(
+        pairs, ds, "doc_id", "text", threshold=0.8
+    )
+    comps = assign_components(verified.select_columns(["id_a", "id_b"]))
+    return comps.map_batches(
+        lambda b: pa.table(
+            {
+                "id": pc.cast(b["id"], pa.int64()),
+                "rep": pc.cast(b["rep"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q43_video_frames(sf_dir: str):
+    """Video frame-sampling end-to-end: deterministic VID! containers of
+    REAL PNG frames per embeddings row, the VideoFrameSampler actor pool
+    (every-2nd-frame decode through the real codec), and the
+    SQL-checkable frame-index arithmetic. Pixel stats (mean/phash) are
+    pytest-verified (tests/test_png.py); the hash covers the sampling
+    contract."""
+    from basicocr_ray.stages.multimodal import (
+        VideoFrameSampler,
+        make_video_payload,
+    )
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id"])
+
+    def payloads(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_pylist()
+        return pa.table(
+            {
+                "item_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(
+                    [
+                        make_video_payload(i, n_frames=4 + (i % 5))
+                        for i in ids
+                    ],
+                    pa.large_binary(),
+                ),
+            }
+        )
+
+    sampled = ds.map_batches(payloads, batch_format="pyarrow").map_batches(
+        VideoFrameSampler,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "item_id": batch["item_id"],
+                "fps": pc.cast(batch["fps"], pa.int64()),
+                "n_frames": pc.cast(batch["n_frames"], pa.int64()),
+                "frame_index": pc.cast(batch["frame_index"], pa.int64()),
+                "width": pc.cast(batch["width"], pa.int64()),
+                "height": pc.cast(batch["height"], pa.int64()),
+            }
+        )
+
+    return sampled.map_batches(project, batch_format="pyarrow")
+
+
 def q41_audio_frames(sf_dir: str):
     """Audio frame-sampling plumbing end-to-end: deterministic AUD!
     payloads per embeddings row (rate/duration derived from the id), the
@@ -1151,6 +1231,8 @@ QUERIES = {
     "q32_lm_score": q32_lm_score,
     "q40_cjk_segment": q40_cjk_segment,
     "q41_audio_frames": q41_audio_frames,
+    "q42_neardup_components": q42_neardup_components,
+    "q43_video_frames": q43_video_frames,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -1414,6 +1496,45 @@ ORACLE_SQL = {
                CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_segments
         FROM (SELECT doc_id, list_filter({_TOKS}, t -> t <> '') AS toks
               FROM documents)
+    """,
+    "q42_neardup_components": """
+        WITH RECURSIVE sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(len(lower(text)) - 4),
+                   i -> substr(lower(text), CAST(i AS BIGINT) + 1, 5))) AS g
+          FROM documents
+        ),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE (len(list_intersect(a.g, b.g))::DOUBLE
+                 / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))))
+                >= 0.8
+        ),
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs
+        ),
+        reach(node, peer) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.node, e.b FROM reach r JOIN edges e ON r.peer = e.a
+        )
+        SELECT node AS id,
+               CAST(least(node, min(peer)) AS BIGINT) AS rep
+        FROM reach GROUP BY node
+    """,
+    "q43_video_frames": """
+        -- mirrors make_video_payload(n_frames = 4 + id%5) + the sampler's
+        -- every-2nd-frame contract over 16x12 PNG frames at 24 fps
+        SELECT vec_id AS item_id,
+               CAST(24 AS BIGINT) AS fps,
+               CAST(4 + vec_id % 5 AS BIGINT) AS n_frames,
+               CAST(unnest(range(0, 4 + vec_id % 5, 2)) AS BIGINT)
+                 AS frame_index,
+               CAST(16 AS BIGINT) AS width,
+               CAST(12 AS BIGINT) AS height
+        FROM embeddings
     """,
     "q41_audio_frames": """
         -- mirrors make_audio_payload's derivation + AudioFrameSampler's

@@ -177,3 +177,43 @@ def test_image_stage_decodes_real_png():
     g1 = to_grayscale(img1)
     assert out.loc[1, "phash"] == average_hash_64(g1)
     assert (out.loc[2, "width"], out.loc[2, "height"]) == (32, 24)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_video_frame_sampler_real_decode():
+    import ray.data
+
+    from basicocr_ray.core.png import average_hash_64, to_grayscale
+    from basicocr_ray.stages.multimodal import (
+        VideoFrameSampler,
+        make_video_payload,
+    )
+
+    rows = [
+        {"item_id": 0, "payload": make_video_payload(0, n_frames=6)},
+        {"item_id": 1, "payload": make_video_payload(1, n_frames=3)},
+        {"item_id": 2, "payload": b"not video"},
+    ]
+    out = (
+        ray.data.from_items(rows)
+        .map_batches(VideoFrameSampler, batch_format="pyarrow", concurrency=1)
+        .to_pandas()
+        .sort_values(["item_id", "frame_index"])
+        .reset_index(drop=True)
+    )
+    good = out[out["ok"]]
+    bad = out[~out["ok"]]
+    # every 2nd frame sampled: item 0 → frames 0,2,4; item 1 → 0,2
+    assert list(good[good["item_id"] == 0]["frame_index"]) == [0, 2, 4]
+    assert list(good[good["item_id"] == 1]["frame_index"]) == [0, 2]
+    assert (good["width"] == 16).all() and (good["height"] == 12).all()
+    assert len(bad) == 1 and "ValueError" in bad.iloc[0]["error"]
+    # mean/phash come from the REAL png decode of the known gradient frame
+    import numpy as np
+
+    base = (0 * 31 + 0 * 7) % 200
+    arr = ((np.arange(12)[:, None] + np.arange(16)[None, :] + base) % 256).astype(np.uint8)
+    g = to_grayscale(arr)
+    row0 = good[(good["item_id"] == 0) & (good["frame_index"] == 0)].iloc[0]
+    assert row0["phash"] == average_hash_64(g)
+    assert abs(row0["mean_pixel"] - round(float(g.mean()) / 255.0, 6)) < 1e-9
