@@ -360,14 +360,45 @@ def q29_orders_by_segment(sf_dir: str):
 
 
 def q30_union_distinct(sf_dir: str):
-    """Union + global distinct count (D/Set ops)."""
+    """Union + global distinct count (D/Set ops) as partial+final: each
+    batch emits its LOCAL distinct keys tagged with a coarse group, the
+    per-group pandas nunique is exact (groups partition the key space),
+    and the counts sum — the shuffle carries deduped keys per batch
+    instead of every row (`Dataset.unique` is the all-to-all the guide
+    warns about; at fact scale local dedup shrinks it by the per-batch
+    duplication factor)."""
+    from basicocr_ray.stages.dedup import _coarse_salts
+
+    salts = _coarse_salts(None)
+
+    def local_distinct(b: pa.Table) -> pa.Table:
+        u = pc.unique(b[b.column_names[0]])
+        return pa.table(
+            {
+                "k": pc.cast(u, pa.int64()),
+                "cg": pc.cast(
+                    pc.bit_wise_and(pc.cast(u, pa.int64()), salts - 1),
+                    pa.int32(),
+                ),
+            }
+        )
+
     li = _read(sf_dir, "lineitem", columns=["l_orderkey"]).map_batches(
-        lambda b: pa.table({"k": b["l_orderkey"]}), batch_format="pyarrow"
+        local_distinct, batch_format="pyarrow"
     )
     od = _read(sf_dir, "orders", columns=["o_orderkey"]).map_batches(
-        lambda b: pa.table({"k": b["o_orderkey"]}), batch_format="pyarrow"
+        local_distinct, batch_format="pyarrow"
     )
-    n = len(li.union(od).unique("k"))
+
+    def count_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [int(df["k"].nunique())]})
+
+    parts = (
+        li.union(od)
+        .groupby("cg")
+        .map_groups(count_distinct, batch_format="pandas")
+    )
+    n = int(parts.sum("n") or 0)
     return pd.DataFrame({"n": pd.Series([n], dtype="int64")})
 
 

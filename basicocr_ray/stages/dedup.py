@@ -50,9 +50,15 @@ def _coarse_salts(num_salt: int | None = None) -> int:
 # Exact dedup
 # ---------------------------------------------------------------------------
 
-def exact_dedup_groups(ds, id_column: str, text_column: str):
+def exact_dedup_groups(ds, id_column: str, text_column: str,
+                       num_salt: int | None = None):
     """→ (doc_id, n_dups): representative (min id) + multiplicity per
-    distinct text. The shuffle carries (id, fp) only — text stays put."""
+    distinct text. The shuffle carries (id, fp) only — text stays put —
+    keyed by a cluster-sized coarse group of the fingerprint (same fp →
+    same group), with the per-fingerprint split done by an in-process
+    pandas groupby: a Ray groupby on the raw fp would sort on one key per
+    distinct document (the high-cardinality stall)."""
+    salts = _coarse_salts(num_salt)
 
     def add_fp(batch: pa.Table) -> pa.Table:
         fps = [md5_hex(t or "") for t in batch[text_column].to_pylist()]
@@ -60,17 +66,23 @@ def exact_dedup_groups(ds, id_column: str, text_column: str):
             {
                 id_column: batch[id_column],
                 "fp": pa.array(fps, pa.string()),
+                "cg": pa.array(
+                    [int(f[:8], 16) & (salts - 1) for f in fps], pa.int32()
+                ),
             }
         )
 
     def first_per_group(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {id_column: [df[id_column].min()], "n_dups": [len(df)]}
+        g = df.groupby("fp", as_index=False).agg(
+            **{id_column: (id_column, "min"), "n_dups": (id_column, "size")}
+        )
+        return g[[id_column, "n_dups"]].astype(
+            {id_column: "int64", "n_dups": "int64"}
         )
 
     return (
         ds.map_batches(add_fp, batch_format="pyarrow")
-        .groupby("fp")
+        .groupby("cg")
         .map_groups(first_per_group, batch_format="pandas")
     )
 
