@@ -113,3 +113,82 @@ def test_trie_search_matches_bruteforce(dq):
 def test_ac_single_pattern_equals_str_replace(text, pattern):
     ac = ACAutomaton([pattern])
     assert ac.strip(text) == text.replace(pattern, "")
+
+
+# ---------------------------------------------------------------------------
+# Round-2 kernels: PNG / WAV / PDF / FMM property laws
+# ---------------------------------------------------------------------------
+
+@given(
+    st.integers(1, 12), st.integers(1, 12),
+    st.sampled_from([1, 3, 4]), st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_property(h, w, ch, seed):
+    import numpy as np
+
+    from basicocr_ray.core.png import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    assert (decode_png(encode_png(arr)) == arr).all()
+
+
+@given(
+    st.integers(1000, 48000),
+    st.lists(st.floats(-1.0, 1.0, allow_nan=False), min_size=1, max_size=400),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_property(rate, samples):
+    import numpy as np
+
+    from basicocr_ray.core.wav import decode_wav, encode_wav
+
+    x = np.asarray(samples)
+    r2, y = decode_wav(encode_wav(rate, x))
+    assert r2 == rate and len(y) == len(x)
+    # encode scales by 32767, PCM decode divides by 32768: error bound is
+    # |x|/32768 (scale mismatch) + 0.5/32768 (rounding)
+    assert np.abs(y - x).max() <= 1.5 / 32768 + 1e-9
+
+
+@given(st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+        max_size=40,
+    ),
+    max_size=6,
+))
+@settings(max_examples=40, deadline=None)
+def test_pdf_text_roundtrip_property(lines):
+    from basicocr_ray.core.pdf_text import extract_pdf_text, make_pdf
+
+    # the writer emits one Tj per line; empty lines vanish on extract
+    expected = "\n".join(ln for ln in lines if ln)
+    assert extract_pdf_text(make_pdf(lines)) == expected
+
+
+@given(st.lists(st.integers(0, 25), min_size=0, max_size=30))
+@settings(max_examples=60, deadline=None)
+def test_fmm_bijective_reconstruction_property(token_ids):
+    """For any lexicon of 2-char words over DISJOINT characters, FMM
+    segmentation of any concatenation recovers the exact word sequence —
+    the invariant q40's oracle relies on."""
+    from basicocr_ray.core.segment import FmmSegmenter
+
+    words = {i: chr(0x4E00 + 2 * i) + chr(0x4E00 + 2 * i + 1) for i in range(26)}
+    seg = FmmSegmenter(words.values())
+    text = "".join(words[i] for i in token_ids)
+    assert seg.segment(text) == [words[i] for i in token_ids]
+
+
+@given(st.text(alphabet="ab", max_size=14))
+@settings(max_examples=60, deadline=None)
+def test_fmm_covers_input_property(text):
+    """Segment output always concatenates back to the input (no loss, no
+    duplication) for ANY lexicon, including overlapping entries."""
+    from basicocr_ray.core.segment import FmmSegmenter
+
+    seg = FmmSegmenter(["a", "ab", "ba", "aab", "bb"])
+    assert "".join(seg.segment(text)) == text
