@@ -61,14 +61,39 @@ def count_terms(
     key_name: str = "token",
 ):
     """Dataset → (key, cnt) aggregated counts. Shuffle input: partials only
-    (G3/G4 partial+final shape)."""
-    from ray.data.aggregate import Sum
+    (G3/G4 partial+final shape); the FINAL sum runs inside cluster-sized
+    coarse groups of the key hash (same key → same group, pandas sum is
+    exact) — a Ray Aggregate keyed on every distinct token is the
+    high-cardinality sort stall on an open-vocabulary corpus."""
+    import hashlib
+
+    import pandas as pd
+
+    from basicocr_ray.stages.dedup import _coarse_salts
+
+    salts = _coarse_salts(None)
+
+    def add_cg(b: pa.Table) -> pa.Table:
+        cgs = [
+            int.from_bytes(hashlib.md5(k.encode()).digest()[:4], "little")
+            & (salts - 1)
+            for k in b[key_name].to_pylist()
+        ]
+        return b.append_column("cg", pa.array(cgs, pa.int32()))
+
+    def final_sum(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(key_name, as_index=False)["cnt"].sum()
+        return out.astype({"cnt": "int64"})
 
     partials = ds.map_batches(
         lambda b: partial_count_batch(b, text_column, item_fn, key_name),
         batch_format="pyarrow",
     )
-    return partials.groupby(key_name).aggregate(Sum("cnt", alias_name="cnt"))
+    return (
+        partials.map_batches(add_cg, batch_format="pyarrow")
+        .groupby("cg")
+        .map_groups(final_sum, batch_format="pandas")
+    )
 
 
 def approx_distinct(
