@@ -799,11 +799,13 @@ def q27_vocab_roundtrip(sf_dir: str):
 def q31_events_sliding(sf_dir: str):
     """Sliding-window aggregate (1 h window, 30 min step): each event lands
     in two windows; window starts are epoch-second integers so both sides
-    stay in exact int arithmetic. Partial counts per batch, then a small
-    groupby sum (no row-level shuffle)."""
-    from ray.data.aggregate import Sum
+    stay in exact int arithmetic. Partial counts per batch, then a
+    coarse-grouped pandas final sum — the shuffle carries per-batch
+    partials only and never sorts on the (user, window) key space."""
+    from basicocr_ray.stages.dedup import _coarse_salts
 
     ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+    salts = _coarse_salts(None)
 
     def windows(df: pd.DataFrame) -> pd.DataFrame:
         # normalize to ns first: pandas may carry datetime64[us] or [ns]
@@ -819,12 +821,20 @@ def q31_events_sliding(sf_dir: str):
             ]
         )
         g = out.groupby(["user_id", "window_start"], as_index=False).size()
-        return g.rename(columns={"size": "n"})
+        g = g.rename(columns={"size": "n"})
+        g["cg"] = (
+            (g["user_id"].astype("int64") * 31 + g["window_start"]) % salts
+        ).astype("int32")
+        return g
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["user_id", "window_start"], as_index=False)["n"].sum()
+        return out.astype({"n": "int64"})
 
     agg = (
         ds.map_batches(windows, batch_format="pandas")
-        .groupby(["user_id", "window_start"])
-        .aggregate(Sum("n", alias_name="n"))
+        .groupby("cg")
+        .map_groups(final, batch_format="pandas")
     )
     df = agg.to_pandas()
     df["n"] = df["n"].astype("int64")
