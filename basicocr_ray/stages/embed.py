@@ -163,30 +163,45 @@ def cosine_lsh_pairs(
     seed: int = 7,
     dim: int = 64,
     num_salt: int | None = None,
+    n_tables: int = 1,
 ):
     """→ (id_a, id_b) pairs with exact cosine ≥ threshold among LSH-bucket
     collisions. Exact duplicates always collide (same signature) → recall
     1.0 for the dup case; near-dups at angle θ collide with prob
-    (1 - θ/π)^n_planes per table (single-table variant; add rotations for
-    higher recall at scale)."""
+    p = (1 - θ/π)^n_planes per table. ``n_tables`` > 1 is the
+    OR-amplification scale path: independent plane sets per table lift
+    recall to 1-(1-p)^T at T× shuffle cost (each row ships its vector
+    once per table); cross-table duplicate pairs are removed by the
+    final pair-distinct pass."""
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes))
+    all_planes = [
+        rng.standard_normal((dim, n_planes)) for _ in range(n_tables)
+    ]
 
     def to_buckets(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[id_column].to_pylist(), dtype=np.int64)
         m = _stack(batch[vec_column])
-        bits = (m @ planes) > 0
-        sig = np.zeros(len(ids), dtype=np.int64)
-        for j in range(n_planes):
-            sig |= bits[:, j].astype(np.int64) << j
-        # carry the vector through the (small-bucket) shuffle for verify
-        return pa.table(
-            {
-                id_column: pa.array(ids, pa.int64()),
-                "bucket": pa.array(sig, pa.int64()),
-                vec_column: batch[vec_column],
-            }
-        )
+        tabs = []
+        for t, planes in enumerate(all_planes):
+            bits = (m @ planes) > 0
+            sig = np.zeros(len(ids), dtype=np.int64)
+            for j in range(n_planes):
+                sig |= bits[:, j].astype(np.int64) << j
+            # table id rides in the high bits so buckets never collide
+            # across tables; carry the vector for the in-bucket verify
+            tabs.append(
+                pa.table(
+                    {
+                        id_column: pa.array(ids, pa.int64()),
+                        "bucket": pa.array(
+                            sig | (np.int64(t) << np.int64(n_planes)),
+                            pa.int64(),
+                        ),
+                        vec_column: batch[vec_column],
+                    }
+                )
+            )
+        return pa.concat_tables(tabs)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(id_column)

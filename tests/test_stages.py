@@ -207,3 +207,44 @@ def test_ivf_trained_centroids_recall():
 
     probed = ivf_topk_trained(ds, q, k=5, n_clusters=4, n_probe=1).to_pandas()
     assert list(probed["vec_id"]) == list(brute["vec_id"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cosine_lsh_multi_table_recall():
+    """OR-amplification: multi-table LSH finds a superset of single-table
+    pairs and strictly improves recall on borderline near-dups."""
+    import numpy as np
+    import ray.data
+
+    from basicocr_ray.stages.embed import cosine_lsh_pairs
+
+    rng = np.random.default_rng(17)
+    rows = []
+    n_pairs = 120
+    # planted near-dup pairs right at the threshold region (~0.955 cosine)
+    for i in range(n_pairs):
+        v = rng.standard_normal(64)
+        v /= np.linalg.norm(v)
+        w = rng.standard_normal(64)
+        w -= (w @ v) * v
+        w /= np.linalg.norm(w)
+        u = 0.955 * v + np.sqrt(1 - 0.955**2) * w  # exact cosine 0.955
+        rows.append({"vec_id": 2 * i, "embedding": v.tolist()})
+        rows.append({"vec_id": 2 * i + 1, "embedding": u.tolist()})
+    ds = ray.data.from_items(rows)
+
+    def pairset(n_tables):
+        df = cosine_lsh_pairs(
+            ds, threshold=0.95, n_tables=n_tables
+        ).to_pandas()
+        return set(zip(df["id_a"], df["id_b"]))
+
+    one = pairset(1)
+    eight = pairset(8)
+    planted = {(2 * i, 2 * i + 1) for i in range(n_pairs)}
+    # all emitted pairs are genuine (exact verify inside buckets)
+    assert one <= eight
+    assert (one & planted) < (eight & planted)  # strictly better recall
+    # per-table p = (1 - acos(.955)/pi)^16 ~ 0.20 -> 8-table recall
+    # 1-(1-p)^8 ~ 0.83; assert comfortably under the expectation
+    assert len(eight & planted) / n_pairs > 0.7
