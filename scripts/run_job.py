@@ -2,7 +2,7 @@
 
     ray job submit --working-dir . -- \
         python scripts/run_job.py --input <pages dir/files> --output <dir> \
-            [--partitions 32] [--no-resume] [--skew-split] [--pdf-mode inline]
+            [--partitions 32] [--no-resume] [--skew-split] [--pdf-mode warm]
 
 Owns its Ray session (library code never calls ray.init — SURVEY §7.4);
 local fallback initialises a single-node session when no cluster address
@@ -27,9 +27,12 @@ def main() -> int:
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--skew-split", action="store_true")
     ap.add_argument(
-        "--pdf-mode", choices=["actor", "split", "inline"], default="actor",
-        help="actor: forwarding + warm-parser pool (default); split: "
-        "filtered branch (2x read); inline: stateless tasks only",
+        "--pdf-mode",
+        choices=["warm", "finisher", "split", "inline"], default="warm",
+        help="warm: per-worker warm parser inside extract tasks (default, "
+        "no extra hop); finisher: forwarding + warm-parser actor pool; "
+        "split: filtered actor-pool branch (2x read); inline: stateless "
+        "tasks only",
     )
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args()
@@ -53,7 +56,10 @@ def main() -> int:
     from basicocr_ray.state.manifest import load_done_partitions
 
     cfg = ExtractConfig(num_partitions=args.partitions)
-    pdf_branch = {"actor": True, "split": "split", "inline": False}[args.pdf_mode]
+    pdf_branch = {
+        "warm": True, "finisher": "finisher", "split": "split",
+        "inline": False,
+    }[args.pdf_mode]
     stats = run_extract_job(
         args.input if len(args.input) > 1 else args.input[0],
         args.output,
