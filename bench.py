@@ -145,9 +145,19 @@ def main() -> None:
             ).stdout
             return json.loads(out.strip().splitlines()[-1])
 
+        # INTERLEAVED best-of-N: this VM's parallel capacity swings ~2×
+        # with host co-tenancy on a ~tens-of-minutes timescale; running
+        # all reps of one level back-to-back lets a bad window poison that
+        # level's best. Interleaving levels gives every level a sample of
+        # every window, so the best-of ratio compares like windows.
+        reps = int(os.environ.get("BENCH_SCALING_REPS", "2"))
+        samples: dict[int, list[dict]] = {4: [], 16: [], 8: [], 32: []}
+        for _ in range(reps):
+            for n in (4, 16, 8, 32):
+                samples[n].append(run_once(n))
+
         def run(ncpu: int) -> dict:
-            a, b = run_once(ncpu), run_once(ncpu)
-            return a if a["queries"]["extract"] <= b["queries"]["extract"] else b
+            return min(samples[ncpu], key=lambda r: r["queries"]["extract"])
 
         # Two N→4N pairs, both affinity-pinned to N cores (see the pin in
         # main()). 4→16 is the faithful multi-node analogue: on a real
