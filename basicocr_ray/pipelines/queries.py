@@ -1073,6 +1073,71 @@ def q39_staged_extract(sf_dir: str):
     return staged.map_batches(project, batch_format="pyarrow")
 
 
+def q44_range_join(sf_dir: str):
+    """Distributed RANGE JOIN (non-equi; the task brief's custom-operator
+    example Ray Data lacks): events ⋈ maintenance windows on
+    start ≤ ts < end via `stages.joins.interval_join` (domain-bucket
+    partition, interval replication, in-group vectorized containment).
+    The 25 windows derive deterministically from min(ts) + the nation
+    keys, so the DuckDB twin reproduces them exactly."""
+    from basicocr_ray.stages.joins import interval_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts"])
+    min_ts_us = int(
+        pd.Timestamp(ev.min("ts")).value // 1000
+    )
+
+    nat = pq.read_table(_p(sf_dir, "nation"), columns=["n_nationkey"])
+    ks = sorted(int(k) for k in nat["n_nationkey"].to_pylist())
+    MIN_US = 60_000_000
+    wins = pa.table(
+        {
+            "window_id": pa.array(ks, pa.int64()),
+            "w_start": pa.array(
+                [min_ts_us + k * 97 * MIN_US for k in ks], pa.int64()
+            ),
+            "w_end": pa.array(
+                [
+                    min_ts_us + k * 97 * MIN_US + (53 + 13 * k) * MIN_US
+                    for k in ks
+                ],
+                pa.int64(),
+            ),
+        }
+    )
+    import ray.data as _rd
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "ts_us": pc.cast(
+                    pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()
+                ),
+            }
+        )
+
+    joined = interval_join(
+        ev.map_batches(to_us, batch_format="pyarrow"),
+        _rd.from_arrow(wins),
+        point_column="ts_us",
+        start_column="w_start",
+        end_column="w_end",
+        point_columns=["event_id"],
+        interval_columns=["window_id"],
+        bucket_width=3600 * 1_000_000,
+    )
+    return joined.map_batches(
+        lambda b: pa.table(
+            {
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "window_id": pc.cast(b["window_id"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q42_neardup_components(sf_dir: str):
     """Near-dup clusters end-to-end: MinHash-LSH candidates → exact
     Jaccard verify (bucketed join) → JOIN-BASED connected components
@@ -1297,6 +1362,7 @@ QUERIES = {
     "q41_audio_frames": q41_audio_frames,
     "q42_neardup_components": q42_neardup_components,
     "q43_video_frames": q43_video_frames,
+    "q44_range_join": q44_range_join,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -1560,6 +1626,20 @@ ORACLE_SQL = {
                CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_segments
         FROM (SELECT doc_id, list_filter({_TOKS}, t -> t <> '') AS toks
               FROM documents)
+    """,
+    "q44_range_join": """
+        WITH base AS (SELECT min(epoch_us(ts)) AS m FROM events),
+        wins AS (
+          SELECT n_nationkey AS window_id,
+                 m + n_nationkey::BIGINT * 97 * 60000000::BIGINT AS w_start,
+                 m + n_nationkey::BIGINT * 97 * 60000000::BIGINT
+                   + (53 + 13 * n_nationkey::BIGINT) * 60000000::BIGINT
+                   AS w_end
+          FROM nation, base
+        )
+        SELECT e.event_id, CAST(w.window_id AS BIGINT) AS window_id
+        FROM events e JOIN wins w
+          ON epoch_us(e.ts) >= w.w_start AND epoch_us(e.ts) < w.w_end
     """,
     "q42_neardup_components": """
         WITH RECURSIVE sh AS (

@@ -83,3 +83,148 @@ def bucketed_hash_join(
         .groupby("_bucket")
         .map_groups(join_bucket, batch_format="pyarrow")
     )
+
+
+def interval_join(
+    points_ds,
+    intervals_ds,
+    point_column: str,
+    start_column: str,
+    end_column: str,
+    point_columns: list[str],
+    interval_columns: list[str],
+    bucket_width: int,
+    num_buckets: int = 64,
+):
+    """Distributed RANGE JOIN: point ⋈ interval on start ≤ point < end
+    (task-brief custom operator; Ray Data has no non-equi join).
+
+    The canonical partition-and-replicate shape: the integer domain is cut
+    into ``bucket_width`` ranges; each point row lands in exactly ONE
+    bucket, each interval is REPLICATED into every bucket its span
+    overlaps (intervals are usually far fewer than points, so the
+    replication side is the cheap one — pick ``bucket_width`` near the
+    typical interval length to keep the factor ~2). Buckets are
+    hash-folded onto ``num_buckets`` coarse groups; inside a group a
+    per-bucket pandas/numpy pass tests containment vectorized per
+    interval. Output: point_columns + interval_columns per match.
+
+    Partitioning assumption (documented per the brief): a single interval
+    spanning the whole domain replicates everywhere (capped at one replica
+    per group) — degenerate whole-range intervals belong on the broadcast
+    fast path instead. Include a UNIQUE interval id in
+    ``interval_columns``: replica dedup inside folded groups keys on
+    (bounds + interval_columns), so fully identical interval rows without
+    an id would collapse to one."""
+    import pandas as _pd
+
+    def prep_points(b: pa.Table) -> pa.Table:
+        v = np.asarray(b[point_column].to_pylist(), dtype=np.int64)
+        arrays = [b[c] for c in point_columns]
+        names = list(point_columns)
+        names += ["_p", "_lo", "_hi", "_bkt", "_side"]
+        arrays += [
+            pa.array(v, pa.int64()),
+            pa.nulls(len(v), pa.int64()),
+            pa.nulls(len(v), pa.int64()),
+            pa.array((v // bucket_width) % num_buckets, pa.int32()),
+            pa.array(["p"] * len(v), pa.string()),
+        ]
+        return pa.Table.from_arrays(arrays, names)
+
+    def prep_intervals(b: pa.Table) -> pa.Table:
+        lo = np.asarray(b[start_column].to_pylist(), dtype=np.int64)
+        hi = np.asarray(b[end_column].to_pylist(), dtype=np.int64)
+        rows = {c: [] for c in interval_columns}
+        lo_out, hi_out, bkt_out = [], [], []
+        cols_in = {c: b[c].to_pylist() for c in interval_columns}
+        for i in range(len(lo)):
+            if hi[i] <= lo[i]:
+                continue
+            first = lo[i] // bucket_width
+            last = (hi[i] - 1) // bucket_width
+            if last - first + 1 >= num_buckets:
+                # span covers every folded group once — cap the replicas
+                first, last = 0, num_buckets - 1
+            for bk in range(first, last + 1):
+                for c in interval_columns:
+                    rows[c].append(cols_in[c][i])
+                lo_out.append(lo[i])
+                hi_out.append(hi[i])
+                bkt_out.append(bk % num_buckets)
+        n = len(lo_out)
+        arrays = [pa.array(rows[c]) for c in interval_columns]
+        names = list(interval_columns)
+        names += ["_p", "_lo", "_hi", "_bkt", "_side"]
+        arrays += [
+            pa.nulls(n, pa.int64()),
+            pa.array(lo_out, pa.int64()),
+            pa.array(hi_out, pa.int64()),
+            pa.array(bkt_out, pa.int32()),
+            pa.array(["i"] * n, pa.string()),
+        ]
+        return pa.Table.from_arrays(arrays, names)
+
+    # widen both sides to a common schema for the union
+    pts = points_ds.map_batches(prep_points, batch_format="pyarrow")
+    ivs = intervals_ds.map_batches(prep_intervals, batch_format="pyarrow")
+    p_schema = pts.schema()
+    i_schema = ivs.schema()
+    all_names = list(p_schema.names) + [
+        c for c in i_schema.names if c not in p_schema.names
+    ]
+    types = {
+        **dict(zip(i_schema.names, i_schema.types)),
+        **dict(zip(p_schema.names, p_schema.types)),
+    }
+
+    def widen(fn_names):
+        def w(b: pa.Table) -> pa.Table:
+            arrays, names = [], []
+            for c in all_names:
+                names.append(c)
+                if c in b.column_names:
+                    arrays.append(b[c])
+                else:
+                    arrays.append(pa.nulls(b.num_rows, types[c]))
+            return pa.Table.from_arrays(arrays, names)
+
+        return w
+
+    both = pts.map_batches(widen(p_schema.names), batch_format="pyarrow").union(
+        ivs.map_batches(widen(i_schema.names), batch_format="pyarrow")
+    )
+
+    out_cols = point_columns + interval_columns
+
+    def join_group(df: _pd.DataFrame) -> _pd.DataFrame:
+        outs = []
+        p = df[df["_side"] == "p"]
+        iv = df[df["_side"] == "i"]
+        if p.empty or iv.empty:
+            return _pd.DataFrame({c: [] for c in out_cols})
+        # a coarse group folds many domain buckets: points joined against
+        # only the intervals replicated into their own bucket, so each
+        # containment test runs within the right slice
+        pb = (p["_p"].astype("int64") // bucket_width) % num_buckets
+        for bkt, psub in p.groupby(pb):
+            isub = iv[iv["_bkt"] == bkt]
+            if isub.empty:
+                continue
+            # multiple domain buckets fold onto one group: an interval can
+            # have several replicas here — dedup so each (point, interval)
+            # match is emitted exactly once (containment is re-verified)
+            isub = isub.drop_duplicates(subset=["_lo", "_hi"] + interval_columns)
+            pv = psub["_p"].to_numpy(dtype=np.int64)
+            for _, irow in isub.iterrows():
+                mask = (pv >= irow["_lo"]) & (pv < irow["_hi"])
+                if mask.any():
+                    m = psub.loc[mask, point_columns].copy()
+                    for c in interval_columns:
+                        m[c] = irow[c]
+                    outs.append(m)
+        if not outs:
+            return _pd.DataFrame({c: [] for c in out_cols})
+        return _pd.concat(outs, ignore_index=True)[out_cols]
+
+    return both.groupby("_bkt").map_groups(join_group, batch_format="pandas")

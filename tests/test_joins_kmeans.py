@@ -77,3 +77,83 @@ def test_kmeans_recovers_clusters():
     # determinism across runs
     c2 = kmeans_fit(ray.data.from_items(rows), k=4, n_iters=10)
     assert np.array_equal(centroids, c2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_interval_join_boundaries_and_spans():
+    """Range-join semantics: inclusive start, exclusive end, overlapping
+    windows produce one row per containing window, a whole-domain interval
+    matches everything exactly once (replica dedup), empty intervals drop."""
+    import pyarrow as pa
+    import ray.data
+
+    from basicocr_ray.stages.joins import interval_join
+
+    points = ray.data.from_arrow(
+        pa.table(
+            {
+                "pid": pa.array(list(range(8)), pa.int64()),
+                "v": pa.array([0, 5, 10, 15, 99, 100, 150, 250], pa.int64()),
+            }
+        )
+    )
+    intervals = ray.data.from_arrow(
+        pa.table(
+            {
+                "iid": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                "lo": pa.array([0, 10, 10, 500, 0], pa.int64()),
+                "hi": pa.array([10, 100, 20, 400, 1000], pa.int64()),
+            }
+        )
+    )  # iid=3 is empty-range-free but unmatched; iid=4 spans everything
+
+    out = interval_join(
+        points, intervals,
+        point_column="v", start_column="lo", end_column="hi",
+        point_columns=["pid", "v"], interval_columns=["iid"],
+        bucket_width=16, num_buckets=4,
+    ).to_pandas()
+    got = sorted(zip(out["pid"], out["iid"]))
+    expect = sorted(
+        [(0, 0), (1, 0), (2, 1), (2, 2), (3, 1), (3, 2), (4, 1)]
+        + [(p, 4) for p in range(8)]  # whole-domain window: each point once
+    )
+    assert got == expect
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_interval_join_matches_bruteforce():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from basicocr_ray.stages.joins import interval_join
+
+    rng = np.random.default_rng(13)
+    pv = rng.integers(0, 10_000, size=2000).astype(np.int64)
+    lo = rng.integers(0, 9_500, size=60).astype(np.int64)
+    ln = rng.integers(1, 800, size=60).astype(np.int64)
+    hi = lo + ln
+    points = ray.data.from_arrow(
+        pa.table({"pid": pa.array(range(2000), pa.int64()),
+                  "v": pa.array(pv, pa.int64())})
+    )
+    intervals = ray.data.from_arrow(
+        pa.table({"iid": pa.array(range(60), pa.int64()),
+                  "lo": pa.array(lo, pa.int64()),
+                  "hi": pa.array(hi, pa.int64())})
+    )
+    out = interval_join(
+        points, intervals,
+        point_column="v", start_column="lo", end_column="hi",
+        point_columns=["pid"], interval_columns=["iid"],
+        bucket_width=512, num_buckets=8,
+    ).to_pandas()
+    got = sorted(zip(out["pid"], out["iid"]))
+    expect = sorted(
+        (int(p), int(i))
+        for p in range(2000)
+        for i in range(60)
+        if lo[i] <= pv[p] < hi[i]
+    )
+    assert got == expect
