@@ -165,3 +165,49 @@ def simhash(text: str, token_k: int = 4) -> int:
 
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
+
+
+class CountMinSketch:
+    """Mergeable Count-Min sketch (Cormode & Muthukrishnan 2005): d rows of
+    w counters, each keyed by an independent md5-derived hash; estimates
+    OVERCOUNT only (min over rows), so it is a sound candidate filter for
+    heavy hitters — candidates ⊇ true heavies, exact verification prunes
+    the rest. Same partial+merge discipline as HyperLogLog: one sketch per
+    batch inside map_batches, elementwise-sum merge (counts are linear),
+    zero shuffle."""
+
+    def __init__(self, width: int = 2048, depth: int = 4):
+        self.width = width
+        self.depth = depth
+        self.counts = np.zeros((depth, width), dtype=np.int64)
+
+    def _rows(self, token: str) -> np.ndarray:
+        h = hashlib.md5(token.encode("utf-8")).digest()
+        return np.array(
+            [
+                struct.unpack("<I", h[4 * i : 4 * i + 4])[0] % self.width
+                for i in range(self.depth)
+            ],
+            dtype=np.int64,
+        )
+
+    def add(self, token: str, count: int = 1) -> None:
+        idx = self._rows(token)
+        self.counts[np.arange(self.depth), idx] += count
+
+    def estimate(self, token: str) -> int:
+        idx = self._rows(token)
+        return int(self.counts[np.arange(self.depth), idx].min())
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        self.counts += other.counts
+        return self
+
+    def serialize(self) -> bytes:
+        return self.counts.tobytes()
+
+    @classmethod
+    def deserialize(cls, data: bytes, width: int = 2048, depth: int = 4):
+        s = cls(width, depth)
+        s.counts = np.frombuffer(data, dtype=np.int64).reshape(depth, width).copy()
+        return s

@@ -1073,6 +1073,84 @@ def q39_staged_extract(sf_dir: str):
     return staged.map_batches(project, batch_format="pyarrow")
 
 
+def q45_heavy_hitters(sf_dir: str):
+    """Heavy hitters via Count-Min sketch (the mergeable-sketch scale
+    path): per-batch partial sketches merge driver-side (zero shuffle,
+    HLL discipline), candidate tokens are the per-batch distincts whose
+    CMS estimate clears the threshold (CMS only OVERcounts, so candidates
+    ⊇ true heavies), and an exact count over candidates prunes false
+    positives. Output = exact (token, cnt) with cnt ≥ threshold — the
+    DuckDB twin is a plain HAVING."""
+    import ray
+
+    from basicocr_ray.core.sketches import CountMinSketch
+    from basicocr_ray.stages.wide import count_terms, token_items
+
+    THRESHOLD = 40
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        cms = CountMinSketch()
+        c = Counter()
+        for t in batch["text"].to_pylist():
+            c.update(token_items(t or ""))
+        for tok, n in c.items():
+            cms.add(tok, n)
+        return pa.table({"sketch": pa.array([cms.serialize()], pa.large_binary())})
+
+    merged = CountMinSketch()
+    for row in ds.map_batches(sketch, batch_format="pyarrow").take_all():
+        merged.merge(CountMinSketch.deserialize(row["sketch"]))
+    cms_ref = ray.put(merged.serialize())
+
+    # candidates: per-batch distinct tokens clearing the CMS bound
+    def candidates(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        cms = CountMinSketch.deserialize(_ray.get(cms_ref))
+        seen = set()
+        for t in batch["text"].to_pylist():
+            seen.update(token_items(t or ""))
+        out = sorted(tok for tok in seen if cms.estimate(tok) >= THRESHOLD)
+        return pa.table({"token": pa.array(out, pa.string())})
+
+    cand = set()
+    for row in ds.map_batches(candidates, batch_format="pyarrow").take_all():
+        cand.add(row["token"])
+    cand_ref = ray.put(frozenset(cand))
+
+    # exact verification pass restricted to candidates only
+    def cand_items(text: str) -> list[str]:
+        import ray as _ray
+
+        cs = _ray.get(cand_ref)
+        return [t for t in token_items(text) if t in cs]
+
+    counts = count_terms(ds, "text", cand_items, "token")
+    out = counts.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["cnt"], THRESHOLD)),
+        batch_format="pyarrow",
+    )
+    return out
+
+
+def q46_bottomk_sample(sf_dir: str):
+    """Deterministic distributed sampling: exact global bottom-k by
+    md5(doc_id) — partition-invariant, retry-invariant, and reproducible
+    in SQL (ORDER BY md5(id) LIMIT k), unlike RNG samplers whose output
+    depends on execution layout."""
+    from basicocr_ray.stages.sample import bottomk_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    out = bottomk_sample(ds, "doc_id", k=50)
+    return out.map_batches(
+        lambda b: pa.table({"doc_id": pc.cast(b["doc_id"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
 def q44_range_join(sf_dir: str):
     """Distributed RANGE JOIN (non-equi; the task brief's custom-operator
     example Ray Data lacks): events ⋈ maintenance windows on
@@ -1363,6 +1441,8 @@ QUERIES = {
     "q42_neardup_components": q42_neardup_components,
     "q43_video_frames": q43_video_frames,
     "q44_range_join": q44_range_join,
+    "q45_heavy_hitters": q45_heavy_hitters,
+    "q46_bottomk_sample": q46_bottomk_sample,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -1626,6 +1706,16 @@ ORACLE_SQL = {
                CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_segments
         FROM (SELECT doc_id, list_filter({_TOKS}, t -> t <> '') AS toks
               FROM documents)
+    """,
+    "q45_heavy_hitters": f"""
+        SELECT token, count(*) AS cnt FROM (
+          SELECT unnest(list_filter({_TOKS}, t -> t <> '')) AS token
+          FROM documents
+        ) GROUP BY token HAVING count(*) >= 40
+    """,
+    "q46_bottomk_sample": """
+        SELECT doc_id FROM documents
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 50
     """,
     "q44_range_join": """
         WITH base AS (SELECT min(epoch_us(ts)) AS m FROM events),

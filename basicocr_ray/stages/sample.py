@@ -30,3 +30,36 @@ def block_sample(ds, every_k: int):
         return batch.take(list(range(0, batch.num_rows, every_k)))
 
     return ds.map_batches(take, batch_format="pyarrow")
+
+
+def bottomk_sample(ds, id_column: str, k: int):
+    """Deterministic uniform sample WITHOUT replacement via bottom-k
+    hashing (the streaming/distributed sampler): every row gets the
+    md5 of its id as a rank, each batch keeps only its local bottom-k,
+    and a tiny global sort of ≤ k·num_batches survivors yields the exact
+    global bottom-k — identical on any partitioning, any retry, any
+    cluster size, and SQL-reproducible (ORDER BY md5(id) LIMIT k), unlike
+    seeded RNG samplers whose output depends on execution layout."""
+    import pyarrow.compute as pc
+
+    from basicocr_ray.core.textstats import md5_hex
+
+    def rank(batch: pa.Table) -> pa.Table:
+        ids = batch[id_column].to_pylist()
+        ranks = [md5_hex(str(i)) for i in ids]
+        t = pa.table(
+            {
+                id_column: pc.cast(batch[id_column], pa.int64()),
+                "_rank": pa.array(ranks, pa.string()),
+            }
+        )
+        order = pc.sort_indices(
+            t, sort_keys=[("_rank", "ascending"), (id_column, "ascending")]
+        )
+        return t.take(order[:k])
+
+    return (
+        ds.map_batches(rank, batch_format="pyarrow")
+        .sort(["_rank", id_column])
+        .limit(k)
+    )

@@ -236,3 +236,48 @@ def test_assign_components_many_edges_no_driver_materialization():
     out = assign_components(pairs).to_pandas()
     assert len(out) == 100_000
     assert (out["rep"] == (out["id"] // 5) * 5).all()
+
+
+def test_count_min_sketch_properties():
+    """CMS never undercounts, is linear under merge, and round-trips."""
+    from basicocr_ray.core.sketches import CountMinSketch
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    truth = {f"tok{i}": int(rng.integers(1, 50)) for i in range(500)}
+    a, b = CountMinSketch(width=1024), CountMinSketch(width=1024)
+    for i, (tok, n) in enumerate(truth.items()):
+        (a if i % 2 else b).add(tok, n)
+    m = a.merge(b)
+    for tok, n in truth.items():
+        assert m.estimate(tok) >= n  # one-sided error
+    # round-trip
+    rt = CountMinSketch.deserialize(m.serialize(), width=1024)
+    assert rt.estimate("tok0") == m.estimate("tok0")
+    # heavy hitters survive the candidate filter exactly
+    heavies = {t for t, n in truth.items() if n >= 40}
+    cand = {t for t in truth if m.estimate(t) >= 40}
+    assert heavies <= cand
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bottomk_sample_partition_invariance():
+    """Bottom-k sampling is invariant to partitioning: same ids whether
+    the input arrives as 1 block or 16."""
+    import pyarrow as pa
+    import ray.data
+
+    from basicocr_ray.stages.sample import bottomk_sample
+
+    tab = pa.table({"doc_id": pa.array(list(range(1000)), pa.int64())})
+    one = ray.data.from_arrow(tab)
+    many = ray.data.from_arrow(tab).repartition(16)
+    s1 = bottomk_sample(one, "doc_id", 25).to_pandas()["doc_id"].tolist()
+    s2 = bottomk_sample(many, "doc_id", 25).to_pandas()["doc_id"].tolist()
+    assert s1 == s2 and len(s1) == 25
+    # matches the SQL-reproducible definition
+    import hashlib
+
+    expect = sorted(range(1000), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:25]
+    assert s1 == expect
