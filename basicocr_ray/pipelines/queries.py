@@ -1151,6 +1151,63 @@ def q46_bottomk_sample(sf_dir: str):
     )
 
 
+def q47_stratified_sample(sf_dir: str):
+    """Stratified deterministic sampling: exact bottom-3 docs per language
+    by md5(doc_id) (`stages.sample.stratified_bottomk`) — per-group quota
+    sampling with partition/retry invariance, mirrored by a window-ranked
+    SQL twin."""
+    from basicocr_ray.stages.sample import stratified_bottomk
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return stratified_bottomk(ds, "lang", "doc_id", k=3)
+
+
+def q48_tf_df(sf_dir: str):
+    """Doc-term matrix with corpus document frequencies — the exact
+    integer core of TF-IDF (the log-weighted score itself is libm float;
+    its inputs hash): per-doc term frequencies from one flat pass, df per
+    token via the count_terms discipline over per-doc DISTINCT tokens,
+    broadcast back vectorized. Emits (doc_id, token, tf, df) for tf ≥ 2."""
+    import ray
+
+    from basicocr_ray.stages.wide import count_terms, token_items
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def distinct_items(text: str) -> list[str]:
+        return sorted(set(token_items(text)))
+
+    df_rows = count_terms(ds, "text", distinct_items, "token").take_all()
+    df_keys = pa.array([r["token"] for r in df_rows], pa.string())
+    df_vals = pa.array([int(r["cnt"]) for r in df_rows], pa.int64())
+    refs = ray.put((df_keys, df_vals))
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        keys, vals = ray.get(refs)
+        out_doc, out_tok, out_tf = [], [], []
+        for did, t in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            for tok, n in Counter(token_items(t or "")).items():
+                if n >= 2:
+                    out_doc.append(did)
+                    out_tok.append(tok)
+                    out_tf.append(n)
+        t_out = pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "token": pa.array(out_tok, pa.string()),
+                "tf": pa.array(out_tf, pa.int64()),
+            }
+        )
+        idx = pc.index_in(t_out["token"], value_set=keys)
+        return t_out.append_column("df", pc.take(vals, idx))
+
+    return ds.map_batches(tf_rows, batch_format="pyarrow")
+
+
 def q44_range_join(sf_dir: str):
     """Distributed RANGE JOIN (non-equi; the task brief's custom-operator
     example Ray Data lacks): events ⋈ maintenance windows on
@@ -1443,6 +1500,8 @@ QUERIES = {
     "q44_range_join": q44_range_join,
     "q45_heavy_hitters": q45_heavy_hitters,
     "q46_bottomk_sample": q46_bottomk_sample,
+    "q47_stratified_sample": q47_stratified_sample,
+    "q48_tf_df": q48_tf_df,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -1716,6 +1775,31 @@ ORACLE_SQL = {
     "q46_bottomk_sample": """
         SELECT doc_id FROM documents
         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 50
+    """,
+    "q47_stratified_sample": """
+        SELECT lang, doc_id FROM (
+          SELECT lang, doc_id,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ) AS rn
+          FROM documents
+        ) WHERE rn <= 3
+    """,
+    "q48_tf_df": f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_filter({_TOKS}, t -> t <> '')) AS token
+          FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, token, count(*) AS tf FROM toks
+          GROUP BY doc_id, token HAVING count(*) >= 2
+        ),
+        df AS (
+          SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token
+        )
+        SELECT tf.doc_id, tf.token, tf.tf, df.df
+        FROM tf JOIN df USING (token)
     """,
     "q44_range_join": """
         WITH base AS (SELECT min(epoch_us(ts)) AS m FROM events),

@@ -63,3 +63,45 @@ def bottomk_sample(ds, id_column: str, k: int):
         .sort(["_rank", id_column])
         .limit(k)
     )
+
+
+def stratified_bottomk(ds, group_column: str, id_column: str, k: int):
+    """Deterministic stratified sample: exact bottom-k by md5(id) WITHIN
+    each group (per-language / per-source quota sampling). Groups are
+    coarse-hashed cluster-wide; the per-group rank-and-head is one
+    vectorized pandas pass — same invariance guarantees as
+    `bottomk_sample`, same SQL twin (row_number over partition by group
+    order by md5(id))."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from basicocr_ray.core.textstats import md5_hex
+    from basicocr_ray.stages.dedup import _coarse_salts
+
+    salts = _coarse_salts(None)
+
+    def rank(batch: pa.Table) -> pa.Table:
+        ids = batch[id_column].to_pylist()
+        ranks = [md5_hex(str(i)) for i in ids]
+        cgs = [
+            int(md5_hex(str(g))[:8], 16) & (salts - 1)
+            for g in batch[group_column].to_pylist()
+        ]
+        return pa.table(
+            {
+                group_column: batch[group_column],
+                id_column: pc.cast(batch[id_column], pa.int64()),
+                "_rank": pa.array(ranks, pa.string()),
+                "cg": pa.array(cgs, pa.int32()),
+            }
+        )
+
+    def head_per_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([group_column, "_rank", id_column], kind="mergesort")
+        return df.groupby(group_column).head(k)[[group_column, id_column]]
+
+    return (
+        ds.map_batches(rank, batch_format="pyarrow")
+        .groupby("cg")
+        .map_groups(head_per_group, batch_format="pandas")
+    )
