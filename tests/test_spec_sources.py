@@ -130,3 +130,53 @@ def test_quality_filter_and_url_ops():
     out = OP_REGISTRY["normalize_url"](withurl, {}).to_pandas()
     assert out["norm_url"].str.startswith("http://x.org/p").all()
     assert not out["norm_url"].str.contains("utm_source").any()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_run_spec_segment_and_decode_image_ops(tmp_path):
+    """The round-2 spec ops compose through the config-driven runner."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from basicocr_ray.pipelines.spec import run_spec
+    from basicocr_ray.stages.multimodal import make_image_payload
+
+    sf = str(tmp_path)
+    vocab = {"alpha": "一丁", "beta": "丂七"}
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(
+                [vocab["alpha"] + vocab["beta"], vocab["beta"]], pa.string()
+            ),
+        }
+    )
+    pq.write_table(docs, f"{sf}/documents.parquet")
+    seg = run_spec(
+        {
+            "input": {"table": "documents"},
+            "steps": [{"op": "segment", "lexicon": sorted(vocab.values())}],
+        },
+        sf,
+    ).to_pandas().sort_values("doc_id")
+    assert seg["n_segments"].tolist() == [2, 1]
+
+    imgs = pa.table(
+        {
+            "item_id": pa.array([0, 1], pa.int64()),
+            "payload": pa.array(
+                [make_image_payload(0, 16, 8), make_image_payload(1, 20, 10)],
+                pa.large_binary(),
+            ),
+        }
+    )
+    pq.write_table(imgs, f"{sf}/images.parquet")
+    feats = run_spec(
+        {
+            "input": {"table": "images"},
+            "steps": [{"op": "decode_image"}],
+        },
+        sf,
+    ).to_pandas().sort_values("item_id")
+    assert feats["ok"].all()
+    assert feats["width"].tolist() == [16, 20]
