@@ -83,6 +83,31 @@ def bench_extract(pages_dir: str) -> dict:
     )
     from basicocr_ray.sources.pages import read_pages
 
+    # single-core calibration probe: the oracle kernel over 2000 pages on
+    # THIS process's core. Reported alongside the parallel number so any
+    # host-co-tenancy window is self-documenting — single-core rate stays
+    # flat across windows while parallel capacity swings ~2×, which is
+    # how external contention is distinguished from an engine regression.
+    import pyarrow.parquet as _pq
+
+    from basicocr_ray.core.oracle import extract_one
+
+    probe = _pq.read_table(
+        sorted(
+            os.path.join(pages_dir, f)
+            for f in os.listdir(pages_dir)
+            if f.endswith(".parquet")
+        )[0],
+        columns=["html"],
+    ).slice(0, 2000)
+    htmls = probe["html"].to_pylist()
+    for h in htmls[:200]:
+        extract_one(h)  # warm the interpreter paths
+    t0 = time.perf_counter()
+    for h in htmls:
+        extract_one(h)
+    kernel_rate = round(len(htmls) / (time.perf_counter() - t0), 1)
+
     # warm-up: spawn the worker pool + import the library in every worker
     # (untimed — measures the pipeline, not Python process cold-start)
     build_extract_ds(read_pages(pages_dir).limit(2000)).count()
@@ -102,6 +127,7 @@ def bench_extract(pages_dir: str) -> dict:
         "n_docs": stats["n_rows"],
         "docs_per_sec": round(stats["n_rows"] / sec, 1),
         "input_mb_per_sec": round(n_bytes / 1e6 / sec, 1),
+        "kernel_docs_per_sec_1core": kernel_rate,
     }
 
 
@@ -179,6 +205,12 @@ def main() -> None:
                 f"docs_per_sec_{lo_n}": lo["extract"]["docs_per_sec"],
                 f"docs_per_sec_{hi_n}": hi["extract"]["docs_per_sec"],
             }
+        kernel_rates = [
+            r["extract"]["kernel_docs_per_sec_1core"]
+            for rs in samples.values()
+            for r in rs
+            if "kernel_docs_per_sec_1core" in r.get("extract", {})
+        ]
         print(
             json.dumps(
                 {
@@ -186,6 +218,11 @@ def main() -> None:
                     "value": pairs["4_to_16"]["efficiency"],
                     "unit": "ratio",
                     "pairs": pairs,
+                    "kernel_1core_min_max": (
+                        [min(kernel_rates), max(kernel_rates)]
+                        if kernel_rates
+                        else None
+                    ),
                     "note": (
                         "levels affinity-pinned to N cores; 4->16 is the "
                         "criterion pair (per-node DRAM bandwidth scales on "
