@@ -228,3 +228,28 @@ def test_fragment_count_bounded(fixture_pages, tmp_path):
     # each spill call writes ≤ P fragments; with 800 rows and 32k-row spill
     # batches there are only a handful of calls
     assert stats["n_fragments"] <= DEFAULT_CONFIG.num_partitions * 8
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_custom_partition_count(fixture_pages, tmp_path):
+    """The partition knob generalizes: P=7 produces 7 manifests, full
+    row coverage, and intact byte-identity."""
+    import ray.data
+
+    from basicocr_ray.pipelines.extract_pipeline import run_extract_job
+
+    out = str(tmp_path / "out7")
+    stats = run_extract_job(
+        fixture_pages, out, cfg=ExtractConfig(num_partitions=7)
+    )
+    assert stats["partitions_computed"] == 7
+    assert stats["n_rows"] == 800
+    got = ray.data.read_parquet(out, columns=["url", "main_text"]).to_pandas()
+    assert len(got) == 800
+    expected = _expected_map(fixture_pages)
+    checked = 0
+    for url, text in zip(got["url"], got["main_text"]):
+        if url in expected and (got["url"] == url).sum() == 1:
+            assert text == expected[url]
+            checked += 1
+    assert checked >= 770
