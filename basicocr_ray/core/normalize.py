@@ -46,4 +46,21 @@ def collapse_ws(text: str) -> str:
     """Browser-like whitespace folding: runs of whitespace → one space,
     stripped at both ends. Part of the byte-identity contract — shared by
     oracle and pipeline, never batch-dependent."""
+    # fast path: ASCII text already in folded form (no non-space
+    # whitespace, no runs, no edge spaces) returns unchanged — five C
+    # substring scans beat one regex sub on the hot extraction kernel.
+    # isascii() gates the shortcut so U+00A0/U+2028/U+2029/U+3000 (in
+    # _WS_RE but invisible to these checks) always take the regex path.
+    if (
+        text.isascii()
+        and "  " not in text
+        and "\t" not in text
+        and "\n" not in text
+        and "\r" not in text
+        and "\f" not in text
+        and "\v" not in text
+        and text[:1] != " "
+        and text[-1:] != " "
+    ):
+        return text
     return _WS_RE.sub(" ", text).strip()

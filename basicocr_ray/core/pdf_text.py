@@ -59,10 +59,15 @@ def _unescape_literal(raw: bytes) -> bytes:
                 out += _ESCAPES[nxt]
                 i += 2
                 continue
-            if nxt.isdigit():  # octal \ooo (1-3 digits)
+            # octal \ooo (1-3 digits; PDF spec digits are 0-7 only — \8
+            # or \9 is a malformed escape and falls through to the
+            # literal-char branch instead of raising in int(_, 8))
+            if nxt in b"01234567":
                 j = i + 1
                 digits = b""
-                while j < n and len(digits) < 3 and raw[j : j + 1].isdigit():
+                while (
+                    j < n and len(digits) < 3 and raw[j : j + 1] in b"01234567"
+                ):
                     digits += raw[j : j + 1]
                     j += 1
                 out.append(int(digits, 8) & 0xFF)

@@ -31,13 +31,15 @@ from basicocr_ray.config import (
 from basicocr_ray.core.normalize import collapse_ws
 
 # One scan: comments, doctype/CDATA/processing instructions, and tags.
-# Group 1 = "/" for closing tags, group 2 = tag name (None for non-tags).
+# Single capture group (tag name, None for non-tags) — closing slash and
+# self-closing tail are read by direct text indexing around m.span(),
+# which is measurably cheaper than two more capture groups per match.
 _TAG_RE = re.compile(
-    r"""<!--.*?(?:-->|\Z)          # comment (unterminated → to EOF)
+    r"""</?([a-zA-Z][a-zA-Z0-9:_\-]*)(?:"[^"]*"|'[^']*'|[^>"'])*>  # tag (first: ~99% of matches; the <! / <? forms can never match it, so order is correctness-neutral)
+      | <!--.*?(?:-->|\Z)          # comment (unterminated → to EOF)
       | <!\[CDATA\[.*?(?:\]\]>|\Z) # CDATA
       | <![^>]*>                   # doctype / other declarations
       | <\?[^>]*>                  # processing instruction
-      | <(/?)([a-zA-Z][a-zA-Z0-9:_\-]*)((?:"[^"]*"|'[^']*'|[^>"'])*)>
     """,
     re.S | re.X,
 )
@@ -70,6 +72,34 @@ def _unescape(raw: str) -> str:
     return _htmllib.unescape(raw)
 
 
+# One dict lookup dispatches a tag to all four role sets at once (the four
+# frozenset probes per tag were ~10% of kernel time).
+_F_BLOCK, _F_DROP, _F_VOID, _F_RAW = 1, 2, 4, 8
+_TAG_FLAGS: dict[str, int] = {}
+for _t in BLOCK_TAGS:
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _F_BLOCK
+for _t in DROP_TAGS:
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _F_DROP
+for _t in VOID_TAGS:
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _F_VOID
+for _t in RAW_TEXT_TAGS:
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _F_RAW
+
+
+def _self_closing_at(text: str, mend: int) -> bool:
+    """Trailing-/ detection by direct indexing (``mend`` = match end, one
+    past the ``>``): the dominant tags end in a letter or quote — one char
+    compare decides; the whitespace walk only runs on ``/ >`` tails. Never
+    walks past the tag name (a letter/quote/digit stops it)."""
+    c = text[mend - 2]
+    if c == "/":
+        return True
+    while c in " \t\n\r\f\v":
+        mend -= 1
+        c = text[mend - 2]
+    return c == "/"
+
+
 def tokenize_html(text: str, cfg: ExtractConfig = DEFAULT_CONFIG) -> list[Block]:
     """Lex an HTML document into its ordered list of text blocks.
 
@@ -90,64 +120,54 @@ def tokenize_html(text: str, cfg: ExtractConfig = DEFAULT_CONFIG) -> list[Block]
     cur_tag = "body"               # block container that opened the block
     pos = 0
     n = len(text)
+    collapse = cfg.collapse_whitespace
+    flags_get = _TAG_FLAGS.get
+    unescape = _htmllib.unescape
 
     def flush() -> None:
         nonlocal pieces, link_chars, inline_tags
-        if pieces:
-            joined = "".join(pieces)
-            folded = collapse_ws(joined) if cfg.collapse_whitespace else joined
-            if folded:
-                blocks.append(
-                    Block(
-                        block_id=len(blocks),
-                        tag=cur_tag,
-                        tag_path="/".join(stack) or "html",
-                        text=folded,
-                        n_chars=len(folded),
-                        n_tags=inline_tags,
-                        # link chars are counted pre-folding; clamp to text len
-                        n_link_chars=min(link_chars, len(folded)),
-                    )
+        joined = "".join(pieces)
+        folded = collapse_ws(joined) if collapse else joined
+        if folded:
+            blocks.append(
+                Block(
+                    block_id=len(blocks),
+                    tag=cur_tag,
+                    tag_path="/".join(stack) or "html",
+                    text=folded,
+                    n_chars=len(folded),
+                    n_tags=inline_tags,
+                    # link chars are counted pre-folding; clamp to text len
+                    n_link_chars=min(link_chars, len(folded)),
                 )
+            )
         pieces = []
         link_chars = 0
         inline_tags = 0
 
-    while pos < n:
-        m = _TAG_RE.search(text, pos)
-        if m is None:
-            raw = text[pos:]
-            if raw and drop_depth == 0:
-                piece = _unescape(raw)
-                pieces.append(piece)
-                if a_depth > 0:
-                    # raw piece length (pre-fold): cheap and clamped later
-                    link_chars += len(piece)
-            break
-        mstart = m.start()
+    # finditer walks the document once; matches inside a skipped raw-text
+    # region (pos jumped past them) cost one span() compare each
+    for m in _TAG_RE.finditer(text):
+        mstart, mend = m.span()
+        if mstart < pos:
+            continue
         if mstart > pos:
-            raw = text[pos:mstart]
             if drop_depth == 0:
-                piece = _unescape(raw)
+                raw = text[pos:mstart]
+                piece = raw if "&" not in raw else unescape(raw)
                 pieces.append(piece)
                 if a_depth > 0:
                     link_chars += len(piece)
-        pos = m.end()
-        # single C call for all three groups; avoid allocations on the
-        # (dominant) already-lowercase / no-trailing-slash paths
-        closing_slash, name, attrs = m.group(1, 2, 3)
+        pos = mend
+        name = m.group(1)
         if name is None:  # comment / doctype / CDATA / PI
             continue
         if not name.islower():
             name = name.lower()
-        closing = closing_slash == "/"
-        if attrs:
-            self_closing = attrs[-1] == "/" or attrs.rstrip().endswith("/")
-        else:
-            self_closing = False
-            attrs = ""
+        closing = text[mstart + 1] == "/"
+        flags = flags_get(name, 0)
 
-        if not closing and name in RAW_TEXT_TAGS and not self_closing:
+        if flags & _F_RAW and not closing and not _self_closing_at(text, mend):
             # skip raw content to the matching close tag (case-insensitive)
             if lower is None:
                 lower = text.lower()
@@ -159,9 +179,16 @@ def tokenize_html(text: str, cfg: ExtractConfig = DEFAULT_CONFIG) -> list[Block]
                 pos = n if gt == -1 else gt + 1
             continue
 
-        if name in BLOCK_TAGS:
-            flush()
-            if name in VOID_TAGS or self_closing:
+        if flags & _F_BLOCK:
+            if pieces:
+                flush()
+            else:
+                link_chars = 0
+                inline_tags = 0
+            c = text[mend - 2]
+            if flags & _F_VOID or c == "/" or (
+                c in " \t\n\r\f\v" and _self_closing_at(text, mend)
+            ):
                 continue
             if closing:
                 if name in stack:
@@ -174,7 +201,7 @@ def tokenize_html(text: str, cfg: ExtractConfig = DEFAULT_CONFIG) -> list[Block]
                             break
             else:
                 stack.append(name)
-                if name in DROP_TAGS:
+                if flags & _F_DROP:
                     drop_depth += 1
                 cur_tag = name
         else:
@@ -182,16 +209,28 @@ def tokenize_html(text: str, cfg: ExtractConfig = DEFAULT_CONFIG) -> list[Block]
             if name == "a":
                 if closing:
                     a_depth = max(0, a_depth - 1)
-                elif not self_closing:
-                    a_depth += 1
+                else:
+                    c = text[mend - 2]
+                    if c != "/" and not (
+                        c in " \t\n\r\f\v" and _self_closing_at(text, mend)
+                    ):
+                        a_depth += 1
             if not closing and drop_depth == 0:
                 inline_tags += 1
-            if name in DROP_TAGS:
+            if flags & _F_DROP:
                 # inline-listed drop tags (svg, video, ...) without block role
                 if closing:
                     drop_depth = max(0, drop_depth - 1)
-                elif not self_closing and name not in VOID_TAGS:
+                elif not _self_closing_at(text, mend) and not flags & _F_VOID:
                     drop_depth += 1
 
+    if pos < n:
+        if drop_depth == 0:
+            raw = text[pos:]
+            piece = raw if "&" not in raw else unescape(raw)
+            pieces.append(piece)
+            if a_depth > 0:
+                # raw piece length (pre-fold): cheap and clamped later
+                link_chars += len(piece)
     flush()
     return blocks

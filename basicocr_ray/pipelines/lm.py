@@ -152,19 +152,28 @@ class BackoffBigramLM:
         return lp / len(tokens)
 
 
-def fit_backoff_lm(
-    docs_ds,
-    text_column: str = "text",
-    max_vocab: int | None = None,
-    min_count: int = 1,
-) -> BackoffBigramLM:
-    """Distributed counts + distributed COUNT-OF-COUNTS (n1, n2: bigrams
-    seen exactly once/twice — a second tiny partial+final aggregate over
-    the count table, never over the corpus) → discounted backoff model."""
+def _pruned_counts(counts_ds, key: str, min_count: int, max_vocab: int | None):
+    """Distributed prune of a (key, cnt) table: frequency floor +
+    top-K by (cnt desc, key asc — deterministic ties). Returns a Dataset;
+    nothing reaches the driver here."""
     import pyarrow.compute as _pc
 
-    bi_counts = count_terms(docs_ds, text_column, make_ngram_items(2), "bigram")
-    bi_counts = bi_counts.materialize()  # reused: count-of-counts + table
+    if min_count > 1:
+        counts_ds = counts_ds.map_batches(
+            lambda b: b.filter(_pc.greater_equal(b["cnt"], min_count)),
+            batch_format="pyarrow",
+        )
+    if max_vocab is not None:
+        counts_ds = counts_ds.sort(
+            ["cnt", key], descending=[True, False]
+        ).limit(max_vocab)
+    return counts_ds
+
+
+def _count_of_counts(counts_ds) -> tuple[int, int]:
+    """(n1, n2): keys seen exactly once/twice — a tiny partial+final
+    aggregate over the COUNT table, never over the corpus."""
+    import pyarrow.compute as _pc
 
     def coc(batch: pa.Table) -> pa.Table:
         c = batch["cnt"]
@@ -181,32 +190,50 @@ def fit_backoff_lm(
             }
         )
 
-    coc_ds = bi_counts.map_batches(coc, batch_format="pyarrow")
-    n1 = coc_ds.sum("n1") or 0
-    n2 = coc_ds.sum("n2") or 0
+    coc_ds = counts_ds.map_batches(coc, batch_format="pyarrow")
+    return int(coc_ds.sum("n1") or 0), int(coc_ds.sum("n2") or 0)
 
-    def bounded(counts_ds, key: str):
-        if min_count > 1:
-            counts_ds = counts_ds.map_batches(
-                lambda b: b.filter(_pc.greater_equal(b["cnt"], min_count)),
-                batch_format="pyarrow",
-            )
-        if max_vocab is not None:
-            counts_ds = counts_ds.sort(
-                ["cnt", key], descending=[True, False]
-            ).limit(max_vocab)
-        return counts_ds.take_all()
 
-    uni_rows = bounded(
-        count_terms(docs_ds, text_column, token_items, "token"), "token"
-    )
-    bi_rows = bounded(bi_counts, "bigram")
-    return BackoffBigramLM(
+def fit_backoff_lm(
+    docs_ds,
+    text_column: str = "text",
+    max_vocab: int | None = None,
+    min_count: int = 1,
+    _return_counts: bool = False,
+):
+    """Distributed counts + distributed COUNT-OF-COUNTS (n1, n2: bigrams
+    seen exactly once/twice — a second tiny partial+final aggregate over
+    the count table, never over the corpus) → discounted backoff model.
+
+    With ``_return_counts=True`` also returns the PRUNED bigram-count
+    Dataset (materialized) so downstream fits (Kneser–Ney) reuse it
+    instead of re-scanning the corpus."""
+    bi_counts = count_terms(docs_ds, text_column, make_ngram_items(2), "bigram")
+    bi_counts = bi_counts.materialize()  # reused: count-of-counts + table
+
+    # D's count-of-counts comes from the UNPRUNED table by construction:
+    # n1 counts bigrams seen exactly once — the very rows a min_count
+    # floor would delete.
+    n1, n2 = _count_of_counts(bi_counts)
+
+    bi_pruned = _pruned_counts(bi_counts, "bigram", min_count, max_vocab)
+    if min_count > 1 or max_vocab is not None:
+        bi_pruned = bi_pruned.materialize()
+
+    uni_rows = _pruned_counts(
+        count_terms(docs_ds, text_column, token_items, "token"),
+        "token", min_count, max_vocab,
+    ).take_all()
+    bi_rows = bi_pruned.take_all()
+    model = BackoffBigramLM(
         {r["token"]: int(r["cnt"]) for r in uni_rows},
         {r["bigram"]: int(r["cnt"]) for r in bi_rows},
-        int(n1),
-        int(n2),
+        n1,
+        n2,
     )
+    if _return_counts:
+        return model, bi_pruned
+    return model
 
 
 class KneserNeyBigramLM(BackoffBigramLM):
@@ -247,46 +274,182 @@ class KneserNeyBigramLM(BackoffBigramLM):
         return (self.cont.get(w, 0) + 1) / (self.n_bigram_types + self.vocab_size)
 
 
+_KN_DEFAULT_MAX_VOCAB = 1_000_000
+
+
 def fit_kneser_ney_lm(
     docs_ds,
     text_column: str = "text",
-    max_vocab: int | None = None,
+    max_vocab: int | None = _KN_DEFAULT_MAX_VOCAB,
     min_count: int = 1,
 ) -> KneserNeyBigramLM:
-    """Backoff fit + one more distributed pass: continuation counts
-    N1+(· w) via a coarse-grouped row-count over the bigram-type table
-    (no corpus re-scan — the count table's rows ARE the distinct types)."""
-    import pyarrow.compute as _pc
-
-    base = fit_backoff_lm(
-        docs_ds, text_column, max_vocab=max_vocab, min_count=min_count
+    """Backoff fit + continuation counts N1+(· w) derived from the SAME
+    pruned, materialized bigram-count table the backoff fit built — no
+    corpus re-scan (the count table's rows ARE the distinct types), and
+    continuation counts are consistent with the pruned base counts
+    whenever pruning is enabled. The reduce is the house `count_terms`
+    partial+final over the count table (each bigram-type row contributes
+    1 to its w2), not a driver-side dict loop; only the ≤ max_vocab
+    result rows reach the driver — boundedness is enforced by the KN
+    path's default ``max_vocab`` (a no-op below 10⁶ types)."""
+    base, bi_pruned = fit_backoff_lm(
+        docs_ds, text_column, max_vocab=max_vocab, min_count=min_count,
+        _return_counts=True,
     )
 
-    def w2_partial(batch: pa.Table) -> pa.Table:
-        # each bigram-type row contributes 1 to its w2's continuation count
-        from collections import Counter
-
-        c = Counter(
-            b.split(" ", 1)[1] for b in batch["bigram"].to_pylist()
-        )
-        return pa.table(
-            {
-                "w2": pa.array(list(c.keys()), pa.string()),
-                "n": pa.array(list(c.values()), pa.int64()),
-            }
-        )
-
-    bi_counts = count_terms(docs_ds, text_column, make_ngram_items(2), "bigram")
-    n_types = 0
-    cont: dict[str, int] = {}
-    for row in (
-        bi_counts.map_batches(w2_partial, batch_format="pyarrow").take_all()
-    ):
-        cont[row["w2"]] = cont.get(row["w2"], 0) + int(row["n"])
-        n_types += int(row["n"])
+    cont_rows = count_terms(
+        bi_pruned, "bigram", lambda b: [b.split(" ", 1)[1]], "w2"
+    ).take_all()
+    cont = {r["w2"]: int(r["cnt"]) for r in cont_rows}
+    n_types = sum(cont.values())
     lm = KneserNeyBigramLM(base.uni, base.bi, 1, 1, cont, n_types)
     lm.discount = base.discount  # reuse the count-of-counts estimate
     return lm
+
+
+class KneserNeyTrigramLM:
+    """Interpolated Kneser–Ney TRIGRAM LM — the reference's `make-big-lm`
+    target order (`docs/yangzhanku/n-gram/language-model.md:192-197`
+    prescribes sharded counts merged into one big discounted LM; Chen &
+    Goodman 1998 for the interpolated-KN recursion):
+
+        P(w3|w1 w2) = max(c(w1w2w3) − D3, 0)/c(w1w2)
+                      + D3·N1+(w1w2 ·)/c(w1w2) · P(w3|w2)
+
+    with the bigram layer P(w3|w2) the interpolated-KN bigram of
+    `KneserNeyBigramLM` (absolute discount + continuation-probability
+    backoff). D3 comes from the trigram table's own count-of-counts;
+    N1+(w1w2 ·) — distinct continuations per history — is derived from
+    the trigram-TYPE table (each count row is one distinct type). Unseen
+    (w1, w2) histories back off fully to the bigram layer, so every
+    probability is positive and the conditional sums to 1 over the
+    vocabulary."""
+
+    def __init__(
+        self,
+        bigram_lm: KneserNeyBigramLM,
+        trigram_counts: dict[str, int],
+        n1_tri: int,
+        n2_tri: int,
+    ):
+        self.bg = bigram_lm
+        self.tri = dict(trigram_counts)
+        d = n1_tri + 2 * n2_tri
+        self.discount3 = n1_tri / d if d > 0 else 0.5
+        # N1+(w1 w2 ·): distinct continuations per trigram history
+        self.n_cont3: dict[str, int] = {}
+        for key in self.tri:
+            hist = key.rsplit(" ", 1)[0]
+            self.n_cont3[hist] = self.n_cont3.get(hist, 0) + 1
+
+    def p_trigram(self, w1: str, w2: str, w3: str) -> float:
+        hist = w1 + " " + w2
+        c12 = self.bg.bi.get(hist, 0)
+        if c12 == 0:
+            return self.bg.p_bigram(w2, w3)
+        c123 = self.tri.get(hist + " " + w3, 0)
+        lam = self.discount3 * self.n_cont3.get(hist, 0) / c12
+        return (
+            max(c123 - self.discount3, 0.0) / c12
+            + lam * self.bg.p_bigram(w2, w3)
+        )
+
+    def score(self, tokens: list[str]) -> float:
+        """Mean per-token log-probability (length-normalized); the first
+        two tokens score through the lower orders."""
+        if not tokens:
+            return 0.0
+        lp = math.log(self.bg.p_unigram(tokens[0]))
+        if len(tokens) > 1:
+            lp += math.log(self.bg.p_bigram(tokens[0], tokens[1]))
+        for a, b, c in zip(tokens, tokens[1:], tokens[2:]):
+            lp += math.log(self.p_trigram(a, b, c))
+        return lp / len(tokens)
+
+
+def fit_trigram_lm(
+    docs_ds,
+    text_column: str = "text",
+    max_vocab: int | None = _KN_DEFAULT_MAX_VOCAB,
+    min_count: int = 1,
+) -> KneserNeyTrigramLM:
+    """KN bigram fit (its own distributed counts) + ONE more distributed
+    count pass for trigrams (`make_ngram_items(3)` through the same
+    partial+final `count_terms` shape — the reference's per-shard
+    `ngram-count` → `merge-batch-counts` at order 3), with the trigram
+    count-of-counts aggregated over the count table. Broadcast size is
+    bounded by the same distributed min_count/max_vocab prune."""
+    bigram_lm = fit_kneser_ney_lm(
+        docs_ds, text_column, max_vocab=max_vocab, min_count=min_count
+    )
+
+    tri_counts = count_terms(
+        docs_ds, text_column, make_ngram_items(3), "trigram"
+    ).materialize()
+    n1_tri, n2_tri = _count_of_counts(tri_counts)
+    tri_rows = _pruned_counts(
+        tri_counts, "trigram", min_count, max_vocab
+    ).take_all()
+    return KneserNeyTrigramLM(
+        bigram_lm,
+        {r["trigram"]: int(r["cnt"]) for r in tri_rows},
+        n1_tri,
+        n2_tri,
+    )
+
+
+class TrigramScorer:
+    """Actor-pool trigram scorer (A5 at order 3): model fetched from the
+    object store once per actor, applied per batch. Emits the
+    libm-independent integer evidence (n_tokens, summed corpus trigram
+    counts) alongside the float score — the q49 hash checks the integers,
+    mirroring q32's discipline."""
+
+    def __init__(self, model_ref, text_column: str = "text", id_column: str = "doc_id"):
+        import ray
+
+        self.lm: KneserNeyTrigramLM = ray.get(model_ref) if isinstance(
+            model_ref, ray.ObjectRef
+        ) else model_ref
+        self.text_column = text_column
+        self.id_column = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_column].to_pylist()
+        scores, n_tokens, sum_tri = [], [], []
+        tri = self.lm.tri
+        for t in batch[self.text_column].to_pylist():
+            toks = (t or "").lower().split()
+            scores.append(round(self.lm.score(toks), 6))
+            n_tokens.append(len(toks))
+            sum_tri.append(
+                sum(
+                    tri.get(a + " " + b + " " + c, 0)
+                    for a, b, c in zip(toks, toks[1:], toks[2:])
+                )
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lm_score": pa.array(scores, pa.float64()),
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "sum_trigram_count": pa.array(sum_tri, pa.int64()),
+            }
+        )
+
+
+def score_documents_trigram(docs_ds, model: KneserNeyTrigramLM, concurrency: int = 2):
+    """docs → (doc_id, lm_score, n_tokens, sum_trigram_count) via
+    broadcast model + actor pool."""
+    import ray
+
+    ref = ray.put(model)
+    return docs_ds.map_batches(
+        TrigramScorer,
+        fn_constructor_kwargs={"model_ref": ref},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
 
 
 class LMScorer:

@@ -206,8 +206,19 @@ def q05_events_hourly(sf_dir: str):
         g = df.groupby(["hour", "event_type"], as_index=False).agg(
             n=("value", "size"), sum_value=("value", "sum")
         )
-        # any deterministic function of the key works as the coarse group
-        g["cg"] = (g["hour"].astype("int64") % salts).astype("int32")
+        # Coarse group = cross-process-stable hash of the FULL key.
+        # (Round-2 used hour_ns % salts — degenerate: hour timestamps are
+        # multiples of 3600e9 = 2^13·3^2·5^11, so every power-of-two salt
+        # ≤ 8192 divides them and ALL partials landed in group 0, i.e. one
+        # final task. hash_pandas_object uses SipHash with a fixed default
+        # key, so the same (hour, event_type) maps to the same group on
+        # every worker.)
+        g["cg"] = (
+            pd.util.hash_pandas_object(
+                g[["hour", "event_type"]], index=False
+            )
+            % salts
+        ).astype("int32")
         return g
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
@@ -709,7 +720,13 @@ def q22_minhash_neardup(sf_dir: str):
     )
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    pairs = minhash_candidate_pairs(ds, "doc_id", "text", num_bands=32)
+    # hot_bucket_mode="full": q22's contract is the EXACT pair set of the
+    # brute-force oracle, so a >max_bucket_size bucket must expand all its
+    # pairs — the default "star" economization is for component-style
+    # consumers (q42) and would silently drop true near-dup pairs here.
+    pairs = minhash_candidate_pairs(
+        ds, "doc_id", "text", num_bands=32, hot_bucket_mode="full"
+    )
     verified = verify_pairs_jaccard_join(
         pairs, ds, "doc_id", "text", threshold=0.8
     )
@@ -1167,9 +1184,12 @@ def q48_tf_df(sf_dir: str):
     integer core of TF-IDF (the log-weighted score itself is libm float;
     its inputs hash): per-doc term frequencies from one flat pass, df per
     token via the count_terms discipline over per-doc DISTINCT tokens,
-    broadcast back vectorized. Emits (doc_id, token, tf, df) for tf ≥ 2."""
-    import ray
-
+    attached via a BUCKETED HASH JOIN on the token (string keys bucket by
+    a stable hash) — the df relation never touches the driver, so an
+    open-vocabulary corpus stays bounded (the round-2 formulation
+    `take_all()`'d the whole (token, df) table and broadcast it). Emits
+    (doc_id, token, tf, df) for tf ≥ 2."""
+    from basicocr_ray.stages.joins import bucketed_hash_join
     from basicocr_ray.stages.wide import count_terms, token_items
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1177,15 +1197,14 @@ def q48_tf_df(sf_dir: str):
     def distinct_items(text: str) -> list[str]:
         return sorted(set(token_items(text)))
 
-    df_rows = count_terms(ds, "text", distinct_items, "token").take_all()
-    df_keys = pa.array([r["token"] for r in df_rows], pa.string())
-    df_vals = pa.array([int(r["cnt"]) for r in df_rows], pa.int64())
-    refs = ray.put((df_keys, df_vals))
+    df_ds = count_terms(ds, "text", distinct_items, "token").map_batches(
+        lambda b: pa.table({"token": b["token"], "df": b["cnt"]}),
+        batch_format="pyarrow",
+    )
 
     def tf_rows(batch: pa.Table) -> pa.Table:
         from collections import Counter
 
-        keys, vals = ray.get(refs)
         out_doc, out_tok, out_tf = [], [], []
         for did, t in zip(
             batch["doc_id"].to_pylist(), batch["text"].to_pylist()
@@ -1195,17 +1214,96 @@ def q48_tf_df(sf_dir: str):
                     out_doc.append(did)
                     out_tok.append(tok)
                     out_tf.append(n)
-        t_out = pa.table(
+        return pa.table(
             {
                 "doc_id": pa.array(out_doc, pa.int64()),
                 "token": pa.array(out_tok, pa.string()),
                 "tf": pa.array(out_tf, pa.int64()),
             }
         )
-        idx = pc.index_in(t_out["token"], value_set=keys)
-        return t_out.append_column("df", pc.take(vals, idx))
 
-    return ds.map_batches(tf_rows, batch_format="pyarrow")
+    tf_ds = ds.map_batches(tf_rows, batch_format="pyarrow")
+    return bucketed_hash_join(
+        tf_ds, df_ds, "token", ["doc_id", "tf"], ["df"]
+    ).select_columns(["doc_id", "token", "tf", "df"])
+
+
+def q49_trigram_lm_score(sf_dir: str):
+    """TRIGRAM interpolated-KN LM fit (distributed order-3 counts through
+    the same partial+final count/merge as q32's bigram pipeline — the
+    reference's `make-big-lm` at its real order) + broadcast actor-pool
+    scoring. Hashable result: the exact integer evidence (token count +
+    summed corpus trigram counts per doc); the libm log-prob stays out of
+    the hash (KN semantics unit-tested in tests/test_multimodal_lm.py)."""
+    from basicocr_ray.pipelines.lm import fit_trigram_lm, score_documents_trigram
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    lm = fit_trigram_lm(ds)
+    return score_documents_trigram(ds, lm).select_columns(
+        ["doc_id", "n_tokens", "sum_trigram_count"]
+    )
+
+
+def q50_conformance_accuracy(sf_dir: str):
+    """Held-out conformance accuracy as a driver-checked query (G2 — the
+    reference's exact-match eval, `contrib/crnn/crnn_main.py:181-190`,
+    n_correct/total over decoded vs ground-truth strings): every
+    doc_id ≡ 0 (mod 7) gets a deterministic corruption planted in its
+    page, the FULL extraction runs, extracted text is BUCKET-JOINED back
+    to the `documents` ground truth (two fact-scale sides — the J4/G2
+    composition under one driver hash), and per-lang exact-match counts
+    roll up via partial+final. The DuckDB twin predicts the outcome
+    analytically: corrupted docs mismatch, every other doc matches
+    byte-identically — the flagship invariant q13 proves per-row."""
+    from basicocr_ray.stages.joins import bucketed_hash_join
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def wrap_extract(batch: pa.Table) -> pa.Table:
+        texts = [
+            (t or "") + " __corrupt__" if i % 7 == 0 else (t or "")
+            for i, t in zip(
+                batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+            )
+        ]
+        pages = docs_to_pages_batch(
+            pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "text": pa.array(texts, pa.string()),
+                    "lang": batch["lang"],
+                }
+            ),
+            chunked=False,
+        )
+        ext = extract_batch(pages, ExtractConfig())
+        return pa.table(
+            {"doc_id": pages["doc_id"], "main_text": ext["main_text"]}
+        )
+
+    extracted = ds.map_batches(wrap_extract, batch_format="pyarrow")
+    joined = bucketed_hash_join(
+        extracted, ds, "doc_id", ["main_text"], ["text", "lang"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df["_ok"] = (df["main_text"] == df["text"]).astype("int64")
+        g = df.groupby("lang", as_index=False).agg(
+            n_docs=("_ok", "size"), n_exact=("_ok", "sum")
+        )
+        return g
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("lang", as_index=False)[["n_docs", "n_exact"]].sum()
+        return out.astype({"n_docs": "int64", "n_exact": "int64"})
+
+    # lang is low-cardinality: the partial shrinks each bucket's rows to
+    # ≤|langs|, the final groupby shuffles only those partials
+    return (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(final, batch_format="pandas")
+    )
 
 
 def q44_range_join(sf_dir: str):
@@ -1425,10 +1523,18 @@ def q40_cjk_segment(sf_dir: str):
         r["token"]
         for r in count_terms(ds, "text", token_items, "token").take_all()
     )
-    mapping = {
-        tok: chr(0x4E00 + 2 * i) + chr(0x4E00 + 2 * i + 1)
-        for i, tok in enumerate(vocab)
-    }
+    def glyph_pair(i: int) -> str:
+        # Two consecutive codepoints per token starting at U+4E00, hopping
+        # over the UTF-16 surrogate block U+D800–U+DFFF (unpaired
+        # surrogates are not Unicode scalar values — pyarrow's string
+        # conversion raises — and the naive 0x4E00+2i walk reaches the
+        # block at i >= 17664, i.e. any vocabulary above ~17.6k tokens).
+        base = 0x4E00 + 2 * i
+        if base >= 0xD800:
+            base += 0x800
+        return chr(base) + chr(base + 1)
+
+    mapping = {tok: glyph_pair(i) for i, tok in enumerate(vocab)}
     map_ref = ray.put(mapping)
 
     def make_zh(batch: pa.Table) -> pa.Table:
@@ -1502,6 +1608,8 @@ QUERIES = {
     "q46_bottomk_sample": q46_bottomk_sample,
     "q47_stratified_sample": q47_stratified_sample,
     "q48_tf_df": q48_tf_df,
+    "q49_trigram_lm_score": q49_trigram_lm_score,
+    "q50_conformance_accuracy": q50_conformance_accuracy,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -1800,6 +1908,34 @@ ORACLE_SQL = {
         )
         SELECT tf.doc_id, tf.token, tf.tf, df.df
         FROM tf JOIN df USING (token)
+    """,
+    "q49_trigram_lm_score": f"""
+        WITH toks AS (
+          SELECT doc_id, list_filter({_TOKS}, t -> t <> '') AS toks
+          FROM documents
+        ),
+        tg AS (
+          SELECT doc_id, unnest(list_transform(
+            range(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+          )) AS trigram
+          FROM toks
+        ),
+        cnt AS (SELECT trigram, count(*) AS c FROM tg GROUP BY trigram),
+        per_doc AS (
+          SELECT tg.doc_id, CAST(sum(cnt.c) AS BIGINT) AS sum_trigram_count
+          FROM tg JOIN cnt USING (trigram) GROUP BY tg.doc_id
+        )
+        SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+               COALESCE(p.sum_trigram_count, 0) AS sum_trigram_count
+        FROM toks t LEFT JOIN per_doc p USING (doc_id)
+    """,
+    "q50_conformance_accuracy": """
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(*) FILTER (WHERE doc_id % 7 <> 0) AS BIGINT)
+                 AS n_exact
+        FROM documents GROUP BY lang
     """,
     "q44_range_join": """
         WITH base AS (SELECT min(epoch_us(ts)) AS m FROM events),

@@ -244,7 +244,12 @@ def minhash_candidate_pairs(
     the n−1 pairs linking every member to the bucket's minimum id, which
     preserves the connected component the bucket represents (downstream
     ``assign_components`` reconstructs the cluster) at linear cost.
-    ``"drop"`` restores the round-1 behavior of emitting nothing."""
+    ``"drop"`` restores the round-1 behavior of emitting nothing.
+    ``"full"`` expands every pair regardless of bucket size — required by
+    consumers with an exact-pair contract (q22); O(n²) on hot buckets, so
+    reserve it for verified-downstream pipelines where a pair miss is a
+    correctness bug, not a recall tradeoff. ``"error"`` raises, for
+    callers who would rather fail loudly than pay quadratic cost."""
     hasher = MinHasher(num_perm=num_perm, k=shingle_k)
     salts = _coarse_salts(num_salt)
 
@@ -278,12 +283,17 @@ def minhash_candidate_pairs(
             n = len(ids)
             if n < 2:
                 continue
-            if n > max_bucket_size:
+            if n > max_bucket_size and hot_bucket_mode != "full":
                 if hot_bucket_mode == "star":
                     rep = ids[0]
                     for j in range(1, n):
                         a_out.append(rep)
                         b_out.append(ids[j])
+                elif hot_bucket_mode == "error":
+                    raise ValueError(
+                        f"LSH bucket of size {n} exceeds max_bucket_size="
+                        f"{max_bucket_size} (hot_bucket_mode='error')"
+                    )
                 continue
             for i in range(n):
                 ai = ids[i]

@@ -15,6 +15,21 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _bucket_ids(col: pa.ChunkedArray | pa.Array, num_buckets: int) -> pa.Array:
+    """Stable int32 bucket per key value. Integer keys bucket zero-copy via
+    numpy modulo; string (or other) keys via pandas' SipHash
+    (``pd.util.hash_array`` — fixed default hash key, so the same value
+    lands in the same bucket on every worker/process)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_integer(arr.type):
+        keys = arr.to_numpy(zero_copy_only=False)
+        b = keys.astype(np.int64, copy=False) % num_buckets
+    else:
+        b = pd.util.hash_array(arr.to_numpy(zero_copy_only=False)) % num_buckets
+    return pa.array(b.astype(np.int32, copy=False))
 
 
 def bucketed_hash_join(
@@ -25,11 +40,16 @@ def bucketed_hash_join(
     right_columns: list[str],
     num_buckets: int = 32,
 ):
-    """Inner equi-join of two large Datasets on an integer key column.
+    """Inner equi-join of two large Datasets on a key column (integer or
+    string — string keys bucket via a cross-process-stable hash).
 
     → Dataset with key + left_columns + right_columns. Both sides are
     widened to a COMMON typed schema (types probed via ``ds.schema()``)
-    so the union is well-formed; the per-bucket join is a pandas merge."""
+    so the union is well-formed — except when a side contributes no
+    non-key columns, in which case the other side skips the null padding
+    entirely. Rows are tagged with an int8 side marker and the per-bucket
+    join is Arrow-native (Acero ``Table.join``): fully vectorized C++, no
+    pandas conversion, and int64 ids never pass through float64."""
     lcols = [key] + [c for c in left_columns if c != key]
     rcols = [key] + [c for c in right_columns if c != key]
     overlap = (set(lcols) & set(rcols)) - {key}
@@ -45,10 +65,9 @@ def bucketed_hash_join(
     rtypes = dict(zip(rs.names, rs.types))
     types = {c: ltypes.get(c, rtypes.get(c)) for c in all_cols}
 
-    def prep(cols_present: list[str], side: str):
+    def prep(cols_present: list[str], side: int):
         def fn(batch: pa.Table) -> pa.Table:
             n = batch.num_rows
-            keys = np.asarray(batch[key].to_pylist(), dtype=np.int64)
             arrays, names = [], []
             for c in all_cols:
                 names.append(c)
@@ -56,27 +75,28 @@ def bucketed_hash_join(
                     arrays.append(batch[c])
                 else:
                     arrays.append(pa.nulls(n, type=types[c]))
-            arrays.append(pa.array(keys % num_buckets, pa.int32()))
             names.append("_bucket")
-            arrays.append(pa.array([side] * n, pa.string()))
+            arrays.append(_bucket_ids(batch[key], num_buckets))
             names.append("_side")
+            arrays.append(pa.array(np.full(n, side, dtype=np.int8)))
             return pa.Table.from_arrays(arrays, names)
 
         return fn
 
-    left_t = left_ds.map_batches(prep(lcols, "l"), batch_format="pyarrow")
-    right_t = right_ds.map_batches(prep(rcols, "r"), batch_format="pyarrow")
+    left_t = left_ds.map_batches(prep(lcols, 0), batch_format="pyarrow")
+    right_t = right_ds.map_batches(prep(rcols, 1), batch_format="pyarrow")
+
+    empty = pa.Table.from_arrays(
+        [pa.array([], type=types[c]) for c in all_cols], all_cols
+    )
 
     def join_bucket(tbl: pa.Table) -> pa.Table:
-        # arrow-backed pandas: int64-with-nulls stays int64[pyarrow]
-        # (plain pandas would coerce to float64 and corrupt ids > 2^53)
-        df = tbl.to_pandas(types_mapper=pd.ArrowDtype)
-        l = df.loc[df["_side"] == "l", lcols]
-        r = df.loc[df["_side"] == "r", rcols]
-        if l.empty or r.empty:
-            return tbl.select(all_cols).slice(0, 0)
-        out = l.merge(r, on=key, how="inner", sort=False)[all_cols]
-        return pa.Table.from_pandas(out, preserve_index=False)
+        mask = pc.equal(tbl["_side"], 0)
+        l_tbl = tbl.filter(mask).select(lcols)
+        r_tbl = tbl.filter(pc.invert(mask)).select(rcols)
+        if l_tbl.num_rows == 0 or r_tbl.num_rows == 0:
+            return empty
+        return l_tbl.join(r_tbl, keys=key, join_type="inner").select(all_cols)
 
     return (
         left_t.union(right_t)

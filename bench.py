@@ -171,68 +171,88 @@ def main() -> None:
             ).stdout
             return json.loads(out.strip().splitlines()[-1])
 
-        # INTERLEAVED best-of-N: this VM's parallel capacity swings ~2×
-        # with host co-tenancy on a ~tens-of-minutes timescale; running
-        # all reps of one level back-to-back lets a bad window poison that
-        # level's best. Interleaving levels gives every level a sample of
-        # every window, so the best-of ratio compares like windows.
-        reps = int(os.environ.get("BENCH_SCALING_REPS", "2"))
-        samples: dict[int, list[dict]] = {4: [], 16: [], 8: [], 32: []}
-        for _ in range(reps):
-            for n in (4, 16, 8, 32):
-                samples[n].append(run_once(n))
+        # INTERLEAVED repetitions: this VM's parallel capacity swings ~2×
+        # with host co-tenancy on a ~tens-of-minutes timescale. Each rep
+        # runs all four levels back-to-back (one window), so the per-rep
+        # N→4N ratio compares like windows; reps whose calibration probe
+        # (single-core kernel rate, stable across windows unless the host
+        # is contended) drops >15% below the session max are DISCARDED,
+        # and the reported efficiency is the MEDIAN over accepted reps —
+        # replacing round-2's hand-curated prose sample list.
+        import statistics
 
-        def run(ncpu: int) -> dict:
-            return min(samples[ncpu], key=lambda r: r["queries"]["extract"])
+        reps = int(os.environ.get("BENCH_SCALING_REPS", "4"))
+        levels = (4, 16, 8, 32)
+        rep_samples: list[dict[int, dict]] = []
+        for _ in range(reps):
+            rep_samples.append({n: run_once(n) for n in levels})
+
+        def kernel(r: dict) -> float:
+            return r["extract"]["kernel_docs_per_sec_1core"]
+
+        session_max = max(
+            kernel(r) for rep in rep_samples for r in rep.values()
+        )
+        accepted = [
+            rep for rep in rep_samples
+            if min(kernel(r) for r in rep.values()) >= 0.85 * session_max
+        ]
+        gated_out = len(rep_samples) - len(accepted)
+        if not accepted:  # pathological window: report all, flag it
+            accepted = rep_samples
 
         # Two N→4N pairs, both affinity-pinned to N cores (see the pin in
         # main()). 4→16 is the faithful multi-node analogue: on a real
         # cluster each added node brings its own DRAM bandwidth, while on
         # this single box the 32-CPU level saturates the socket's memory
         # bandwidth that the CPython allocator + Arrow traffic share —
-        # measured ~3.6k docs/s per BUSY core at 32 vs ~4.7k at 8, a
-        # contention penalty no partitioning change can remove. Both pairs
-        # are reported; the criterion value is the 4→16 pair.
+        # a contention penalty no partitioning change can remove. Both
+        # pairs are reported; the criterion value is the 4→16 median.
         pairs = {}
-        results = {n: run(n) for n in (4, 16, 8, 32)}
         for lo_n, hi_n in ((4, 16), (8, 32)):
-            lo, hi = results[lo_n], results[hi_n]
-            eff = (lo["queries"]["extract"] / hi["queries"]["extract"]) / 4
+            effs = sorted(
+                round(
+                    (rep[lo_n]["queries"]["extract"]
+                     / rep[hi_n]["queries"]["extract"]) / 4,
+                    3,
+                )
+                for rep in accepted
+            )
+            best_lo = min(accepted, key=lambda r: r[lo_n]["queries"]["extract"])
+            best_hi = min(accepted, key=lambda r: r[hi_n]["queries"]["extract"])
             pairs[f"{lo_n}_to_{hi_n}"] = {
-                "efficiency": round(eff, 3),
-                f"sec_{lo_n}": lo["queries"]["extract"],
-                f"sec_{hi_n}": hi["queries"]["extract"],
-                f"docs_per_sec_{lo_n}": lo["extract"]["docs_per_sec"],
-                f"docs_per_sec_{hi_n}": hi["extract"]["docs_per_sec"],
+                "efficiency_median": round(statistics.median(effs), 3),
+                "efficiency_samples": effs,
+                f"docs_per_sec_{lo_n}": best_lo[lo_n]["extract"]["docs_per_sec"],
+                f"docs_per_sec_{hi_n}": best_hi[hi_n]["extract"]["docs_per_sec"],
             }
         kernel_rates = [
-            r["extract"]["kernel_docs_per_sec_1core"]
-            for rs in samples.values()
-            for r in rs
-            if "kernel_docs_per_sec_1core" in r.get("extract", {})
+            kernel(r) for rep in rep_samples for r in rep.values()
         ]
-        print(
-            json.dumps(
-                {
-                    "metric": "scaling_efficiency_n_to_4n",
-                    "value": pairs["4_to_16"]["efficiency"],
-                    "unit": "ratio",
-                    "pairs": pairs,
-                    "kernel_1core_min_max": (
-                        [min(kernel_rates), max(kernel_rates)]
-                        if kernel_rates
-                        else None
-                    ),
-                    "note": (
-                        "levels affinity-pinned to N cores; 4->16 is the "
-                        "criterion pair (per-node DRAM bandwidth scales on "
-                        "a real cluster; the full 32-core level saturates "
-                        "this single socket's)"
-                    ),
-                    "sf": sf,
-                }
-            )
-        )
+        artifact = {
+            "metric": "scaling_efficiency_n_to_4n",
+            "value": pairs["4_to_16"]["efficiency_median"],
+            "unit": "ratio",
+            "pairs": pairs,
+            "reps_total": reps,
+            "reps_accepted": len(rep_samples) - gated_out,
+            "reps_gated_out": gated_out,
+            "calibration_gate": "kernel_1core >= 0.85 * session_max",
+            "kernel_1core_min_max": [min(kernel_rates), max(kernel_rates)],
+            "note": (
+                "levels affinity-pinned to N cores; per-rep same-window "
+                "ratios, median over calibration-accepted reps; 4->16 is "
+                "the criterion pair (per-node DRAM bandwidth scales on a "
+                "real cluster; the full 32-core level saturates this "
+                "single socket's)"
+            ),
+            "sf": sf,
+        }
+        out_path = os.environ.get("BENCH_SCALING_OUT")
+        if out_path:
+            with open(out_path, "w") as f:
+                json.dump(artifact, f, indent=1)
+        print(json.dumps(artifact))
         return
 
     import ray

@@ -164,6 +164,61 @@ def test_salt_invariance_of_pair_sets():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_exact_dedup_salt_invariance():
+    """The D3 path's fp coarse groups obey the same property: the
+    (representative, multiplicity) result set is identical for any salt
+    count — `fp_hash & (S-1)` keeps every distinct text's rows in one
+    group, so the in-group first/size split sees each fingerprint whole."""
+    import ray.data
+
+    from basicocr_ray.stages.dedup import exact_dedup_groups
+
+    rows = [{"doc_id": i, "text": f"text {i % 13}"} for i in range(100)]
+    ds = ray.data.from_items(rows)
+
+    def resultset(out_ds):
+        df = out_ds.to_pandas()
+        return set(zip(df["doc_id"], df["n_dups"]))
+
+    small = resultset(exact_dedup_groups(ds, "doc_id", "text", num_salt=2))
+    big = resultset(exact_dedup_groups(ds, "doc_id", "text", num_salt=64))
+    assert small == big
+    assert len(big) == 13 and all(n == 100 // 13 + (i < 100 % 13) for i, n in big)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_full_mode_expands_hot_buckets():
+    """q22's exact-pair contract: hot_bucket_mode='full' must emit every
+    pair of an over-max_bucket_size near-identical cluster (star mode
+    economizes to n−1 pairs; 'error' raises)."""
+    import ray.data
+
+    from basicocr_ray.stages.dedup import minhash_candidate_pairs
+
+    base = " ".join(f"w{i}" for i in range(40))
+    rows = [{"doc_id": i, "text": base} for i in range(12)]
+    ds = ray.data.from_items(rows)
+
+    full = minhash_candidate_pairs(
+        ds, "doc_id", "text", num_bands=8, max_bucket_size=5,
+        hot_bucket_mode="full",
+    ).to_pandas()
+    assert len(set(zip(full["id_a"], full["id_b"]))) == 12 * 11 // 2
+
+    star = minhash_candidate_pairs(
+        ds, "doc_id", "text", num_bands=8, max_bucket_size=5,
+        hot_bucket_mode="star",
+    ).to_pandas()
+    assert len(set(zip(star["id_a"], star["id_b"]))) == 11
+
+    with pytest.raises(Exception):
+        minhash_candidate_pairs(
+            ds, "doc_id", "text", num_bands=8, max_bucket_size=5,
+            hot_bucket_mode="error",
+        ).to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_hot_bucket_star_routing():
     """A near-identical cluster larger than max_bucket_size must still
     surface: star candidates (rep ↔ member) keep the component connected
