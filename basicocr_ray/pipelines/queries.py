@@ -909,7 +909,12 @@ def q34_bucketed_join_revenue(sf_dir: str):
     """Large⋈large join via the explicit bucketed hash join (guide
     pattern; both sides fact-scale so no broadcast): lineitem ⋈ orders on
     orderkey, then revenue per (order, customer), global top-100. Rows
-    shuffle once each, keyed by bucket."""
+    shuffle ONCE each (by join bucket); the per-key aggregate and the
+    local top-100 are FUSED into the join task via ``bucket_post_fn`` —
+    an orderkey never spans buckets, so the in-bucket reduction is exact
+    and the follow-up coarse-group exchange round 2 ran (partial →
+    add_cg → groupby → final) is gone. The global sort sees ≤ 100 ×
+    num_buckets rows."""
     from basicocr_ray.stages.joins import bucketed_hash_join
 
     li = _read(
@@ -929,47 +934,31 @@ def q34_bucketed_join_revenue(sf_dir: str):
         lambda b: pa.table({"okey": b["o_orderkey"], "o_custkey": b["o_custkey"]}),
         batch_format="pyarrow",
     )
-    joined = bucketed_hash_join(li, od, "okey", ["rev"], ["o_custkey"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(["okey", "o_custkey"], as_index=False).agg(
-            revenue=("rev", "sum")
-        )
+    def agg_topk(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "okey": pa.array([], pa.int64()),
+                    "o_custkey": pa.array([], pa.int64()),
+                    "revenue": pa.array([], pa.float64()),
+                }
+            )
+        g = pa.TableGroupBy(
+            tbl, ["okey", "o_custkey"], use_threads=False
+        ).aggregate([("rev", "sum")])
+        g = g.rename_columns(["okey", "o_custkey", "revenue"])
+        order = pc.sort_indices(
+            g,
+            sort_keys=[("revenue", "descending"), ("okey", "ascending")],
+        )[:100]
+        return g.take(order)
 
-    # final aggregate via the coarse-group pattern: a Ray Aggregate keyed
-    # on (okey, o_custkey) sorts on ~|orders| distinct keys and stalls
-    # (measured 105 s at sf0.1 vs ~8 s for this shape); same-key partials
-    # land in one coarse group (key = okey % S), the in-group pandas sum
-    # is exact, and each group emits only its local top-100 so the global
-    # sort input is ≤ 100 × S rows
-    from basicocr_ray.stages.dedup import _coarse_salts
-
-    salts = _coarse_salts(None)
-
-    def add_cg(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "cg",
-            pc.cast(
-                pc.bit_wise_and(pc.cast(b["okey"], pa.int64()), salts - 1),
-                pa.int32(),
-            ),
-        )
-
-    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["okey", "o_custkey"], as_index=False)["revenue"].sum()
-        g = g.sort_values(
-            ["revenue", "okey"], ascending=[False, True], kind="mergesort"
-        ).head(100)
-        return g
-
-    agg = (
-        joined.map_batches(partial, batch_format="pandas")
-        .map_batches(add_cg, batch_format="pyarrow")
-        .groupby("cg")
-        .map_groups(final_topk, batch_format="pandas")
+    joined = bucketed_hash_join(
+        li, od, "okey", ["rev"], ["o_custkey"], bucket_post_fn=agg_topk
     )
     top = (
-        agg.sort(["revenue", "okey"], descending=[True, False])
+        joined.sort(["revenue", "okey"], descending=[True, False])
         .limit(100)
         .to_pandas()
     )

@@ -39,6 +39,7 @@ def bucketed_hash_join(
     left_columns: list[str],
     right_columns: list[str],
     num_buckets: int = 32,
+    bucket_post_fn=None,
 ):
     """Inner equi-join of two large Datasets on a key column (integer or
     string — string keys bucket via a cross-process-stable hash).
@@ -49,7 +50,13 @@ def bucketed_hash_join(
     non-key columns, in which case the other side skips the null padding
     entirely. Rows are tagged with an int8 side marker and the per-bucket
     join is Arrow-native (Acero ``Table.join``): fully vectorized C++, no
-    pandas conversion, and int64 ids never pass through float64."""
+    pandas conversion, and int64 ids never pass through float64.
+
+    ``bucket_post_fn`` (pa.Table → pa.Table), when given, runs on each
+    bucket's joined table INSIDE the join task. Because a join key never
+    spans buckets, any per-key reduction (aggregate, top-k per key) is
+    exact here — fusing it saves the follow-up exchange the caller would
+    otherwise need (one shuffle instead of two)."""
     lcols = [key] + [c for c in left_columns if c != key]
     rcols = [key] + [c for c in right_columns if c != key]
     overlap = (set(lcols) & set(rcols)) - {key}
@@ -95,8 +102,14 @@ def bucketed_hash_join(
         l_tbl = tbl.filter(mask).select(lcols)
         r_tbl = tbl.filter(pc.invert(mask)).select(rcols)
         if l_tbl.num_rows == 0 or r_tbl.num_rows == 0:
-            return empty
-        return l_tbl.join(r_tbl, keys=key, join_type="inner").select(all_cols)
+            return bucket_post_fn(empty) if bucket_post_fn else empty
+        # use_threads=False: each bucket join runs inside a 1-CPU Ray
+        # task; Acero's default pool (sized to the whole machine) in 32
+        # concurrent tasks oversubscribes the node ~32x and thrashes
+        out = l_tbl.join(
+            r_tbl, keys=key, join_type="inner", use_threads=False
+        ).select(all_cols)
+        return bucket_post_fn(out) if bucket_post_fn else out
 
     return (
         left_t.union(right_t)

@@ -111,9 +111,11 @@ def approx_distinct(
 
     def sketch(batch: pa.Table) -> pa.Table:
         h = HyperLogLog(p)
+        toks: list[str] = []
         for t in batch[text_column].to_pylist():
             if t:
-                h.update(item_fn(t))
+                toks.extend(item_fn(t))
+        h.add_many(toks)  # one vectorized hash pass per batch
         return pa.table({"sketch": pa.array([h.serialize()], pa.binary())})
 
     merged = HyperLogLog(p)
