@@ -28,6 +28,9 @@ import zlib
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
 # dict immediately preceding the stream keyword (crude but deterministic)
 _FLATE_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode")
+# direct /Length entry (indirect `n 0 R` references fall back to the
+# EOL-delimited span)
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?![\s\d]*R)")
 
 # text operators inside a decoded content stream
 _TEXT_OP_RE = re.compile(
@@ -132,6 +135,14 @@ def extract_pdf_text(data: bytes) -> str:
         # 'stream' keyword; look back a bounded window for the filter
         head_start = max(0, m.start() - 512)
         head = data[head_start : m.start()]
+        # the EOL-delimited span is wrong when the data's LAST byte is \r
+        # (the `\r?\nendstream` strip eats it, truncating the deflate
+        # stream); a direct /Length is authoritative — reslice by it
+        lm = _LENGTH_RE.search(head)
+        if lm:
+            length = int(lm.group(1))
+            if length <= len(body) + 2:  # EOL strip eats ≤2 data bytes
+                body = data[m.start(1) : m.start(1) + length]
         if _FLATE_RE.search(head):
             try:
                 body = zlib.decompress(body)

@@ -323,6 +323,79 @@ def build_extract_ds(
     return out
 
 
+_EMPTY_METRICS = pa.table(
+    {
+        "lang": pa.array([], pa.string()),
+        "partition_id": pa.array([], pa.int64()),
+        "n_docs": pa.array([], pa.int64()),
+        "n_ok": pa.array([], pa.int64()),
+        "mean_blocks_kept": pa.array([], pa.float64()),
+        "n_bytes_in": pa.array([], pa.int64()),
+        "n_bytes_out": pa.array([], pa.int64()),
+    }
+)
+
+
+def _merge_one_pid(
+    pid: int,
+    fmap: dict[str, int],
+    staging: str,
+    out_dir: str,
+    input_fp: str,
+) -> pa.Table | None:
+    """Reduce-side merge for ONE partition: read its listed fragments (each
+    re-emitted with its reference multiplicity — byte-identical fragments
+    from duplicate rows collide on one file by construction), publish the
+    partition parquet + failed mirror + manifest atomically, and return the
+    per-language metrics rows. Shared by the driver-collected and
+    distributed (groupby-routed) metadata paths."""
+    if not fmap:
+        return None
+
+    parts = []
+    for frag, mult in sorted(fmap.items()):
+        path = os.path.join(staging, f"pid={pid}", frag)
+        with pa.memory_map(path) as mm:
+            t = pa.ipc.open_file(mm).read_all()
+        parts.extend([t] * int(mult))
+    tbl = pa.concat_tables(parts)
+    pdir = mf.partition_dir(out_dir, pid)
+    os.makedirs(pdir, exist_ok=True)
+    target = os.path.join(pdir, "data.parquet")
+    pa.parquet.write_table(tbl, target + ".tmp")
+    os.replace(target + ".tmp", target)  # atomic publish
+
+    failed_mask = pc.invert(tbl["ok"])
+    n_failed = pc.sum(pc.cast(failed_mask, pa.int64())).as_py() or 0
+    if n_failed:
+        ftbl = tbl.filter(failed_mask).select(
+            ["url", "lang", "error", "partition_id"]
+        )
+        fpath = os.path.join(out_dir, "_failed", f"part-{pid}.parquet")
+        pa.parquet.write_table(ftbl, fpath + ".tmp")
+        os.replace(fpath + ".tmp", fpath)
+
+    mf.write_manifest(
+        out_dir, pid, input_fp,
+        n_rows=tbl.num_rows, n_ok=tbl.num_rows - n_failed,
+        n_failed=n_failed,
+        n_bytes_in=pc.sum(tbl["n_bytes_in"]).as_py() or 0,
+        n_bytes_out=pc.sum(tbl["n_bytes_out"]).as_py() or 0,
+    )
+    df = tbl.select(
+        ["lang", "ok", "n_blocks_kept", "n_bytes_in", "n_bytes_out"]
+    ).to_pandas()
+    g = df.groupby("lang", as_index=False).agg(
+        n_docs=("ok", "size"), n_ok=("ok", "sum"),
+        mean_blocks_kept=("n_blocks_kept", "mean"),
+        n_bytes_in=("n_bytes_in", "sum"),
+        n_bytes_out=("n_bytes_out", "sum"),
+    )
+    g.insert(1, "partition_id", pid)
+    g["n_ok"] = g["n_ok"].astype("int64")
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
 def run_extract_job(
     input_paths: str | list[str],
     out_dir: str,
@@ -331,6 +404,7 @@ def run_extract_job(
     pdf_branch: bool | str = True,
     skew_split: bool = False,
     spill_batch_rows: int = 8192,
+    meta_mode: str = "auto",
 ) -> dict:
     """Execute the flagship job end-to-end; returns job stats.
 
@@ -432,16 +506,10 @@ def run_extract_job(
     # 32768 → 59k — finer spill tasks pipeline better with the extract
     # stage (NOTES_r1), so 8192 is the default; raise it only if the
     # fragment count itself becomes the bottleneck at larger P
-    frag_meta = extracted.map_batches(
+    frag_meta_ds = extracted.map_batches(
         spill_fragments, batch_format="pyarrow", batch_size=spill_batch_rows
-    ).to_pandas()
-    # per-pid fragment reference counts: the multiplicity a merge task must
-    # re-emit each fragment with (identical-fragment collisions → count 2)
-    from collections import Counter
-
-    frag_counts: dict[int, Counter] = {}
-    for pid_v, frag_v in zip(frag_meta["pid"], frag_meta["frag"]):
-        frag_counts.setdefault(int(pid_v), Counter())[frag_v] += 1
+    ).materialize()  # tiny: one (pid, frag, n_rows) row per fragment
+    n_fragments = frag_meta_ds.count()
 
     def merge_partition(batch: pa.Table) -> pa.Table:
         import json as _json
@@ -450,84 +518,69 @@ def run_extract_job(
         for pid, fjson in zip(
             batch["pid"].to_pylist(), batch["frags"].to_pylist()
         ):
-            fmap = _json.loads(fjson)
-            if not fmap:
-                continue
-
-            def _read_ipc(path: str) -> pa.Table:
-                with pa.memory_map(path) as mm:
-                    return pa.ipc.open_file(mm).read_all()
-
-            parts = []
-            for frag, mult in sorted(fmap.items()):
-                t = _read_ipc(os.path.join(staging, f"pid={pid}", frag))
-                parts.extend([t] * mult)
-            tbl = pa.concat_tables(parts)
-            pdir = mf.partition_dir(out_dir, pid)
-            os.makedirs(pdir, exist_ok=True)
-            target = os.path.join(pdir, "data.parquet")
-            pa.parquet.write_table(tbl, target + ".tmp")
-            os.replace(target + ".tmp", target)  # atomic publish
-
-            failed_mask = pc.invert(tbl["ok"])
-            n_failed = pc.sum(pc.cast(failed_mask, pa.int64())).as_py() or 0
-            if n_failed:
-                ftbl = tbl.filter(failed_mask).select(
-                    ["url", "lang", "error", "partition_id"]
-                )
-                fpath = os.path.join(out_dir, "_failed", f"part-{pid}.parquet")
-                pa.parquet.write_table(ftbl, fpath + ".tmp")
-                os.replace(fpath + ".tmp", fpath)
-
-            mf.write_manifest(
-                out_dir, pid, input_fp,
-                n_rows=tbl.num_rows, n_ok=tbl.num_rows - n_failed,
-                n_failed=n_failed,
-                n_bytes_in=pc.sum(tbl["n_bytes_in"]).as_py() or 0,
-                n_bytes_out=pc.sum(tbl["n_bytes_out"]).as_py() or 0,
+            t = _merge_one_pid(
+                int(pid), _json.loads(fjson), staging, out_dir, input_fp
             )
-            df = tbl.select(
-                ["lang", "ok", "n_blocks_kept", "n_bytes_in", "n_bytes_out"]
-            ).to_pandas()
-            g = df.groupby("lang", as_index=False).agg(
-                n_docs=("ok", "size"), n_ok=("ok", "sum"),
-                mean_blocks_kept=("n_blocks_kept", "mean"),
-                n_bytes_in=("n_bytes_in", "sum"),
-                n_bytes_out=("n_bytes_out", "sum"),
-            )
-            g.insert(1, "partition_id", pid)
-            g["n_ok"] = g["n_ok"].astype("int64")
-            out_rows.append(pa.Table.from_pandas(g, preserve_index=False))
+            if t is not None:
+                out_rows.append(t)
         if not out_rows:
-            return pa.table(
-                {
-                    "lang": pa.array([], pa.string()),
-                    "partition_id": pa.array([], pa.int64()),
-                    "n_docs": pa.array([], pa.int64()),
-                    "n_ok": pa.array([], pa.int64()),
-                    "mean_blocks_kept": pa.array([], pa.float64()),
-                    "n_bytes_in": pa.array([], pa.int64()),
-                    "n_bytes_out": pa.array([], pa.int64()),
-                }
-            )
+            return _EMPTY_METRICS
         return pa.concat_tables(out_rows)
 
-    metrics_df = (
-        ray.data.from_items(
-            [
-                {
-                    "pid": p,
-                    "frags": __import__("json").dumps(
-                        dict(frag_counts.get(p, {}))
-                    ),
-                }
-                for p in todo
-            ]
+    # The fragment-metadata relation is Spark's map-output-statuses
+    # analogue: names + counts, never data. Two reduce drivers:
+    #   * "driver" (small P): collect it (~P × spill-waves tiny rows),
+    #     build per-pid multiplicity maps, fan out one merge task per pid.
+    #   * "distributed" (large P): the metadata never centralizes — a Ray
+    #     groupby on pid routes each partition's fragment list straight to
+    #     its merge task, so the driver holds O(1) regardless of P × waves
+    #     (at 10^12 rows / P=64k the collect would be ~30M rows — fine
+    #     today, zero tomorrow).
+    if meta_mode == "auto":
+        meta_mode = "driver" if len(todo) <= 64 else "distributed"
+
+    if meta_mode == "distributed":
+        def merge_group(df) -> "pa.Table":
+            import pandas as _pd
+
+            if not len(df):
+                return _EMPTY_METRICS.to_pandas()
+            pid = int(df["pid"].iloc[0])
+            fmap = df["frag"].value_counts().to_dict()
+            t = _merge_one_pid(pid, fmap, staging, out_dir, input_fp)
+            if t is None:
+                return _EMPTY_METRICS.to_pandas()
+            return t.to_pandas()
+
+        metrics_df = (
+            frag_meta_ds.groupby("pid")
+            .map_groups(merge_group, batch_format="pandas")
+            .to_pandas()
         )
-        .repartition(len(todo))
-        .map_batches(merge_partition, batch_format="pyarrow", batch_size=1)
-        .to_pandas()
-    )
+    else:
+        frag_meta = frag_meta_ds.to_pandas()
+        from collections import Counter
+
+        frag_counts: dict[int, Counter] = {}
+        for pid_v, frag_v in zip(frag_meta["pid"], frag_meta["frag"]):
+            frag_counts.setdefault(int(pid_v), Counter())[frag_v] += 1
+
+        metrics_df = (
+            ray.data.from_items(
+                [
+                    {
+                        "pid": p,
+                        "frags": __import__("json").dumps(
+                            dict(frag_counts.get(p, {}))
+                        ),
+                    }
+                    for p in todo
+                ]
+            )
+            .repartition(len(todo))
+            .map_batches(merge_partition, batch_format="pyarrow", batch_size=1)
+            .to_pandas()
+        )
     import shutil as _shutil
 
     _shutil.rmtree(staging, ignore_errors=True)
@@ -564,6 +617,6 @@ def run_extract_job(
         "partitions_computed": len(todo),
         "n_rows": total_rows,
         "n_failed": n_failed,
-        "n_fragments": int(len(frag_meta)),
+        "n_fragments": int(n_fragments),
         "input_fingerprint": input_fp,
     }

@@ -1295,6 +1295,147 @@ def q50_conformance_accuracy(sf_dir: str):
     )
 
 
+def q51_jaccard_join_exact(sf_dir: str):
+    """EXACT shingle-set similarity self-join at Jaccard ≥ 0.6 via AllPairs
+    prefix filtering (`stages.simjoin.jaccard_set_join`) — the
+    exact-contract sibling of q22's probabilistic MinHash banding: every
+    qualifying pair is emitted, none invented, and the candidate space is
+    pruned by df-ordered prefixes + the size filter instead of hashing.
+    Sets are word-TRIGRAM shingles (unigram token sets are near-identical
+    across this corpus's shared vocabulary — shingles make set identity
+    mean textual identity, the MinHash literature's standard choice).
+    Integer output (n_inter, n_union) keeps the driver hash float-free;
+    the threshold comparison is the same IEEE expression on both sides."""
+    from basicocr_ray.stages.simjoin import jaccard_set_join
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return jaccard_set_join(
+        ds, "doc_id", "text", threshold=0.6, items_fn=make_ngram_items(3)
+    )
+
+
+def q52_pii_redact(sf_dir: str):
+    """PII scrub — the redaction pass every crawl-to-training-corpus
+    pipeline runs before anything else. Emails are PLANTED deterministically
+    (doc_id ≡ 0 mod 3 → appended address; the q50 planting discipline, so
+    the oracle predicts exact counts), matched with a regex valid under
+    BOTH engines (Python `re` and DuckDB's RE2 agree on this subset), and
+    the redacted text is verified by md5 + removed-byte count — exact
+    string evidence, not just counts."""
+    import hashlib
+    import re as _re
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    email_re = _re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+
+    def redact(batch: pa.Table) -> pa.Table:
+        out_id, out_n, out_removed, out_md5 = [], [], [], []
+        for did, t in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            t = t or ""
+            if did % 3 == 0:
+                t = f"{t} contact-{did}@example.com"
+            red, n = email_re.subn("<EMAIL>", t)
+            out_id.append(did)
+            out_n.append(n)
+            out_removed.append(len(t) - len(red))
+            out_md5.append(hashlib.md5(red.encode()).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "n_emails": pa.array(out_n, pa.int64()),
+                "n_removed": pa.array(out_removed, pa.int64()),
+                "redacted_md5": pa.array(out_md5, pa.string()),
+            }
+        )
+
+    return ds.map_batches(redact, batch_format="pyarrow")
+
+
+def q53_url_host_rollup(sf_dir: str):
+    """Per-host crawl rollup — the first aggregate any web-scale corpus
+    audit runs (pages per host, bytes per host). Urls are planted
+    deterministically from doc_id (documents carries no url column; the
+    q50 planting discipline keeps the oracle exact); host extraction and
+    the rollup are PURE ARROW kernels (`split_pattern` + `list_element`
+    + partial/final groupby) — zero Python per row, the vectorization
+    pattern the brief asks every hot stage to follow."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def rollup_partial(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"]
+        # doc_id % 50 (pyarrow ships no modulo kernel; int divide truncates
+        # and doc_id ≥ 0, so x − (x÷50)·50 is exact)
+        mod50 = pc.subtract(
+            did, pc.multiply(pc.divide(did, pa.scalar(50)), pa.scalar(50))
+        )
+        urls = pc.binary_join_element_wise(
+            pa.scalar("https://host"),
+            pc.cast(mod50, pa.string()),
+            pa.scalar(".example.com/page/"),
+            pc.cast(did, pa.string()),
+            pa.scalar(""),
+        )
+        hosts = pc.list_element(pc.split_pattern(urls, "/"), 2)
+        t = pa.table({"host": hosts, "n_chars": batch["n_chars"]})
+        df = t.to_pandas()
+        g = df.groupby("host", as_index=False).agg(
+            n_pages=("n_chars", "size"), sum_chars=("n_chars", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(rollup_partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(
+            Sum("n_pages", alias_name="n_pages"),
+            Sum("sum_chars", alias_name="sum_chars"),
+        )
+    )
+    df = out.to_pandas()
+    return df.astype({"n_pages": "int64", "sum_chars": "int64"})
+
+
+def q54_grouped_string_agg(sf_dir: str):
+    """ORDERED in-group aggregation (string_agg with ORDER BY — an operator
+    shape none of q01–q53 exercise): per order status, the comma-joined
+    keys of its 3 highest-value orders. Per-batch partial top-3 bounds the
+    shuffle at 3 rows × statuses per batch; the final per-status sort+join
+    is exact because top-3-of-top-3s is top-3."""
+    ds = _read(
+        sf_dir, "orders",
+        columns=["o_orderstatus", "o_totalprice", "o_orderkey"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["o_orderstatus", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        return df.groupby("o_orderstatus", group_keys=False)[df.columns].head(3)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True],
+            kind="mergesort",
+        ).head(3)
+        return pd.DataFrame(
+            {
+                "o_orderstatus": [df["o_orderstatus"].iloc[0]],
+                "top_keys": [",".join(str(k) for k in df["o_orderkey"])],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("o_orderstatus")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 def q44_range_join(sf_dir: str):
     """Distributed RANGE JOIN (non-equi; the task brief's custom-operator
     example Ray Data lacks): events ⋈ maintenance windows on
@@ -1599,6 +1740,10 @@ QUERIES = {
     "q48_tf_df": q48_tf_df,
     "q49_trigram_lm_score": q49_trigram_lm_score,
     "q50_conformance_accuracy": q50_conformance_accuracy,
+    "q51_jaccard_join_exact": q51_jaccard_join_exact,
+    "q52_pii_redact": q52_pii_redact,
+    "q53_url_host_rollup": q53_url_host_rollup,
+    "q54_grouped_string_agg": q54_grouped_string_agg,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -1925,6 +2070,82 @@ ORACLE_SQL = {
                CAST(count(*) FILTER (WHERE doc_id % 7 <> 0) AS BIGINT)
                  AS n_exact
         FROM documents GROUP BY lang
+    """,
+    "q51_jaccard_join_exact": f"""
+        WITH toks AS (
+          SELECT doc_id, list_filter({_TOKS}, t -> t <> '') AS toks
+          FROM documents
+        ),
+        sets AS (
+          SELECT doc_id, list_distinct(list_transform(
+            range(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+          )) AS s
+          FROM toks
+        ),
+        sized AS (SELECT doc_id, s, len(s) AS n FROM sets),
+        cand AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_intersect(a.s, b.s)) AS n_inter,
+                 a.n + b.n - len(list_intersect(a.s, b.s)) AS n_union
+          FROM sized a JOIN sized b
+            ON a.doc_id < b.doc_id
+           AND least(a.n, b.n) >= 0.6 * greatest(a.n, b.n)
+        )
+        SELECT id_a, id_b,
+               CAST(n_inter AS BIGINT) AS n_inter,
+               CAST(n_union AS BIGINT) AS n_union
+        FROM cand
+        WHERE n_union > 0 AND n_inter >= 0.6 * n_union
+    """,
+    "q52_pii_redact": r"""
+        WITH planted AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN text || ' contact-' || CAST(doc_id AS VARCHAR)
+                           || '@example.com'
+                      ELSE text END AS t
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(
+                 t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'
+               )) AS BIGINT) AS n_emails,
+               CAST(length(t) - length(regexp_replace(
+                 t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'
+               )) AS BIGINT) AS n_removed,
+               md5(regexp_replace(
+                 t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'
+               )) AS redacted_md5
+        FROM planted
+    """,
+    "q53_url_host_rollup": """
+        WITH planted AS (
+          SELECT 'https://host' || CAST(doc_id % 50 AS VARCHAR)
+                 || '.example.com/page/' || CAST(doc_id AS VARCHAR) AS url,
+                 n_chars
+          FROM documents
+        )
+        SELECT split_part(url, '/', 3) AS host,
+               CAST(count(*) AS BIGINT) AS n_pages,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM planted GROUP BY host
+    """,
+    "q54_grouped_string_agg": """
+        WITH ranked AS (
+          SELECT o_orderstatus, o_orderkey, o_totalprice,
+                 row_number() OVER (
+                   PARTITION BY o_orderstatus
+                   ORDER BY o_totalprice DESC, o_orderkey
+                 ) AS rn
+          FROM orders
+        )
+        SELECT o_orderstatus,
+               string_agg(CAST(o_orderkey AS VARCHAR), ','
+                          ORDER BY o_totalprice DESC, o_orderkey) AS top_keys
+        FROM ranked WHERE rn <= 3 GROUP BY o_orderstatus
     """,
     "q44_range_join": """
         WITH base AS (SELECT min(epoch_us(ts)) AS m FROM events),

@@ -336,3 +336,68 @@ def test_bottomk_sample_partition_invariance():
 
     expect = sorted(range(1000), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:25]
     assert s1 == expect
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_jaccard_set_join_exact_vs_brute():
+    """Prefix-filter set-similarity join (stages/simjoin.py) is EXACT:
+    identical pair set to brute-force over all pairs, at two thresholds
+    and under different salt counts."""
+    import itertools
+
+    import ray.data
+
+    from basicocr_ray.stages.simjoin import jaccard_set_join
+
+    rows = []
+    base = "the quick brown fox jumps over the lazy dog again and again".split()
+    for i in range(40):
+        toks = list(base)
+        # families of 4 near-identical docs, with increasing edits
+        fam, k = divmod(i, 4)
+        toks = [f"w{fam}_{t}" for t in toks]
+        for j in range(k):
+            toks[j] = f"edit{fam}_{j}"
+        rows.append({"doc_id": i, "text": " ".join(toks)})
+    rows.append({"doc_id": 100, "text": ""})
+    rows.append({"doc_id": 101, "text": ""})
+
+    def sets():
+        out = {}
+        for r in rows:
+            out[r["doc_id"]] = set((r["text"] or "").lower().split())
+        return out
+
+    for thr in (0.5, 0.8):
+        got = (
+            jaccard_set_join(
+                ray.data.from_items(rows), "doc_id", "text", threshold=thr
+            )
+            .to_pandas()
+        )
+        got_pairs = set(zip(got["id_a"], got["id_b"]))
+        exp = set()
+        s = sets()
+        for a, b in itertools.combinations(sorted(s), 2):
+            inter = len(s[a] & s[b])
+            union = len(s[a] | s[b])
+            if union > 0 and inter >= thr * union:
+                exp.add((a, b))
+        assert got_pairs == exp, f"thr={thr}"
+        assert len(exp) > 0 or thr > 0.9  # the fixture must exercise pairs
+        # integer evidence columns are consistent
+        for _, r in got.iterrows():
+            a, b = int(r["id_a"]), int(r["id_b"])
+            assert r["n_inter"] == len(s[a] & s[b])
+            assert r["n_union"] == len(s[a] | s[b])
+
+    # salt invariance (the family-wide distribution-correctness property)
+    small = jaccard_set_join(
+        ray.data.from_items(rows), "doc_id", "text", 0.5, num_salt=2
+    ).to_pandas()
+    big = jaccard_set_join(
+        ray.data.from_items(rows), "doc_id", "text", 0.5, num_salt=64
+    ).to_pandas()
+    assert set(zip(small["id_a"], small["id_b"])) == set(
+        zip(big["id_a"], big["id_b"])
+    )

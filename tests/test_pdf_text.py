@@ -103,3 +103,14 @@ def test_pdf_actor_branch_with_real_pdfs():
         df = ds.to_pandas().sort_values("url").reset_index(drop=True)
         assert df["ok"].all(), mode
         assert df.loc[0, "main_text"] == "doc 0 line one\ndoc 0 line two"
+
+
+def test_stream_data_ending_in_cr_not_truncated():
+    """The deflate bytes for some payloads end in \r; the EOL-delimited
+    `\r?\nendstream` span would eat that DATA byte and truncate the zlib
+    stream. The direct /Length in the stream dict is authoritative
+    (regression: hypothesis found lines=['^'] extracting as '')."""
+    assert extract_pdf_text(make_pdf(["^"])) == "^"
+    # and a stress sweep: single chars whose compressed tail varies
+    for ch in "^~`|!@#$%&*_-+=":
+        assert extract_pdf_text(make_pdf([ch])) == ch, ch

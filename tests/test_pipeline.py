@@ -253,3 +253,68 @@ def test_custom_partition_count(fixture_pages, tmp_path):
             assert text == expected[url]
             checked += 1
     assert checked >= 770
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_distributed_merge_metadata_p256(fixture_pages, tmp_path):
+    """At large P the fragment metadata must never centralize: meta_mode
+    'auto' switches to the groupby-routed distributed merge above P=64.
+    P=256 run → full coverage, byte-identity, and resume still works."""
+    import ray.data
+
+    from basicocr_ray.pipelines.extract_pipeline import run_extract_job
+    from basicocr_ray.state.manifest import load_done_partitions
+
+    out = str(tmp_path / "out256")
+    cfg = ExtractConfig(num_partitions=256)
+    stats = run_extract_job(fixture_pages, out, cfg=cfg)
+    assert stats["partitions_computed"] == 256
+    assert stats["n_rows"] == 800
+
+    got = ray.data.read_parquet(out, columns=["url", "main_text"]).to_pandas()
+    assert len(got) == 800
+    expected = _expected_map(fixture_pages)
+    checked = 0
+    for url, text in zip(got["url"], got["main_text"]):
+        if url in expected and (got["url"] == url).sum() == 1:
+            assert text == expected[url]
+            checked += 1
+    assert checked >= 770
+
+    # every partition has a manifest (including zero-row ones) → no-op resume
+    fp = stats["input_fingerprint"]
+    assert len(load_done_partitions(out, fp)) == 256
+    stats2 = run_extract_job(fixture_pages, out, cfg=cfg)
+    assert stats2["skipped"]
+
+    # partial resume through the distributed path: drop two manifests
+    victims = sorted(load_done_partitions(out, fp))[:2]
+    for v in victims:
+        os.remove(os.path.join(out, "_manifests", f"part={v}.json"))
+    stats3 = run_extract_job(fixture_pages, out, cfg=cfg)
+    assert stats3["partitions_computed"] == 2
+    got2 = ray.data.read_parquet(out, columns=["url", "main_text"]).to_pandas()
+    assert len(got2) == len(got)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_merge_meta_modes_identical(fixture_pages, tmp_path):
+    """Driver-collected and distributed metadata reduces publish identical
+    output (same rows, same per-partition files) on the same input."""
+    import ray.data
+
+    from basicocr_ray.pipelines.extract_pipeline import run_extract_job
+
+    outs = {}
+    for mode in ("driver", "distributed"):
+        out = str(tmp_path / f"out_{mode}")
+        stats = run_extract_job(fixture_pages, out, meta_mode=mode)
+        assert stats["n_rows"] == 800
+        df = (
+            ray.data.read_parquet(out, columns=["url", "main_text", "partition_id"])
+            .to_pandas()
+            .sort_values(["url", "main_text"])
+            .reset_index(drop=True)
+        )
+        outs[mode] = df
+    assert outs["driver"].equals(outs["distributed"])

@@ -76,3 +76,18 @@ def test_null_bytes_and_mixed_encodings():
         "utf-16-le"
     )
     assert extract_one(doc)["main_text"] == "utf16 content that is long enough"
+
+
+def test_unterminated_quoted_tag_is_linear_time():
+    """Regression: a + quantifier inside the tag attribute group
+    ((?:"..."|'...'|[^>"']+)*) backtracks exponentially on an unterminated
+    tag whose attribute soup mixes quotes — a 100-char input hung the
+    lexer. Pin linear-ish behavior with a strict wall-clock budget."""
+    import time
+
+    from basicocr_ray.core.tokenize import tokenize_html
+
+    soup = "<a " + 'ab"cd"ef' * 2000  # unterminated, quote-riddled
+    t0 = time.time()
+    tokenize_html(soup)
+    assert time.time() - t0 < 2.0
