@@ -93,3 +93,178 @@ class ACAutomaton:
             pos = end
         out.append(text[pos:])
         return "".join(out)
+
+
+class ACDoubleArray:
+    """Double-array AC automaton (ACDAT) — the reference's actual layout
+    (`contrib/acautomata` builds an AhoCorasickDoubleArrayTrie,
+    `Test.java:58-66`), re-derived from the double-array trie literature
+    (Aoe 1989): transitions live in two flat int arrays
+    (``next = base[s] + code(ch)``, valid iff ``check[next] == s``)
+    instead of one dict per node — ~3-5× less memory per node and
+    cache-friendly scans, which is what matters when the phrase
+    dictionary holds millions of boilerplate strings. Same match policy
+    and API as `ACAutomaton` (equivalence is property-tested); no code
+    taken from the reference's Java.
+    """
+
+    def __init__(self, patterns: Iterable[str]):
+        import numpy as np
+
+        pats = sorted({p for p in patterns if p})
+        self.patterns = pats
+        self.plen = [len(p) for p in pats]
+        # dense code map over the pattern alphabet (deterministic order);
+        # code 0 is reserved so base[s] + 0 can never alias a transition
+        alphabet = sorted({ch for p in pats for ch in p})
+        self.code = {ch: i + 1 for i, ch in enumerate(alphabet)}
+        ncodes = len(alphabet) + 1
+
+        # pointer trie first (children as {code: node}), then relocate
+        # into the double array breadth-first
+        children: list[dict[int, int]] = [{}]
+        out: list[int] = [-1]
+        for idx, p in enumerate(pats):
+            s = 0
+            for ch in p:
+                c = self.code[ch]
+                nxt = children[s].get(c)
+                if nxt is None:
+                    children.append({})
+                    out.append(-1)
+                    nxt = len(children) - 1
+                    children[s][c] = nxt
+                s = nxt
+            if out[s] == -1 or self.plen[out[s]] < len(p):
+                out[s] = idx
+
+        n_nodes = len(children)
+        cap = max(ncodes * 2, n_nodes + ncodes + 1)
+        base = np.zeros(cap, dtype=np.int64)
+        check = np.full(cap, -1, dtype=np.int64)  # parent DA slot, -1 free
+
+        def ensure(n: int):
+            nonlocal base, check, cap
+            if n < cap:
+                return
+            newcap = max(n + 1, cap * 2)
+            base = np.resize(base, newcap)
+            base[cap:] = 0
+            nc = np.full(newcap, -1, dtype=np.int64)
+            nc[:cap] = check
+            check = nc
+            cap = newcap
+
+        # BFS relocation: node → its DA slot (root = slot 0, check stays -1)
+        slot = np.zeros(n_nodes, dtype=np.int64)
+        free_hint = 1
+        order: deque[int] = deque([0])
+        while order:
+            node = order.popleft()
+            kids = children[node]
+            if not kids:
+                continue
+            codes = sorted(kids)
+            # first b ≥ 1 where all b+c are free
+            b = max(1, free_hint - codes[0])
+            while True:
+                ensure(b + codes[-1])
+                if all(check[b + c] == -1 for c in codes):
+                    break
+                b += 1
+            base[slot[node]] = b
+            for c in codes:
+                kid = kids[c]
+                ensure(b + c)
+                check[b + c] = slot[node]
+                slot[kid] = b + c
+                order.append(kid)
+            while free_hint < cap and check[free_hint] != -1:
+                free_hint += 1
+
+        used = int(max(slot)) + 1
+        self.base = base[:used]
+        self.check = check[:used]
+        # per-DA-slot fail + output (longest pattern idx), BFS over trie
+        self.fail = np.zeros(used, dtype=np.int64)
+        self.out = np.full(used, -1, dtype=np.int64)
+        for node in range(n_nodes):
+            self.out[slot[node]] = out[node]
+
+        # BFS with node ids (transitions via children dicts; fail links
+        # stored per DA slot)
+        bfs: deque[tuple[int, int, int]] = deque(
+            (kid, c, 0) for c, kid in sorted(children[0].items())
+        )
+        node_fail = np.zeros(n_nodes, dtype=np.int64)
+        while bfs:
+            node, c, parent = bfs.popleft()
+            f = node_fail[parent] if parent != 0 else 0
+            if parent != 0:
+                while True:
+                    if c in children[f]:
+                        t = children[f][c]
+                        if t != node:
+                            node_fail[node] = t
+                        break
+                    if f == 0:
+                        break
+                    f = node_fail[f]
+            fs = node_fail[node]
+            self.fail[slot[node]] = slot[fs]
+            fo = out[fs]
+            so = slot[node]
+            if fo != -1 and (
+                self.out[so] == -1 or self.plen[fo] > self.plen[self.out[so]]
+            ):
+                self.out[so] = fo
+            for cc, kid in sorted(children[node].items()):
+                bfs.append((kid, cc, node))
+
+    def _step(self, s: int, c: int) -> int:
+        base, check = self.base, self.check
+        while True:
+            t = base[s] + c
+            if t < len(check) and check[t] == s:
+                return int(t)
+            if s == 0:
+                return 0
+            s = int(self.fail[s])
+
+    def find_all(self, text: str) -> list[tuple[int, int, str]]:
+        """All (start, end, pattern) occurrences — same contract as
+        `ACAutomaton.find_all`."""
+        res = []
+        s = 0
+        code = self.code
+        for i, ch in enumerate(text):
+            c = code.get(ch)
+            if c is None:
+                s = 0
+                continue
+            s = self._step(s, c)
+            t = s
+            while t:
+                o = int(self.out[t])
+                if o != -1:
+                    p = self.patterns[o]
+                    res.append((i + 1 - len(p), i + 1, p))
+                t = int(self.fail[t])
+        return res
+
+    def strip(self, text: str) -> str:
+        """Leftmost-longest non-overlapping removal (same policy as
+        `ACAutomaton.strip`)."""
+        matches = self.find_all(text)
+        if not matches:
+            return text
+        matches.sort(key=lambda m: (m[0], -(m[1] - m[0])))
+        out = []
+        pos = 0
+        for start, end, _ in matches:
+            if start < pos:
+                continue
+            out.append(text[pos:start])
+            pos = end
+        out.append(text[pos:])
+        return "".join(out)

@@ -77,8 +77,17 @@ class ACStripper:
         phrases: Iterable[str],
         column: str = "main_text",
         out_column: str = "stripped_text",
+        backend: str = "pointer",
     ):
-        self.ac = ACAutomaton(_maybe_get(phrases))
+        if backend == "dat":
+            # double-array layout (the reference's ACDAT): flat int
+            # arrays instead of per-node dicts — pick for very large
+            # phrase dictionaries (millions of boilerplate strings)
+            from basicocr_ray.core.ac import ACDoubleArray
+
+            self.ac = ACDoubleArray(_maybe_get(phrases))
+        else:
+            self.ac = ACAutomaton(_maybe_get(phrases))
         self.column = column
         self.out_column = out_column
 

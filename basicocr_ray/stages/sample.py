@@ -16,6 +16,53 @@ def shuffled(ds, seed: int = 42):
     return ds.random_shuffle(seed=seed)
 
 
+def two_stage_shuffle(ds, id_column: str, seed: int = 42,
+                      num_salt: int | None = None):
+    """Deterministic whole-dataset shuffle as scatter + in-group permute —
+    the multi-node-honest alternative to `random_shuffle` (T2 at scale).
+
+    Every row's rank is ``md5(f"{seed}:{id}")`` — a uniform random
+    permutation in the random-oracle model. Stage 1 scatters rows to
+    cluster-sized coarse buckets keyed by the rank's top bits (ONE
+    all-to-all, each bucket ~1/S of the data); stage 2 permutes within
+    each bucket by the full rank in one vectorized pandas sort. Because
+    bucket boundaries are rank prefixes, concatenating buckets in key
+    order realizes exactly ``ORDER BY md5(seed||':'||id)`` — so the
+    result is invariant to input partitioning, retries, and cluster
+    size (unlike seeded RNG shuffles, whose layout-dependence makes
+    resume non-reproducible), and is SQL-twinnable. Changing the seed
+    yields an independent permutation."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from basicocr_ray.core.textstats import md5_hex
+    from basicocr_ray.stages.dedup import _coarse_salts
+
+    salts = _coarse_salts(num_salt)
+
+    def rank(batch: pa.Table) -> pa.Table:
+        ranks = [
+            md5_hex(f"{seed}:{i}") for i in batch[id_column].to_pylist()
+        ]
+        # bucket = the rank's HIGHEST log2(S) bits — a PREFIX of the
+        # sort key, so ascending bucket order == ascending rank order
+        shift = 32 - (salts.bit_length() - 1)
+        cgs = [int(r[:8], 16) >> shift for r in ranks]
+        return batch.append_column(
+            "_rank", pa.array(ranks, pa.string())
+        ).append_column("cg", pa.array(cgs, pa.int32()))
+
+    def permute(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["_rank", id_column], kind="mergesort")
+        return df.drop(columns=["_rank", "cg"])
+
+    return (
+        ds.map_batches(rank, batch_format="pyarrow")
+        .groupby("cg")
+        .map_groups(permute, batch_format="pandas")
+    )
+
+
 def sampled(ds, fraction: float, seed: int = 42):
     """Bernoulli sample of ~fraction rows (val-subset analogue, T5)."""
     return ds.random_sample(fraction, seed=seed)

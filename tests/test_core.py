@@ -247,3 +247,55 @@ def test_normalize_url():
     # idempotent
     u = normalize_url("https://X.org/a?z=1&y=2&fbclid=abc")
     assert normalize_url(u) == u
+
+
+def test_ac_double_array_equivalence():
+    """ACDoubleArray (the reference's ACDAT layout, Test.java:58-66) is
+    match-for-match equivalent to the pointer automaton — randomized
+    pattern sets, unicode phrases, and edge cases."""
+    import random
+
+    from basicocr_ray.core.ac import ACAutomaton, ACDoubleArray
+
+    rng = random.Random(7)
+    alpha = "abcde"
+    for _ in range(60):
+        pats = [
+            "".join(rng.choice(alpha) for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(1, 12))
+        ]
+        text = "".join(
+            rng.choice(alpha + "xyz ") for _ in range(rng.randint(0, 120))
+        )
+        a, d = ACAutomaton(pats), ACDoubleArray(pats)
+        assert sorted(a.find_all(text)) == sorted(d.find_all(text))
+        assert a.strip(text) == d.strip(text)
+
+    pats = ["版权所有", "all rights reserved", "cookie 政策", "保留一切权利"]
+    text = "正文 版权所有 © cookie 政策 all rights reserved 尾 保留一切权利"
+    a, d = ACAutomaton(pats), ACDoubleArray(pats)
+    assert sorted(a.find_all(text)) == sorted(d.find_all(text))
+    assert a.strip(text) == d.strip(text)
+    assert ACDoubleArray([]).strip("abc") == "abc"
+    assert ACDoubleArray([""]).find_all("x") == []
+
+
+def test_ac_stripper_dat_backend():
+    """The actor stage accepts backend='dat' and produces identical
+    output to the default pointer backend."""
+    import pyarrow as pa
+
+    from basicocr_ray.stages.correct import ACStripper
+
+    phrases = ["all rights reserved", "cookie banner"]
+    batch = pa.table(
+        {
+            "main_text": pa.array(
+                ["keep all rights reserved this", "cookie banner x", "clean"],
+                pa.large_string(),
+            )
+        }
+    )
+    out_p = ACStripper(phrases)(batch)["stripped_text"].to_pylist()
+    out_d = ACStripper(phrases, backend="dat")(batch)["stripped_text"].to_pylist()
+    assert out_p == out_d == ["keep  this", " x", "clean"]

@@ -401,3 +401,40 @@ def test_jaccard_set_join_exact_vs_brute():
     assert set(zip(small["id_a"], small["id_b"])) == set(
         zip(big["id_a"], big["id_b"])
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_two_stage_shuffle_deterministic_permutation():
+    """two_stage_shuffle is (a) a permutation, (b) identical — including
+    row order — across input partitionings and salt counts (the global
+    order is ORDER BY md5(seed:id), realized by rank-prefix buckets),
+    (c) a different permutation under a different seed."""
+    import hashlib
+
+    import ray.data
+
+    from basicocr_ray.stages.sample import two_stage_shuffle
+
+    rows = [{"doc_id": i, "val": i * 10} for i in range(500)]
+
+    def run(blocks: int, seed: int, num_salt=None) -> list[int]:
+        ds = ray.data.from_items(rows).repartition(blocks)
+        out = two_stage_shuffle(ds, "doc_id", seed=seed, num_salt=num_salt)
+        df = out.to_pandas()
+        # payload columns ride along untouched
+        assert (df["val"] == df["doc_id"] * 10).all()
+        return [int(x) for x in df["doc_id"]]
+
+    a = run(2, seed=7)
+    assert sorted(a) == list(range(500))  # permutation
+    assert a == run(13, seed=7)           # partition-invariant, incl. order
+    assert a == run(2, seed=7, num_salt=64)  # salt-invariant
+    b = run(2, seed=8)
+    assert sorted(b) == list(range(500)) and b != a  # fresh permutation
+
+    # the realized global order IS ORDER BY md5(seed:id)
+    expect = sorted(
+        range(500),
+        key=lambda i: (hashlib.md5(f"7:{i}".encode()).hexdigest(), i),
+    )
+    assert a == expect
