@@ -1436,6 +1436,28 @@ def q54_grouped_string_agg(sf_dir: str):
     )
 
 
+def q55_global_rank(sf_dir: str):
+    """Distributed global row numbering under the deterministic shuffle
+    order (T2's scale path made driver-checkable): `global_rank` scatters
+    by rank-prefix buckets, reduces metadata-sized per-bucket counts into
+    an exclusive prefix (O(S) driver state), and numbers each bucket
+    locally — exactly ROW_NUMBER() OVER (ORDER BY md5('7:'||id), id)-1
+    with no global sort and no data on the driver."""
+    from basicocr_ray.stages.sample import global_rank
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    out = global_rank(ds, "doc_id", seed=7)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "pos": pc.cast(b["pos"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q44_range_join(sf_dir: str):
     """Distributed RANGE JOIN (non-equi; the task brief's custom-operator
     example Ray Data lacks): events ⋈ maintenance windows on
@@ -1744,6 +1766,7 @@ QUERIES = {
     "q52_pii_redact": q52_pii_redact,
     "q53_url_host_rollup": q53_url_host_rollup,
     "q54_grouped_string_agg": q54_grouped_string_agg,
+    "q55_global_rank": q55_global_rank,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -2146,6 +2169,13 @@ ORACLE_SQL = {
                string_agg(CAST(o_orderkey AS VARCHAR), ','
                           ORDER BY o_totalprice DESC, o_orderkey) AS top_keys
         FROM ranked WHERE rn <= 3 GROUP BY o_orderstatus
+    """,
+    "q55_global_rank": """
+        SELECT doc_id,
+               row_number() OVER (
+                 ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) - 1 AS pos
+        FROM documents
     """,
     "q44_range_join": """
         WITH base AS (SELECT min(epoch_us(ts)) AS m FROM events),

@@ -33,34 +33,85 @@ def two_stage_shuffle(ds, id_column: str, seed: int = 42,
     resume non-reproducible), and is SQL-twinnable. Changing the seed
     yields an independent permutation."""
     import pandas as pd
-    import pyarrow.compute as pc
-
-    from basicocr_ray.core.textstats import md5_hex
-    from basicocr_ray.stages.dedup import _coarse_salts
-
-    salts = _coarse_salts(num_salt)
-
-    def rank(batch: pa.Table) -> pa.Table:
-        ranks = [
-            md5_hex(f"{seed}:{i}") for i in batch[id_column].to_pylist()
-        ]
-        # bucket = the rank's HIGHEST log2(S) bits — a PREFIX of the
-        # sort key, so ascending bucket order == ascending rank order
-        shift = 32 - (salts.bit_length() - 1)
-        cgs = [int(r[:8], 16) >> shift for r in ranks]
-        return batch.append_column(
-            "_rank", pa.array(ranks, pa.string())
-        ).append_column("cg", pa.array(cgs, pa.int32()))
 
     def permute(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["_rank", id_column], kind="mergesort")
         return df.drop(columns=["_rank", "cg"])
 
     return (
-        ds.map_batches(rank, batch_format="pyarrow")
+        _ranked(ds, id_column, seed, num_salt)
         .groupby("cg")
         .map_groups(permute, batch_format="pandas")
     )
+
+
+def _ranked(ds, id_column: str, seed: int, num_salt: int | None):
+    """Append the deterministic shuffle rank ``_rank = md5(seed:id)`` and
+    its rank-PREFIX coarse bucket ``cg`` (the top log2(S) bits of the
+    rank, so ascending bucket order == ascending rank order)."""
+    from basicocr_ray.core.textstats import md5_hex
+    from basicocr_ray.stages.dedup import _coarse_salts
+
+    salts = _coarse_salts(num_salt)
+    shift = 32 - (salts.bit_length() - 1)
+
+    def rank(batch: pa.Table) -> pa.Table:
+        ranks = [
+            md5_hex(f"{seed}:{i}") for i in batch[id_column].to_pylist()
+        ]
+        cgs = [int(r[:8], 16) >> shift for r in ranks]
+        return batch.append_column(
+            "_rank", pa.array(ranks, pa.string())
+        ).append_column("cg", pa.array(cgs, pa.int32()))
+
+    return ds.map_batches(rank, batch_format="pyarrow")
+
+
+def global_rank(ds, id_column: str, seed: int = 42,
+                num_salt: int | None = None, out_column: str = "pos"):
+    """Distributed global row numbering under the deterministic shuffle
+    order — ``ROW_NUMBER() OVER (ORDER BY md5(seed:id), id) - 1`` without
+    a global sort reaching the driver.
+
+    Bucket offsets come from a metadata-sized reduce: per-batch partial
+    counts per coarse bucket (≤ blocks × S tiny rows), summed on the
+    driver into an exclusive prefix over the ≤ S buckets — O(S) driver
+    state at any data size, the Spark zipWithIndex discipline. Each
+    bucket then sorts locally by the full rank and adds its offset to a
+    vectorized arange. Because buckets are rank prefixes the numbering
+    is globally consistent, partition/retry-invariant, and exactly
+    SQL-twinnable (q55)."""
+    import numpy as np
+    import pandas as pd
+
+    ranked = _ranked(ds, id_column, seed, num_salt).materialize()
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vc = pc.value_counts(batch["cg"])
+        return pa.table(
+            {"cg": vc.field("values"), "n": vc.field("counts")}
+        )
+
+    counts: dict[int, int] = {}
+    for row in ranked.map_batches(
+        partial_counts, batch_format="pyarrow"
+    ).take_all():  # ≤ blocks × S rows of (cg, n) — metadata, not data
+        counts[int(row["cg"])] = counts.get(int(row["cg"]), 0) + int(row["n"])
+    offsets: dict[int, int] = {}
+    acc = 0
+    for cg in sorted(counts):
+        offsets[cg] = acc
+        acc += counts[cg]
+
+    def number(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["_rank", id_column], kind="mergesort")
+        base = offsets[int(df["cg"].iloc[0])]
+        df[out_column] = base + np.arange(len(df), dtype=np.int64)
+        return df.drop(columns=["_rank", "cg"])
+
+    return ranked.groupby("cg").map_groups(number, batch_format="pandas")
 
 
 def sampled(ds, fraction: float, seed: int = 42):

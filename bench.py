@@ -103,10 +103,18 @@ def bench_extract(pages_dir: str) -> dict:
     htmls = probe["html"].to_pylist()
     for h in htmls[:200]:
         extract_one(h)  # warm the interpreter paths
-    t0 = time.perf_counter()
-    for h in htmls:
-        extract_one(h)
-    kernel_rate = round(len(htmls) / (time.perf_counter() - t0), 1)
+    # best-of-3: a single 0.3 s timing carries scheduler-blip noise that
+    # the calibration GATE would misread as host contention; the max of
+    # three consecutive timings estimates attainable single-core rate
+    # while sustained co-tenancy still shows (all three slow together)
+    kernel_rate = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for h in htmls:
+            extract_one(h)
+        kernel_rate = max(
+            kernel_rate, round(len(htmls) / (time.perf_counter() - t0), 1)
+        )
 
     # warm-up: spawn the worker pool + import the library in every worker
     # (untimed — measures the pipeline, not Python process cold-start)
@@ -193,13 +201,6 @@ def main() -> None:
         session_max = max(
             kernel(r) for rep in rep_samples for r in rep.values()
         )
-        accepted = [
-            rep for rep in rep_samples
-            if min(kernel(r) for r in rep.values()) >= 0.85 * session_max
-        ]
-        gated_out = len(rep_samples) - len(accepted)
-        if not accepted:  # pathological window: report all, flag it
-            accepted = rep_samples
 
         # Two N→4N pairs, both affinity-pinned to N cores (see the pin in
         # main()). 4→16 is the faithful multi-node analogue: on a real
@@ -208,8 +209,23 @@ def main() -> None:
         # bandwidth that the CPython allocator + Arrow traffic share —
         # a contention penalty no partitioning change can remove. Both
         # pairs are reported; the criterion value is the 4→16 median.
+        #
+        # Calibration gating is PER PAIR: an efficiency sample only needs
+        # its own two levels taken in calm windows — requiring all four
+        # levels calm (round-2's per-rep gate) rejected whole reps for
+        # contention in levels the pair never touches.
         pairs = {}
+        gated_out = 0
         for lo_n, hi_n in ((4, 16), (8, 32)):
+            ok_reps = [
+                rep for rep in rep_samples
+                if min(kernel(rep[lo_n]), kernel(rep[hi_n]))
+                >= 0.85 * session_max
+            ]
+            n_gated = len(rep_samples) - len(ok_reps)
+            if lo_n == 4:
+                gated_out = n_gated
+            accepted = ok_reps or rep_samples  # pathological: report all
             effs = sorted(
                 round(
                     (rep[lo_n]["queries"]["extract"]
@@ -223,6 +239,7 @@ def main() -> None:
             pairs[f"{lo_n}_to_{hi_n}"] = {
                 "efficiency_median": round(statistics.median(effs), 3),
                 "efficiency_samples": effs,
+                "samples_accepted": len(ok_reps),
                 f"docs_per_sec_{lo_n}": best_lo[lo_n]["extract"]["docs_per_sec"],
                 f"docs_per_sec_{hi_n}": best_hi[hi_n]["extract"]["docs_per_sec"],
             }
@@ -237,7 +254,10 @@ def main() -> None:
             "reps_total": reps,
             "reps_accepted": len(rep_samples) - gated_out,
             "reps_gated_out": gated_out,
-            "calibration_gate": "kernel_1core >= 0.85 * session_max",
+            "calibration_gate": (
+                "per-pair: both levels' best-of-3 kernel_1core >= "
+                "0.85 * session_max"
+            ),
             "kernel_1core_min_max": [min(kernel_rates), max(kernel_rates)],
             "note": (
                 "levels affinity-pinned to N cores; per-rep same-window "

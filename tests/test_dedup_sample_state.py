@@ -438,3 +438,31 @@ def test_two_stage_shuffle_deterministic_permutation():
         key=lambda i: (hashlib.md5(f"7:{i}".encode()).hexdigest(), i),
     )
     assert a == expect
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_global_rank_matches_row_number():
+    """global_rank assigns exactly ROW_NUMBER()-1 under the deterministic
+    shuffle order, invariant to partitioning and salt count."""
+    import hashlib
+
+    import ray.data
+
+    from basicocr_ray.stages.sample import global_rank
+
+    rows = [{"doc_id": i, "val": i * 3} for i in range(700)]
+    expect_order = sorted(
+        range(700),
+        key=lambda i: (hashlib.md5(f"7:{i}".encode()).hexdigest(), i),
+    )
+    expect_pos = {doc: p for p, doc in enumerate(expect_order)}
+
+    for blocks, num_salt in ((3, None), (11, 32)):
+        ds = ray.data.from_items(rows).repartition(blocks)
+        df = global_rank(
+            ds, "doc_id", seed=7, num_salt=num_salt
+        ).to_pandas()
+        assert len(df) == 700
+        assert (df["val"] == df["doc_id"] * 3).all()  # payload rides along
+        got = {int(d): int(p) for d, p in zip(df["doc_id"], df["pos"])}
+        assert got == expect_pos
