@@ -1458,6 +1458,93 @@ def q55_global_rank(sf_dir: str):
     )
 
 
+def q56_weighted_sample(sf_dir: str):
+    """Deterministic WEIGHTED sampling (Efraimidis–Spirakis A-ES): 50 docs
+    drawn ∝ n_chars without replacement via the exponential race
+    key = -ln(u)/w with u a deterministic md5-derived uniform
+    (`stages.sample.weighted_bottomk`) — per-batch local bottom-k, tiny
+    global sort, partition/retry/cluster-size-invariant, and the u/key
+    expressions reproduce verbatim in the SQL twin (T1's weighted flavor,
+    the quality-weighted corpus-sampling primitive)."""
+    from basicocr_ray.stages.sample import weighted_bottomk
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    out = weighted_bottomk(ds, "doc_id", "n_chars", k=50)
+    return out.select_columns(["doc_id", "n_chars"])
+
+
+def q57_anti_join_customers(sf_dir: str):
+    """Distributed ANTI-JOIN (NOT EXISTS — D2's anti-membership semantics
+    with BOTH sides fact-scale, where the reference only ever broadcasts):
+    customers with no order above 280k via `bucketed_hash_join(join_type=
+    'left anti')` — single shuffle by key bucket, per-bucket Acero anti
+    joins compose exactly because a key never spans buckets (the filter is
+    pushed BEFORE the shuffle, so the right side ships only qualifying
+    keys)."""
+    from basicocr_ray.stages.joins import bucketed_hash_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    orders = _read(
+        sf_dir, "orders", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "c_custkey": b.filter(
+                    pc.greater(b["o_totalprice"], 280000.0)
+                )["o_custkey"]
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return bucketed_hash_join(
+        cust, orders, "c_custkey", ["c_acctbal"], [], join_type="left anti"
+    )
+
+
+def q58_rollup_docs(sf_dir: str):
+    """GROUP BY ROLLUP(lang, source) over documents (G7's rollup taken to
+    its OLAP form): one scan computes finest-level partials; subtotal and
+    grand-total levels derive from the finest AGGREGATE (count/sum are
+    algebraic, so aggregate-of-aggregates is exact and costs zero extra
+    scans) — `stages.wide.rollup_counts`."""
+    from basicocr_ray.stages.wide import rollup_counts
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+    return rollup_counts(
+        ds, ["lang", "source"], "n_chars",
+        n_name="n_docs", sum_name="sum_chars",
+    )
+
+
+def q59_knn_join_label(sf_dir: str):
+    """Per-label exact cosine k-NN SELF-JOIN (the similarity-search join:
+    each vector's top-3 neighbors within its label, self excluded, ties by
+    neighbor id): the label partitions the quadratic work — the IVF-cell
+    shape — and each group scores in one numpy gram-matrix pass
+    (`stages.embed.knn_self_join_grouped`). Sims rounded 6 like q15
+    (numpy vs DuckDB double summation agree well past 1e-6)."""
+    from basicocr_ray.stages.embed import knn_self_join_grouped
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    res = knn_self_join_grouped(ds, k=3).to_pandas()
+    res["label"] = res["label"].astype("int64")
+    return _round_col(res, "sim", 6)
+
+
+def q60_group_quantile(sf_dir: str):
+    """EXACT per-group p90 (percentile_disc) without a per-group sort:
+    two metadata-sized histogram passes locate each group's candidate
+    bucket, a pruned third scan selects the exact order statistic from
+    ~n/1024 surviving rows (`stages.wide.grouped_quantile_disc`) — the
+    distributed exact-quantile shape (G5's max generalized to any rank),
+    q = 9/10 carried as an exact rational so the target index matches
+    DuckDB's ceil(q·n) bit-for-bit."""
+    from basicocr_ray.stages.wide import grouped_quantile_disc
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_quantile_disc(ds, "event_type", "value", 9, 10)
+
+
 def q44_range_join(sf_dir: str):
     """Distributed RANGE JOIN (non-equi; the task brief's custom-operator
     example Ray Data lacks): events ⋈ maintenance windows on
@@ -1767,6 +1854,11 @@ QUERIES = {
     "q53_url_host_rollup": q53_url_host_rollup,
     "q54_grouped_string_agg": q54_grouped_string_agg,
     "q55_global_rank": q55_global_rank,
+    "q56_weighted_sample": q56_weighted_sample,
+    "q57_anti_join_customers": q57_anti_join_customers,
+    "q58_rollup_docs": q58_rollup_docs,
+    "q59_knn_join_label": q59_knn_join_label,
+    "q60_group_quantile": q60_group_quantile,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -2176,6 +2268,53 @@ ORACLE_SQL = {
                  ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id
                ) - 1 AS pos
         FROM documents
+    """,
+    "q56_weighted_sample": """
+        WITH keyed AS (
+          SELECT doc_id, n_chars,
+                 -ln((CAST('0x' || substr(
+                        md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1)
+                     / 4294967296.0) / n_chars AS k
+          FROM documents
+        )
+        SELECT doc_id, n_chars FROM keyed ORDER BY k, doc_id LIMIT 50
+    """,
+    "q57_anti_join_customers": """
+        SELECT c_custkey, c_acctbal FROM customer c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 280000
+        )
+    """,
+    "q58_rollup_docs": """
+        SELECT lang, source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY ROLLUP(lang, source)
+    """,
+    "q59_knn_join_label": """
+        WITH pairs AS (
+          SELECT a.label, a.vec_id, b.vec_id AS nbr_id,
+                 list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])) AS sim
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id <> b.vec_id
+        ), ranked AS (
+          SELECT label, vec_id, nbr_id, sim,
+                 row_number() OVER (
+                   PARTITION BY vec_id ORDER BY sim DESC, nbr_id
+                 ) AS nbr_rank
+          FROM pairs
+        )
+        SELECT CAST(label AS BIGINT) AS label, vec_id,
+               CAST(nbr_rank AS BIGINT) AS nbr_rank, nbr_id,
+               round(sim, 6) AS sim
+        FROM ranked WHERE nbr_rank <= 3
+    """,
+    "q60_group_quantile": """
+        SELECT event_type, quantile_disc(value, 0.9) AS q_value
+        FROM events GROUP BY event_type
     """,
     "q44_range_join": """
         WITH base AS (SELECT min(epoch_us(ts)) AS m FROM events),

@@ -250,3 +250,61 @@ def cosine_lsh_pairs(
         .map_groups(coarse_verify, batch_format="pandas")
     )
     return _dedupe_pairs(pairs, num_groups=num_salt)
+
+
+def knn_self_join_grouped(
+    ds,
+    k: int = 3,
+    group_column: str = "label",
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+):
+    """Per-group exact cosine k-NN SELF-JOIN: within each group, every
+    vector's top-k neighbors (self excluded), ties broken by neighbor id.
+    → Dataset (group, vec_id, nbr_rank 1..k, nbr_id, sim).
+
+    Scale shape: the group column partitions the quadratic work — one
+    groupby co-locates each group, then a single numpy gram-matrix pass
+    (sims = (X·Xᵀ) / (‖x‖‖y‖), the DuckDB list_cosine_similarity formula)
+    scores the whole group vectorized. Partitioning assumption
+    (documented per the task brief): one GROUP's vectors fit a worker —
+    the IVF-cell shape; for a corpus-wide knn join, first assign cells
+    with `stages.kmeans` (or `_signature` LSH buckets) and run this
+    per cell, trading exactness for the probe budget like `ivf_topk`."""
+
+    def knn(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_column].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        x = np.asarray(df[vec_column].to_list(), dtype=np.float64)[order]
+        norms = np.linalg.norm(x, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (x @ x.T) / np.outer(norms, norms)
+        np.fill_diagonal(sims, -np.inf)
+        n = len(ids)
+        kk = min(k, n - 1)
+        if kk <= 0:
+            return pd.DataFrame(
+                {
+                    group_column: pd.Series([], dtype=df[group_column].dtype),
+                    id_column: pd.Series([], dtype="int64"),
+                    "nbr_rank": pd.Series([], dtype="int64"),
+                    "nbr_id": pd.Series([], dtype="int64"),
+                    "sim": pd.Series([], dtype="float64"),
+                }
+            )
+        # columns are in ascending id order, so a STABLE argsort on -sim
+        # breaks exact ties by neighbor id ascending
+        nbr = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(np.arange(n), kk)
+        return pd.DataFrame(
+            {
+                group_column: df[group_column].iloc[order[rows]].to_numpy(),
+                id_column: ids[rows],
+                "nbr_rank": np.tile(np.arange(1, kk + 1), n).astype("int64"),
+                "nbr_id": ids[nbr.ravel()],
+                "sim": sims[rows, nbr.ravel()],
+            }
+        )
+
+    return ds.groupby(group_column).map_groups(knn, batch_format="pandas")

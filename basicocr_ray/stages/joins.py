@@ -40,9 +40,19 @@ def bucketed_hash_join(
     right_columns: list[str],
     num_buckets: int = 32,
     bucket_post_fn=None,
+    join_type: str = "inner",
 ):
-    """Inner equi-join of two large Datasets on a key column (integer or
+    """Equi-join of two large Datasets on a key column (integer or
     string — string keys bucket via a cross-process-stable hash).
+
+    ``join_type``: ``"inner"`` (default), ``"left semi"`` or
+    ``"left anti"`` — the semi/anti flavors emit LEFT columns only
+    (right_columns must be empty) and express EXISTS / NOT EXISTS against
+    a fact-scale right side with the same single-shuffle discipline: a key
+    never spans buckets, so per-bucket Acero anti/semi joins compose to
+    the exact global result. (The reference's only anti-semantics is the
+    broadcast AC stopword strip, J3/D2 — this is its both-sides-large
+    generalization.)
 
     → Dataset with key + left_columns + right_columns. Both sides are
     widened to a COMMON typed schema (types probed via ``ds.schema()``)
@@ -57,6 +67,10 @@ def bucketed_hash_join(
     spans buckets, any per-key reduction (aggregate, top-k per key) is
     exact here — fusing it saves the follow-up exchange the caller would
     otherwise need (one shuffle instead of two)."""
+    if join_type not in ("inner", "left semi", "left anti"):
+        raise ValueError(f"unsupported join_type: {join_type!r}")
+    if join_type != "inner" and right_columns:
+        raise ValueError("semi/anti joins emit left columns only")
     lcols = [key] + [c for c in left_columns if c != key]
     rcols = [key] + [c for c in right_columns if c != key]
     overlap = (set(lcols) & set(rcols)) - {key}
@@ -66,6 +80,7 @@ def bucketed_hash_join(
             "rename before joining"
         )
     all_cols = lcols + [c for c in rcols if c not in lcols]
+    out_cols = lcols if join_type != "inner" else all_cols
 
     ls, rs = left_ds.schema(), right_ds.schema()
     ltypes = dict(zip(ls.names, ls.types))
@@ -94,21 +109,27 @@ def bucketed_hash_join(
     right_t = right_ds.map_batches(prep(rcols, 1), batch_format="pyarrow")
 
     empty = pa.Table.from_arrays(
-        [pa.array([], type=types[c]) for c in all_cols], all_cols
+        [pa.array([], type=types[c]) for c in out_cols], out_cols
     )
 
     def join_bucket(tbl: pa.Table) -> pa.Table:
         mask = pc.equal(tbl["_side"], 0)
         l_tbl = tbl.filter(mask).select(lcols)
         r_tbl = tbl.filter(pc.invert(mask)).select(rcols)
-        if l_tbl.num_rows == 0 or r_tbl.num_rows == 0:
+        if l_tbl.num_rows == 0:
+            return bucket_post_fn(empty) if bucket_post_fn else empty
+        if r_tbl.num_rows == 0:
+            # anti-join: an empty right bucket keeps every left row
+            if join_type == "left anti":
+                out = l_tbl
+                return bucket_post_fn(out) if bucket_post_fn else out
             return bucket_post_fn(empty) if bucket_post_fn else empty
         # use_threads=False: each bucket join runs inside a 1-CPU Ray
         # task; Acero's default pool (sized to the whole machine) in 32
         # concurrent tasks oversubscribes the node ~32x and thrashes
         out = l_tbl.join(
-            r_tbl, keys=key, join_type="inner", use_threads=False
-        ).select(all_cols)
+            r_tbl, keys=key, join_type=join_type, use_threads=False
+        ).select(out_cols)
         return bucket_post_fn(out) if bucket_post_fn else out
 
     return (

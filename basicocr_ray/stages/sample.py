@@ -163,6 +163,55 @@ def bottomk_sample(ds, id_column: str, k: int):
     )
 
 
+def weighted_bottomk(ds, id_column: str, weight_column: str, k: int):
+    """Deterministic WEIGHTED sample without replacement (Efraimidis–
+    Spirakis A-ES, arXiv:cs/0509026): each row races an exponential clock
+    ``key = -ln(u) / w`` with ``u`` a deterministic uniform from
+    ``md5(id)`` — the k smallest keys are a weighted-without-replacement
+    sample (P(first) = w_i / Σw). Same distributed shape as
+    `bottomk_sample`: per-batch local bottom-k, then a tiny global sort of
+    ≤ k·num_batches survivors — partition/retry/cluster-size-invariant and
+    SQL-twinnable (the u and key expressions are reproduced verbatim in
+    the oracle; ties broken by id).
+
+    ``u = (int(md5(id)[:8], 16) + 1) / 2^32`` ∈ (0, 1] — the +1 dodges
+    ln(0); u = 1 gives key 0 (the strongest possible draw), which is fine.
+    Non-positive weights are rejected (their exponential race is
+    undefined)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from basicocr_ray.core.textstats import md5_hex
+
+    def rank(batch: pa.Table) -> pa.Table:
+        ids = batch[id_column].to_pylist()
+        w = np.asarray(batch[weight_column].to_pylist(), dtype=np.float64)
+        if (w <= 0).any():
+            raise ValueError("weighted_bottomk requires positive weights")
+        u = np.array(
+            [(int(md5_hex(str(i))[:8], 16) + 1) for i in ids],
+            dtype=np.float64,
+        ) / 4294967296.0
+        key = -np.log(u) / w
+        t = pa.table(
+            {
+                id_column: pc.cast(batch[id_column], pa.int64()),
+                weight_column: batch[weight_column],
+                "_key": pa.array(key, pa.float64()),
+            }
+        )
+        order = pc.sort_indices(
+            t, sort_keys=[("_key", "ascending"), (id_column, "ascending")]
+        )
+        return t.take(order[:k])
+
+    return (
+        ds.map_batches(rank, batch_format="pyarrow")
+        .sort(["_key", id_column])
+        .limit(k)
+    )
+
+
 def stratified_bottomk(ds, group_column: str, id_column: str, k: int):
     """Deterministic stratified sample: exact bottom-k by md5(id) WITHIN
     each group (per-language / per-source quota sampling). Groups are

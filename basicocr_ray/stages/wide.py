@@ -124,6 +124,234 @@ def approx_distinct(
     return merged.count()
 
 
+def rollup_counts(
+    ds,
+    group_cols: list[str],
+    value_column: str,
+    n_name: str = "n",
+    sum_name: str = "total",
+):
+    """GROUP BY ROLLUP(g1, …, gk): (count, sum) at every prefix level of
+    the grouping columns, rolled-up levels marked with NULL (SQL ROLLUP
+    semantics — assumes the grouping columns themselves are non-null, the
+    usual ROLLUP caveat).
+
+    Scale shape: ONE scan of the data computes per-batch partials at the
+    FINEST level; the final finest aggregate (bounded by key-combination
+    cardinality, not data size) goes through the house coarse-salted
+    groupby; every coarser level then derives from the finest AGGREGATE —
+    aggregate-of-aggregates, never a re-scan (the OLAP-cube partial-reuse
+    discipline; sums/counts are algebraic so the reuse is exact)."""
+    import hashlib
+
+    import numpy as np
+
+    from basicocr_ray.stages.dedup import _coarse_salts
+
+    salts = _coarse_salts(None)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(group_cols, as_index=False).agg(
+            **{n_name: (value_column, "size"),
+               sum_name: (value_column, "sum")}
+        )
+        return g.astype({n_name: "int64", sum_name: "int64"})
+
+    def add_cg(b: pa.Table) -> pa.Table:
+        keys = [
+            "\x1f".join(str(v) for v in row)
+            for row in zip(*(b[c].to_pylist() for c in group_cols))
+        ]
+        cgs = [
+            int.from_bytes(hashlib.md5(k.encode()).digest()[:4], "little")
+            & (salts - 1)
+            for k in keys
+        ]
+        return b.append_column("cg", pa.array(cgs, pa.int32()))
+
+    def final_sum(cols: list[str]):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            if cols:
+                out = df.groupby(cols, as_index=False)[[n_name, sum_name]].sum()
+            else:
+                out = pd.DataFrame(
+                    {n_name: [df[n_name].sum()], sum_name: [df[sum_name].sum()]}
+                )
+            return out.astype({n_name: "int64", sum_name: "int64"})
+
+        return fn
+
+    finest = (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(add_cg, batch_format="pyarrow")
+        .groupby("cg")
+        .map_groups(final_sum(group_cols), batch_format="pandas")
+        .materialize()  # ≤ |key combinations| rows — reused by every level
+    )
+
+    def widen(present: list[str]):
+        # emit all group columns, NULL for the rolled-up suffix
+        def fn(b: pa.Table) -> pa.Table:
+            arrays, names = [], []
+            for c in group_cols:
+                names.append(c)
+                arrays.append(
+                    b[c] if c in present else pa.nulls(b.num_rows, pa.string())
+                )
+            names += [n_name, sum_name]
+            arrays += [b[n_name], b[sum_name]]
+            return pa.Table.from_arrays(arrays, names)
+
+        return fn
+
+    levels = [finest.map_batches(widen(group_cols), batch_format="pyarrow")]
+    for lv in range(len(group_cols) - 1, -1, -1):
+        cols = group_cols[:lv]
+        # aggregate the (tiny) finest table, not the data
+        if cols:
+            agg = finest.groupby(cols).map_groups(
+                final_sum(cols), batch_format="pandas"
+            )
+        else:
+            # grand total: per-batch partial, then one single-group final
+            agg = (
+                finest.map_batches(
+                    lambda df: final_sum([])(df).assign(
+                        _one=np.int32(0)
+                    ),
+                    batch_format="pandas",
+                )
+                .groupby("_one")
+                .map_groups(final_sum([]), batch_format="pandas")
+            )
+        levels.append(agg.map_batches(widen(cols), batch_format="pyarrow"))
+
+    out = levels[0]
+    for lv_ds in levels[1:]:
+        out = out.union(lv_ds)
+    return out
+
+
+def grouped_quantile_disc(
+    ds,
+    group_column: str,
+    value_column: str,
+    q_num: int,
+    q_den: int,
+    num_hist_buckets: int = 1024,
+    out_name: str = "q_value",
+):
+    """EXACT per-group discrete quantile (SQL ``quantile_disc`` /
+    percentile_disc: the element at 1-indexed position ceil(q·n) of the
+    group's sorted values — q passed as the exact rational q_num/q_den so
+    the target index never suffers float fuzz).
+
+    A naive exact grouped quantile is a per-group SORT — an all-to-all of
+    every row. This is the two-pass histogram-refinement shape instead:
+
+    1. scan → per-group (count, min, max) partials; driver reduce is
+       ≤ |groups| rows (metadata).
+    2. scan → per-(group, bucket) histogram counts over ``num_hist_buckets``
+       equi-width buckets; driver prefix-sums ≤ |groups|·B rows to locate,
+       per group, the bucket holding the target order statistic and the
+       within-bucket offset.
+    3. pruned scan → only rows falling in their group's candidate bucket
+       (expected n/B per group; a single dominant value concentrates its
+       bucket but then the selection inside is trivial) → per-group sort
+       of the tiny candidate set picks the exact element.
+
+    Three narrow scans, zero row shuffle except the candidate trickle —
+    the shape survives any group cardinality and any data size."""
+    import numpy as np
+
+    if not (0 < q_num <= q_den):
+        raise ValueError("quantile must be in (0, 1]")
+
+    B = num_hist_buckets
+
+    # ---- pass 1: per-group count/min/max --------------------------------
+    def p1(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[group_column, value_column]].dropna()
+        return df.groupby(group_column, as_index=False).agg(
+            n=(value_column, "count"),
+            lo=(value_column, "min"),
+            hi=(value_column, "max"),
+        )
+
+    stats: dict = {}
+    for row in ds.map_batches(p1, batch_format="pandas").take_all():
+        g = row[group_column]
+        if g in stats:
+            s = stats[g]
+            s["n"] += int(row["n"])
+            s["lo"] = min(s["lo"], float(row["lo"]))
+            s["hi"] = max(s["hi"], float(row["hi"]))
+        else:
+            stats[g] = {
+                "n": int(row["n"]), "lo": float(row["lo"]),
+                "hi": float(row["hi"]),
+            }
+
+    widths = {
+        g: ((s["hi"] - s["lo"]) / B) or 1.0 for g, s in stats.items()
+    }
+    los = {g: s["lo"] for g, s in stats.items()}
+    # ceil(q*n) with exact integer arithmetic, 0-indexed
+    targets = {
+        g: -((-q_num * s["n"]) // q_den) - 1 for g, s in stats.items()
+    }
+
+    def bucket_of(groups: np.ndarray, vals: np.ndarray) -> np.ndarray:
+        lo = np.array([los[g] for g in groups])
+        w = np.array([widths[g] for g in groups])
+        return np.clip(((vals - lo) / w).astype(np.int64), 0, B - 1)
+
+    # ---- pass 2: per-(group, bucket) histogram --------------------------
+    def p2(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[group_column, value_column]].dropna()
+        df["_b"] = bucket_of(
+            df[group_column].to_numpy(), df[value_column].to_numpy()
+        )
+        return df.groupby([group_column, "_b"], as_index=False).agg(
+            n=(value_column, "size")
+        )
+
+    hist: dict = {}
+    for row in ds.map_batches(p2, batch_format="pandas").take_all():
+        key = (row[group_column], int(row["_b"]))
+        hist[key] = hist.get(key, 0) + int(row["n"])
+
+    cand_bucket: dict = {}
+    offsets: dict = {}
+    for g in stats:
+        acc = 0
+        for b in range(B):
+            c = hist.get((g, b), 0)
+            if acc + c > targets[g]:
+                cand_bucket[g] = b
+                offsets[g] = targets[g] - acc
+                break
+            acc += c
+
+    # ---- pass 3: pruned scan → exact in-bucket selection ----------------
+    def p3_filter(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[group_column, value_column]].dropna()
+        b = bucket_of(df[group_column].to_numpy(), df[value_column].to_numpy())
+        want = np.array([cand_bucket[g] for g in df[group_column]])
+        return df[b == want]
+
+    def select(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[group_column].iloc[0]
+        v = np.sort(df[value_column].to_numpy())[offsets[g]]
+        return pd.DataFrame({group_column: [g], out_name: [float(v)]})
+
+    return (
+        ds.map_batches(p3_filter, batch_format="pandas")
+        .groupby(group_column)
+        .map_groups(select, batch_format="pandas")
+    )
+
+
 def top_k(ds, k: int, key: str, tie_key: str):
     """Global top-k by (key desc, tie_key asc): per-batch local prune to k
     (partial top-k) before the tiny global sort — no full-data sort at

@@ -1,0 +1,267 @@
+"""Round-3 operators: anti/semi join, weighted sampling, ROLLUP,
+grouped exact quantile, grouped knn self-join."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_anti_and_semi_join_match_pandas():
+    import ray.data
+
+    from basicocr_ray.stages.joins import bucketed_hash_join
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame(
+        {"k": rng.integers(0, 40, 200), "lv": rng.integers(0, 1000, 200)}
+    )
+    right = pd.DataFrame({"k": rng.integers(0, 80, 60)})
+
+    anti = (
+        bucketed_hash_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            "k", ["lv"], [], num_buckets=8, join_type="left anti",
+        )
+        .to_pandas()
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    want_anti = (
+        left[~left["k"].isin(right["k"])]
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    assert anti[["k", "lv"]].astype("int64").equals(
+        want_anti[["k", "lv"]].astype("int64")
+    )
+
+    semi = (
+        bucketed_hash_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            "k", ["lv"], [], num_buckets=8, join_type="left semi",
+        )
+        .to_pandas()
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    want_semi = (
+        left[left["k"].isin(right["k"])]
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    # semi join must NOT duplicate left rows on duplicate right keys
+    assert semi[["k", "lv"]].astype("int64").equals(
+        want_semi[["k", "lv"]].astype("int64")
+    )
+
+
+def test_join_type_validation():
+    from basicocr_ray.stages.joins import bucketed_hash_join
+
+    with pytest.raises(ValueError, match="join_type"):
+        bucketed_hash_join(None, None, "k", [], [], join_type="right anti")
+    with pytest.raises(ValueError, match="left columns only"):
+        bucketed_hash_join(None, None, "k", [], ["rv"], join_type="left anti")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_weighted_bottomk_partition_invariant_and_weighted():
+    import ray.data
+
+    from basicocr_ray.stages.sample import weighted_bottomk
+
+    n = 2000
+    # ids < 1000 get weight 100, the rest weight 1
+    df = pd.DataFrame(
+        {"id": np.arange(n), "w": np.where(np.arange(n) < 1000, 100.0, 1.0)}
+    )
+
+    def run(num_blocks: int) -> list[int]:
+        ds = ray.data.from_pandas(df).repartition(num_blocks)
+        out = weighted_bottomk(ds, "id", "w", k=100).to_pandas()
+        return out["id"].tolist()
+
+    a, b = run(1), run(7)
+    assert a == b  # partition-invariant
+    heavy = sum(1 for i in a if i < 1000)
+    # E[heavy] ≈ 100 * (100*1000)/(100*1000+1000) ≈ 99
+    assert heavy > 90
+
+    # exact A-ES semantics vs a local reference implementation
+    from basicocr_ray.core.textstats import md5_hex
+
+    u = np.array(
+        [int(md5_hex(str(i))[:8], 16) + 1 for i in df["id"]], np.float64
+    ) / 4294967296.0
+    key = -np.log(u) / df["w"].to_numpy()
+    want = df["id"].to_numpy()[np.lexsort((df["id"], key))][:100]
+    assert a == sorted(a, key=lambda i: (key[i], i))
+    assert set(a) == set(want.tolist())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_weighted_bottomk_rejects_nonpositive():
+    import ray.data
+
+    from basicocr_ray.stages.sample import weighted_bottomk
+
+    ds = ray.data.from_pandas(pd.DataFrame({"id": [1, 2], "w": [1.0, 0.0]}))
+    with pytest.raises(Exception, match="positive weights"):
+        weighted_bottomk(ds, "id", "w", k=1).to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rollup_counts_matches_pandas():
+    import ray.data
+
+    from basicocr_ray.stages.wide import rollup_counts
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(["x", "y", "z"], 500),
+            "b": rng.choice(["p", "q"], 500),
+            "v": rng.integers(0, 100, 500),
+        }
+    )
+    got = (
+        rollup_counts(
+            ray.data.from_pandas(df).repartition(5),
+            ["a", "b"], "v", n_name="n", sum_name="s",
+        )
+        .to_pandas()
+        .sort_values(["a", "b"], na_position="last")
+        .reset_index(drop=True)
+    )
+    finest = df.groupby(["a", "b"], as_index=False).agg(
+        n=("v", "size"), s=("v", "sum")
+    )
+    lvl1 = df.groupby(["a"], as_index=False).agg(n=("v", "size"), s=("v", "sum"))
+    lvl1["b"] = None
+    total = pd.DataFrame(
+        {"a": [None], "b": [None], "n": [len(df)], "s": [df["v"].sum()]}
+    )
+    want = (
+        pd.concat([finest, lvl1, total], ignore_index=True)[
+            ["a", "b", "n", "s"]
+        ]
+        .sort_values(["a", "b"], na_position="last")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for c in ("a", "b"):
+        assert [x if pd.notna(x) else None for x in got[c]] == [
+            x if pd.notna(x) else None for x in want[c]
+        ]
+    assert got["n"].astype("int64").tolist() == want["n"].astype("int64").tolist()
+    assert got["s"].astype("int64").tolist() == want["s"].astype("int64").tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("q_num,q_den", [(9, 10), (1, 2), (1, 4), (1, 1)])
+def test_grouped_quantile_disc_exact(q_num, q_den):
+    import ray.data
+
+    from basicocr_ray.stages.wide import grouped_quantile_disc
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], 3000),
+            "v": np.round(rng.normal(50, 20, 3000), 3),
+        }
+    )
+    # duplicate-heavy group: one value dominating its histogram bucket
+    dup = pd.DataFrame({"g": ["d"] * 500, "v": [7.0] * 400 + [9.0] * 100})
+    # constant group (hi == lo → zero-width histogram)
+    const = pd.DataFrame({"g": ["e"] * 50, "v": [3.25] * 50})
+    df = pd.concat([df, dup, const], ignore_index=True)
+
+    got = (
+        grouped_quantile_disc(
+            ray.data.from_pandas(df).repartition(6), "g", "v", q_num, q_den
+        )
+        .to_pandas()
+        .set_index("g")["q_value"]
+        .to_dict()
+    )
+    for g, sub in df.groupby("g"):
+        vals = np.sort(sub["v"].to_numpy())
+        idx = math.ceil(q_num * len(vals) / q_den) - 1  # quantile_disc
+        assert got[g] == vals[idx], (g, q_num, q_den)
+
+
+def test_grouped_quantile_validates_q():
+    from basicocr_ray.stages.wide import grouped_quantile_disc
+
+    with pytest.raises(ValueError):
+        grouped_quantile_disc(None, "g", "v", 0, 10)
+    with pytest.raises(ValueError):
+        grouped_quantile_disc(None, "g", "v", 11, 10)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_self_join_grouped_golden():
+    import ray.data
+
+    from basicocr_ray.stages.embed import knn_self_join_grouped
+
+    # group 1: four unit vectors at known angles; group 2: a singleton
+    df = pd.DataFrame(
+        {
+            "vec_id": [10, 11, 12, 13, 99],
+            "label": [1, 1, 1, 1, 2],
+            "embedding": [
+                [1.0, 0.0], [0.0, 1.0],
+                [math.sqrt(0.5), math.sqrt(0.5)], [-1.0, 0.0],
+                [1.0, 1.0],
+            ],
+        }
+    )
+    out = (
+        knn_self_join_grouped(ray.data.from_pandas(df), k=2)
+        .to_pandas()
+        .sort_values(["vec_id", "nbr_rank"])
+        .reset_index(drop=True)
+    )
+    # singleton group emits nothing
+    assert 99 not in set(out["vec_id"])
+    by = {
+        (r.vec_id, r.nbr_rank): r.nbr_id for r in out.itertuples()
+    }
+    assert by[(10, 1)] == 12  # cos 45° beats orthogonal
+    assert by[(11, 1)] == 12
+    assert by[(12, 1)] in (10, 11)  # tie at cos 45° → smaller id
+    assert by[(12, 1)] == 10 and by[(12, 2)] == 11
+    assert by[(13, 1)] == 11  # -x: best is orthogonal y (cos 0)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_tie_break_partition_invariant():
+    import ray.data
+
+    from basicocr_ray.stages.embed import knn_self_join_grouped
+
+    # all identical vectors → every sim ties → neighbors = ascending ids
+    df = pd.DataFrame(
+        {
+            "vec_id": [5, 3, 9, 1],
+            "label": [0, 0, 0, 0],
+            "embedding": [[1.0, 2.0]] * 4,
+        }
+    )
+    for blocks in (1, 4):
+        out = (
+            knn_self_join_grouped(
+                ray.data.from_pandas(df).repartition(blocks), k=3
+            )
+            .to_pandas()
+            .sort_values(["vec_id", "nbr_rank"])
+        )
+        got = out.groupby("vec_id")["nbr_id"].apply(list).to_dict()
+        assert got == {1: [3, 5, 9], 3: [1, 5, 9], 5: [1, 3, 9], 9: [1, 3, 5]}
