@@ -1545,6 +1545,91 @@ def q60_group_quantile(sf_dir: str):
     return grouped_quantile_disc(ds, "event_type", "value", 9, 10)
 
 
+def q61_chained_join_returns(sf_dir: str):
+    """THREE-table chained bucketed join (TPC-H Q10 shape): revenue lost
+    to returned items per customer — lineitem(R) ⋈ orders on orderkey,
+    then ⋈ customer on custkey, top-20. Composition discipline: the first
+    join's ``bucket_post_fn`` PRE-AGGREGATES revenue per custkey inside
+    each orderkey-bucket (a custkey spans orderkey-buckets, so it's a
+    partial — but it shrinks the second shuffle's input to ≤ |custkeys|
+    per bucket); the second join's post_fn runs the FINAL per-custkey sum
+    + local top-20 (exact — a custkey never spans custkey-buckets). Each
+    row shuffles twice total, once per join key, with the aggregates fused
+    into the join tasks."""
+    from basicocr_ray.stages.joins import bucketed_hash_join
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    ).map_batches(
+        lambda b: (
+            lambda f: pa.table(
+                {
+                    "okey": f["l_orderkey"],
+                    "rev": pc.multiply(
+                        f["l_extendedprice"], pc.subtract(1.0, f["l_discount"])
+                    ),
+                }
+            )
+        )(b.filter(pc.equal(b["l_returnflag"], "R"))),
+        batch_format="pyarrow",
+    )
+    od = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).map_batches(
+        lambda b: pa.table({"okey": b["o_orderkey"], "o_custkey": b["o_custkey"]}),
+        batch_format="pyarrow",
+    )
+
+    def partial_by_cust(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "c_custkey": pa.array([], pa.int64()),
+                    "rev": pa.array([], pa.float64()),
+                }
+            )
+        g = pa.TableGroupBy(tbl, ["o_custkey"], use_threads=False).aggregate(
+            [("rev", "sum")]
+        )
+        return g.rename_columns(["c_custkey", "rev"])
+
+    partials = bucketed_hash_join(
+        li, od, "okey", ["rev"], ["o_custkey"], bucket_post_fn=partial_by_cust
+    )
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def final_topk(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "c_custkey": pa.array([], pa.int64()),
+                    "c_name": pa.array([], pa.string()),
+                    "revenue": pa.array([], pa.float64()),
+                }
+            )
+        g = pa.TableGroupBy(
+            tbl, ["c_custkey", "c_name"], use_threads=False
+        ).aggregate([("rev", "sum")])
+        g = g.rename_columns(["c_custkey", "c_name", "revenue"])
+        order = pc.sort_indices(
+            g,
+            sort_keys=[("revenue", "descending"), ("c_custkey", "ascending")],
+        )[:20]
+        return g.take(order)
+
+    top = (
+        bucketed_hash_join(
+            partials, cust, "c_custkey", ["rev"], ["c_name"],
+            bucket_post_fn=final_topk,
+        )
+        .sort(["revenue", "c_custkey"], descending=[True, False])
+        .limit(20)
+        .to_pandas()
+    )
+    top["c_custkey"] = top["c_custkey"].astype("int64")
+    return _round_col(top, "revenue", 2)
+
+
 def q44_range_join(sf_dir: str):
     """Distributed RANGE JOIN (non-equi; the task brief's custom-operator
     example Ray Data lacks): events ⋈ maintenance windows on
@@ -1859,6 +1944,7 @@ QUERIES = {
     "q58_rollup_docs": q58_rollup_docs,
     "q59_knn_join_label": q59_knn_join_label,
     "q60_group_quantile": q60_group_quantile,
+    "q61_chained_join_returns": q61_chained_join_returns,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -2315,6 +2401,16 @@ ORACLE_SQL = {
     "q60_group_quantile": """
         SELECT event_type, quantile_disc(value, 0.9) AS q_value
         FROM events GROUP BY event_type
+    """,
+    "q61_chained_join_returns": """
+        SELECT c.c_custkey, c.c_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                 AS revenue
+        FROM customer c, orders o, lineitem l
+        WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+          AND l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name
+        ORDER BY revenue DESC, c.c_custkey LIMIT 20
     """,
     "q44_range_join": """
         WITH base AS (SELECT min(epoch_us(ts)) AS m FROM events),

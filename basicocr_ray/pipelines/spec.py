@@ -210,7 +210,110 @@ def _op_decode_image(ds, params):
     )
 
 
+def _read_right(params):
+    """Second input for two-table ops: the ``right`` table name resolves
+    against the spec's sf_dir (injected by run_spec as ``_sf_dir``)."""
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(params["_sf_dir"], f"{params['right']}.parquet"),
+        columns=params.get("right_columns"),
+    )
+
+
+def _op_rename(ds, params):
+    """Rename columns: ``mapping`` is {old: new}. Zero-copy per batch."""
+    mapping = dict(params["mapping"])
+
+    def _ren(b):
+        return b.rename_columns([mapping.get(c, c) for c in b.column_names])
+
+    return ds.map_batches(_ren, batch_format="pyarrow")
+
+
+def _op_join(ds, params):
+    """Bucketed hash join against another table (inner/left semi/left
+    anti — `stages.joins.bucketed_hash_join`). ``right_rename`` ({old:
+    new}) aligns the right table's key column name with the left's."""
+    from basicocr_ray.stages.joins import bucketed_hash_join
+
+    right = _read_right(params)
+    if params.get("right_rename"):
+        mapping = dict(params["right_rename"])
+        right = right.map_batches(
+            lambda b: b.rename_columns(
+                [mapping.get(c, c) for c in b.column_names]
+            ),
+            batch_format="pyarrow",
+        )
+    return bucketed_hash_join(
+        ds,
+        right,
+        params["key"],
+        list(params.get("left_columns", [])),
+        list(params.get("right_value_columns", [])),
+        num_buckets=int(params.get("num_buckets", 32)),
+        join_type=params.get("join_type", "inner"),
+    )
+
+
+def _op_sample(ds, params):
+    """Deterministic samplers: uniform bottom-k, weighted (A-ES), or
+    stratified per-group bottom-k (`stages.sample`)."""
+    from basicocr_ray.stages.sample import (
+        bottomk_sample,
+        stratified_bottomk,
+        weighted_bottomk,
+    )
+
+    k = int(params["k"])
+    idc = params.get("id_column", "doc_id")
+    if "weight_column" in params:
+        return weighted_bottomk(ds, idc, params["weight_column"], k)
+    if "group_column" in params:
+        return stratified_bottomk(ds, params["group_column"], idc, k)
+    return bottomk_sample(ds, idc, k)
+
+
+def _op_rollup(ds, params):
+    from basicocr_ray.stages.wide import rollup_counts
+
+    return rollup_counts(
+        ds,
+        list(params["group_cols"]),
+        params["value_column"],
+        n_name=params.get("n_name", "n"),
+        sum_name=params.get("sum_name", "total"),
+    )
+
+
+def _op_group_quantile(ds, params):
+    from basicocr_ray.stages.wide import grouped_quantile_disc
+
+    return grouped_quantile_disc(
+        ds,
+        params["group_column"],
+        params["value_column"],
+        int(params["q_num"]),
+        int(params["q_den"]),
+        num_hist_buckets=int(params.get("num_hist_buckets", 1024)),
+    )
+
+
+def _op_knn_join(ds, params):
+    from basicocr_ray.stages.embed import knn_self_join_grouped
+
+    return knn_self_join_grouped(
+        ds,
+        k=int(params.get("k", 3)),
+        group_column=params.get("group_column", "label"),
+        id_column=params.get("id_column", "vec_id"),
+        vec_column=params.get("vec_column", "embedding"),
+    )
+
+
 OP_REGISTRY: dict[str, Callable] = {
+    "rename": _op_rename,
     "strip_phrases": _op_strip_phrases,
     "segment": _op_segment,
     "decode_image": _op_decode_image,
@@ -223,6 +326,11 @@ OP_REGISTRY: dict[str, Callable] = {
     "filter_ge": _op_filter_ge,
     "select": _op_select,
     "extract": _op_extract,
+    "join": _op_join,
+    "sample": _op_sample,
+    "rollup": _op_rollup,
+    "group_quantile": _op_group_quantile,
+    "knn_join": _op_knn_join,
 }
 
 
@@ -249,7 +357,7 @@ def run_spec(spec: dict | str, sf_dir: str):
             raise ValueError(
                 f"unknown op {step['op']!r}; registered: {sorted(OP_REGISTRY)}"
             )
-        ds = op(ds, step)
+        ds = op(ds, {**step, "_sf_dir": sf_dir})
     if spec.get("output"):
         ds.write_parquet(spec["output"])
     return ds

@@ -242,6 +242,86 @@ def test_knn_self_join_grouped_golden():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_spec_ops_round3():
+    """The new operators are reachable through the config-driven spec
+    surface (S5): join (anti), sample (weighted), rollup, group_quantile."""
+    from basicocr_ray.pipelines.spec import run_spec
+
+    sf = "/root/testdata/sf0.001"
+
+    import duckdb
+
+    anti = run_spec(
+        {
+            "input": {"table": "customer", "columns": ["c_custkey", "c_acctbal"]},
+            "steps": [
+                {
+                    "op": "join", "right": "orders",
+                    "right_columns": ["o_custkey"], "key": "c_custkey",
+                    "left_columns": ["c_acctbal"],
+                    "right_rename": {"o_custkey": "c_custkey"},
+                    "join_type": "left anti",
+                },
+            ],
+        },
+        sf,
+    ).to_pandas()
+    n_no_orders = duckdb.sql(
+        f"SELECT count(*) FROM parquet_scan('{sf}/customer.parquet') c "
+        f"WHERE NOT EXISTS (SELECT 1 FROM "
+        f"parquet_scan('{sf}/orders.parquet') o "
+        f"WHERE o.o_custkey = c.c_custkey)"
+    ).fetchone()[0]
+    assert len(anti) == n_no_orders
+
+    wq = run_spec(
+        {
+            "input": {"table": "documents", "columns": ["doc_id", "n_chars"]},
+            "steps": [
+                {"op": "sample", "id_column": "doc_id",
+                 "weight_column": "n_chars", "k": 10},
+            ],
+        },
+        sf,
+    ).to_pandas()
+    assert len(wq) == 10
+
+    rq = run_spec(
+        {
+            "input": {"table": "documents",
+                      "columns": ["lang", "source", "n_chars"]},
+            "steps": [
+                {"op": "rollup", "group_cols": ["lang", "source"],
+                 "value_column": "n_chars", "n_name": "n_docs",
+                 "sum_name": "sum_chars"},
+            ],
+        },
+        sf,
+    ).to_pandas()
+    total = rq[rq["lang"].isna() & rq["source"].isna()]
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM parquet_scan('{sf}/documents.parquet')"
+    ).fetchone()[0]
+    assert int(total["n_docs"].iloc[0]) == n_docs
+
+    gq = run_spec(
+        {
+            "input": {"table": "events", "columns": ["event_type", "value"]},
+            "steps": [
+                {"op": "group_quantile", "group_column": "event_type",
+                 "value_column": "value", "q_num": 1, "q_den": 2},
+            ],
+        },
+        sf,
+    ).to_pandas()
+    med = duckdb.sql(
+        f"SELECT event_type, quantile_disc(value, 0.5) q FROM "
+        f"parquet_scan('{sf}/events.parquet') GROUP BY 1"
+    ).df().set_index("event_type")["q"].to_dict()
+    assert gq.set_index("event_type")["q_value"].to_dict() == med
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_knn_tie_break_partition_invariant():
     import ray.data
 
