@@ -1545,6 +1545,187 @@ def q60_group_quantile(sf_dir: str):
     return grouped_quantile_disc(ds, "event_type", "value", 9, 10)
 
 
+def q62_skew_join_nation_revenue(sf_dir: str):
+    """SKEW-AWARE join (the 100-TB hot-key escape hatch): orders ⋈
+    customer on custkey with heavy-hitter customers routed around the
+    shuffle — `hot_keys` discovers keys with ≥14 orders from per-batch
+    locally-frequent partials (shuffle carries candidates only), their
+    dim rows broadcast once via ray.put and join inside map_batches with
+    NO exchange, while cold keys take the ordinary bucketed join. The
+    union is exact for ANY hot/cold split, so the result is invariant to
+    discovery noise — verified by the plain-SQL oracle. Rollup to the 25
+    nations happens AFTER the union (tiny groupby), nation names attach
+    via the J1 broadcast lookup."""
+    from ray.data.aggregate import Count, Sum
+
+    from basicocr_ray.stages.joins import skew_aware_join
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]
+                   ).map_batches(
+        lambda b: b.rename_columns(["custkey", "o_totalprice"]),
+        batch_format="pyarrow",
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
+                 ).map_batches(
+        lambda b: b.rename_columns(["custkey", "c_nationkey"]),
+        batch_format="pyarrow",
+    )
+    joined = skew_aware_join(
+        orders, cust, "custkey", ["o_totalprice"], ["c_nationkey"],
+        hot_min_count=14,
+    )
+
+    nat = pq.read_table(_p(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    nk = pc.cast(nat["n_nationkey"], pa.int64()).combine_chunks()
+    nv = nat["n_name"].combine_chunks()
+
+    def add_name(b: pa.Table) -> pa.Table:
+        idx = pc.index_in(pc.cast(b["c_nationkey"], pa.int64()), value_set=nk)
+        return pa.table(
+            {"n_name": pc.take(nv, idx), "o_totalprice": b["o_totalprice"]}
+        )
+
+    df = (
+        joined.map_batches(add_name, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("o_totalprice", alias_name="revenue"),
+        )
+        .to_pandas()
+    )
+    df["n_orders"] = df["n_orders"].astype("int64")
+    return _round_col(df, "revenue", 2)
+
+
+def q63_lag_delta(sf_dir: str):
+    """Windowed LAG per key (value change between a user's consecutive
+    events): users hash into cluster-sized coarse groups (the q18
+    discipline — one vectorized pandas pass per group, not one
+    map_groups call per user), the in-group pass sorts by the window
+    order and takes a per-user shift. First event per user (lag NULL) is
+    dropped so the relation is null-free for the typed hash."""
+    from basicocr_ray.stages.dedup import _coarse_salts
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    salts = _coarse_salts(None)
+
+    def add_cg(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "cg",
+            pc.cast(
+                pc.bit_wise_and(pc.cast(b["user_id"], pa.int64()), salts - 1),
+                pa.int32(),
+            ),
+        )
+
+    def lag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev = g.groupby("user_id")["value"].shift(1)
+        out = pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64"),
+                "user_id": g["user_id"].astype("int64"),
+                "delta": g["value"] - prev,
+            }
+        )
+        out = out[prev.notna().to_numpy()]
+        out["delta"] = [_round_half_up(float(v), 3) for v in out["delta"]]
+        return out
+
+    return (
+        ds.map_batches(add_cg, batch_format="pyarrow")
+        .groupby("cg")
+        .map_groups(lag, batch_format="pandas")
+    )
+
+
+def q64_tfidf_topk(sf_dir: str):
+    """TF-IDF top-3 terms per document, end to end distributed: q48's
+    tf⋈df bucketed join (token-keyed, df never on the driver) → score →
+    per-doc top-3 in doc-keyed coarse groups (the q18 discipline). The
+    score is the exact rational tf·N/df — ONE IEEE division of exactly
+    representable ints, so Ray and the SQL twin agree bit-for-bit where a
+    libm log() would drift ulps; ties break on the token."""
+    from basicocr_ray.stages.dedup import _coarse_salts
+
+    tfdf = q48_tf_df(sf_dir)
+    n_docs = _read(sf_dir, "documents", columns=["doc_id"]).count()
+    salts = _coarse_salts(None)
+
+    def add_score(b: pa.Table) -> pa.Table:
+        score = pc.divide(
+            pc.cast(pc.multiply(b["tf"], n_docs), pa.float64()),
+            pc.cast(b["df"], pa.float64()),
+        )
+        cg = pc.cast(
+            pc.bit_wise_and(pc.cast(b["doc_id"], pa.int64()), salts - 1),
+            pa.int32(),
+        )
+        return pa.table(
+            {"doc_id": b["doc_id"], "token": b["token"],
+             "score": score, "cg": cg}
+        )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["doc_id", "score", "token"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        return g.groupby("doc_id").head(3)[["doc_id", "token", "score"]]
+
+    return (
+        tfdf.map_batches(add_score, batch_format="pyarrow")
+        .groupby("cg")
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
+def q65_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user) per event type — the partial+final
+    composition for distributed distinct-counting: per-batch LOCAL pair
+    dedup shrinks the exchange to unique (type, user) pairs per batch,
+    pairs land in coarse groups of the user hash (a pair appears in
+    exactly one group → in-group dedup is globally exact), each group
+    emits tiny per-type partial counts, and a 5-row final sum finishes.
+    (HLL `approx_distinct` is the sketch sibling; this is the exact
+    path.)"""
+    from basicocr_ray.stages.dedup import _coarse_salts
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    salts = _coarse_salts(None)
+
+    def local_dedup(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            b, ["event_type", "user_id"], use_threads=False
+        ).aggregate([])
+        return g.append_column(
+            "cg",
+            pc.cast(
+                pc.bit_wise_and(pc.cast(g["user_id"], pa.int64()), salts - 1),
+                pa.int32(),
+            ),
+        )
+
+    def group_counts(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["event_type", "user_id"])
+        out = d.groupby("event_type", as_index=False).size()
+        return out.rename(columns={"size": "n_users"})
+
+    from ray.data.aggregate import Sum
+
+    res = (
+        ds.map_batches(local_dedup, batch_format="pyarrow")
+        .groupby("cg")
+        .map_groups(group_counts, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .to_pandas()
+    )
+    res["n_users"] = res["n_users"].astype("int64")
+    return res
+
+
 def q61_chained_join_returns(sf_dir: str):
     """THREE-table chained bucketed join (TPC-H Q10 shape): revenue lost
     to returned items per customer — lineitem(R) ⋈ orders on orderkey,
@@ -1945,6 +2126,10 @@ QUERIES = {
     "q59_knn_join_label": q59_knn_join_label,
     "q60_group_quantile": q60_group_quantile,
     "q61_chained_join_returns": q61_chained_join_returns,
+    "q62_skew_join_nation_revenue": q62_skew_join_nation_revenue,
+    "q63_lag_delta": q63_lag_delta,
+    "q64_tfidf_topk": q64_tfidf_topk,
+    "q65_distinct_users": q65_distinct_users,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -2244,6 +2429,34 @@ ORACLE_SQL = {
         SELECT tf.doc_id, tf.token, tf.tf, df.df
         FROM tf JOIN df USING (token)
     """,
+    "q65_distinct_users": """
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
+    """,
+    "q64_tfidf_topk": f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_filter({_TOKS}, t -> t <> '')) AS token
+          FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, token, count(*) AS tf FROM toks
+          GROUP BY doc_id, token HAVING count(*) >= 2
+        ),
+        df AS (
+          SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token
+        ),
+        scored AS (
+          SELECT tf.doc_id, tf.token,
+                 (tf.tf * (SELECT count(*) FROM documents))
+                   / CAST(df.df AS DOUBLE) AS score
+          FROM tf JOIN df USING (token)
+        )
+        SELECT doc_id, token, score FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, token
+          ) AS rn FROM scored
+        ) WHERE rn <= 3
+    """,
     "q49_trigram_lm_score": f"""
         WITH toks AS (
           SELECT doc_id, list_filter({_TOKS}, t -> t <> '') AS toks
@@ -2411,6 +2624,22 @@ ORACLE_SQL = {
           AND l.l_returnflag = 'R'
         GROUP BY c.c_custkey, c.c_name
         ORDER BY revenue DESC, c.c_custkey LIMIT 20
+    """,
+    "q62_skew_join_nation_revenue": """
+        SELECT n.n_name, count(*) AS n_orders,
+               round(sum(o.o_totalprice), 2) AS revenue
+        FROM orders o, customer c, nation n
+        WHERE o.o_custkey = c.c_custkey AND c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+    "q63_lag_delta": """
+        SELECT event_id, user_id, delta FROM (
+            SELECT event_id, user_id,
+                   round(value - lag(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id), 3)
+                     AS delta
+            FROM events
+        ) WHERE delta IS NOT NULL
     """,
     "q44_range_join": """
         WITH base AS (SELECT min(epoch_us(ts)) AS m FROM events),

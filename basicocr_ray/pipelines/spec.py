@@ -257,6 +257,32 @@ def _op_join(ds, params):
     )
 
 
+def _op_skew_join(ds, params):
+    """Skew-aware inner join (`stages.joins.skew_aware_join`): hot keys
+    broadcast around the shuffle, cold keys take the bucketed join."""
+    from basicocr_ray.stages.joins import skew_aware_join
+
+    right = _read_right(params)
+    if params.get("right_rename"):
+        mapping = dict(params["right_rename"])
+        right = right.map_batches(
+            lambda b: b.rename_columns(
+                [mapping.get(c, c) for c in b.column_names]
+            ),
+            batch_format="pyarrow",
+        )
+    return skew_aware_join(
+        ds,
+        right,
+        params["key"],
+        list(params.get("left_columns", [])),
+        list(params.get("right_value_columns", [])),
+        num_buckets=int(params.get("num_buckets", 32)),
+        hot_min_count=params.get("hot_min_count"),
+        hot=params.get("hot"),
+    )
+
+
 def _op_sample(ds, params):
     """Deterministic samplers: uniform bottom-k, weighted (A-ES), or
     stratified per-group bottom-k (`stages.sample`)."""
@@ -327,6 +353,7 @@ OP_REGISTRY: dict[str, Callable] = {
     "select": _op_select,
     "extract": _op_extract,
     "join": _op_join,
+    "skew_join": _op_skew_join,
     "sample": _op_sample,
     "rollup": _op_rollup,
     "group_quantile": _op_group_quantile,

@@ -282,3 +282,146 @@ def interval_join(
         return _pd.concat(outs, ignore_index=True)[out_cols]
 
     return both.groupby("_bkt").map_groups(join_group, batch_format="pandas")
+
+
+def hot_keys(ds, key: str, min_count: int, local_theta: float = 0.002):
+    """Best-effort hot-key discovery for `skew_aware_join`: the list of
+    key values whose (approximate-from-below) global frequency is
+    ≥ ``min_count``.
+
+    Shape: each batch emits partial counts ONLY for its locally frequent
+    keys (in-batch count ≥ max(2, local_theta·batch_rows)) — the
+    SpaceSaving-style local filter bounds what the shuffle carries to
+    ≤ 1/theta candidates per batch — then the house coarse-group final
+    sum and a driver `take_all` of the tiny (key, count ≥ min_count)
+    relation. A key spread perfectly thin (≤1 row per batch) can evade
+    the local filter; callers must therefore treat the result as a
+    PERFORMANCE hint, never a correctness input — `skew_aware_join` gives
+    identical output for any hot set, including the empty one."""
+    import hashlib
+
+    import pandas as pd
+
+    from basicocr_ray.stages.dedup import _coarse_salts
+
+    salts = _coarse_salts(None)
+
+    def local_candidates(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({key: pa.array([], b.schema.field(key).type),
+                             "cnt": pa.array([], pa.int64())})
+        vc = pa.TableGroupBy(b.select([key]), [key],
+                             use_threads=False).aggregate([([], "count_all")])
+        thr = max(2, int(local_theta * b.num_rows))
+        vc = vc.filter(pc.greater_equal(vc["count_all"], thr))
+        return pa.table({key: vc[key],
+                         "cnt": pc.cast(vc["count_all"], pa.int64())})
+
+    def add_cg(b: pa.Table) -> pa.Table:
+        cgs = [
+            int.from_bytes(hashlib.md5(repr(k).encode()).digest()[:4],
+                           "little") & (salts - 1)
+            for k in b[key].to_pylist()
+        ]
+        return b.append_column("cg", pa.array(cgs, pa.int32()))
+
+    def final_sum(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(key, as_index=False)["cnt"].sum()
+        return out[out["cnt"] >= min_count]
+
+    rows = (
+        ds.map_batches(local_candidates, batch_format="pyarrow")
+        .map_batches(add_cg, batch_format="pyarrow")
+        .groupby("cg")
+        .map_groups(final_sum, batch_format="pandas")
+        .take_all()
+    )
+    return [r[key] for r in rows]
+
+
+def skew_aware_join(
+    left_ds,
+    right_ds,
+    key: str,
+    left_columns: list[str],
+    right_columns: list[str],
+    num_buckets: int = 32,
+    hot_min_count: int | None = None,
+    hot: list | None = None,
+):
+    """Inner equi-join that routes HOT keys around the shuffle: hot-key
+    right rows are collected and broadcast (`ray.put` once, read per
+    task), hot left rows join against them inside `map_batches` with no
+    exchange; cold rows take the ordinary single-shuffle
+    `bucketed_hash_join`. The union of the two paths is the exact join
+    for ANY hot/cold split, so the hot set (from ``hot`` or discovered
+    via `hot_keys(left_ds, key, hot_min_count)`) is purely a load-balance
+    decision — the skewed key that would have melted one bucket never
+    enters the exchange.
+
+    Partitioning assumption (documented per the brief): the right side
+    must be bounded per hot key (dimension-shaped) so the broadcast table
+    stays small; a many-to-many hot key explodes the OUTPUT itself and
+    needs pair-level salting instead. No ``bucket_post_fn`` here: a hot
+    key spans left batches on the broadcast path, so per-key in-task
+    reductions would silently turn partial — aggregate the union."""
+    import ray
+
+    if hot is None:
+        if hot_min_count is None:
+            raise ValueError("pass hot= or hot_min_count=")
+        hot = hot_keys(left_ds, key, hot_min_count)
+    if not hot:
+        return bucketed_hash_join(
+            left_ds, right_ds, key, left_columns, right_columns,
+            num_buckets=num_buckets,
+        )
+
+    key_type = dict(zip(right_ds.schema().names, right_ds.schema().types))[key]
+    hot_arr = pa.array(hot, type=key_type)
+    rcols = [key] + [c for c in right_columns if c != key]
+    lcols = [key] + [c for c in left_columns if c != key]
+    out_cols = lcols + [c for c in rcols if c not in lcols]
+
+    hot_right = pa.Table.from_pylist(
+        right_ds.map_batches(
+            lambda b: b.filter(pc.is_in(b[key], value_set=hot_arr))
+            .select(rcols),
+            batch_format="pyarrow",
+        ).take_all(),
+        schema=pa.schema(
+            [(c, dict(zip(right_ds.schema().names,
+                          right_ds.schema().types))[c]) for c in rcols]
+        ),
+    )
+    hot_ref = ray.put(hot_right)
+
+    def join_hot(b: pa.Table) -> pa.Table:
+        hr = ray.get(hot_ref)
+        l_tbl = b.filter(pc.is_in(b[key], value_set=hot_arr)).select(lcols)
+        if l_tbl.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], type=t) for t in
+                 [l_tbl.schema.field(c).type if c in lcols
+                  else hr.schema.field(c).type for c in out_cols]],
+                out_cols,
+            )
+        return l_tbl.join(
+            hr, keys=key, join_type="inner", use_threads=False
+        ).select(out_cols)
+
+    hot_out = left_ds.map_batches(join_hot, batch_format="pyarrow")
+
+    cold_left = left_ds.map_batches(
+        lambda b: b.filter(pc.invert(pc.is_in(b[key], value_set=hot_arr))),
+        batch_format="pyarrow",
+    )
+    cold_right = right_ds.map_batches(
+        lambda b: b.filter(pc.invert(pc.is_in(b[key], value_set=hot_arr))),
+        batch_format="pyarrow",
+    )
+    cold_out = bucketed_hash_join(
+        cold_left, cold_right, key, left_columns, right_columns,
+        num_buckets=num_buckets,
+    )
+    return hot_out.union(cold_out)

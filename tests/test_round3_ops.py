@@ -345,3 +345,53 @@ def test_knn_tie_break_partition_invariant():
         )
         got = out.groupby("vec_id")["nbr_id"].apply(list).to_dict()
         assert got == {1: [3, 5, 9], 3: [1, 5, 9], 5: [1, 3, 9], 9: [1, 3, 5]}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_skew_aware_join_split_invariant():
+    """skew_aware_join returns the exact inner join for ANY hot/cold
+    split: discovered hot set, forced hot set, and empty hot set all
+    match the single-process pandas join."""
+    import duckdb
+    import ray.data
+
+    from basicocr_ray.stages.joins import hot_keys, skew_aware_join
+
+    sf = "/root/testdata/sf0.001"
+    orders = ray.data.read_parquet(
+        f"{sf}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda b: b.rename_columns(["custkey", "o_totalprice"]),
+        batch_format="pyarrow",
+    )
+    cust = ray.data.read_parquet(
+        f"{sf}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    ).map_batches(
+        lambda b: b.rename_columns(["custkey", "c_acctbal"]),
+        batch_format="pyarrow",
+    )
+
+    exp = duckdb.sql(
+        f"SELECT o.o_custkey AS custkey, o.o_totalprice, c.c_acctbal "
+        f"FROM parquet_scan('{sf}/orders.parquet') o "
+        f"JOIN parquet_scan('{sf}/customer.parquet') c "
+        f"ON o.o_custkey = c.c_custkey"
+    ).df().sort_values(["custkey", "o_totalprice"]).reset_index(drop=True)
+
+    discovered = hot_keys(orders, "custkey", min_count=12)
+    # hot discovery finds the heavy customers at this sf (~10 orders avg)
+    assert discovered, "expected a nonempty hot set at min_count=12"
+
+    all_keys = sorted(exp["custkey"].unique())
+    for hot in (None, [], discovered, all_keys[:5], all_keys):
+        got = skew_aware_join(
+            orders, cust, "custkey", ["o_totalprice"], ["c_acctbal"],
+            hot=hot, hot_min_count=12,
+        ).to_pandas().sort_values(
+            ["custkey", "o_totalprice"]
+        ).reset_index(drop=True)[["custkey", "o_totalprice", "c_acctbal"]]
+        assert len(got) == len(exp)
+        assert (got["custkey"].to_numpy() == exp["custkey"].to_numpy()).all()
+        assert (got["o_totalprice"].to_numpy()
+                == exp["o_totalprice"].to_numpy()).all()
+        assert (got["c_acctbal"].to_numpy() == exp["c_acctbal"].to_numpy()).all()
