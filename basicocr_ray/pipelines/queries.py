@@ -1726,6 +1726,18 @@ def q65_distinct_users(sf_dir: str):
     return res
 
 
+def q66_group_quantile_cont(sf_dir: str):
+    """Interpolated (continuous) per-group quantile at q = 3/4 — the
+    percentile_cont sibling of q60's percentile_disc, same three-scan
+    histogram refinement fetching the TWO order statistics around
+    h = (n-1)·q. q is an exact binary rational so the interpolation
+    arithmetic is bit-identical to DuckDB's double evaluation."""
+    from basicocr_ray.stages.wide import grouped_quantile_cont
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_quantile_cont(ds, "event_type", "value", 3, 4)
+
+
 def q61_chained_join_returns(sf_dir: str):
     """THREE-table chained bucketed join (TPC-H Q10 shape): revenue lost
     to returned items per customer — lineitem(R) ⋈ orders on orderkey,
@@ -2130,6 +2142,7 @@ QUERIES = {
     "q63_lag_delta": q63_lag_delta,
     "q64_tfidf_topk": q64_tfidf_topk,
     "q65_distinct_users": q65_distinct_users,
+    "q66_group_quantile_cont": q66_group_quantile_cont,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -2431,6 +2444,10 @@ ORACLE_SQL = {
     """,
     "q65_distinct_users": """
         SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
+    """,
+    "q66_group_quantile_cont": """
+        SELECT event_type, quantile_cont(value, 0.75) AS q_value
         FROM events GROUP BY event_type
     """,
     "q64_tfidf_topk": f"""

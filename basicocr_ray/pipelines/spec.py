@@ -314,9 +314,19 @@ def _op_rollup(ds, params):
 
 
 def _op_group_quantile(ds, params):
-    from basicocr_ray.stages.wide import grouped_quantile_disc
+    """``kind``: "disc" (default, percentile_disc) or "cont"
+    (percentile_cont; q_den must be a power of two)."""
+    from basicocr_ray.stages.wide import (
+        grouped_quantile_cont,
+        grouped_quantile_disc,
+    )
 
-    return grouped_quantile_disc(
+    fn = (
+        grouped_quantile_cont
+        if params.get("kind", "disc") == "cont"
+        else grouped_quantile_disc
+    )
+    return fn(
         ds,
         params["group_column"],
         params["value_column"],

@@ -364,3 +364,134 @@ def top_k(ds, k: int, key: str, tie_key: str):
 
     pruned = ds.map_batches(local_prune, batch_format="pandas")
     return pruned.sort([key, tie_key], descending=[True, False]).limit(k)
+
+
+def grouped_quantile_cont(
+    ds,
+    group_column: str,
+    value_column: str,
+    q_num: int,
+    q_den: int,
+    num_hist_buckets: int = 1024,
+    out_name: str = "q_value",
+):
+    """EXACT per-group continuous quantile (SQL ``quantile_cont`` /
+    percentile_cont): with h = (n-1)·q, linear interpolation
+    v[floor(h)] + (h - floor(h))·(v[ceil(h)] - v[floor(h)]) over the
+    sorted group values. Same three-scan histogram-refinement shape as
+    `grouped_quantile_disc`, fetching the TWO order statistics around h
+    (their buckets may differ). q must be an exact binary rational
+    (q_den a power of two) so the interpolation fraction — and therefore
+    every float op — is bit-identical to a SQL twin evaluating
+    (n-1)·q in doubles."""
+    import numpy as np
+
+    if not (0 <= q_num <= q_den):
+        raise ValueError("quantile must be in [0, 1]")
+    if q_den & (q_den - 1):
+        raise ValueError("q_den must be a power of two for bit-exactness")
+
+    B = num_hist_buckets
+
+    def p1(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[group_column, value_column]].dropna()
+        return df.groupby(group_column, as_index=False).agg(
+            n=(value_column, "count"),
+            lo=(value_column, "min"),
+            hi=(value_column, "max"),
+        )
+
+    stats: dict = {}
+    for row in ds.map_batches(p1, batch_format="pandas").take_all():
+        g = row[group_column]
+        if g in stats:
+            s = stats[g]
+            s["n"] += int(row["n"])
+            s["lo"] = min(s["lo"], float(row["lo"]))
+            s["hi"] = max(s["hi"], float(row["hi"]))
+        else:
+            stats[g] = {
+                "n": int(row["n"]), "lo": float(row["lo"]),
+                "hi": float(row["hi"]),
+            }
+
+    widths = {g: ((s["hi"] - s["lo"]) / B) or 1.0 for g, s in stats.items()}
+    los = {g: s["lo"] for g, s in stats.items()}
+    # 0-based rank pair around h = (n-1)*q, exact integer arithmetic
+    ranks: dict = {}
+    fracs: dict = {}
+    for g, s in stats.items():
+        num = (s["n"] - 1) * q_num
+        r_lo = num // q_den
+        frac_num = num % q_den
+        r_hi = r_lo + (1 if frac_num else 0)
+        ranks[g] = (int(r_lo), int(r_hi))
+        fracs[g] = frac_num / q_den  # exact: q_den is a power of two
+
+    def bucket_of(groups: np.ndarray, vals: np.ndarray) -> np.ndarray:
+        lo = np.array([los[g] for g in groups])
+        w = np.array([widths[g] for g in groups])
+        return np.clip(((vals - lo) / w).astype(np.int64), 0, B - 1)
+
+    def p2(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[group_column, value_column]].dropna()
+        df["_b"] = bucket_of(
+            df[group_column].to_numpy(), df[value_column].to_numpy()
+        )
+        return df.groupby([group_column, "_b"], as_index=False).agg(
+            n=(value_column, "size")
+        )
+
+    hist: dict = {}
+    for row in ds.map_batches(p2, batch_format="pandas").take_all():
+        key = (row[group_column], int(row["_b"]))
+        hist[key] = hist.get(key, 0) + int(row["n"])
+
+    # locate, per group, the (bucket, in-bucket offset) of BOTH ranks
+    want: dict = {}  # group -> {rank: (bucket, offset)}
+    for g in stats:
+        acc = 0
+        need = sorted(set(ranks[g]))
+        found: dict = {}
+        for b in range(B):
+            c = hist.get((g, b), 0)
+            while need and acc + c > need[0]:
+                found[need[0]] = (b, need[0] - acc)
+                need.pop(0)
+            if not need:
+                break
+            acc += c
+        want[g] = found
+
+    cand: dict = {g: {b for b, _ in w.values()} for g, w in want.items()}
+
+    def p3_filter(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[group_column, value_column]].dropna()
+        df["_b"] = bucket_of(
+            df[group_column].to_numpy(), df[value_column].to_numpy()
+        )
+        keep = [
+            b in cand[g]
+            for g, b in zip(df[group_column], df["_b"])
+        ]
+        return df[np.asarray(keep, dtype=bool)]
+
+    def select(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[group_column].iloc[0]
+        by_bucket = {
+            b: np.sort(sub[value_column].to_numpy())
+            for b, sub in df.groupby("_b")
+        }
+        r_lo, r_hi = ranks[g]
+        b_lo, off_lo = want[g][r_lo]
+        v_lo = float(by_bucket[b_lo][off_lo])
+        b_hi, off_hi = want[g][r_hi]
+        v_hi = float(by_bucket[b_hi][off_hi])
+        v = v_lo + fracs[g] * (v_hi - v_lo)
+        return pd.DataFrame({group_column: [g], out_name: [float(v)]})
+
+    return (
+        ds.map_batches(p3_filter, batch_format="pandas")
+        .groupby(group_column)
+        .map_groups(select, batch_format="pandas")
+    )

@@ -214,6 +214,22 @@ def main() -> None:
         # its own two levels taken in calm windows — requiring all four
         # levels calm (round-2's per-rep gate) rejected whole reps for
         # contention in levels the pair never touches.
+        # Cross-SESSION accumulation: accepted samples are scarce in any
+        # one run on a co-tenant host (most windows fail the calibration
+        # gate), so BENCH_SCALING_MERGE=<prior artifact> carries prior
+        # runs' ACCEPTED samples forward — each sample was individually
+        # gated in its own window, so the merged median is the honest
+        # multi-window estimate the per-run artifact approximates.
+        merge_path = os.environ.get("BENCH_SCALING_MERGE")
+        prior_accepted: dict[str, list] = {}
+        if merge_path and os.path.exists(merge_path):
+            with open(merge_path) as f:
+                prior = json.load(f)
+            prior_accepted = {
+                k: list(v.get("accepted_samples", []))
+                for k, v in prior.get("pairs", {}).items()
+            }
+
         pairs = {}
         gated_out = 0
         for lo_n, hi_n in ((4, 16), (8, 32)):
@@ -225,21 +241,28 @@ def main() -> None:
             n_gated = len(rep_samples) - len(ok_reps)
             if lo_n == 4:
                 gated_out = n_gated
-            accepted = ok_reps or rep_samples  # pathological: report all
-            effs = sorted(
-                round(
+
+            def eff(rep):
+                return round(
                     (rep[lo_n]["queries"]["extract"]
                      / rep[hi_n]["queries"]["extract"]) / 4,
                     3,
                 )
-                for rep in accepted
+
+            name = f"{lo_n}_to_{hi_n}"
+            merged = sorted(
+                [eff(rep) for rep in ok_reps] + prior_accepted.get(name, [])
             )
-            best_lo = min(accepted, key=lambda r: r[lo_n]["queries"]["extract"])
-            best_hi = min(accepted, key=lambda r: r[hi_n]["queries"]["extract"])
-            pairs[f"{lo_n}_to_{hi_n}"] = {
+            shown = ok_reps or rep_samples  # pathological: report all
+            effs = merged or sorted(eff(rep) for rep in shown)
+            best_lo = min(shown, key=lambda r: r[lo_n]["queries"]["extract"])
+            best_hi = min(shown, key=lambda r: r[hi_n]["queries"]["extract"])
+            pairs[name] = {
                 "efficiency_median": round(statistics.median(effs), 3),
                 "efficiency_samples": effs,
-                "samples_accepted": len(ok_reps),
+                "accepted_samples": merged,
+                "samples_accepted": len(merged),
+                "samples_accepted_this_run": len(ok_reps),
                 f"docs_per_sec_{lo_n}": best_lo[lo_n]["extract"]["docs_per_sec"],
                 f"docs_per_sec_{hi_n}": best_hi[hi_n]["extract"]["docs_per_sec"],
             }

@@ -395,3 +395,48 @@ def test_skew_aware_join_split_invariant():
         assert (got["o_totalprice"].to_numpy()
                 == exp["o_totalprice"].to_numpy()).all()
         assert (got["c_acctbal"].to_numpy() == exp["c_acctbal"].to_numpy()).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("q_num,q_den", [(3, 4), (1, 2), (1, 4), (1, 1), (0, 1)])
+def test_grouped_quantile_cont_exact(q_num, q_den):
+    import ray.data
+
+    from basicocr_ray.stages.wide import grouped_quantile_cont
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], 3000),
+            "v": np.round(rng.normal(50, 20, 3000), 3),
+        }
+    )
+    dup = pd.DataFrame({"g": ["d"] * 500, "v": [7.0] * 400 + [9.0] * 100})
+    const = pd.DataFrame({"g": ["e"] * 50, "v": [3.25] * 50})
+    single = pd.DataFrame({"g": ["f"], "v": [42.0]})
+    df = pd.concat([df, dup, const, single], ignore_index=True)
+
+    got = (
+        grouped_quantile_cont(
+            ray.data.from_pandas(df).repartition(6), "g", "v", q_num, q_den
+        )
+        .to_pandas()
+        .set_index("g")["q_value"]
+        .to_dict()
+    )
+    for g, sub in df.groupby("g"):
+        vals = np.sort(sub["v"].to_numpy())
+        num = (len(vals) - 1) * q_num
+        r_lo, frac = num // q_den, (num % q_den) / q_den
+        r_hi = r_lo + (1 if num % q_den else 0)
+        want = vals[r_lo] + frac * (vals[r_hi] - vals[r_lo])
+        assert got[g] == want, (g, q_num, q_den)
+
+
+def test_grouped_quantile_cont_validates():
+    from basicocr_ray.stages.wide import grouped_quantile_cont
+
+    with pytest.raises(ValueError):
+        grouped_quantile_cont(None, "g", "v", 5, 4)
+    with pytest.raises(ValueError, match="power of two"):
+        grouped_quantile_cont(None, "g", "v", 1, 10)
