@@ -210,6 +210,26 @@ def _op_decode_image(ds, params):
     )
 
 
+def _op_resize_image(ds, params):
+    """Decode→resample→re-encode PNG payloads (actor pool, small
+    batches — payloads are the wide column)."""
+    from basicocr_ray.stages.multimodal import ImageResizer
+
+    return ds.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={
+            "target_w": int(params["target_w"]),
+            "target_h": int(params["target_h"]),
+            "mode": params.get("mode", "nearest"),
+            "payload_column": params.get("payload_column", "payload"),
+            "id_column": params.get("id_column", "item_id"),
+        },
+        batch_format="pyarrow",
+        batch_size=int(params.get("batch_size", 32)),
+        concurrency=int(params.get("concurrency", 2)),
+    )
+
+
 def _read_right(params):
     """Second input for two-table ops: the ``right`` table name resolves
     against the spec's sf_dir (injected by run_spec as ``_sf_dir``)."""
@@ -353,6 +373,7 @@ OP_REGISTRY: dict[str, Callable] = {
     "strip_phrases": _op_strip_phrases,
     "segment": _op_segment,
     "decode_image": _op_decode_image,
+    "resize_image": _op_resize_image,
     "correct": _op_correct,
     "langid": _op_langid,
     "quality": _op_quality,

@@ -278,3 +278,86 @@ def make_image_payload(item_id: int, width: int = 32, height: int = 24) -> bytes
 def make_audio_payload(item_id: int, rate: int = 16000, seconds: float = 2.0) -> bytes:
     body = struct.pack("<II", rate, int(rate * seconds)) + str(item_id).encode() * 3
     return AUDIO_MAGIC + body
+
+
+class ImageResizer:
+    """Actor-pool image RESIZE stage (the task brief's third multimodal
+    verb): decode a real PNG payload, resample to (target_w, target_h),
+    re-encode PNG. Two deterministic kernels:
+
+      * ``mode="nearest"`` — pure floor-index sampling
+        (src = (dst·src_len) // dst_len), any scale factor.
+      * ``mode="box"`` — integer box-average (mean over each w/tw × h/th
+        block, round half up); requires the source dims to be exact
+        multiples of the target (raises → failed path otherwise), which
+        makes it bit-reproducible across platforms.
+
+    Stateless per call but shaped as a callable class for the actor-pool
+    contract (reference analogue: `contrib/crnn/dataset.py`
+    resizeNormalize runs inside the loader workers; here the pool is the
+    worker set). Small batch_size — payloads are the wide column."""
+
+    def __init__(
+        self,
+        target_w: int,
+        target_h: int,
+        mode: str = "nearest",
+        payload_column: str = "payload",
+        id_column: str = "item_id",
+    ):
+        if mode not in ("nearest", "box"):
+            raise ValueError(f"unknown resize mode {mode!r}")
+        self.tw, self.th = int(target_w), int(target_h)
+        self.mode = mode
+        self.payload_column = payload_column
+        self.id_column = id_column
+
+    def _resize(self, arr: np.ndarray) -> np.ndarray:
+        h, w = arr.shape[:2]
+        if self.mode == "nearest":
+            ys = (np.arange(self.th, dtype=np.int64) * h) // self.th
+            xs = (np.arange(self.tw, dtype=np.int64) * w) // self.tw
+            return arr[ys][:, xs]
+        if h % self.th or w % self.tw:
+            raise ValueError(
+                f"box resize needs integral factors: {w}x{h} -> "
+                f"{self.tw}x{self.th}"
+            )
+        fy, fx = h // self.th, w // self.tw
+        a = arr.reshape(self.th, fy, self.tw, fx, -1).astype(np.float64)
+        m = a.mean(axis=(1, 3))
+        return np.floor(m + 0.5).astype(np.uint8).reshape(
+            self.th, self.tw, arr.shape[2] if arr.ndim == 3 else 1
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from basicocr_ray.core.png import decode_png, encode_png
+
+        ids = batch[self.id_column].to_pylist()
+        payloads, ws, hs, oks, errs = [], [], [], [], []
+        for data in batch[self.payload_column].to_pylist():
+            try:
+                arr = decode_png(data if data is not None else b"")
+                if arr.ndim == 2:
+                    arr = arr[:, :, None]
+                out = self._resize(arr)
+                if out.shape[2] == 1:
+                    out = out[:, :, 0]
+                payloads.append(encode_png(out))
+                ws.append(self.tw); hs.append(self.th)
+                oks.append(True); errs.append("")
+            except Exception as exc:
+                payloads.append(b"")
+                ws.append(0); hs.append(0)
+                oks.append(False)
+                errs.append(f"{type(exc).__name__}: {exc}"[:120])
+        return pa.table(
+            {
+                "item_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+                "width": pa.array(ws, pa.int32()),
+                "height": pa.array(hs, pa.int32()),
+                "ok": pa.array(oks, pa.bool_()),
+                "error": pa.array(errs, pa.string()),
+            }
+        )

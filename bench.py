@@ -391,6 +391,8 @@ def main() -> None:
             "q07_token_freq", "q08_bigram_freq", "q15_ann_cosine",
             "q10_dedup_exact", "q17_sessionize", "q21_trie_correct",
             "q34_bucketed_join_revenue", "q40_cjk_segment", "q32_lm_score",
+            "q61_chained_join_returns", "q62_skew_join_nation_revenue",
+            "q64_tfidf_topk", "q66_group_quantile_cont",
         ]
         for name in bench_qs:
             t0 = time.perf_counter()

@@ -211,3 +211,71 @@ def test_fit_kneser_ney_distributed():
     }
     assert lm.n_bigram_types == 6
     assert lm.p_bigram("san", "francisco") > lm.p_bigram("san", "dog") > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_image_resizer_stage():
+    import numpy as np
+    import ray.data
+
+    from basicocr_ray.core.png import decode_png, encode_png
+    from basicocr_ray.stages.multimodal import ImageResizer
+
+    rng = np.random.default_rng(7)
+    imgs = {i: rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+            for i in range(6)}
+    rows = [{"item_id": i, "payload": encode_png(a)} for i, a in imgs.items()]
+    rows.append({"item_id": 99, "payload": b"junk"})
+
+    # box-average 32x24 -> 16x12: mean over 2x2 blocks, round half up
+    out = (
+        ray.data.from_items(rows)
+        .map_batches(
+            ImageResizer,
+            fn_constructor_kwargs={"target_w": 16, "target_h": 12,
+                                   "mode": "box"},
+            batch_format="pyarrow", batch_size=4, concurrency=2,
+        )
+        .to_pandas().set_index("item_id")
+    )
+    assert not out.loc[99, "ok"]
+    for i, a in imgs.items():
+        got = decode_png(bytes(out.loc[i, "payload"]))
+        blocks = a.reshape(12, 2, 16, 2, 3).astype(np.float64).mean(axis=(1, 3))
+        want = np.floor(blocks + 0.5).astype(np.uint8)
+        assert got.shape == (12, 16, 3)
+        assert (got == want).all()
+
+    # nearest to odd dims: floor-index sampling, grayscale path
+    gray = {i: a[:, :, 0] for i, a in imgs.items()}
+    rows_g = [{"item_id": i, "payload": encode_png(a)} for i, a in gray.items()]
+    out_g = (
+        ray.data.from_items(rows_g)
+        .map_batches(
+            ImageResizer,
+            fn_constructor_kwargs={"target_w": 13, "target_h": 7,
+                                   "mode": "nearest"},
+            batch_format="pyarrow", batch_size=4, concurrency=2,
+        )
+        .to_pandas().set_index("item_id")
+    )
+    for i, a in gray.items():
+        got = decode_png(bytes(out_g.loc[i, "payload"]))
+        ys = (np.arange(7) * 24) // 7
+        xs = (np.arange(13) * 32) // 13
+        assert got.shape == (7, 13)
+        assert (got == a[ys][:, xs]).all()
+
+    # box with non-integral factor -> failed path, not a crash
+    out_bad = (
+        ray.data.from_items(rows[:1])
+        .map_batches(
+            ImageResizer,
+            fn_constructor_kwargs={"target_w": 13, "target_h": 7,
+                                   "mode": "box"},
+            batch_format="pyarrow", batch_size=4, concurrency=2,
+        )
+        .to_pandas()
+    )
+    assert not out_bad["ok"].iloc[0]
+    assert "integral factors" in out_bad["error"].iloc[0]
