@@ -298,8 +298,6 @@ def hot_keys(ds, key: str, min_count: int, local_theta: float = 0.002):
     the local filter; callers must therefore treat the result as a
     PERFORMANCE hint, never a correctness input — `skew_aware_join` gives
     identical output for any hot set, including the empty one."""
-    import hashlib
-
     import pandas as pd
 
     from basicocr_ray.stages.dedup import _coarse_salts
@@ -318,12 +316,12 @@ def hot_keys(ds, key: str, min_count: int, local_theta: float = 0.002):
                          "cnt": pc.cast(vc["count_all"], pa.int64())})
 
     def add_cg(b: pa.Table) -> pa.Table:
-        cgs = [
-            int.from_bytes(hashlib.md5(repr(k).encode()).digest()[:4],
-                           "little") & (salts - 1)
-            for k in b[key].to_pylist()
-        ]
-        return b.append_column("cg", pa.array(cgs, pa.int32()))
+        h = pd.util.hash_array(
+            b[key].combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        return b.append_column(
+            "cg", pa.array((h & (salts - 1)).astype(np.int32))
+        )
 
     def final_sum(df: pd.DataFrame) -> pd.DataFrame:
         out = df.groupby(key, as_index=False)["cnt"].sum()

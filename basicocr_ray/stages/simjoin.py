@@ -163,14 +163,15 @@ def jaccard_set_join(
     # candidate pairs: docs sharing a prefix token, size-filtered
     # (⌈t·n_a⌉ ≤ n_b for n_a ≤ n_b — a Jaccard ≥ t pair can't differ more)
     def add_tok_cg(b: pa.Table) -> pa.Table:
-        import hashlib
+        import numpy as np
+        import pandas as pd
 
-        cgs = [
-            int.from_bytes(hashlib.md5(k.encode()).digest()[:4], "little")
-            & (salts - 1)
-            for k in b["token"].to_pylist()
-        ]
-        return b.append_column("cg", pa.array(cgs, pa.int32()))
+        h = pd.util.hash_array(
+            b["token"].combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        return b.append_column(
+            "cg", pa.array((h & (salts - 1)).astype(np.int32))
+        )
 
     def pairs_in_group(df: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []

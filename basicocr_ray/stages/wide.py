@@ -65,8 +65,6 @@ def count_terms(
     coarse groups of the key hash (same key → same group, pandas sum is
     exact) — a Ray Aggregate keyed on every distinct token is the
     high-cardinality sort stall on an open-vocabulary corpus."""
-    import hashlib
-
     import pandas as pd
 
     from basicocr_ray.stages.dedup import _coarse_salts
@@ -74,12 +72,17 @@ def count_terms(
     salts = _coarse_salts(None)
 
     def add_cg(b: pa.Table) -> pa.Table:
-        cgs = [
-            int.from_bytes(hashlib.md5(k.encode()).digest()[:4], "little")
-            & (salts - 1)
-            for k in b[key_name].to_pylist()
-        ]
-        return b.append_column("cg", pa.array(cgs, pa.int32()))
+        import numpy as np
+
+        # vectorized stable hash (pandas SipHash, fixed key — same token →
+        # same group on every worker); the per-row md5 loop here was the
+        # round-2 q07/q08 regression
+        h = pd.util.hash_array(
+            b[key_name].combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        return b.append_column(
+            "cg", pa.array((h & (salts - 1)).astype(np.int32))
+        )
 
     def final_sum(df: pd.DataFrame) -> pd.DataFrame:
         out = df.groupby(key_name, as_index=False)["cnt"].sum()
@@ -142,8 +145,6 @@ def rollup_counts(
     groupby; every coarser level then derives from the finest AGGREGATE —
     aggregate-of-aggregates, never a re-scan (the OLAP-cube partial-reuse
     discipline; sums/counts are algebraic so the reuse is exact)."""
-    import hashlib
-
     import numpy as np
 
     from basicocr_ray.stages.dedup import _coarse_salts
@@ -158,16 +159,16 @@ def rollup_counts(
         return g.astype({n_name: "int64", sum_name: "int64"})
 
     def add_cg(b: pa.Table) -> pa.Table:
-        keys = [
-            "\x1f".join(str(v) for v in row)
-            for row in zip(*(b[c].to_pylist() for c in group_cols))
-        ]
-        cgs = [
-            int.from_bytes(hashlib.md5(k.encode()).digest()[:4], "little")
-            & (salts - 1)
-            for k in keys
-        ]
-        return b.append_column("cg", pa.array(cgs, pa.int32()))
+        import numpy as np
+
+        # stable combined row hash over the grouping columns (NaN/None
+        # hash consistently; rollup levels carry nulls by design)
+        h = pd.util.hash_pandas_object(
+            b.select(group_cols).to_pandas(), index=False
+        ).to_numpy()
+        return b.append_column(
+            "cg", pa.array((h & (salts - 1)).astype(np.int32))
+        )
 
     def final_sum(cols: list[str]):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
