@@ -17,6 +17,7 @@ import math
 
 import pyarrow as pa
 
+from basicocr_ray.core.collect import collect_rows
 from basicocr_ray.stages.wide import count_terms, make_ngram_items, token_items
 
 
@@ -80,7 +81,7 @@ def fit_bigram_lm(
             counts_ds = counts_ds.sort(
                 ["cnt", key], descending=[True, False]
             ).limit(max_vocab)
-        return counts_ds.take_all()
+        return collect_rows(counts_ds)
 
     uni_rows = bounded(
         count_terms(docs_ds, text_column, token_items, "token"), "token"
@@ -223,8 +224,9 @@ def fit_backoff_lm(
     uni_rows = _pruned_counts(
         count_terms(docs_ds, text_column, token_items, "token"),
         "token", min_count, max_vocab,
-    ).take_all()
-    bi_rows = bi_pruned.take_all()
+    )
+    uni_rows = collect_rows(uni_rows)
+    bi_rows = collect_rows(bi_pruned)
     model = BackoffBigramLM(
         {r["token"]: int(r["cnt"]) for r in uni_rows},
         {r["bigram"]: int(r["cnt"]) for r in bi_rows},
@@ -299,7 +301,8 @@ def fit_kneser_ney_lm(
 
     cont_rows = count_terms(
         bi_pruned, "bigram", lambda b: [b.split(" ", 1)[1]], "w2"
-    ).take_all()
+    )
+    cont_rows = collect_rows(cont_rows)
     cont = {r["w2"]: int(r["cnt"]) for r in cont_rows}
     n_types = sum(cont.values())
     lm = KneserNeyBigramLM(base.uni, base.bi, 1, 1, cont, n_types)
@@ -389,7 +392,8 @@ def fit_trigram_lm(
     n1_tri, n2_tri = _count_of_counts(tri_counts)
     tri_rows = _pruned_counts(
         tri_counts, "trigram", min_count, max_vocab
-    ).take_all()
+    )
+    tri_rows = collect_rows(tri_rows)
     return KneserNeyTrigramLM(
         bigram_lm,
         {r["trigram"]: int(r["cnt"]) for r in tri_rows},

@@ -22,6 +22,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from basicocr_ray.config import ExtractConfig
+from basicocr_ray.core.collect import collect_rows
 from basicocr_ray.core.textstats import md5_hex, ws_tokens
 from basicocr_ray.sources.docpages import docs_to_pages_batch
 from basicocr_ray.stages.extract import extract_batch
@@ -586,8 +587,8 @@ def q21_trie_correct(sf_dir: str):
         count_terms(ds, "text", token_items, "token")
         .sort(["cnt", "token"], descending=[True, False])
         .limit(100_000)
-        .take_all()
     )
+    dict_rows = collect_rows(dict_rows)
     entries = [(r["token"], int(r["cnt"])) for r in dict_rows]
     entries_ref = ray.put(entries)
 
@@ -1107,7 +1108,7 @@ def q45_heavy_hitters(sf_dir: str):
         return pa.table({"sketch": pa.array([cms.serialize()], pa.large_binary())})
 
     merged = CountMinSketch()
-    for row in ds.map_batches(sketch, batch_format="pyarrow").take_all():
+    for row in collect_rows(ds.map_batches(sketch, batch_format="pyarrow")):
         merged.merge(CountMinSketch.deserialize(row["sketch"]))
     cms_ref = ray.put(merged.serialize())
 
@@ -1123,7 +1124,7 @@ def q45_heavy_hitters(sf_dir: str):
         return pa.table({"token": pa.array(out, pa.string())})
 
     cand = set()
-    for row in ds.map_batches(candidates, batch_format="pyarrow").take_all():
+    for row in collect_rows(ds.map_batches(candidates, batch_format="pyarrow")):
         cand.add(row["token"])
     cand_ref = ray.put(frozenset(cand))
 
@@ -2038,7 +2039,7 @@ def q40_cjk_segment(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     vocab = sorted(
         r["token"]
-        for r in count_terms(ds, "text", token_items, "token").take_all()
+        for r in collect_rows(count_terms(ds, "text", token_items, "token"))
     )
     def glyph_pair(i: int) -> str:
         # Two consecutive codepoints per token starting at U+4E00, hopping

@@ -17,6 +17,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from basicocr_ray.core.collect import collect_rows
+
 
 def _bucket_ids(col: pa.ChunkedArray | pa.Array, num_buckets: int) -> pa.Array:
     """Stable int32 bucket per key value. Integer keys bucket zero-copy via
@@ -332,8 +334,8 @@ def hot_keys(ds, key: str, min_count: int, local_theta: float = 0.002):
         .map_batches(add_cg, batch_format="pyarrow")
         .groupby("cg")
         .map_groups(final_sum, batch_format="pandas")
-        .take_all()
     )
+    rows = collect_rows(rows)
     return [r[key] for r in rows]
 
 
@@ -382,11 +384,11 @@ def skew_aware_join(
     out_cols = lcols + [c for c in rcols if c not in lcols]
 
     hot_right = pa.Table.from_pylist(
-        right_ds.map_batches(
+        collect_rows(right_ds.map_batches(
             lambda b: b.filter(pc.is_in(b[key], value_set=hot_arr))
             .select(rcols),
             batch_format="pyarrow",
-        ).take_all(),
+        )),
         schema=pa.schema(
             [(c, dict(zip(right_ds.schema().names,
                           right_ds.schema().types))[c]) for c in rcols]

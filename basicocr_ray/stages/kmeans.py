@@ -18,6 +18,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from basicocr_ray.core.collect import collect_rows
+
 
 def _assign(m: np.ndarray, centroids: np.ndarray) -> np.ndarray:
     # squared euclidean via ||x||² - 2x·c + ||c||²; argmin ties → lowest idx
@@ -39,7 +41,7 @@ def kmeans_fit(
 ) -> np.ndarray:
     """→ (k, dim) centroid matrix after ``n_iters`` Lloyd rounds."""
     # deterministic init: k lowest-id vectors (one tiny sorted take)
-    first = ds.sort(id_column).limit(k).take_all()
+    first = collect_rows(ds.sort(id_column).limit(k))
     centroids = np.asarray([r[vec_column] for r in first], dtype=np.float64)
 
     for _ in range(n_iters):
@@ -62,7 +64,7 @@ def kmeans_fit(
                 }
             )
 
-        rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+        rows = collect_rows(ds.map_batches(partial, batch_format="pyarrow"))
         sums = np.zeros((k, centroids.shape[1]))
         counts = np.zeros(k, dtype=np.int64)
         for r in rows:

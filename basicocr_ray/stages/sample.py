@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import pyarrow as pa
 
+from basicocr_ray.core.collect import collect_rows
+
 
 def shuffled(ds, seed: int = 42):
     """Full deterministic shuffle (`shuffle=True` loader, crnn_main.py:75-77)."""
@@ -95,9 +97,9 @@ def global_rank(ds, id_column: str, seed: int = 42,
         )
 
     counts: dict[int, int] = {}
-    for row in ranked.map_batches(
+    for row in collect_rows(ranked.map_batches(
         partial_counts, batch_format="pyarrow"
-    ).take_all():  # ≤ blocks × S rows of (cg, n) — metadata, not data
+    )):  # ≤ blocks × S rows of (cg, n) — metadata, not data
         counts[int(row["cg"])] = counts.get(int(row["cg"]), 0) + int(row["n"])
     offsets: dict[int, int] = {}
     acc = 0

@@ -17,6 +17,8 @@ from collections.abc import Callable, Iterable
 import pandas as pd
 import pyarrow as pa
 
+from basicocr_ray.core.collect import collect_rows
+
 
 def partial_count_batch(
     batch: pa.Table,
@@ -122,7 +124,7 @@ def approx_distinct(
         return pa.table({"sketch": pa.array([h.serialize()], pa.binary())})
 
     merged = HyperLogLog(p)
-    for row in ds.map_batches(sketch, batch_format="pyarrow").take_all():
+    for row in collect_rows(ds.map_batches(sketch, batch_format="pyarrow")):
         merged.merge(HyperLogLog.deserialize(row["sketch"], p))
     return merged.count()
 
@@ -280,7 +282,7 @@ def grouped_quantile_disc(
         )
 
     stats: dict = {}
-    for row in ds.map_batches(p1, batch_format="pandas").take_all():
+    for row in collect_rows(ds.map_batches(p1, batch_format="pandas")):
         g = row[group_column]
         if g in stats:
             s = stats[g]
@@ -302,23 +304,24 @@ def grouped_quantile_disc(
         g: -((-q_num * s["n"]) // q_den) - 1 for g, s in stats.items()
     }
 
-    def bucket_of(groups: np.ndarray, vals: np.ndarray) -> np.ndarray:
-        lo = np.array([los[g] for g in groups])
-        w = np.array([widths[g] for g in groups])
+    def bucket_of(groups: pd.Series, vals: np.ndarray) -> np.ndarray:
+        # dict lookups via the cython Series.map, not a per-row loop
+        lo = groups.map(los).to_numpy()
+        w = groups.map(widths).to_numpy()
         return np.clip(((vals - lo) / w).astype(np.int64), 0, B - 1)
 
     # ---- pass 2: per-(group, bucket) histogram --------------------------
     def p2(df: pd.DataFrame) -> pd.DataFrame:
         df = df[[group_column, value_column]].dropna()
         df["_b"] = bucket_of(
-            df[group_column].to_numpy(), df[value_column].to_numpy()
+            df[group_column], df[value_column].to_numpy()
         )
         return df.groupby([group_column, "_b"], as_index=False).agg(
             n=(value_column, "size")
         )
 
     hist: dict = {}
-    for row in ds.map_batches(p2, batch_format="pandas").take_all():
+    for row in collect_rows(ds.map_batches(p2, batch_format="pandas")):
         key = (row[group_column], int(row["_b"]))
         hist[key] = hist.get(key, 0) + int(row["n"])
 
@@ -337,8 +340,8 @@ def grouped_quantile_disc(
     # ---- pass 3: pruned scan → exact in-bucket selection ----------------
     def p3_filter(df: pd.DataFrame) -> pd.DataFrame:
         df = df[[group_column, value_column]].dropna()
-        b = bucket_of(df[group_column].to_numpy(), df[value_column].to_numpy())
-        want = np.array([cand_bucket[g] for g in df[group_column]])
+        b = bucket_of(df[group_column], df[value_column].to_numpy())
+        want = df[group_column].map(cand_bucket).to_numpy()
         return df[b == want]
 
     def select(df: pd.DataFrame) -> pd.DataFrame:
@@ -403,7 +406,7 @@ def grouped_quantile_cont(
         )
 
     stats: dict = {}
-    for row in ds.map_batches(p1, batch_format="pandas").take_all():
+    for row in collect_rows(ds.map_batches(p1, batch_format="pandas")):
         g = row[group_column]
         if g in stats:
             s = stats[g]
@@ -429,22 +432,23 @@ def grouped_quantile_cont(
         ranks[g] = (int(r_lo), int(r_hi))
         fracs[g] = frac_num / q_den  # exact: q_den is a power of two
 
-    def bucket_of(groups: np.ndarray, vals: np.ndarray) -> np.ndarray:
-        lo = np.array([los[g] for g in groups])
-        w = np.array([widths[g] for g in groups])
+    def bucket_of(groups: pd.Series, vals: np.ndarray) -> np.ndarray:
+        # dict lookups via the cython Series.map, not a per-row loop
+        lo = groups.map(los).to_numpy()
+        w = groups.map(widths).to_numpy()
         return np.clip(((vals - lo) / w).astype(np.int64), 0, B - 1)
 
     def p2(df: pd.DataFrame) -> pd.DataFrame:
         df = df[[group_column, value_column]].dropna()
         df["_b"] = bucket_of(
-            df[group_column].to_numpy(), df[value_column].to_numpy()
+            df[group_column], df[value_column].to_numpy()
         )
         return df.groupby([group_column, "_b"], as_index=False).agg(
             n=(value_column, "size")
         )
 
     hist: dict = {}
-    for row in ds.map_batches(p2, batch_format="pandas").take_all():
+    for row in collect_rows(ds.map_batches(p2, batch_format="pandas")):
         key = (row[group_column], int(row["_b"]))
         hist[key] = hist.get(key, 0) + int(row["n"])
 
@@ -465,17 +469,21 @@ def grouped_quantile_cont(
         want[g] = found
 
     cand: dict = {g: {b for b, _ in w.values()} for g, w in want.items()}
+    # a group needs at most two candidate buckets (one per rank); pad to
+    # two dicts so the membership test is two vectorized comparisons
+    cand_a = {g: min(bs) for g, bs in cand.items()}
+    cand_b = {g: max(bs) for g, bs in cand.items()}
 
     def p3_filter(df: pd.DataFrame) -> pd.DataFrame:
         df = df[[group_column, value_column]].dropna()
         df["_b"] = bucket_of(
-            df[group_column].to_numpy(), df[value_column].to_numpy()
+            df[group_column], df[value_column].to_numpy()
         )
-        keep = [
-            b in cand[g]
-            for g, b in zip(df[group_column], df["_b"])
-        ]
-        return df[np.asarray(keep, dtype=bool)]
+        b = df["_b"].to_numpy()
+        keep = (b == df[group_column].map(cand_a).to_numpy()) | (
+            b == df[group_column].map(cand_b).to_numpy()
+        )
+        return df[keep]
 
     def select(df: pd.DataFrame) -> pd.DataFrame:
         g = df[group_column].iloc[0]
