@@ -1739,6 +1739,76 @@ def q66_group_quantile_cont(sf_dir: str):
     return grouped_quantile_cont(ds, "event_type", "value", 3, 4)
 
 
+def q67_left_join_order_counts(sf_dir: str):
+    """LEFT OUTER join with both sides fact-scale: per-customer order
+    count INCLUDING zero-order customers (`bucketed_hash_join(join_type=
+    "left outer")` — unmatched left rows take null-padded right columns
+    inside the bucket task; a custkey never spans buckets so the Acero
+    per-bucket left-outer joins compose exactly). The count(o_orderkey)
+    aggregate is fused into the join task via ``bucket_post_fn`` (Arrow
+    ``count`` skips nulls, matching SQL COUNT(col)), so the whole query
+    is one shuffle."""
+    from basicocr_ray.stages.joins import bucketed_hash_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    orders = _read(
+        sf_dir, "orders", columns=["o_custkey", "o_orderkey"]
+    ).map_batches(
+        lambda b: pa.table(
+            {"c_custkey": b["o_custkey"], "o_orderkey": b["o_orderkey"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def count_per_key(t: pa.Table) -> pa.Table:
+        g = t.group_by("c_custkey").aggregate([("o_orderkey", "count")])
+        return pa.table(
+            {
+                "c_custkey": g["c_custkey"],
+                "n_orders": pc.cast(g["o_orderkey_count"], pa.int64()),
+            }
+        )
+
+    return bucketed_hash_join(
+        cust,
+        orders,
+        "c_custkey",
+        [],
+        ["o_orderkey"],
+        bucket_post_fn=count_per_key,
+        join_type="left outer",
+    )
+
+
+def q68_edit1_fuzzy_pairs(sf_dir: str):
+    """Edit-distance-≤1 fuzzy self-join over the corpus vocabulary ∪ the
+    source-label dictionary (the spell-correction candidate-discovery
+    task — A2's trie corrector finds dictionary matches for ONE word via
+    a broadcast trie; this finds EVERY fuzzy-matching pair with the
+    dictionary distributed): SymSpell/FastSS deletion-neighborhood
+    candidates → exact Levenshtein verify (`stages.simjoin.
+    edit1_vocab_join`). The vocab feed is per-batch locally distinct
+    only — global duplicates collapse inside the join's own candidate
+    groups and pair dedup, so no separate distinct stage is needed."""
+    from basicocr_ray.stages.simjoin import edit1_vocab_join
+
+    ds = _read(sf_dir, "documents", columns=["text", "source"])
+
+    def local_vocab(b: pa.Table) -> pa.Table:
+        s: set[str] = set()
+        for t in b["text"].to_pylist():
+            if t:
+                s.update(token_items(t))
+        for src in b["source"].to_pylist():
+            if src:
+                s.add(src)
+        s.discard("")
+        return pa.table({"token": pa.array(sorted(s), pa.string())})
+
+    vocab = ds.map_batches(local_vocab, batch_format="pyarrow")
+    return edit1_vocab_join(vocab)
+
+
 def q61_chained_join_returns(sf_dir: str):
     """THREE-table chained bucketed join (TPC-H Q10 shape): revenue lost
     to returned items per customer — lineitem(R) ⋈ orders on orderkey,
@@ -2144,6 +2214,8 @@ QUERIES = {
     "q64_tfidf_topk": q64_tfidf_topk,
     "q65_distinct_users": q65_distinct_users,
     "q66_group_quantile_cont": q66_group_quantile_cont,
+    "q67_left_join_order_counts": q67_left_join_order_counts,
+    "q68_edit1_fuzzy_pairs": q68_edit1_fuzzy_pairs,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -2446,6 +2518,24 @@ ORACLE_SQL = {
     "q65_distinct_users": """
         SELECT event_type, count(DISTINCT user_id) AS n_users
         FROM events GROUP BY event_type
+    """,
+    "q68_edit1_fuzzy_pairs": """
+        WITH vocab AS (
+          SELECT DISTINCT tok FROM (
+            SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+            FROM documents WHERE text IS NOT NULL
+            UNION
+            SELECT source AS tok FROM documents WHERE source IS NOT NULL
+          ) WHERE tok <> ''
+        )
+        SELECT a.tok AS tok_a, b.tok AS tok_b
+        FROM vocab a JOIN vocab b ON a.tok < b.tok
+        WHERE levenshtein(a.tok, b.tok) <= 1
+    """,
+    "q67_left_join_order_counts": """
+        SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
     """,
     "q66_group_quantile_cont": """
         SELECT event_type, quantile_cont(value, 0.75) AS q_value

@@ -252,8 +252,8 @@ def _op_rename(ds, params):
 
 
 def _op_join(ds, params):
-    """Bucketed hash join against another table (inner/left semi/left
-    anti — `stages.joins.bucketed_hash_join`). ``right_rename`` ({old:
+    """Bucketed hash join against another table (inner/left outer/left
+    semi/left anti — `stages.joins.bucketed_hash_join`). ``right_rename`` ({old:
     new}) aligns the right table's key column name with the left's."""
     from basicocr_ray.stages.joins import bucketed_hash_join
 

@@ -69,9 +69,9 @@ def bucketed_hash_join(
     spans buckets, any per-key reduction (aggregate, top-k per key) is
     exact here — fusing it saves the follow-up exchange the caller would
     otherwise need (one shuffle instead of two)."""
-    if join_type not in ("inner", "left semi", "left anti"):
+    if join_type not in ("inner", "left outer", "left semi", "left anti"):
         raise ValueError(f"unsupported join_type: {join_type!r}")
-    if join_type != "inner" and right_columns:
+    if join_type in ("left semi", "left anti") and right_columns:
         raise ValueError("semi/anti joins emit left columns only")
     lcols = [key] + [c for c in left_columns if c != key]
     rcols = [key] + [c for c in right_columns if c != key]
@@ -82,7 +82,7 @@ def bucketed_hash_join(
             "rename before joining"
         )
     all_cols = lcols + [c for c in rcols if c not in lcols]
-    out_cols = lcols if join_type != "inner" else all_cols
+    out_cols = lcols if join_type in ("left semi", "left anti") else all_cols
 
     ls, rs = left_ds.schema(), right_ds.schema()
     ltypes = dict(zip(ls.names, ls.types))
@@ -124,6 +124,17 @@ def bucketed_hash_join(
             # anti-join: an empty right bucket keeps every left row
             if join_type == "left anti":
                 out = l_tbl
+                return bucket_post_fn(out) if bucket_post_fn else out
+            # left outer: keep left rows, null-pad the right columns
+            if join_type == "left outer":
+                n = l_tbl.num_rows
+                out = pa.Table.from_arrays(
+                    [
+                        l_tbl[c] if c in lcols else pa.nulls(n, types[c])
+                        for c in out_cols
+                    ],
+                    out_cols,
+                )
                 return bucket_post_fn(out) if bucket_post_fn else out
             return bucket_post_fn(empty) if bucket_post_fn else empty
         # use_threads=False: each bucket join runs inside a 1-CPU Ray

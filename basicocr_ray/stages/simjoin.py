@@ -284,3 +284,128 @@ def jaccard_set_join(
         )
 
     return with_both.map_batches(verify, batch_format="pyarrow")
+
+
+def _lev_le1(a: str, b: str) -> bool:
+    """Exact Levenshtein ≤ 1 test in one O(|s|) scan (no DP table)."""
+    la, lb = len(a), len(b)
+    if a == b:
+        return True
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        seen = False
+        for x, y in zip(a, b):
+            if x != y:
+                if seen:
+                    return False
+                seen = True
+        return True
+    if la > lb:
+        a, b, la = b, a, lb
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1 :]
+
+
+def edit1_vocab_join(vocab_ds, token_column: str = "token",
+                     num_salt: int | None = None):
+    """Fuzzy vocabulary SELF-JOIN at edit distance ≤ 1 → (tok_a, tok_b),
+    tok_a < tok_b, every pair of distinct input strings with Levenshtein
+    distance exactly 1 (identical strings collapse — the join is over the
+    distinct vocabulary).
+
+    Candidate generation is the deletion-neighborhood principle (FastSS,
+    Bocek et al. 2007; popularized as SymSpell): if lev(a, b) ≤ 1 then
+    ({a} ∪ Dels1(a)) ∩ ({b} ∪ Dels1(b)) ≠ ∅ — a substitution shares the
+    both-sides deletion at the edited position, an insert/delete shares
+    the shorter string itself. The converse is FALSE ("ab"/"ba" share
+    both their deletions at distance 2), so every candidate passes the
+    exact `_lev_le1` verify.
+
+    Scale shape (the spell-correction analogue of A2's trie corrector
+    with the dictionary DISTRIBUTED instead of broadcast): the variant
+    explode is ≤ (L+1)× the vocab size; candidates coarse-group by
+    variant hash, pairs dedup by pair hash — nothing centralizes. A
+    variant shared by k tokens emits C(k, 2) candidates, but at distance
+    1 candidates are output-bound (most survive the verify), so a hot
+    variant means a hot RESULT, not wasted work. Input may carry
+    duplicate tokens (e.g. per-batch local vocabularies): duplicates
+    collapse inside the candidate groups and the pair dedup."""
+    import numpy as np
+
+    salts = _coarse_salts(num_salt)
+
+    def variants(b: pa.Table) -> pa.Table:
+        va, vt = [], []
+        for t in b[token_column].to_pylist():
+            if not t:
+                continue
+            va.append(t)
+            vt.append(t)
+            for i in range(len(t)):
+                va.append(t[:i] + t[i + 1 :])
+                vt.append(t)
+        return pa.table(
+            {
+                "variant": pa.array(va, pa.string()),
+                "tok": pa.array(vt, pa.string()),
+            }
+        )
+
+    def add_var_cg(b: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            b["variant"].combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        return b.append_column(
+            "cg", pa.array((h & (salts - 1)).astype(np.int32))
+        )
+
+    def pairs_in_group(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in df.groupby("variant"):
+            toks = sorted(set(g["tok"]))
+            for i in range(len(toks)):
+                for j in range(i + 1, len(toks)):
+                    out_a.append(toks[i])
+                    out_b.append(toks[j])
+        return pd.DataFrame({"tok_a": out_a, "tok_b": out_b}).astype("str")
+
+    pair_schema = pa.schema([("tok_a", pa.string()), ("tok_b", pa.string())])
+    cand = (
+        vocab_ds.map_batches(variants, batch_format="pyarrow")
+        .map_batches(add_var_cg, batch_format="pyarrow")
+        .groupby("cg")
+        .map_groups(pairs_in_group, batch_format="pandas")
+        .map_batches(
+            _stabilizer(pair_schema), batch_format="pyarrow",
+            batch_size=65536,
+        )
+    )
+
+    def add_pair_cg(b: pa.Table) -> pa.Table:
+        joined = pc.binary_join_element_wise(b["tok_a"], b["tok_b"], "\x1f")
+        h = pd.util.hash_array(
+            joined.combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        return b.append_column(
+            "cg", pa.array((h & (salts - 1)).astype(np.int32))
+        )
+
+    def dedup_verify(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["tok_a", "tok_b"]].drop_duplicates()
+        keep = [
+            _lev_le1(a, b) for a, b in zip(df["tok_a"], df["tok_b"])
+        ]
+        return df[np.asarray(keep, dtype=bool)]
+
+    return (
+        cand.map_batches(add_pair_cg, batch_format="pyarrow")
+        .groupby("cg")
+        .map_groups(dedup_verify, batch_format="pandas")
+        .map_batches(
+            _stabilizer(pair_schema), batch_format="pyarrow",
+            batch_size=65536,
+        )
+    )

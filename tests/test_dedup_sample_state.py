@@ -466,3 +466,58 @@ def test_global_rank_matches_row_number():
         assert (df["val"] == df["doc_id"] * 3).all()  # payload rides along
         got = {int(d): int(p) for d, p in zip(df["doc_id"], df["pos"])}
         assert got == expect_pos
+
+
+def test_edit1_vocab_join_exact_vs_brute():
+    """SymSpell deletion-neighborhood fuzzy join is EXACT vs brute-force
+    Levenshtein over all vocab pairs — including substitution/insert/
+    delete flavors, unicode, single-char tokens (hot "" variant), and
+    duplicated vocab entries across input blocks."""
+    import itertools
+
+    import ray.data
+
+    from basicocr_ray.stages.simjoin import _lev_le1, edit1_vocab_join
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    vocab = [
+        "spark", "spork", "spark", "park", "parks", "sharp",
+        "a", "b", "ab", "ba", "abc", "",
+        "naïve", "naive", "naïves",
+        "src1", "src11", "src12", "src2",
+        "tokenize", "tokenize", "tokenizer",
+    ]
+    # duplicates split across blocks: the join must still emit each pair once
+    items = [{"token": t} for t in vocab] + [{"token": t} for t in vocab[:8]]
+    got = edit1_vocab_join(
+        ray.data.from_items(items).repartition(4)
+    ).to_pandas()
+    got_pairs = set(zip(got["tok_a"], got["tok_b"]))
+    distinct = sorted({t for t in vocab if t})
+    exp = {
+        (a, b)
+        for a, b in itertools.combinations(distinct, 2)
+        if lev(a, b) <= 1
+    }
+    assert got_pairs == exp
+    assert len(got) == len(got_pairs)  # no duplicate rows
+    assert ("ab", "ba") not in got_pairs  # shared-deletion false candidate
+
+    # the O(n) verify agrees with full DP on every pair
+    for a, b in itertools.combinations(distinct, 2):
+        assert _lev_le1(a, b) == (lev(a, b) <= 1), (a, b)
+
+    # salt invariance
+    alt = edit1_vocab_join(
+        ray.data.from_items(items), num_salt=2
+    ).to_pandas()
+    assert set(zip(alt["tok_a"], alt["tok_b"])) == exp

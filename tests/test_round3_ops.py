@@ -70,6 +70,47 @@ def test_join_type_validation():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_left_outer_join_matches_pandas():
+    """Left outer keeps unmatched left rows with null right columns and
+    fans out on duplicate right keys, exactly like a pandas left merge —
+    including buckets whose right side is entirely empty."""
+    import ray.data
+
+    from basicocr_ray.stages.joins import bucketed_hash_join
+
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame(
+        {"k": rng.integers(0, 40, 200), "lv": rng.integers(0, 1000, 200)}
+    )
+    # right keys only in [20, 60): half the left keys have no match, and
+    # with 8 buckets some buckets see no right rows at all
+    right = pd.DataFrame(
+        {"k": rng.integers(20, 60, 60), "rv": rng.integers(0, 9, 60)}
+    )
+
+    got = (
+        bucketed_hash_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            "k", ["lv"], ["rv"], num_buckets=8, join_type="left outer",
+        )
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    want = (
+        left.merge(right, on="k", how="left")
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert got["k"].astype("int64").equals(want["k"].astype("int64"))
+    assert got["lv"].astype("int64").equals(want["lv"].astype("int64"))
+    # rv is nullable: compare with nulls aligned
+    assert got["rv"].astype("Int64").equals(want["rv"].astype("Int64"))
+    assert got["rv"].isna().any()  # unmatched rows actually occurred
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_weighted_bottomk_partition_invariant_and_weighted():
     import ray.data
 
