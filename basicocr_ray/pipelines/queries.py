@@ -1809,6 +1809,245 @@ def q68_edit1_fuzzy_pairs(sf_dir: str):
     return edit1_vocab_join(vocab)
 
 
+def q69_window_rank(sf_dir: str):
+    """Per-group window ranking — ROW_NUMBER / NTILE(4) / PERCENT_RANK
+    over (PARTITION BY event_type ORDER BY value, event_id) — via the
+    range-partition discipline (`stages.wide.grouped_window_rank`): rows
+    shuffle once by (group, value-bucket), never a whole group into one
+    task. The unique (value, event_id) order key makes RANK ≡ ROW_NUMBER,
+    so PERCENT_RANK's (rn-1)/(n-1) double matches DuckDB bit-for-bit."""
+    from basicocr_ray.stages.wide import grouped_window_rank
+
+    ds = _read(
+        sf_dir, "events", columns=["event_id", "event_type", "value"]
+    )
+    out = grouped_window_rank(ds, "event_type", "value", "event_id", 4)
+    return out.map_batches(
+        lambda b: b.select(["event_id", "event_type", "rn", "tile", "pr"]),
+        batch_format="pyarrow",
+    )
+
+
+def q70_mode_user(sf_dir: str):
+    """Grouped MODE with a deterministic tie ladder: the most active
+    user per event type (count desc, user_id asc). Two shuffles of
+    metadata only: (group, user) partial counts fold in coarse groups of
+    the composite-key hash; the per-group argmax then folds in coarse
+    groups of the GROUP hash, so every group's candidates meet in one
+    pandas idxmax — rows never shuffle."""
+    from basicocr_ray.stages.dedup import _coarse_salts
+
+    salts = _coarse_salts(None)
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(
+            ["event_type", "user_id"], as_index=False
+        ).agg(n=("user_id", "size"))
+        h = pd.util.hash_pandas_object(
+            out[["event_type", "user_id"]], index=False
+        ).to_numpy()
+        out["cg"] = (h & (salts - 1)).astype("int32")
+        return out
+
+    def final_counts(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(
+            ["event_type", "user_id"], as_index=False
+        )["n"].sum()
+        h = pd.util.hash_array(out["event_type"].to_numpy())
+        out["cg2"] = (h & (salts - 1)).astype("int32")
+        return out.astype({"n": "int64", "user_id": "int64"})
+
+    def mode_in_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["event_type", "n", "user_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        out = df.groupby("event_type", as_index=False).first()
+        return out[["event_type", "user_id", "n"]].rename(
+            columns={"user_id": "mode_user", "n": "n_events"}
+        ).astype({"mode_user": "int64", "n_events": "int64"})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("cg")
+        .map_groups(final_counts, batch_format="pandas")
+        .groupby("cg2")
+        .map_groups(mode_in_group, batch_format="pandas")
+    )
+
+
+def q71_value_histogram(sf_dir: str):
+    """Per-group equi-width 16-bin histogram of `value` (the engine's
+    internal quantile/window binning surfaced as a user op): bin width
+    derives from the group's (min, max) metadata reduce; bin counts are
+    partial-aggregated per batch before the tiny (group, bin) final sum.
+    Bin arithmetic is the identical IEEE double expression on the SQL
+    side (floor((v-lo)/w) clamped to 15; degenerate lo=hi groups → bin
+    0), so counts hash-match."""
+    from basicocr_ray.stages.dedup import _coarse_salts
+
+    NB = 16
+    salts = _coarse_salts(None)
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    stats: dict = {}
+    def p1(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["event_type", "value"]].dropna()
+        return df.groupby("event_type", as_index=False).agg(
+            lo=("value", "min"), hi=("value", "max")
+        )
+
+    for row in collect_rows(ds.map_batches(p1, batch_format="pandas")):
+        g = row["event_type"]
+        if g in stats:
+            stats[g]["lo"] = min(stats[g]["lo"], float(row["lo"]))
+            stats[g]["hi"] = max(stats[g]["hi"], float(row["hi"]))
+        else:
+            stats[g] = {"lo": float(row["lo"]), "hi": float(row["hi"])}
+
+    los = {g: s["lo"] for g, s in stats.items()}
+    widths = {g: (s["hi"] - s["lo"]) / NB for g, s in stats.items()}
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["event_type", "value"]].dropna()
+        lo = df["event_type"].map(los).to_numpy()
+        w = df["event_type"].map(widths).to_numpy()
+        v = df["value"].to_numpy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            raw = np.floor((v - lo) / w)
+        bins = np.where(
+            w == 0.0, 0, np.minimum(raw, NB - 1)
+        ).astype(np.int64)
+        df = pd.DataFrame({"event_type": df["event_type"], "bin": bins})
+        out = df.groupby(["event_type", "bin"], as_index=False).agg(
+            n=("bin", "size")
+        )
+        h = pd.util.hash_pandas_object(
+            out[["event_type", "bin"]], index=False
+        ).to_numpy()
+        out["cg"] = (h & (salts - 1)).astype("int32")
+        return out
+
+    def final_sum(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["event_type", "bin"], as_index=False)["n"].sum()
+        return out.astype({"bin": "int64", "n": "int64"})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("cg")
+        .map_groups(final_sum, batch_format="pandas")
+    )
+
+
+def q72_repetition_stats(sf_dir: str):
+    """Per-document repetition signal (the Gopher/MassiveText
+    duplicate-n-gram quality rule, Rae et al. 2021 §A1.1 — kept as the
+    integer pair (total, distinct) so the driver hash is float-free):
+    word-bigram totals vs distincts per doc. Pure per-batch map — no
+    shuffle at any scale."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(b: pa.Table) -> pa.Table:
+        ids, tot, dis = [], [], []
+        for did, t in zip(
+            b["doc_id"].to_pylist(), b["text"].to_pylist()
+        ):
+            toks = (t or "").lower().split()
+            grams = list(zip(toks, toks[1:]))
+            ids.append(did)
+            tot.append(len(grams))
+            dis.append(len(set(grams)))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_bigrams": pa.array(tot, pa.int64()),
+                "n_distinct": pa.array(dis, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def q73_props_json_sum(sf_dir: str):
+    """Semi-structured sidecar parsing (every web-crawl pipeline carries
+    a JSON metadata column next to the payload): extract `k` from the
+    `props` JSON string with ONE vectorized regex pass per batch
+    (pandas .str.extract — no per-row json.loads), then the usual
+    partial+final rollup per event type. Non-matching / missing props
+    degrade to NULL (sum skips, n counts all rows), mirroring the SQL
+    twin's TRY_CAST."""
+    from basicocr_ray.stages.dedup import _coarse_salts
+
+    salts = _coarse_salts(None)
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = pd.to_numeric(
+            df["props"].str.extract(r'"k":\s*(\d+)', expand=False),
+            errors="coerce",
+        )
+        g = pd.DataFrame({"event_type": df["event_type"], "k": k}).groupby(
+            "event_type", as_index=False
+        ).agg(sum_k=("k", "sum"), n=("k", "size"))
+        h = pd.util.hash_array(g["event_type"].to_numpy())
+        g["cg"] = (h & (salts - 1)).astype("int32")
+        return g
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("event_type", as_index=False)[["sum_k", "n"]].sum()
+        return out.astype({"sum_k": "int64", "n": "int64"})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("cg")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def q74_except_users(sf_dir: str):
+    """Distributed EXCEPT (set difference over DISTINCT keys): users with
+    a high-value click but no high-value purchase. ONE scan tags each
+    qualifying (user, side) with a bit, batches dedup locally, and the
+    per-user bit-max folds in coarse groups of the user hash — the
+    shuffle carries distinct (user, bit) pairs, never events. INTERSECT
+    and UNION fall out of the same shape (max==3 / any)."""
+    from basicocr_ray.stages.dedup import _coarse_salts
+
+    salts = _coarse_salts(None)
+    ds = _read(
+        sf_dir, "events", columns=["user_id", "event_type", "value"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[
+            (df["value"] > 95.0)
+            & df["event_type"].isin(["click", "purchase"])
+        ]
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(),
+                "bit": np.where(
+                    df["event_type"].to_numpy() == "click", 1, 2
+                ).astype("int64"),
+            }
+        ).drop_duplicates()
+        h = pd.util.hash_array(out["user_id"].to_numpy())
+        out["cg"] = (h & (salts - 1)).astype("int32")
+        return out
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.groupby("user_id", as_index=False)["bit"].max()
+        return m.loc[m["bit"] == 1, ["user_id"]].astype("int64")
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("cg")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 def q61_chained_join_returns(sf_dir: str):
     """THREE-table chained bucketed join (TPC-H Q10 shape): revenue lost
     to returned items per customer — lineitem(R) ⋈ orders on orderkey,
@@ -2216,6 +2455,12 @@ QUERIES = {
     "q66_group_quantile_cont": q66_group_quantile_cont,
     "q67_left_join_order_counts": q67_left_join_order_counts,
     "q68_edit1_fuzzy_pairs": q68_edit1_fuzzy_pairs,
+    "q69_window_rank": q69_window_rank,
+    "q70_mode_user": q70_mode_user,
+    "q71_value_histogram": q71_value_histogram,
+    "q72_repetition_stats": q72_repetition_stats,
+    "q73_props_json_sum": q73_props_json_sum,
+    "q74_except_users": q74_except_users,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -2518,6 +2763,75 @@ ORACLE_SQL = {
     "q65_distinct_users": """
         SELECT event_type, count(DISTINCT user_id) AS n_users
         FROM events GROUP BY event_type
+    """,
+    "q73_props_json_sum": """
+        SELECT event_type,
+               CAST(sum(TRY_CAST(
+                 regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT))
+                 AS BIGINT) AS sum_k,
+               count(*) AS n
+        FROM events GROUP BY event_type
+    """,
+    "q74_except_users": """
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'click' AND value > 95
+        EXCEPT
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'purchase' AND value > 95
+    """,
+    "q69_window_rank": """
+        SELECT event_id, event_type,
+               ROW_NUMBER() OVER w AS rn,
+               NTILE(4) OVER w AS tile,
+               PERCENT_RANK() OVER w AS pr
+        FROM events
+        WHERE value IS NOT NULL
+        WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+    "q70_mode_user": """
+        WITH c AS (
+          SELECT event_type, user_id, count(*) AS n
+          FROM events GROUP BY event_type, user_id
+        ), r AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY event_type ORDER BY n DESC, user_id ASC
+          ) AS rn FROM c
+        )
+        SELECT event_type, user_id AS mode_user, n AS n_events
+        FROM r WHERE rn = 1
+    """,
+    "q71_value_histogram": """
+        WITH s AS (
+          SELECT event_type, min(value) AS lo, max(value) AS hi
+          FROM events WHERE value IS NOT NULL GROUP BY event_type
+        )
+        SELECT e.event_type,
+               CASE WHEN s.hi = s.lo THEN 0
+                    ELSE least(
+                      CAST(floor((e.value - s.lo) / ((s.hi - s.lo) / 16)) AS BIGINT),
+                      15)
+               END AS bin,
+               count(*) AS n
+        FROM events e JOIN s ON e.event_type = s.event_type
+        WHERE e.value IS NOT NULL
+        GROUP BY 1, 2
+    """,
+    "q72_repetition_stats": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(
+                   regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                   x -> x <> '') AS ts
+          FROM documents
+        )
+        SELECT doc_id,
+               greatest(len(ts) - 1, 0) AS n_bigrams,
+               CASE WHEN len(ts) < 2 THEN 0
+                    ELSE len(list_distinct(list_transform(
+                           generate_series(1, CAST(len(ts) - 1 AS BIGINT)),
+                           i -> ts[i] || chr(31) || ts[i+1])))
+               END AS n_distinct
+        FROM toks
     """,
     "q68_edit1_fuzzy_pairs": """
         WITH vocab AS (

@@ -356,6 +356,143 @@ def grouped_quantile_disc(
     )
 
 
+def grouped_window_rank(
+    ds,
+    group_column: str,
+    order_column: str,
+    id_column: str,
+    num_tiles: int,
+    num_hist_buckets: int = 1024,
+):
+    """EXACT per-group window ranking — ``ROW_NUMBER() / NTILE(k) /
+    PERCENT_RANK() OVER (PARTITION BY group ORDER BY order_col, id)`` —
+    without sorting any group globally in one task.
+
+    The range-partition discipline every distributed window engine uses:
+    rows co-locate by (group, order-range) instead of (group), so a huge
+    group's ranking work spreads over its value range:
+
+    1. per-group (count, min, max) — metadata reduce (quantile pass 1).
+    2. per-(group, equi-width bucket) histogram → driver prefix-sums an
+       EXCLUSIVE offset per (group, bucket); ≤ |groups|·B tiny rows.
+    3. rows shuffle ONCE by the composite (group, bucket) key; each
+       bucket sorts locally by (order, id) and numbers from its offset —
+       globally consistent because buckets are order-prefixes within the
+       group. NTILE/PERCENT_RANK derive from (rn, n) arithmetically.
+
+    Ties in ``order_column`` land in one bucket by construction (equal
+    values share a bucket), so the unique (order, id) sort never needs
+    cross-bucket context. NTILE follows the SQL distribution (first
+    ``n % k`` tiles one row bigger); PERCENT_RANK is (rn-1)/(n-1) in
+    doubles (0.0 for single-row groups), and with a unique order key
+    RANK ≡ ROW_NUMBER so the SQL twin matches bit-for-bit. NULL order
+    values are the caller's contract to filter (the SQL twin must do the
+    same)."""
+    import numpy as np
+
+    B = num_hist_buckets
+    if num_tiles < 1:
+        raise ValueError("num_tiles must be >= 1")
+
+    def p1(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[group_column, order_column]].dropna()
+        return df.groupby(group_column, as_index=False).agg(
+            n=(order_column, "count"),
+            lo=(order_column, "min"),
+            hi=(order_column, "max"),
+        )
+
+    stats: dict = {}
+    for row in collect_rows(ds.map_batches(p1, batch_format="pandas")):
+        g = row[group_column]
+        if g in stats:
+            s = stats[g]
+            s["n"] += int(row["n"])
+            s["lo"] = min(s["lo"], float(row["lo"]))
+            s["hi"] = max(s["hi"], float(row["hi"]))
+        else:
+            stats[g] = {
+                "n": int(row["n"]), "lo": float(row["lo"]),
+                "hi": float(row["hi"]),
+            }
+
+    widths = {g: ((s["hi"] - s["lo"]) / B) or 1.0 for g, s in stats.items()}
+    los = {g: s["lo"] for g, s in stats.items()}
+
+    def bucket_of(groups: pd.Series, vals: np.ndarray) -> np.ndarray:
+        lo = groups.map(los).to_numpy()
+        w = groups.map(widths).to_numpy()
+        return np.clip(((vals - lo) / w).astype(np.int64), 0, B - 1)
+
+    def p2(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[group_column, order_column]].dropna()
+        df["_b"] = bucket_of(df[group_column], df[order_column].to_numpy())
+        return df.groupby([group_column, "_b"], as_index=False).agg(
+            n=(order_column, "size")
+        )
+
+    hist: dict = {}
+    for row in collect_rows(ds.map_batches(p2, batch_format="pandas")):
+        key = (row[group_column], int(row["_b"]))
+        hist[key] = hist.get(key, 0) + int(row["n"])
+
+    offsets: dict = {}  # (group, bucket) -> exclusive prefix within group
+    for g in stats:
+        acc = 0
+        for b in range(B):
+            c = hist.get((g, b), 0)
+            if c:
+                offsets[(str(g), b)] = acc
+                acc += c
+
+    group_n = {g: s["n"] for g, s in stats.items()}
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[group_column, order_column, id_column]].dropna(
+            subset=[group_column, order_column]
+        )
+        b = bucket_of(df[group_column], df[order_column].to_numpy())
+        df["_gb"] = (
+            df[group_column].astype(str) + "\x1f" + pd.Series(
+                b.astype(str), index=df.index
+            )
+        )
+        return df
+
+    def number(df: pd.DataFrame) -> pd.DataFrame:
+        g_str, b_str = df["_gb"].iloc[0].split("\x1f")
+        df = df.sort_values(
+            [order_column, id_column], kind="mergesort"
+        ).reset_index(drop=True)
+        base = offsets[(g_str, int(b_str))]
+        rn = base + np.arange(1, len(df) + 1, dtype=np.int64)
+        n = group_n[df[group_column].iloc[0]]
+        k = num_tiles
+        small = n // k
+        big = n % k
+        if small == 0:
+            tile = rn
+        else:
+            cutoff = big * (small + 1)
+            tile = np.where(
+                rn <= cutoff,
+                (rn - 1) // (small + 1) + 1,
+                big + (rn - cutoff - 1) // small + 1,
+            )
+        pr = (rn - 1) / (n - 1) if n > 1 else np.zeros(len(df))
+        out = df.drop(columns=["_gb"])
+        out["rn"] = rn
+        out["tile"] = tile.astype("int64")
+        out["pr"] = pr
+        return out
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("_gb")
+        .map_groups(number, batch_format="pandas")
+    )
+
+
 def top_k(ds, k: int, key: str, tie_key: str):
     """Global top-k by (key desc, tie_key asc): per-batch local prune to k
     (partial top-k) before the tiny global sort — no full-data sort at

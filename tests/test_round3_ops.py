@@ -481,3 +481,72 @@ def test_grouped_quantile_cont_validates():
         grouped_quantile_cont(None, "g", "v", 5, 4)
     with pytest.raises(ValueError, match="power of two"):
         grouped_quantile_cont(None, "g", "v", 1, 10)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_window_rank_matches_pandas():
+    """Range-partitioned window ranking equals the single-machine window
+    (row_number / ntile / percent_rank over PARTITION BY g ORDER BY v, id)
+    — including heavy ties (one bucket holds many equal values), a
+    single-row group, and n < k tiles."""
+    import ray.data
+
+    from basicocr_ray.stages.wide import grouped_window_rank
+
+    rng = np.random.default_rng(3)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "g": np.repeat(["a", "b", "c", "solo"], [300, 200, 99, 1]),
+            "v": np.concatenate(
+                [
+                    rng.normal(0, 10, 300).round(0),  # heavy ties
+                    rng.uniform(0, 1, 200),
+                    np.full(99, 7.0),  # one group entirely tied
+                    [42.0],
+                ]
+            ),
+            "id": np.arange(n, dtype=np.int64),
+        }
+    )
+    k = 4
+    got = (
+        grouped_window_rank(
+            ray.data.from_pandas(df).repartition(8), "g", "v", "id", k
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+
+    want = df.sort_values(["g", "v", "id"]).copy()
+    want["rn"] = want.groupby("g").cumcount() + 1
+    nn = want.groupby("g")["rn"].transform("max")
+    small, big = nn // k, nn % k
+    cutoff = big * (small + 1)
+    want["tile"] = np.where(
+        small == 0,
+        want["rn"],
+        np.where(
+            want["rn"] <= cutoff,
+            (want["rn"] - 1) // (small + 1) + 1,
+            big + (want["rn"] - cutoff - 1) // small.where(small > 0, 1) + 1,
+        ),
+    ).astype("int64")
+    want["pr"] = np.where(nn > 1, (want["rn"] - 1) / (nn - 1), 0.0)
+    want = want.sort_values("id").reset_index(drop=True)
+
+    assert got["rn"].tolist() == want["rn"].tolist()
+    assert got["tile"].tolist() == want["tile"].tolist()
+    assert got["pr"].tolist() == want["pr"].tolist()  # bit-identical
+
+    # partition invariance
+    alt = (
+        grouped_window_rank(
+            ray.data.from_pandas(df).repartition(2), "g", "v", "id", k
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert alt["rn"].tolist() == got["rn"].tolist()
