@@ -2048,6 +2048,107 @@ def q74_except_users(sf_dir: str):
     )
 
 
+def q75_decontaminate(sf_dir: str):
+    """Benchmark decontamination (GPT-3 appendix C / PaLM §6): flag
+    training documents sharing any word 5-gram with a held-out benchmark
+    set (here the deterministic ``doc_id % 17 == 0`` slice). The
+    benchmark gram set is small by definition → ONE ``ray.put``
+    broadcast; the training side streams through ``map_batches`` with
+    zero shuffle — the canonical J1 shape at decontamination's usual
+    asymmetry (TB training corpus vs KB eval set)."""
+    import ray
+
+    from basicocr_ray.stages.decontam import (
+        build_benchmark_grams,
+        flag_contaminated,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def is_bench(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 17 == 0))
+
+    def is_train(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 17 != 0))
+
+    bench = docs.map_batches(is_bench, batch_format="pyarrow")
+    grams = build_benchmark_grams(bench, "text", n=5)
+    ref = ray.put(grams)
+    train = docs.map_batches(is_train, batch_format="pyarrow")
+    return flag_contaminated(train, ref, n=5)
+
+
+def q76_chunk_dedup(sf_dir: str):
+    """Corpus-wide chunk-level exact dedup with reassembly (the CCNet
+    paragraph-dedup shape, Wenzek et al. 2020 §4.1, at fixed 10-word
+    chunk granularity): each distinct chunk keeps only its first
+    (doc_id, idx) occurrence corpus-wide, then surviving chunks
+    string-agg back into documents. Two coarse-grouped shuffles — by
+    chunk-hash salt (dedup) then doc-hash salt (reassembly)."""
+    from basicocr_ray.stages.decontam import chunk_dedup_reassemble
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return chunk_dedup_reassemble(docs, chunk_words=10)
+
+
+def q77_hopping_window(sf_dir: str):
+    """HOPPING (sliding) window aggregate — 1-hour windows every 30
+    minutes, so each event lands in exactly TWO windows. The overlap is
+    resolved per batch (each row fans out to its two window starts
+    before the partial aggregate), so the shuffle still carries only
+    (window, type) partials — the streaming-engine shape where window
+    assignment is a stateless map, never a self-join. q05 is the
+    tumbling special case (hop == width). The value sum is kept in
+    integer CENTS (values are 2-decimal doubles) so the partial+final
+    addition order can't drift a double ulp from the oracle's."""
+    from basicocr_ray.stages.dedup import _coarse_salts
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    salts = _coarse_salts(None)
+    HOP = pd.Timedelta(minutes=30)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        f = df["ts"].dt.floor("30min")
+        cents = np.round(df["value"].to_numpy() * 100.0).astype("int64")
+        fan = pd.concat(
+            [
+                pd.DataFrame(
+                    {"wstart": f, "event_type": df["event_type"],
+                     "cents": cents}
+                ),
+                pd.DataFrame(
+                    {"wstart": f - HOP, "event_type": df["event_type"],
+                     "cents": cents}
+                ),
+            ],
+            ignore_index=True,
+        )
+        g = fan.groupby(["wstart", "event_type"], as_index=False).agg(
+            n=("cents", "size"), sum_cents=("cents", "sum")
+        )
+        g["cg"] = (
+            pd.util.hash_pandas_object(
+                g[["wstart", "event_type"]], index=False
+            )
+            % salts
+        ).astype("int32")
+        return g
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["wstart", "event_type"], as_index=False).agg(
+            n=("n", "sum"), sum_cents=("sum_cents", "sum")
+        )
+        return out.astype({"n": "int64", "sum_cents": "int64"})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("cg")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 def q61_chained_join_returns(sf_dir: str):
     """THREE-table chained bucketed join (TPC-H Q10 shape): revenue lost
     to returned items per customer — lineitem(R) ⋈ orders on orderkey,
@@ -2461,6 +2562,9 @@ QUERIES = {
     "q72_repetition_stats": q72_repetition_stats,
     "q73_props_json_sum": q73_props_json_sum,
     "q74_except_users": q74_except_users,
+    "q75_decontaminate": q75_decontaminate,
+    "q76_chunk_dedup": q76_chunk_dedup,
+    "q77_hopping_window": q77_hopping_window,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -2832,6 +2936,80 @@ ORACLE_SQL = {
                            i -> ts[i] || chr(31) || ts[i+1])))
                END AS n_distinct
         FROM toks
+    """,
+    "q75_decontaminate": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(
+                   regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                   x -> x <> '') AS ts
+          FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, CAST(greatest(len(ts) - 4, 0) AS BIGINT)),
+                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                        || ' ' || ts[i+3] || ' ' || ts[i+4])) AS gram
+          FROM toks
+        ), bench AS (
+          SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0
+        ), hits AS (
+          SELECT dg.doc_id, count(*) AS n_hit
+          FROM (SELECT DISTINCT doc_id, gram FROM g
+                WHERE doc_id % 17 <> 0) dg
+          JOIN bench b USING (gram)
+          GROUP BY dg.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+               coalesce(h.n_hit, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE d.doc_id % 17 <> 0
+    """,
+    "q76_chunk_dedup": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(
+                   regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                   x -> x <> '') AS ts
+          FROM documents
+        ), chunks AS (
+          SELECT doc_id,
+                 unnest(generate_series(1, nch)) AS idx,
+                 unnest(list_transform(
+                   generate_series(1, nch),
+                   i -> array_to_string(ts[(i-1)*10+1 : i*10], ' '))) AS chunk
+          FROM (SELECT doc_id, ts,
+                       CAST(ceil(len(ts) / 10.0) AS BIGINT) AS nch
+                FROM toks)
+        ), kept AS (
+          SELECT doc_id, idx, chunk FROM (
+            SELECT doc_id, idx, chunk,
+                   row_number() OVER (
+                     PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+            FROM chunks)
+          WHERE rn = 1
+        )
+        SELECT doc_id,
+               string_agg(chunk, ' ' ORDER BY idx) AS clean_text,
+               count(*) AS n_chunks
+        FROM kept GROUP BY doc_id
+    """,
+    "q77_hopping_window": """
+        WITH e AS (
+          SELECT time_bucket(INTERVAL '30 minutes', ts) AS f,
+                 event_type, value
+          FROM events
+        ), fan AS (
+          SELECT unnest([f, f - INTERVAL '30 minutes']) AS wstart,
+                 event_type, value
+          FROM e
+        )
+        SELECT wstart, event_type,
+               count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM fan GROUP BY 1, 2
     """,
     "q68_edit1_fuzzy_pairs": """
         WITH vocab AS (

@@ -368,8 +368,47 @@ def _op_knn_join(ds, params):
     )
 
 
+def _op_chunk_dedup(ds, params):
+    """Corpus-wide first-occurrence chunk dedup + reassembly (CCNet
+    paragraph-dedup shape, stages.decontam)."""
+    from basicocr_ray.stages.decontam import chunk_dedup_reassemble
+
+    return chunk_dedup_reassemble(
+        ds,
+        text_column=params.get("text_column", "text"),
+        id_column=params.get("id_column", "doc_id"),
+        chunk_words=int(params.get("chunk_words", 10)),
+    )
+
+
+def _op_decontaminate(ds, params):
+    """Flag/drop docs sharing any word n-gram with a benchmark JSONL or
+    parquet file (`params["benchmark_path"]`), broadcast once."""
+    import ray
+    import ray.data
+
+    from basicocr_ray.stages.decontam import (
+        build_benchmark_grams,
+        flag_contaminated,
+    )
+
+    n = int(params.get("n", 5))
+    text_col = params.get("text_column", "text")
+    bench = ray.data.read_parquet(
+        params["benchmark_path"], columns=[text_col]
+    )
+    ref = ray.put(build_benchmark_grams(bench, text_col, n))
+    flagged = flag_contaminated(
+        ds, ref, text_column=text_col,
+        id_column=params.get("id_column", "doc_id"), n=n,
+    )
+    return flagged
+
+
 OP_REGISTRY: dict[str, Callable] = {
     "rename": _op_rename,
+    "chunk_dedup": _op_chunk_dedup,
+    "decontaminate": _op_decontaminate,
     "strip_phrases": _op_strip_phrases,
     "segment": _op_segment,
     "decode_image": _op_decode_image,

@@ -550,3 +550,104 @@ def test_grouped_window_rank_matches_pandas():
         .reset_index(drop=True)
     )
     assert alt["rn"].tolist() == got["rn"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_decontaminate_flags_planted_overlap():
+    """A training doc sharing a 5-gram with the benchmark set is flagged
+    with the exact distinct-hit count; clean docs come back n_hit=0."""
+    import ray
+    import ray.data
+
+    from basicocr_ray.stages.decontam import (
+        build_benchmark_grams,
+        flag_contaminated,
+    )
+
+    bench = pd.DataFrame(
+        {
+            "doc_id": [100, 101],
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "pack my box with five dozen liquor jugs",
+            ],
+        }
+    )
+    train = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                # contains "the quick brown fox jumps" AND
+                # "quick brown fox jumps over" -> 2 distinct hits
+                "so the quick brown fox jumps over rooftops",
+                "completely unrelated words about databases and rays",
+                # exact copy -> every 5-gram hits (9 tokens -> 5 grams)
+                "the quick brown fox jumps over the lazy dog",
+                "four tokens only here",  # < n tokens -> no grams
+            ],
+        }
+    )
+    grams = build_benchmark_grams(ray.data.from_pandas(bench), "text", n=5)
+    got = (
+        flag_contaminated(
+            ray.data.from_pandas(train).repartition(3), ray.put(grams), n=5
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["n_hit"].tolist() == [2, 0, 5, 0]
+    assert got["contaminated"].tolist() == [True, False, True, False]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_chunk_dedup_reassemble_matches_referee_and_salt_invariant():
+    """Corpus-wide first-occurrence chunk dedup equals a single-machine
+    referee (pandas row_number-per-chunk), docs reassemble in idx order,
+    fully-duplicated docs vanish, and the output is salt-invariant."""
+    import ray.data
+
+    from basicocr_ray.stages.decontam import chunk_dedup_reassemble
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(1, 35))) for _ in range(40)
+    ]
+    texts[10] = texts[3]          # whole-doc duplicate -> vanishes
+    texts[11] = texts[3] + " unique tail words here"
+    df = pd.DataFrame({"doc_id": np.arange(40, dtype=np.int64),
+                       "text": texts})
+
+    def referee(cw: int = 10) -> pd.DataFrame:
+        rows = []
+        for did, t in zip(df["doc_id"], df["text"]):
+            toks = t.lower().split()
+            for i in range(0, len(toks), cw):
+                rows.append((did, i // cw + 1, " ".join(toks[i:i + cw])))
+        ch = pd.DataFrame(rows, columns=["doc_id", "idx", "chunk"])
+        ch = ch.sort_values(["doc_id", "idx"]).drop_duplicates(
+            "chunk", keep="first"
+        )
+        out = ch.groupby("doc_id", as_index=False).agg(
+            clean_text=("chunk", " ".join), n_chunks=("chunk", "size")
+        )
+        return out.astype({"doc_id": "int64", "n_chunks": "int64"})
+
+    want = referee().sort_values("doc_id").reset_index(drop=True)
+    outs = []
+    for salt in (1, 4, 32):
+        got = (
+            chunk_dedup_reassemble(
+                ray.data.from_pandas(df).repartition(6), num_salt=salt
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        outs.append(got)
+    for got in outs:
+        pd.testing.assert_frame_equal(
+            got[["doc_id", "clean_text", "n_chunks"]], want
+        )
+    assert 10 not in outs[0]["doc_id"].tolist()

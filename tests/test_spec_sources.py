@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pytest
 
 
@@ -180,3 +181,74 @@ def test_run_spec_segment_and_decode_image_ops(tmp_path):
     ).to_pandas().sort_values("item_id")
     assert feats["ok"].all()
     assert feats["width"].tolist() == [16, 20]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_read_jsonl_routes_corrupt_lines(tmp_path):
+    """Declared-schema JSONL read: good lines parse with missing keys as
+    NULL, corrupt lines (bad JSON, non-object, uncoercible value) route
+    to the quarantine columns instead of failing the task; strict mode
+    drops them."""
+    import pyarrow as pa
+
+    from basicocr_ray.sources.jsonl import read_jsonl, write_jsonl
+
+    p = tmp_path / "crawl.jsonl"
+    p.write_text(
+        "\n".join(
+            [
+                '{"doc_id": 1, "text": "hello world", "lang": "en"}',
+                '{"doc_id": 2, "text": "missing lang"}',
+                "{not json at all",
+                '[1, 2, 3]',
+                '{"doc_id": "NaN-ish", "text": "bad id type"}',
+                "",
+                '{"doc_id": 3, "text": null, "lang": "de"}',
+            ]
+        )
+        + "\n"
+    )
+    fields = {
+        "doc_id": pa.int64(),
+        "text": pa.string(),
+        "lang": pa.string(),
+    }
+    got = (
+        read_jsonl(str(p), fields, keep_corrupt=True)
+        .to_pandas()
+        .sort_values(["_corrupt", "doc_id"])
+        .reset_index(drop=True)
+    )
+    ok = got[~got["_corrupt"]]
+    bad = got[got["_corrupt"]]
+    assert ok["doc_id"].tolist() == [1.0, 2.0, 3.0]
+    assert ok["lang"].tolist()[1] is None or pd.isna(ok["lang"].tolist()[1])
+    assert len(bad) == 3 and all(bad["doc_id"].isna())
+    assert "{not json at all" in bad["_raw"].tolist()
+
+    strict = read_jsonl(str(p), fields).to_pandas()
+    assert len(strict) == 3 and "_corrupt" not in strict.columns
+
+    # roundtrip: write the clean rows, re-read, same relation
+    import ray.data
+
+    out_dir = tmp_path / "out"
+    n = write_jsonl(
+        ray.data.from_pandas(
+            pd.DataFrame(
+                {"doc_id": [1, 2, 3], "text": ["a", "b", "c"]}
+            )
+        ),
+        str(out_dir),
+    )
+    assert n == 3
+    back = (
+        read_jsonl(
+            str(out_dir), {"doc_id": pa.int64(), "text": pa.string()}
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert back["doc_id"].tolist() == [1, 2, 3]
+    assert back["text"].tolist() == ["a", "b", "c"]
