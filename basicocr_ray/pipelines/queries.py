@@ -2149,6 +2149,133 @@ def q77_hopping_window(sf_dir: str):
     )
 
 
+def q78_funnel_stages(sf_dir: str):
+    """Ordered-sequence funnel (signup → click → purchase): the furthest
+    stage each signed-up user reached, where each step must strictly
+    FOLLOW the previous step's first occurrence — the event-analytics op
+    a plain per-type min-ts rollup gets wrong. Rows shuffle ONCE into
+    coarse groups of the user hash (a user's history is complete inside
+    its group); the per-stage chaining is three vectorized merges inside
+    the group task, never a driver loop."""
+    from basicocr_ray.stages.dedup import _coarse_salts
+
+    salts = _coarse_salts(None)
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    STEPS = ("signup", "click", "purchase")
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(STEPS)]
+        h = pd.util.hash_array(df["user_id"].to_numpy())
+        df = df.copy()
+        df["cg"] = (h & (salts - 1)).astype("int32")
+        return df
+
+    def stages(df: pd.DataFrame) -> pd.DataFrame:
+        t1 = (
+            df[df["event_type"] == "signup"]
+            .groupby("user_id", as_index=False)["ts"].min()
+            .rename(columns={"ts": "t1"})
+        )
+        cl = df[df["event_type"] == "click"].merge(t1, on="user_id")
+        t2 = (
+            cl[cl["ts"] > cl["t1"]]
+            .groupby("user_id", as_index=False)["ts"].min()
+            .rename(columns={"ts": "t2"})
+        )
+        pu = df[df["event_type"] == "purchase"].merge(t2, on="user_id")
+        t3 = (
+            pu[pu["ts"] > pu["t2"]]
+            .groupby("user_id", as_index=False)["ts"].min()
+            .rename(columns={"ts": "t3"})
+        )
+        out = t1.merge(t2, on="user_id", how="left").merge(
+            t3, on="user_id", how="left"
+        )
+        out["stage"] = (
+            1 + out["t2"].notna().astype(int) + out["t3"].notna().astype(int)
+        )
+        return out[["user_id", "stage"]].astype(
+            {"user_id": "int64", "stage": "int64"}
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("cg")
+        .map_groups(stages, batch_format="pandas")
+    )
+
+
+def q79_cube_events(sf_dir: str):
+    """GROUP BY CUBE(event_type, day-of-week): all four grouping sets
+    from ONE scan via the rollup machinery's partial-reuse discipline
+    (`stages.wide.cube_counts` — coarser sets aggregate the tiny finest
+    AGGREGATE, never re-scan the data). Sums in integer cents."""
+    from basicocr_ray.stages.wide import cube_counts
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "dow": df["ts"].dt.strftime("%a"),
+                "cents": np.round(
+                    df["value"].to_numpy() * 100.0
+                ).astype("int64"),
+            }
+        )
+
+    return cube_counts(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["event_type", "dow"],
+        "cents",
+        n_name="n",
+        sum_name="sum_cents",
+    )
+
+
+def q80_pivot_user_counts(sf_dir: str):
+    """PIVOT events into one row per user with a count column per event
+    type (the conditional-aggregation pivot): per-batch (user, type)
+    partial counts shuffle as metadata, the coarse user-hash final
+    unstacks to fixed columns — the pivot schema is declared (the five
+    types), so output columns are deterministic at any scale."""
+    from basicocr_ray.stages.dedup import _coarse_salts
+
+    TYPES = ["click", "error", "purchase", "signup", "view"]
+    salts = _coarse_salts(None)
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "event_type"], as_index=False).agg(
+            n=("event_type", "size")
+        )
+        h = pd.util.hash_array(g["user_id"].to_numpy())
+        g["cg"] = (h & (salts - 1)).astype("int32")
+        return g
+
+    def unstack(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby(["user_id", "event_type"], as_index=False)[
+            "n"
+        ].sum()
+        wide = (
+            tot.pivot(index="user_id", columns="event_type", values="n")
+            .reindex(columns=TYPES)
+            .fillna(0)
+            .astype("int64")
+            .rename(columns={t: f"n_{t}" for t in TYPES})
+            .reset_index()
+        )
+        wide.columns.name = None
+        return wide.astype({"user_id": "int64"})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("cg")
+        .map_groups(unstack, batch_format="pandas")
+    )
+
+
 def q61_chained_join_returns(sf_dir: str):
     """THREE-table chained bucketed join (TPC-H Q10 shape): revenue lost
     to returned items per customer — lineitem(R) ⋈ orders on orderkey,
@@ -2565,6 +2692,9 @@ QUERIES = {
     "q75_decontaminate": q75_decontaminate,
     "q76_chunk_dedup": q76_chunk_dedup,
     "q77_hopping_window": q77_hopping_window,
+    "q78_funnel_stages": q78_funnel_stages,
+    "q79_cube_events": q79_cube_events,
+    "q80_pivot_user_counts": q80_pivot_user_counts,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -3010,6 +3140,51 @@ ORACLE_SQL = {
                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                  AS sum_cents
         FROM fan GROUP BY 1, 2
+    """,
+    "q78_funnel_stages": """
+        WITH s AS (
+          SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'signup' GROUP BY user_id
+        ), c AS (
+          SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN s USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > s.t1
+          GROUP BY e.user_id
+        ), p AS (
+          SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2
+          GROUP BY e.user_id
+        )
+        SELECT s.user_id,
+               CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                         WHEN c.user_id IS NOT NULL THEN 2
+                         ELSE 1 END AS BIGINT) AS stage
+        FROM s
+        LEFT JOIN c ON s.user_id = c.user_id
+        LEFT JOIN p ON s.user_id = p.user_id
+    """,
+    "q79_cube_events": """
+        SELECT event_type, strftime(ts, '%a') AS dow,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM events
+        GROUP BY CUBE(event_type, strftime(ts, '%a'))
+    """,
+    "q80_pivot_user_counts": """
+        SELECT user_id,
+               CAST(count(*) FILTER (event_type = 'click') AS BIGINT)
+                 AS n_click,
+               CAST(count(*) FILTER (event_type = 'error') AS BIGINT)
+                 AS n_error,
+               CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+                 AS n_purchase,
+               CAST(count(*) FILTER (event_type = 'signup') AS BIGINT)
+                 AS n_signup,
+               CAST(count(*) FILTER (event_type = 'view') AS BIGINT)
+                 AS n_view
+        FROM events GROUP BY user_id
     """,
     "q68_edit1_fuzzy_pairs": """
         WITH vocab AS (

@@ -333,6 +333,18 @@ def _op_rollup(ds, params):
     )
 
 
+def _op_cube(ds, params):
+    from basicocr_ray.stages.wide import cube_counts
+
+    return cube_counts(
+        ds,
+        list(params["group_cols"]),
+        params["value_column"],
+        n_name=params.get("n_name", "n"),
+        sum_name=params.get("sum_name", "total"),
+    )
+
+
 def _op_group_quantile(ds, params):
     """``kind``: "disc" (default, percentile_disc) or "cont"
     (percentile_cont; q_den must be a power of two)."""
@@ -426,6 +438,7 @@ OP_REGISTRY: dict[str, Callable] = {
     "skew_join": _op_skew_join,
     "sample": _op_sample,
     "rollup": _op_rollup,
+    "cube": _op_cube,
     "group_quantile": _op_group_quantile,
     "knn_join": _op_knn_join,
 }

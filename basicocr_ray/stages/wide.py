@@ -147,6 +147,43 @@ def rollup_counts(
     groupby; every coarser level then derives from the finest AGGREGATE —
     aggregate-of-aggregates, never a re-scan (the OLAP-cube partial-reuse
     discipline; sums/counts are algebraic so the reuse is exact)."""
+    sets = [group_cols[:lv] for lv in range(len(group_cols), -1, -1)]
+    return grouping_sets_counts(
+        ds, group_cols, sets, value_column, n_name, sum_name
+    )
+
+
+def cube_counts(
+    ds,
+    group_cols: list[str],
+    value_column: str,
+    n_name: str = "n",
+    sum_name: str = "total",
+):
+    """GROUP BY CUBE(g1, …, gk): every SUBSET of the grouping columns
+    from one scan + one tiny finest aggregate (same partial-reuse
+    discipline as :func:`rollup_counts`; 2^k sets, so k stays small by
+    contract)."""
+    cols = list(group_cols)
+    sets = []
+    for mask in range((1 << len(cols)) - 1, -1, -1):
+        sets.append([c for i, c in enumerate(cols) if mask & (1 << i)])
+    return grouping_sets_counts(
+        ds, cols, sets, value_column, n_name, sum_name
+    )
+
+
+def grouping_sets_counts(
+    ds,
+    group_cols: list[str],
+    sets: list[list[str]],
+    value_column: str,
+    n_name: str = "n",
+    sum_name: str = "total",
+):
+    """GROUP BY GROUPING SETS over integer sums: the first set must be
+    the finest (all ``group_cols``); every other set derives from its
+    aggregate."""
     import numpy as np
 
     from basicocr_ray.stages.dedup import _coarse_salts
@@ -207,9 +244,10 @@ def rollup_counts(
 
         return fn
 
+    if sets[0] != group_cols:
+        raise ValueError("the first grouping set must be the finest")
     levels = [finest.map_batches(widen(group_cols), batch_format="pyarrow")]
-    for lv in range(len(group_cols) - 1, -1, -1):
-        cols = group_cols[:lv]
+    for cols in sets[1:]:
         # aggregate the (tiny) finest table, not the data
         if cols:
             agg = finest.groupby(cols).map_groups(

@@ -651,3 +651,52 @@ def test_chunk_dedup_reassemble_matches_referee_and_salt_invariant():
             got[["doc_id", "clean_text", "n_chunks"]], want
         )
     assert 10 not in outs[0]["doc_id"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cube_counts_matches_referee():
+    """CUBE(g1, g2) from one scan equals the four explicit grouping-set
+    aggregates computed single-machine."""
+    import ray.data
+
+    from basicocr_ray.stages.wide import cube_counts
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(["x", "y", "z"], 300),
+            "b": rng.choice(["p", "q"], 300),
+            "v": rng.integers(0, 100, 300),
+        }
+    )
+    got = (
+        cube_counts(
+            ray.data.from_pandas(df).repartition(5), ["a", "b"], "v"
+        )
+        .to_pandas()
+        .fillna("∅")
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    parts = []
+    for cols in ([ "a", "b"], ["a"], ["b"], []):
+        if cols:
+            p = df.groupby(cols, as_index=False).agg(
+                n=("v", "size"), total=("v", "sum")
+            )
+        else:
+            p = pd.DataFrame({"n": [len(df)], "total": [df["v"].sum()]})
+        for c in ("a", "b"):
+            if c not in p.columns:
+                p[c] = "∅"
+        parts.append(p[["a", "b", "n", "total"]])
+    want = (
+        pd.concat(parts, ignore_index=True)
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+        .astype({"n": "int64", "total": "int64"})
+    )
+    pd.testing.assert_frame_equal(
+        got[["a", "b", "n", "total"]].astype({"n": "int64", "total": "int64"}),
+        want,
+    )
