@@ -2276,6 +2276,44 @@ def q80_pivot_user_counts(sf_dir: str):
     )
 
 
+def q81_hash_split(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test split (md5-bucket
+    assignment, `stages.sample.hash_split`) rolled up per (lang, split).
+    The assignment is a stateless per-batch map — the same doc lands in
+    the same split on any partitioning, any retry, any corpus growth —
+    and the rollup is the house partial+final."""
+    from basicocr_ray.stages.dedup import _coarse_salts
+    from basicocr_ray.stages.sample import hash_split
+
+    salts = _coarse_salts(None)
+    ds = hash_split(
+        _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"]),
+        "doc_id",
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "split"], as_index=False).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum")
+        )
+        h = pd.util.hash_pandas_object(
+            g[["lang", "split"]], index=False
+        ).to_numpy()
+        g["cg"] = (h & (salts - 1)).astype("int32")
+        return g
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["lang", "split"], as_index=False)[
+            ["n_docs", "sum_chars"]
+        ].sum()
+        return out.astype({"n_docs": "int64", "sum_chars": "int64"})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("cg")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 def q61_chained_join_returns(sf_dir: str):
     """THREE-table chained bucketed join (TPC-H Q10 shape): revenue lost
     to returned items per customer — lineitem(R) ⋈ orders on orderkey,
@@ -2695,6 +2733,7 @@ QUERIES = {
     "q78_funnel_stages": q78_funnel_stages,
     "q79_cube_events": q79_cube_events,
     "q80_pivot_user_counts": q80_pivot_user_counts,
+    "q81_hash_split": q81_hash_split,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -3185,6 +3224,21 @@ ORACLE_SQL = {
                CAST(count(*) FILTER (event_type = 'view') AS BIGINT)
                  AS n_view
         FROM events GROUP BY user_id
+    """,
+    "q81_hash_split": """
+        WITH a AS (
+          SELECT lang, n_chars,
+                 CAST('0x' || substr(
+                   md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS p
+          FROM documents
+        )
+        SELECT lang,
+               CASE WHEN p < 80 THEN 'train'
+                    WHEN p < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM a GROUP BY 1, 2
     """,
     "q68_edit1_fuzzy_pairs": """
         WITH vocab AS (

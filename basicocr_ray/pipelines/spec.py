@@ -333,6 +333,18 @@ def _op_rollup(ds, params):
     )
 
 
+def _op_hash_split(ds, params):
+    """Deterministic md5-bucket train/val/test assignment column."""
+    from basicocr_ray.stages.sample import hash_split
+
+    fractions = params.get("fractions")
+    if fractions is not None:
+        fractions = {k: int(v) for k, v in fractions.items()}
+    return hash_split(
+        ds, params.get("id_column", "doc_id"), fractions
+    )
+
+
 def _op_cube(ds, params):
     from basicocr_ray.stages.wide import cube_counts
 
@@ -439,6 +451,7 @@ OP_REGISTRY: dict[str, Callable] = {
     "sample": _op_sample,
     "rollup": _op_rollup,
     "cube": _op_cube,
+    "hash_split": _op_hash_split,
     "group_quantile": _op_group_quantile,
     "knn_join": _op_knn_join,
 }

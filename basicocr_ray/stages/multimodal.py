@@ -361,3 +361,63 @@ class ImageResizer:
                 "error": pa.array(errs, pa.string()),
             }
         )
+
+
+class AudioResampler:
+    """Actor-pool audio RESAMPLE stage: decode a real WAV payload
+    (core.wav), linearly interpolate the mono signal onto the target
+    sample grid, re-encode 16-bit PCM. Linear interpolation at exact
+    rational positions (``np.interp`` over float64) is deterministic
+    across platforms — no FFT, no windowed sinc — which keeps the stage
+    bit-reproducible; callers needing audiophile resampling swap the
+    kernel, not the plumbing. Non-WAV payloads route to the failed path
+    (ok=False), the S1 corrupt-skip discipline."""
+
+    def __init__(
+        self,
+        target_rate: int,
+        payload_column: str = "payload",
+        id_column: str = "item_id",
+    ):
+        if target_rate <= 0:
+            raise ValueError("target_rate must be positive")
+        self.target_rate = int(target_rate)
+        self.payload_column = payload_column
+        self.id_column = id_column
+
+    def _resample(self, rate: int, x: np.ndarray) -> np.ndarray:
+        if rate == self.target_rate or len(x) == 0:
+            return x
+        n_out = max(1, int(round(len(x) * self.target_rate / rate)))
+        # sample positions in source index space, endpoints aligned
+        pos = np.arange(n_out, dtype=np.float64) * (rate / self.target_rate)
+        return np.interp(pos, np.arange(len(x), dtype=np.float64), x)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from basicocr_ray.core.wav import decode_wav, encode_wav
+
+        ids = batch[self.id_column].to_pylist()
+        payloads, rates, ns, oks, errs = [], [], [], [], []
+        for data in batch[self.payload_column].to_pylist():
+            try:
+                rate, x = decode_wav(data if data is not None else b"")
+                y = self._resample(rate, x)
+                payloads.append(encode_wav(self.target_rate, y))
+                rates.append(self.target_rate)
+                ns.append(len(y))
+                oks.append(True); errs.append("")
+            except Exception as exc:
+                payloads.append(b"")
+                rates.append(0); ns.append(0)
+                oks.append(False)
+                errs.append(f"{type(exc).__name__}: {exc}"[:120])
+        return pa.table(
+            {
+                "item_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+                "sample_rate": pa.array(rates, pa.int32()),
+                "n_samples": pa.array(ns, pa.int64()),
+                "ok": pa.array(oks, pa.bool_()),
+                "error": pa.array(errs, pa.string()),
+            }
+        )

@@ -254,3 +254,42 @@ def stratified_bottomk(ds, group_column: str, id_column: str, k: int):
         .groupby("cg")
         .map_groups(head_per_group, batch_format="pandas")
     )
+
+
+def hash_split(
+    ds,
+    id_column: str,
+    fractions: dict[str, int] | None = None,
+):
+    """Deterministic train/val/test assignment (the ML-data split every
+    training pipeline needs ahead of export): each row's bucket is
+    ``int(md5(id)[:8], 16) % 100`` mapped through ``fractions`` (split
+    name → percentage, summing to 100, assigned in dict order). A pure
+    per-batch map — partition/retry/cluster-size-invariant, re-runnable
+    on a grown corpus without reshuffling old rows between splits, and
+    SQL-reproducible (the q46/q56 md5 discipline)."""
+    fractions = fractions or {"train": 80, "val": 10, "test": 10}
+    if sum(fractions.values()) != 100:
+        raise ValueError("fractions must sum to 100")
+    names = list(fractions)
+    cuts = []
+    acc = 0
+    for name in names:
+        acc += fractions[name]
+        cuts.append(acc)
+
+    from basicocr_ray.core.textstats import md5_hex
+
+    def assign(batch: pa.Table) -> pa.Table:
+        splits = []
+        for i in batch[id_column].to_pylist():
+            p = int(md5_hex(str(i))[:8], 16) % 100
+            for name, cut in zip(names, cuts):
+                if p < cut:
+                    splits.append(name)
+                    break
+        return batch.append_column(
+            "split", pa.array(splits, pa.string())
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")

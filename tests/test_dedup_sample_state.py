@@ -521,3 +521,37 @@ def test_edit1_vocab_join_exact_vs_brute():
         ray.data.from_items(items), num_salt=2
     ).to_pandas()
     assert set(zip(alt["tok_a"], alt["tok_b"])) == exp
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hash_split_deterministic_and_partition_invariant():
+    """Split assignment is a pure function of the id: identical across
+    partitionings, fractions respected roughly, and every row assigned."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from basicocr_ray.core.textstats import md5_hex
+    from basicocr_ray.stages.sample import hash_split
+
+    df = pd.DataFrame({"doc_id": np.arange(2000, dtype=np.int64)})
+    a = (
+        hash_split(ray.data.from_pandas(df).repartition(2), "doc_id")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        hash_split(ray.data.from_pandas(df).repartition(13), "doc_id")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    frac = a["split"].value_counts(normalize=True)
+    assert 0.75 < frac["train"] < 0.85
+    assert set(a["split"]) == {"train", "val", "test"}
+    # spot-check the documented formula
+    i = 1234
+    p = int(md5_hex(str(i))[:8], 16) % 100
+    want = "train" if p < 80 else ("val" if p < 90 else "test")
+    assert a.loc[a["doc_id"] == i, "split"].iloc[0] == want
+
+    with pytest.raises(ValueError, match="sum to 100"):
+        hash_split(None, "doc_id", {"train": 50})
