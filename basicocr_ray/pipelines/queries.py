@@ -2314,6 +2314,128 @@ def q81_hash_split(sf_dir: str):
     )
 
 
+def q82_intersect_users(sf_dir: str):
+    """Distributed INTERSECT — q74's EXCEPT shape with the other
+    terminal predicate: users with BOTH a high-value click and a
+    high-value purchase (per-user bit-OR over distinct (user, side)
+    pairs == 3). The shuffle carries distinct pairs, never events."""
+    from basicocr_ray.stages.dedup import _coarse_salts
+
+    salts = _coarse_salts(None)
+    ds = _read(
+        sf_dir, "events", columns=["user_id", "event_type", "value"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[
+            (df["value"] > 95.0)
+            & df["event_type"].isin(["click", "purchase"])
+        ]
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(),
+                "bit": np.where(
+                    df["event_type"].to_numpy() == "click", 1, 2
+                ).astype("int64"),
+            }
+        ).drop_duplicates()
+        h = pd.util.hash_array(out["user_id"].to_numpy())
+        out["cg"] = (h & (salts - 1)).astype("int32")
+        return out
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.groupby("user_id", as_index=False)["bit"].agg(
+            lambda s: int(np.bitwise_or.reduce(s.to_numpy()))
+        )
+        return m.loc[m["bit"] == 3, ["user_id"]].astype("int64")
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("cg")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def q83_share_of_total(sf_dir: str):
+    """Percent-of-total (ratio_to_report): each event type's share of
+    global value. Partials shrink the data to ≤ |types| rows per batch;
+    the final single task sees every group, so the grand total is local
+    arithmetic — no second pass, no broadcast. The share is ONE IEEE
+    division of two exactly-representable integer cent sums, so Ray and
+    the SQL twin agree bit-for-bit."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["value"].to_numpy() * 100.0).astype("int64")
+        g = pd.DataFrame(
+            {"event_type": df["event_type"], "cents": cents}
+        ).groupby("event_type", as_index=False)["cents"].sum()
+        g["_one"] = np.int32(0)
+        return g
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("event_type", as_index=False)["cents"].sum()
+        total = float(out["cents"].sum())
+        out["share"] = out["cents"].astype("float64") / total
+        return out.rename(columns={"cents": "sum_cents"}).astype(
+            {"sum_cents": "int64"}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_one")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def q84_full_outer_counts(sf_dir: str):
+    """FULL OUTER join of two sparse per-user aggregates (high-value
+    click counts vs high-value purchase counts): unmatched users on
+    EITHER side survive with a null count for the other — the flavor
+    that completes the join family (inner/left/semi/anti/full). Both
+    inputs are partial+final count pipelines; the join itself is the
+    single-shuffle bucketed join."""
+    from basicocr_ray.stages.dedup import _coarse_salts
+    from basicocr_ray.stages.joins import bucketed_hash_join
+
+    salts = _coarse_salts(None)
+    ds = _read(
+        sf_dir, "events", columns=["user_id", "event_type", "value"]
+    )
+
+    def counts_of(etype: str, out_name: str):
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[(df["value"] > 95.0) & (df["event_type"] == etype)]
+            g = df.groupby("user_id", as_index=False).agg(
+                n=("user_id", "size")
+            )
+            h = pd.util.hash_array(g["user_id"].to_numpy())
+            g["cg"] = (h & (salts - 1)).astype("int32")
+            return g
+
+        def final(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.groupby("user_id", as_index=False)["n"].sum()
+            return out.rename(columns={"n": out_name}).astype(
+                {"user_id": "int64", out_name: "int64"}
+            )
+
+        return (
+            ds.map_batches(partial, batch_format="pandas")
+            .groupby("cg")
+            .map_groups(final, batch_format="pandas")
+        )
+
+    return bucketed_hash_join(
+        counts_of("click", "n_click"),
+        counts_of("purchase", "n_purchase"),
+        "user_id",
+        ["n_click"],
+        ["n_purchase"],
+        num_buckets=8,
+        join_type="full outer",
+    )
+
+
 def q61_chained_join_returns(sf_dir: str):
     """THREE-table chained bucketed join (TPC-H Q10 shape): revenue lost
     to returned items per customer — lineitem(R) ⋈ orders on orderkey,
@@ -2734,6 +2856,9 @@ QUERIES = {
     "q79_cube_events": q79_cube_events,
     "q80_pivot_user_counts": q80_pivot_user_counts,
     "q81_hash_split": q81_hash_split,
+    "q82_intersect_users": q82_intersect_users,
+    "q83_share_of_total": q83_share_of_total,
+    "q84_full_outer_counts": q84_full_outer_counts,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -3239,6 +3364,36 @@ ORACLE_SQL = {
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(n_chars) AS BIGINT) AS sum_chars
         FROM a GROUP BY 1, 2
+    """,
+    "q82_intersect_users": """
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'click' AND value > 95
+        INTERSECT
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'purchase' AND value > 95
+    """,
+    "q83_share_of_total": """
+        WITH s AS (
+          SELECT event_type,
+                 sum(CAST(round(value * 100) AS BIGINT)) AS sc
+          FROM events GROUP BY event_type
+        )
+        SELECT event_type, CAST(sc AS BIGINT) AS sum_cents,
+               CAST(sc AS DOUBLE) / CAST(sum(sc) OVER () AS DOUBLE)
+                 AS share
+        FROM s
+    """,
+    "q84_full_outer_counts": """
+        WITH c AS (
+          SELECT user_id, count(*) AS n_click FROM events
+          WHERE event_type = 'click' AND value > 95 GROUP BY user_id
+        ), p AS (
+          SELECT user_id, count(*) AS n_purchase FROM events
+          WHERE event_type = 'purchase' AND value > 95 GROUP BY user_id
+        )
+        SELECT coalesce(c.user_id, p.user_id) AS user_id,
+               c.n_click, p.n_purchase
+        FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
     """,
     "q68_edit1_fuzzy_pairs": """
         WITH vocab AS (

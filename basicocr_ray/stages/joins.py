@@ -47,7 +47,9 @@ def bucketed_hash_join(
     """Equi-join of two large Datasets on a key column (integer or
     string — string keys bucket via a cross-process-stable hash).
 
-    ``join_type``: ``"inner"`` (default), ``"left semi"`` or
+    ``join_type``: ``"inner"`` (default), ``"left outer"``, ``"full
+    outer"`` (unmatched rows of either side survive with null-padded
+    other-side columns; Acero coalesces the key), ``"left semi"`` or
     ``"left anti"`` — the semi/anti flavors emit LEFT columns only
     (right_columns must be empty) and express EXISTS / NOT EXISTS against
     a fact-scale right side with the same single-shuffle discipline: a key
@@ -69,7 +71,9 @@ def bucketed_hash_join(
     spans buckets, any per-key reduction (aggregate, top-k per key) is
     exact here — fusing it saves the follow-up exchange the caller would
     otherwise need (one shuffle instead of two)."""
-    if join_type not in ("inner", "left outer", "left semi", "left anti"):
+    if join_type not in (
+        "inner", "left outer", "full outer", "left semi", "left anti"
+    ):
         raise ValueError(f"unsupported join_type: {join_type!r}")
     if join_type in ("left semi", "left anti") and right_columns:
         raise ValueError("semi/anti joins emit left columns only")
@@ -119,14 +123,25 @@ def bucketed_hash_join(
         l_tbl = tbl.filter(mask).select(lcols)
         r_tbl = tbl.filter(pc.invert(mask)).select(rcols)
         if l_tbl.num_rows == 0:
+            # full outer: keep right rows, null-pad the left columns
+            if join_type == "full outer":
+                n = r_tbl.num_rows
+                out = pa.Table.from_arrays(
+                    [
+                        r_tbl[c] if c in rcols else pa.nulls(n, types[c])
+                        for c in out_cols
+                    ],
+                    out_cols,
+                )
+                return bucket_post_fn(out) if bucket_post_fn else out
             return bucket_post_fn(empty) if bucket_post_fn else empty
         if r_tbl.num_rows == 0:
             # anti-join: an empty right bucket keeps every left row
             if join_type == "left anti":
                 out = l_tbl
                 return bucket_post_fn(out) if bucket_post_fn else out
-            # left outer: keep left rows, null-pad the right columns
-            if join_type == "left outer":
+            # left/full outer: keep left rows, null-pad the right columns
+            if join_type in ("left outer", "full outer"):
                 n = l_tbl.num_rows
                 out = pa.Table.from_arrays(
                     [

@@ -700,3 +700,30 @@ def test_cube_counts_matches_referee():
         got[["a", "b", "n", "total"]].astype({"n": "int64", "total": "int64"}),
         want,
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_full_outer_join_matches_pandas():
+    import ray.data
+
+    from basicocr_ray.stages.joins import bucketed_hash_join
+
+    left = pd.DataFrame({"k": [1, 2, 2, 5], "lv": [10, 20, 21, 50]})
+    right = pd.DataFrame({"k": [2, 3], "rv": [200, 300]})
+    got = (
+        bucketed_hash_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            "k", ["lv"], ["rv"], num_buckets=4, join_type="full outer",
+        )
+        .to_pandas()
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    want = (
+        left.merge(right, on="k", how="outer")
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype("float64"), want.astype("float64")
+    )
