@@ -2436,6 +2436,35 @@ def q84_full_outer_counts(sf_dir: str):
     )
 
 
+def q85_bpe_token_stats(sf_dir: str):
+    """BPE-ish regex pre-tokenization counts (the GPT-2 pre-tokenizer
+    class split, simplified to its three run classes): alphabetic runs,
+    digit runs, and single non-alnum-non-space marks per document —
+    the token-budget estimate every corpus costing pass needs. Three
+    VECTORIZED pandas str.count passes per batch (no per-row Python);
+    character classes are spelled in explicit ASCII so Python re and
+    DuckDB's RE2 agree (\\s is unicode-wide in Python, ASCII in RE2)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    WS = " \\t\\n\\r\\f"
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].fillna("").str.lower()
+        n_alpha = t.str.count(r"[a-z]+").astype("int64")
+        n_num = t.str.count(r"[0-9]+").astype("int64")
+        n_other = t.str.count(f"[^a-z0-9{WS}]").astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_alpha": n_alpha,
+                "n_num": n_num,
+                "n_other": n_other,
+                "n_bpe_tokens": n_alpha + n_num + n_other,
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pandas")
+
+
 def q61_chained_join_returns(sf_dir: str):
     """THREE-table chained bucketed join (TPC-H Q10 shape): revenue lost
     to returned items per customer — lineitem(R) ⋈ orders on orderkey,
@@ -2859,6 +2888,7 @@ QUERIES = {
     "q82_intersect_users": q82_intersect_users,
     "q83_share_of_total": q83_share_of_total,
     "q84_full_outer_counts": q84_full_outer_counts,
+    "q85_bpe_token_stats": q85_bpe_token_stats,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -3394,6 +3424,23 @@ ORACLE_SQL = {
         SELECT coalesce(c.user_id, p.user_id) AS user_id,
                c.n_click, p.n_purchase
         FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+    """,
+    "q85_bpe_token_stats": """
+        WITH t AS (
+          SELECT doc_id, lower(coalesce(text, '')) AS s FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(s, '[a-z]+')) AS BIGINT)
+                 AS n_alpha,
+               CAST(len(regexp_extract_all(s, '[0-9]+')) AS BIGINT)
+                 AS n_num,
+               CAST(len(regexp_extract_all(s, '[^a-z0-9 \\t\\n\\r\\f]'))
+                 AS BIGINT) AS n_other,
+               CAST(len(regexp_extract_all(s, '[a-z]+'))
+                    + len(regexp_extract_all(s, '[0-9]+'))
+                    + len(regexp_extract_all(s, '[^a-z0-9 \\t\\n\\r\\f]'))
+                 AS BIGINT) AS n_bpe_tokens
+        FROM t
     """,
     "q68_edit1_fuzzy_pairs": """
         WITH vocab AS (
