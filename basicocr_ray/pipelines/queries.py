@@ -2465,6 +2465,60 @@ def q85_bpe_token_stats(sf_dir: str):
     return ds.map_batches(stats, batch_format="pandas")
 
 
+def q86_dense_rank_tokens(sf_dir: str):
+    """Per-language DENSE_RANK token leaderboard: every token whose
+    count ties one of the top-2 distinct frequency values in its
+    language (rank-with-ties — the variant plain top-k truncates
+    wrong). Two metadata shuffles: (lang, token) partial counts fold in
+    coarse groups of the composite hash; the per-lang dense-rank filter
+    then runs in coarse groups of the LANG hash, where pandas
+    rank(method="dense") over the (small) aggregated count table is the
+    whole window function."""
+    from basicocr_ray.stages.dedup import _coarse_salts
+
+    salts = _coarse_salts(None)
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def explode_count(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].fillna("").str.lower().str.split()
+        e = pd.DataFrame(
+            {"lang": df["lang"], "token": t}
+        ).explode("token")
+        e = e[e["token"].notna() & (e["token"] != "")]
+        g = e.groupby(["lang", "token"], as_index=False).agg(
+            n=("token", "size")
+        )
+        h = pd.util.hash_pandas_object(
+            g[["lang", "token"]], index=False
+        ).to_numpy()
+        g["cg"] = (h & (salts - 1)).astype("int32")
+        return g
+
+    def final_counts(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["lang", "token"], as_index=False)["n"].sum()
+        h = pd.util.hash_array(out["lang"].to_numpy())
+        out["cg2"] = (h & (salts - 1)).astype("int32")
+        return out.astype({"n": "int64"})
+
+    def dense_top2(df: pd.DataFrame) -> pd.DataFrame:
+        rnk = (
+            df.groupby("lang")["n"]
+            .rank(method="dense", ascending=False)
+            .astype("int64")
+        )
+        out = df.loc[rnk <= 2, ["lang", "token", "n"]].copy()
+        out["rnk"] = rnk[rnk <= 2]
+        return out.astype({"n": "int64", "rnk": "int64"})
+
+    return (
+        ds.map_batches(explode_count, batch_format="pandas")
+        .groupby("cg")
+        .map_groups(final_counts, batch_format="pandas")
+        .groupby("cg2")
+        .map_groups(dense_top2, batch_format="pandas")
+    )
+
+
 def q61_chained_join_returns(sf_dir: str):
     """THREE-table chained bucketed join (TPC-H Q10 shape): revenue lost
     to returned items per customer — lineitem(R) ⋈ orders on orderkey,
@@ -2889,6 +2943,7 @@ QUERIES = {
     "q83_share_of_total": q83_share_of_total,
     "q84_full_outer_counts": q84_full_outer_counts,
     "q85_bpe_token_stats": q85_bpe_token_stats,
+    "q86_dense_rank_tokens": q86_dense_rank_tokens,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -3441,6 +3496,24 @@ ORACLE_SQL = {
                     + len(regexp_extract_all(s, '[^a-z0-9 \\t\\n\\r\\f]'))
                  AS BIGINT) AS n_bpe_tokens
         FROM t
+    """,
+    "q86_dense_rank_tokens": """
+        WITH tok AS (
+          SELECT lang,
+                 unnest(list_filter(
+                   regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                   x -> x <> '')) AS token
+          FROM documents
+        ), c AS (
+          SELECT lang, token, count(*) AS n FROM tok GROUP BY 1, 2
+        ), r AS (
+          SELECT *, dense_rank() OVER (
+            PARTITION BY lang ORDER BY n DESC) AS rnk
+          FROM c
+        )
+        SELECT lang, token, CAST(n AS BIGINT) AS n,
+               CAST(rnk AS BIGINT) AS rnk
+        FROM r WHERE rnk <= 2
     """,
     "q68_edit1_fuzzy_pairs": """
         WITH vocab AS (
