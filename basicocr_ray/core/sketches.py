@@ -61,6 +61,62 @@ class MinHasher:
         vals = (self.a[:, None] * xs[None, :] + self.b[:, None]) % _MERSENNE
         return vals.min(axis=1)
 
+    def signatures_batch(self, texts: list[str | None]) -> np.ndarray:
+        """Signatures for a WHOLE batch: (len(texts), num_perm) uint64.
+
+        Bit-identical to per-doc :meth:`signature` (tested), but pays the
+        pandas hash-call and numpy dispatch overhead ONCE per batch
+        instead of once per document: all documents' shingles hash in a
+        single C pass, and each permutation row reduces per-document via
+        ``np.minimum.reduceat`` over the segment offsets. Empty docs get
+        the UINT64_MAX sentinel row, as before."""
+        import pandas as _pd
+
+        n = len(texts)
+        out = np.full(
+            (n, self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64
+        )
+        all_sh: list[str] = []
+        counts = np.zeros(n, dtype=np.int64)
+        for i, t in enumerate(texts):
+            sh = shingles(t or "", self.k)
+            counts[i] = len(sh)
+            all_sh.extend(sh)
+        if not all_sh:
+            return out
+        xs = _pd.util.hash_array(np.asarray(all_sh, dtype=object))
+        nz = counts > 0
+        seg = counts[nz]
+        starts = np.concatenate(
+            ([0], np.cumsum(seg)[:-1])
+        ).astype(np.int64)
+        mins = np.empty((int(nz.sum()), self.num_perm), dtype=np.uint64)
+        for r in range(self.num_perm):
+            vals = (self.a[r] * xs + self.b[r]) % _MERSENNE
+            mins[:, r] = np.minimum.reduceat(vals, starts)
+        out[nz] = mins
+        return out
+
+    def bands_batch(
+        self, sigs: np.ndarray, num_bands: int = 16
+    ) -> np.ndarray:
+        """Band hashes for a whole batch of signatures: (n, num_bands)
+        uint64, identical values to per-doc :meth:`bands` (same mix, same
+        fold order)."""
+        rows = self.num_perm // num_bands
+        chunks = sigs[:, : num_bands * rows].reshape(
+            len(sigs), num_bands, rows
+        )
+        mixed = chunks * self._BAND_MIX
+        mixed ^= mixed >> np.uint64(29)
+        h = np.zeros((len(sigs), num_bands), dtype=np.uint64)
+        for r in range(rows):  # rows is tiny (2-4); docs stay vectorized
+            h = (h * np.uint64(0xC2B2AE3D27D4EB4F)) ^ mixed[:, :, r]
+        h ^= h >> np.uint64(32)
+        h *= self._BAND_MIX
+        h ^= h >> np.uint64(29)
+        return h
+
     @staticmethod
     def jaccard_estimate(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
         return float(np.mean(sig_a == sig_b))

@@ -254,55 +254,81 @@ def minhash_candidate_pairs(
     salts = _coarse_salts(num_salt)
 
     def to_bands(batch: pa.Table) -> pa.Table:
-        ids_out, bhashes, gks = [], [], []
-        for i, t in zip(
-            batch[id_column].to_pylist(), batch[text_column].to_pylist()
-        ):
-            sig = hasher.signature(t or "")
-            for bid, bh in hasher.bands(sig, num_bands):
-                ids_out.append(i)
-                bhashes.append(bh)
-                gks.append(bid * salts + (bh & (salts - 1)))
+        # whole-batch signature + banding (one C hash pass per batch, one
+        # reduceat per permutation) — the per-doc Python loop here was
+        # the dominant cost of the dedup family after round 2's
+        # per-shingle fix; only the shingle-set construction remains
+        # per-document (string slicing, the irreducible kernel)
+        ids = batch[id_column].combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64, copy=False)
+        texts = batch[text_column].to_pylist()
+        sigs = hasher.signatures_batch(texts)
+        bh = hasher.bands_batch(sigs, num_bands)  # (n, num_bands)
+        n = len(ids)
+        bids = np.tile(np.arange(num_bands, dtype=np.int64), n)
+        flat = bh.reshape(-1)
+        gk = bids * salts + (flat & np.uint64(salts - 1)).astype(np.int64)
         return pa.table(
             {
-                id_column: pa.array(ids_out, pa.int64()),
-                "gk": pa.array(gks, pa.int64()),
-                "band_hash": pa.array(bhashes, pa.uint64()),
+                id_column: pa.array(np.repeat(ids, num_bands)),
+                "gk": pa.array(gk),
+                "band_hash": pa.array(flat),
             }
         )
 
     def band_pairs(df: pd.DataFrame) -> pd.DataFrame:
         """All candidate pairs of ONE salted band group: per-bucket work
-        happens as an in-process pandas groupby, not as one Ray map_groups
-        task per bucket — a corpus has millions of (band, hash) buckets
-        and per-group task overhead dominates otherwise."""
-        a_out: list[int] = []
-        b_out: list[int] = []
-        for _, ids_s in df.groupby("band_hash")[id_column]:
-            ids = sorted(ids_s.unique())
-            n = len(ids)
-            if n < 2:
-                continue
-            if n > max_bucket_size and hot_bucket_mode != "full":
+        happens in-process (sorted arrays + boundary detection), not as
+        one Ray map_groups task per bucket — a corpus has millions of
+        (band, hash) buckets and per-group task overhead dominates
+        otherwise. Pair EXPANSION is vectorized: size-2 buckets (the
+        overwhelming majority) emit in one gather, larger buckets emit
+        via ``np.triu_indices`` — the Python double loop here used to be
+        the dominant cost of the whole dedup job once signatures were
+        batched (candidate sets run to tens of millions of pairs)."""
+        sub = df[["band_hash", id_column]].drop_duplicates()
+        sub = sub.sort_values(["band_hash", id_column], kind="mergesort")
+        bh = sub["band_hash"].to_numpy()
+        ids = sub[id_column].to_numpy()
+        n = len(ids)
+        empty = pd.DataFrame(
+            {"id_a": pd.Series([], dtype="int64"),
+             "id_b": pd.Series([], dtype="int64")}
+        )
+        if n == 0:
+            return empty
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = bh[1:] != bh[:-1]
+        starts = np.flatnonzero(change)
+        sizes = np.diff(np.append(starts, n))
+        a_parts: list[np.ndarray] = []
+        b_parts: list[np.ndarray] = []
+        s2 = starts[sizes == 2]
+        if len(s2):
+            a_parts.append(ids[s2])
+            b_parts.append(ids[s2 + 1])
+        for st, sz in zip(starts[sizes > 2], sizes[sizes > 2]):
+            g = ids[st : st + sz]
+            if sz > max_bucket_size and hot_bucket_mode != "full":
                 if hot_bucket_mode == "star":
-                    rep = ids[0]
-                    for j in range(1, n):
-                        a_out.append(rep)
-                        b_out.append(ids[j])
+                    a_parts.append(np.full(sz - 1, g[0], dtype=np.int64))
+                    b_parts.append(g[1:])
                 elif hot_bucket_mode == "error":
                     raise ValueError(
-                        f"LSH bucket of size {n} exceeds max_bucket_size="
+                        f"LSH bucket of size {sz} exceeds max_bucket_size="
                         f"{max_bucket_size} (hot_bucket_mode='error')"
                     )
                 continue
-            for i in range(n):
-                ai = ids[i]
-                for j in range(i + 1, n):
-                    a_out.append(ai)
-                    b_out.append(ids[j])
+            ii, jj = np.triu_indices(int(sz), k=1)
+            a_parts.append(g[ii])
+            b_parts.append(g[jj])
+        if not a_parts:
+            return empty
         return pd.DataFrame(
-            {"id_a": pd.Series(a_out, dtype="int64"),
-             "id_b": pd.Series(b_out, dtype="int64")}
+            {"id_a": pd.Series(np.concatenate(a_parts), dtype="int64"),
+             "id_b": pd.Series(np.concatenate(b_parts), dtype="int64")}
         )
 
     pairs = (

@@ -299,3 +299,29 @@ def test_ac_stripper_dat_backend():
     out_p = ACStripper(phrases)(batch)["stripped_text"].to_pylist()
     out_d = ACStripper(phrases, backend="dat")(batch)["stripped_text"].to_pylist()
     assert out_p == out_d == ["keep  this", " x", "clean"]
+
+
+def test_minhash_batch_paths_match_per_doc():
+    """signatures_batch / bands_batch are bit-identical to the per-doc
+    signature() / bands() paths (including empty and short texts)."""
+    import numpy as np
+
+    from basicocr_ray.core.sketches import MinHasher
+
+    mh = MinHasher()
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "",
+        "ab",
+        "the quick brown fox jumps over the lazy cat",
+        None,
+        "completely different content here with many words",
+    ]
+    sigs = mh.signatures_batch(texts)
+    for i, t in enumerate(texts):
+        np.testing.assert_array_equal(sigs[i], mh.signature(t or ""))
+    bb = mh.bands_batch(sigs, 16)
+    for i, t in enumerate(texts):
+        want = dict(mh.bands(mh.signature(t or ""), 16))
+        got = {b: int(bb[i, b]) for b in range(16)}
+        assert got == want
