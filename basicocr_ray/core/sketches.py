@@ -263,6 +263,42 @@ def simhash(text: str, token_k: int = 4) -> int:
     return out
 
 
+def simhash_batch(
+    texts: list[str | None], token_k: int = 4
+) -> np.ndarray:
+    """SimHashes for a whole batch: uint64 array, value-identical to
+    per-doc :func:`simhash` (tested) — one C hash pass over every
+    document's grams, per-document bit sums via ``np.add.reduceat``."""
+    import pandas as _pd
+
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    all_g: list[str] = []
+    counts = np.zeros(n, dtype=np.int64)
+    for i, t in enumerate(texts):
+        g = shingles(t or "", token_k)
+        counts[i] = len(g)
+        all_g.extend(g)
+    if not all_g:
+        return out
+    h = _pd.util.hash_array(np.asarray(all_g, dtype=object))
+    bits = np.unpackbits(
+        h.view(np.uint8).reshape(-1, 8), axis=1
+    ).astype(np.int64)
+    nz = counts > 0
+    seg = counts[nz]
+    starts = np.concatenate(([0], np.cumsum(seg)[:-1])).astype(np.int64)
+    sums = np.add.reduceat(bits, starts, axis=0)  # (n_nonempty, 64)
+    acc = sums * 2 - seg[:, None]
+    weights = np.left_shift(
+        np.uint64(1), np.arange(64, dtype=np.uint64)
+    )
+    out[nz] = ((acc > 0).astype(np.uint64) * weights).sum(
+        axis=1, dtype=np.uint64
+    )
+    return out
+
+
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 

@@ -499,14 +499,14 @@ def simhash_exact_dup_pairs(
     salts = _coarse_salts(num_salt)
 
     def sig_fp(batch: pa.Table) -> pa.Table:
+        from basicocr_ray.core.sketches import simhash_batch
+
         ids = batch[id_column].to_pylist()
         texts = batch[text_column].to_pylist()
         return pa.table(
             {
                 id_column: pa.array(ids, pa.int64()),
-                "sig": pa.array(
-                    [simhash(t or "") for t in texts], pa.uint64()
-                ),
+                "sig": pa.array(simhash_batch(texts)),
                 "fp": pa.array([md5_hex(t or "") for t in texts], pa.string()),
             }
         )
@@ -565,23 +565,26 @@ def simhash_pairs(
     salts = _coarse_salts(num_salt)
 
     def to_chunks(batch: pa.Table) -> pa.Table:
-        ids_out, gks, cvals, sigs = [], [], [], []
-        for i, t in zip(
-            batch[id_column].to_pylist(), batch[text_column].to_pylist()
-        ):
-            sig = simhash(t or "", token_k)
-            for c in range(4):
-                cv = (sig >> (16 * c)) & 0xFFFF
-                ids_out.append(i)
-                gks.append(c * salts + (cv & (salts - 1)))
-                cvals.append(cv)
-                sigs.append(sig)
+        from basicocr_ray.core.sketches import simhash_batch
+
+        ids = batch[id_column].combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64, copy=False)
+        sig = simhash_batch(batch[text_column].to_pylist(), token_k)
+        n = len(ids)
+        cids = np.tile(np.arange(4, dtype=np.int64), n)
+        sig_rep = np.repeat(sig, 4)
+        cv = (
+            (sig_rep >> (np.uint64(16) * cids.astype(np.uint64)))
+            & np.uint64(0xFFFF)
+        ).astype(np.int64)
+        gk = cids * salts + (cv & (salts - 1))
         return pa.table(
             {
-                id_column: pa.array(ids_out, pa.int64()),
-                "gk": pa.array(gks, pa.int64()),
-                "chunk_val": pa.array(cvals, pa.int32()),
-                "sig": pa.array(sigs, pa.uint64()),
+                id_column: pa.array(np.repeat(ids, 4)),
+                "gk": pa.array(gk),
+                "chunk_val": pa.array(cv.astype(np.int32)),
+                "sig": pa.array(sig_rep),
             }
         )
 

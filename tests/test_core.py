@@ -325,3 +325,22 @@ def test_minhash_batch_paths_match_per_doc():
         want = dict(mh.bands(mh.signature(t or ""), 16))
         got = {b: int(bb[i, b]) for b in range(16)}
         assert got == want
+
+
+def test_simhash_batch_matches_per_doc():
+    import numpy as np
+
+    from basicocr_ray.core.sketches import simhash, simhash_batch
+
+    texts = [
+        "the quick brown fox", "", None, "abc",
+        "the quick brown fax", "totally different words entirely",
+    ]
+    got = simhash_batch(texts)
+    want = np.array([simhash(t or "") for t in texts], dtype=np.uint64)
+    np.testing.assert_array_equal(got, want)
+    got4 = simhash_batch(texts, token_k=3)
+    want4 = np.array(
+        [simhash(t or "", 3) for t in texts], dtype=np.uint64
+    )
+    np.testing.assert_array_equal(got4, want4)
