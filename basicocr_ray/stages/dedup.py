@@ -16,6 +16,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import pyarrow.compute as pc
+
 from basicocr_ray.core.sketches import MinHasher, ngram_jaccard, simhash, hamming64
 from basicocr_ray.core.textstats import md5_hex
 
@@ -85,6 +87,127 @@ def exact_dedup_groups(ds, id_column: str, text_column: str,
         .groupby("cg")
         .map_groups(first_per_group, batch_format="pandas")
     )
+
+
+def incremental_exact_dedup(
+    new_ds,
+    index_dir: str,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    num_salt: int | None = None,
+):
+    """Dedup a NEW wave of documents against a PERSISTED fingerprint
+    index, then extend the index — the operational shape of a growing
+    corpus (each crawl shard dedups against everything ingested before
+    it, without ever rescanning the old text).
+
+    1. (id, fp) rows per new doc inside ``map_batches`` — text stays put.
+    2. within-wave first-occurrence via the :func:`exact_dedup_groups`
+       coarse-salt discipline (min id per fp).
+    3. winners ANTI-JOIN the persisted index on fp (single-shuffle
+       ``bucketed_hash_join``): only fps never seen before survive. The
+       index stores fingerprints, not text — bytes-per-doc is constant.
+    4. surviving (id, fp) materialize (metadata, not payload), the fps
+       append to the index as content-hash-named parquet parts
+       (idempotent: re-running the same wave rewrites the same file
+       names, never duplicates), and the full surviving ROWS stream out
+       of a semi-join of the wave against the winner ids — the payload
+       is never materialized driver-side.
+
+    Recovery contract: committing a wave's fps and consuming its
+    survivors are two steps — a caller that persists survivors should
+    write them to durable output BEFORE treating the wave as ingested
+    (re-running a fully-committed wave yields zero survivors, which is
+    the correct resume behavior for an already-ingested shard; the
+    manifest machinery in ``state/`` is the place to make the two steps
+    atomic if a stronger guarantee is needed). Duplicate fp rows from a
+    differently-batched retry are harmless: anti-join semantics ignore
+    right-side multiplicity.
+
+    Returns ``(survivors_ds, n_new)``."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as _pq
+    import ray.data as _rd
+
+    from basicocr_ray.stages.joins import bucketed_hash_join
+
+    salts = _coarse_salts(num_salt)
+
+    def add_fp(batch: pa.Table) -> pa.Table:
+        fps = [md5_hex(t or "") for t in batch[text_column].to_pylist()]
+        return pa.table(
+            {
+                id_column: batch[id_column],
+                "fp": pa.array(fps, pa.string()),
+                "cg": pa.array(
+                    [int(f[:8], 16) & (salts - 1) for f in fps], pa.int32()
+                ),
+            }
+        )
+
+    def first_per_group(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("fp", as_index=False).agg(
+            **{id_column: (id_column, "min")}
+        )
+        return g[[id_column, "fp"]].astype({id_column: "int64"})
+
+    winners = (
+        new_ds.map_batches(add_fp, batch_format="pyarrow")
+        .groupby("cg")
+        .map_groups(first_per_group, batch_format="pandas")
+        # normalize to Arrow blocks: the join's schema probe needs Arrow
+        # types, and pandas-block object columns surface as python `str`
+        .map_batches(
+            lambda b: pa.table(
+                {id_column: pc.cast(b[id_column], pa.int64()),
+                 "fp": pc.cast(b["fp"], pa.string())}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    os.makedirs(index_dir, exist_ok=True)
+    have_index = any(
+        f.endswith(".parquet") for f in os.listdir(index_dir)
+    )
+    if have_index:
+        index_ds = _rd.read_parquet(index_dir, columns=["fp"])
+        winners = bucketed_hash_join(
+            winners, index_ds, "fp", [id_column], [],
+            join_type="left anti",
+        )
+
+    def write_fps(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"n": pa.array([0], pa.int64())})
+        tbl = batch.select(["fp"]).sort_by("fp")
+        name = hashlib.md5(
+            "".join(tbl["fp"].to_pylist()).encode()
+        ).hexdigest()[:16]
+        path = os.path.join(index_dir, f"fps-{name}.parquet")
+        if not os.path.exists(path):
+            _pq.write_table(tbl, path + ".tmp")
+            os.replace(path + ".tmp", path)
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+    winners = winners.materialize()  # (id, fp) — metadata, not payload
+    n_new = winners.map_batches(
+        write_fps, batch_format="pyarrow"
+    ).sum("n")
+
+    survivors = bucketed_hash_join(
+        new_ds,
+        winners.map_batches(
+            lambda b: b.select([id_column]), batch_format="pyarrow"
+        ),
+        id_column,
+        [c for c in new_ds.schema().names if c != id_column],
+        [],
+        join_type="left semi",
+    )
+    return survivors, int(n_new or 0)
 
 
 def assign_components(pairs_ds, max_rounds: int = 30, num_salt: int | None = None):

@@ -88,10 +88,29 @@ def bucketed_hash_join(
     all_cols = lcols + [c for c in rcols if c not in lcols]
     out_cols = lcols if join_type in ("left semi", "left anti") else all_cols
 
+    def _as_arrow_type(t):
+        # pandas-block datasets surface numpy dtypes / python classes
+        # (str for object columns) instead of Arrow types
+        if isinstance(t, pa.DataType):
+            return t
+        if t in (str, object) or str(t) == "object":
+            return pa.string()
+        return pa.from_numpy_dtype(np.dtype(t))
+
     ls, rs = left_ds.schema(), right_ds.schema()
-    ltypes = dict(zip(ls.names, ls.types))
-    rtypes = dict(zip(rs.names, rs.types))
-    types = {c: ltypes.get(c, rtypes.get(c)) for c in all_cols}
+    # an EMPTY side (e.g. a fully-deduped resume wave) has schema None;
+    # its columns' types then come from the other side (the key) and the
+    # per-bucket empty-side branches below give the right semantics
+    ltypes = dict(zip(ls.names, ls.types)) if ls is not None else {}
+    rtypes = dict(zip(rs.names, rs.types)) if rs is not None else {}
+    missing = [c for c in all_cols if c not in ltypes and c not in rtypes]
+    if missing:
+        raise ValueError(
+            f"columns {missing} present on neither side (both empty?)"
+        )
+    types = {
+        c: _as_arrow_type(ltypes.get(c, rtypes.get(c))) for c in all_cols
+    }
 
     def prep(cols_present: list[str], side: int):
         def fn(batch: pa.Table) -> pa.Table:

@@ -555,3 +555,47 @@ def test_hash_split_deterministic_and_partition_invariant():
 
     with pytest.raises(ValueError, match="sum to 100"):
         hash_split(None, "doc_id", {"train": 50})
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_exact_dedup_across_waves(tmp_path):
+    """Wave 1 dedups within itself and seeds the index; wave 2 drops
+    both its internal dups and everything wave 1 already ingested;
+    re-running an ingested wave yields zero survivors (resume)."""
+    import pandas as pd
+    import ray.data
+
+    from basicocr_ray.stages.dedup import incremental_exact_dedup
+
+    idx = str(tmp_path / "fp_index")
+    w1 = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["alpha", "beta", "alpha", "gamma"],
+            "lang": ["en"] * 4,
+        }
+    )
+    s1, n1 = incremental_exact_dedup(
+        ray.data.from_pandas(w1).repartition(2), idx
+    )
+    got1 = s1.to_pandas().sort_values("doc_id")
+    assert n1 == 3
+    assert got1["doc_id"].tolist() == [1, 2, 4]  # min-id winners
+    assert got1["lang"].tolist() == ["en"] * 3  # full rows survive
+
+    w2 = pd.DataFrame(
+        {
+            "doc_id": [10, 11, 12, 13],
+            "text": ["beta", "delta", "delta", "epsilon"],
+            "lang": ["de"] * 4,
+        }
+    )
+    s2, n2 = incremental_exact_dedup(
+        ray.data.from_pandas(w2).repartition(3), idx
+    )
+    got2 = s2.to_pandas().sort_values("doc_id")
+    assert n2 == 2
+    assert got2["doc_id"].tolist() == [11, 13]  # beta known, delta deduped
+
+    s2b, n2b = incremental_exact_dedup(ray.data.from_pandas(w2), idx)
+    assert n2b == 0 and s2b.count() == 0  # fully-ingested wave resumes to nothing
