@@ -341,6 +341,36 @@ def pc_cast_i64(col):
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------
 
+def _make_to_bands(hasher, num_bands, salts, id_column, text_column):
+    """(id, gk, band_hash) row emitter shared by the one-shot and the
+    incremental MinHash paths. Whole-batch signature + banding (one C
+    hash pass per batch, one reduceat per permutation) — the per-doc
+    Python loop here was the dominant cost of the dedup family after
+    round 2's per-shingle fix; only the shingle-set construction remains
+    per-document (string slicing, the irreducible kernel)."""
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        ids = batch[id_column].combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64, copy=False)
+        texts = batch[text_column].to_pylist()
+        sigs = hasher.signatures_batch(texts)
+        bh = hasher.bands_batch(sigs, num_bands)  # (n, num_bands)
+        n = len(ids)
+        bids = np.tile(np.arange(num_bands, dtype=np.int64), n)
+        flat = bh.reshape(-1)
+        gk = bids * salts + (flat & np.uint64(salts - 1)).astype(np.int64)
+        return pa.table(
+            {
+                id_column: pa.array(np.repeat(ids, num_bands)),
+                "gk": pa.array(gk),
+                "band_hash": pa.array(flat),
+            }
+        )
+
+    return to_bands
+
+
 def minhash_candidate_pairs(
     ds,
     id_column: str,
@@ -375,30 +405,9 @@ def minhash_candidate_pairs(
     callers who would rather fail loudly than pay quadratic cost."""
     hasher = MinHasher(num_perm=num_perm, k=shingle_k)
     salts = _coarse_salts(num_salt)
-
-    def to_bands(batch: pa.Table) -> pa.Table:
-        # whole-batch signature + banding (one C hash pass per batch, one
-        # reduceat per permutation) — the per-doc Python loop here was
-        # the dominant cost of the dedup family after round 2's
-        # per-shingle fix; only the shingle-set construction remains
-        # per-document (string slicing, the irreducible kernel)
-        ids = batch[id_column].combine_chunks().to_numpy(
-            zero_copy_only=False
-        ).astype(np.int64, copy=False)
-        texts = batch[text_column].to_pylist()
-        sigs = hasher.signatures_batch(texts)
-        bh = hasher.bands_batch(sigs, num_bands)  # (n, num_bands)
-        n = len(ids)
-        bids = np.tile(np.arange(num_bands, dtype=np.int64), n)
-        flat = bh.reshape(-1)
-        gk = bids * salts + (flat & np.uint64(salts - 1)).astype(np.int64)
-        return pa.table(
-            {
-                id_column: pa.array(np.repeat(ids, num_bands)),
-                "gk": pa.array(gk),
-                "band_hash": pa.array(flat),
-            }
-        )
+    to_bands = _make_to_bands(
+        hasher, num_bands, salts, id_column, text_column
+    )
 
     def band_pairs(df: pd.DataFrame) -> pd.DataFrame:
         """All candidate pairs of ONE salted band group: per-bucket work
@@ -460,6 +469,182 @@ def minhash_candidate_pairs(
         .map_groups(band_pairs, batch_format="pandas")
     )
     return _dedupe_pairs(pairs, num_groups=num_salt)
+
+
+def incremental_minhash_candidates(
+    new_ds,
+    index_dir: str,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    num_perm: int = 64,
+    num_bands: int = 16,
+    shingle_k: int = 5,
+    max_bucket_size: int = 500,
+    num_salt: int | None = None,
+    hot_bucket_mode: str = "star",
+):
+    """Near-dup candidates of a NEW wave against a PERSISTED band index
+    (the incremental sibling of :func:`minhash_candidate_pairs`): each
+    crawl shard is banded once, candidates split into
+
+    * WITHIN-wave pairs — the usual salted-band-bucket grouping, and
+    * CROSS pairs (new doc, previously-ingested doc) — one bucketed
+      hash join of the wave's band rows against the index on a mixed
+      (band_id, band_hash) key; matched buckets emit (new, old) pairs.
+
+    The index stores (bkey, id) band rows — ``num_bands`` small ints per
+    ingested doc, never text — appended as content-hash-named parquet
+    parts (idempotent on retry; duplicate rows are removed at join
+    output by the pair dedup). A hot index bucket (a giant historical
+    near-dup cluster) emits |new∩bucket|·min(|old∩bucket|,
+    ``max_bucket_size``) pairs per band under ``hot_bucket_mode="star"``
+    semantics below; as in the one-shot path, candidates are a superset
+    and the downstream exact verify owns precision.
+
+    Returns ``(pairs_ds, n_band_rows_added)`` where pairs are distinct
+    (id_a < id_b) over both candidate classes."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as _pq
+    import ray.data as _rd
+
+    from basicocr_ray.stages.joins import bucketed_hash_join
+
+    hasher = MinHasher(num_perm=num_perm, k=shingle_k)
+    salts = _coarse_salts(num_salt)
+    to_bands = _make_to_bands(
+        hasher, num_bands, salts, id_column, text_column
+    )
+
+    def add_bkey(batch: pa.Table) -> pa.Table:
+        # one uint64 key mixing band id and band hash: same collision
+        # class as the band hash itself (candidates are verified anyway)
+        bid = (
+            pc.cast(batch["gk"], pa.int64()).to_numpy(zero_copy_only=False)
+            // salts
+        ).astype(np.uint64)
+        bh = batch["band_hash"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        bkey = bh ^ ((bid + np.uint64(1)) * MinHasher._BAND_MIX)
+        return pa.table(
+            {
+                id_column: batch[id_column],
+                "gk": batch["gk"],
+                "band_hash": batch["band_hash"],
+                "bkey": pa.array(bkey.astype(np.int64)),
+            }
+        )
+
+    band_rows = (
+        new_ds.map_batches(to_bands, batch_format="pyarrow")
+        .map_batches(add_bkey, batch_format="pyarrow")
+        .materialize()  # banded once; reused by 3 consumers below
+    )
+
+    # within-wave candidates (identical discipline to the one-shot path)
+    def band_pairs_within(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[["band_hash", id_column]].drop_duplicates()
+        sub = sub.sort_values(["band_hash", id_column], kind="mergesort")
+        bh = sub["band_hash"].to_numpy()
+        ids = sub[id_column].to_numpy()
+        n = len(ids)
+        empty = pd.DataFrame(
+            {"id_a": pd.Series([], dtype="int64"),
+             "id_b": pd.Series([], dtype="int64")}
+        )
+        if n == 0:
+            return empty
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = bh[1:] != bh[:-1]
+        starts = np.flatnonzero(change)
+        sizes = np.diff(np.append(starts, n))
+        a_parts, b_parts = [], []
+        s2 = starts[sizes == 2]
+        if len(s2):
+            a_parts.append(ids[s2])
+            b_parts.append(ids[s2 + 1])
+        for st, sz in zip(starts[sizes > 2], sizes[sizes > 2]):
+            g = ids[st : st + sz]
+            if sz > max_bucket_size and hot_bucket_mode != "full":
+                a_parts.append(np.full(sz - 1, g[0], dtype=np.int64))
+                b_parts.append(g[1:])
+                continue
+            ii, jj = np.triu_indices(int(sz), k=1)
+            a_parts.append(g[ii])
+            b_parts.append(g[jj])
+        if not a_parts:
+            return empty
+        return pd.DataFrame(
+            {"id_a": pd.Series(np.concatenate(a_parts), dtype="int64"),
+             "id_b": pd.Series(np.concatenate(b_parts), dtype="int64")}
+        )
+
+    within = (
+        band_rows.groupby("gk")
+        .map_groups(band_pairs_within, batch_format="pandas")
+    )
+
+    os.makedirs(index_dir, exist_ok=True)
+    # SNAPSHOT the index file list eagerly: the band-row append below
+    # must not leak into this wave's own cross-join read
+    index_paths = sorted(
+        os.path.join(index_dir, f)
+        for f in os.listdir(index_dir)
+        if f.endswith(".parquet")
+    )
+    pairs = within
+    if index_paths:
+        index_ds = _rd.read_parquet(index_paths, columns=["bkey", "old_id"])
+
+        def cross_pairs(joined: pa.Table) -> pa.Table:
+            df = joined.to_pandas()
+            df = df[df[id_column] != df["old_id"]].drop_duplicates(
+                [id_column, "old_id"]
+            )
+            a = np.minimum(df[id_column].to_numpy(), df["old_id"].to_numpy())
+            b = np.maximum(df[id_column].to_numpy(), df["old_id"].to_numpy())
+            return pa.table(
+                {"id_a": pa.array(a.astype(np.int64)),
+                 "id_b": pa.array(b.astype(np.int64))}
+            )
+
+        cross = bucketed_hash_join(
+            band_rows.map_batches(
+                lambda b: b.select(["bkey", id_column]),
+                batch_format="pyarrow",
+            ),
+            index_ds,
+            "bkey",
+            [id_column],
+            ["old_id"],
+            bucket_post_fn=cross_pairs,
+        )
+        pairs = within.union(cross)
+
+    def write_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"n": pa.array([0], pa.int64())})
+        tbl = pa.table(
+            {"bkey": batch["bkey"], "old_id": batch[id_column]}
+        ).sort_by([("bkey", "ascending"), ("old_id", "ascending")])
+        name = hashlib.md5(
+            tbl["old_id"].to_numpy(zero_copy_only=False).tobytes()
+            + tbl["bkey"].to_numpy(zero_copy_only=False).tobytes()
+        ).hexdigest()[:16]
+        path = os.path.join(index_dir, f"bands-{name}.parquet")
+        if os.path.exists(path):  # retry/resume: identical part exists
+            return pa.table({"n": pa.array([0], pa.int64())})
+        _pq.write_table(tbl, path + ".tmp")
+        os.replace(path + ".tmp", path)
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+    n_added = band_rows.map_batches(
+        write_rows, batch_format="pyarrow"
+    ).sum("n")
+    return _dedupe_pairs(pairs, num_groups=num_salt), int(n_added or 0)
 
 
 def _dedupe_pairs(

@@ -599,3 +599,52 @@ def test_incremental_exact_dedup_across_waves(tmp_path):
 
     s2b, n2b = incremental_exact_dedup(ray.data.from_pandas(w2), idx)
     assert n2b == 0 and s2b.count() == 0  # fully-ingested wave resumes to nothing
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_minhash_across_waves(tmp_path):
+    """Wave 2's near-dups of wave-1 documents surface as cross pairs
+    without re-banding wave 1; within-wave pairs still emit; candidate
+    sets are supersets of the true near-dup pairs and the exact verify
+    (Jaccard) confirms the planted ones."""
+    import pandas as pd
+    import ray.data
+
+    from basicocr_ray.core.sketches import ngram_jaccard
+    from basicocr_ray.stages.dedup import incremental_minhash_candidates
+
+    idx = str(tmp_path / "band_index")
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "sleeps on the windowsill in the afternoon sun every day"
+    )
+    w1 = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [base, base + " tail", "totally different words here"],
+        }
+    )
+    p1, n1 = incremental_minhash_candidates(
+        ray.data.from_pandas(w1).repartition(2), idx, num_bands=32
+    )
+    s1 = set(zip(*[p1.to_pandas()[c] for c in ("id_a", "id_b")]))
+    assert (1, 2) in s1
+    assert n1 == 3 * 32
+
+    w2 = pd.DataFrame(
+        {
+            "doc_id": [10, 11],
+            "text": [base + " extra", "another unrelated document text"],
+        }
+    )
+    p2, n2 = incremental_minhash_candidates(
+        ray.data.from_pandas(w2).repartition(2), idx, num_bands=32
+    )
+    s2 = set(zip(*[p2.to_pandas()[c] for c in ("id_a", "id_b")]))
+    assert n2 == 2 * 32
+    # cross pair: wave-2 doc 10 is a near-dup of wave-1 docs 1 and 2
+    assert (1, 10) in s2 and (2, 10) in s2
+    # no within-wave pair between the two unrelated wave-2 docs
+    assert (10, 11) not in s2
+    # sanity: the planted cross pair really is a near-dup
+    assert ngram_jaccard(w1["text"][0], w2["text"][0]) > 0.7
