@@ -898,21 +898,33 @@ def simhash_pairs(
 
     def chunk_verify(df: pd.DataFrame) -> pd.DataFrame:
         """One coarse group per (chunk_id, salt); per-value buckets handled
-        by an in-process pandas groupby (not one Ray task per tiny
-        bucket)."""
+        in-process (not one Ray task per tiny bucket). Pairwise hamming is
+        a bit-matrix product per bucket — ``popcount(x^y) = B(1-B)ᵀ +
+        (1-B)Bᵀ`` on the unpacked sign bits — computed in 512-row blocks
+        so a degenerate all-identical bucket costs O(n²) OUTPUT (as any
+        pair enumeration must) but only O(512·n) temporary memory."""
         a, b, h = [], [], []
+        BLK = 512
         for _, sub in df.groupby("chunk_val"):
             rows = sub.drop_duplicates(subset=[id_column]).sort_values(id_column)
-            ids = rows[id_column].tolist()
-            sigs = rows["sig"].tolist()
-            n = len(ids)
-            for i in range(n):
-                for j in range(i + 1, n):
-                    d = hamming64(int(sigs[i]), int(sigs[j]))
-                    if d <= max_hamming:
-                        a.append(ids[i])
-                        b.append(ids[j])
-                        h.append(d)
+            n = len(rows)
+            if n < 2:
+                continue
+            ids = rows[id_column].to_numpy()
+            sigs = rows["sig"].to_numpy().astype(np.uint64)
+            bits = np.unpackbits(
+                sigs.view(np.uint8).reshape(n, 8), axis=1
+            ).astype(np.int32)
+            inv = 1 - bits
+            for s in range(0, n, BLK):
+                e = min(s + BLK, n)
+                ham = bits[s:e] @ inv.T + inv[s:e] @ bits.T  # (e-s, n)
+                ii, jj = np.nonzero(ham <= max_hamming)
+                keep = s + ii < jj  # upper triangle only, no self
+                gi, gj = s + ii[keep], jj[keep]
+                a.extend(ids[gi].tolist())
+                b.extend(ids[gj].tolist())
+                h.extend(ham[ii[keep], jj[keep]].tolist())
         return pd.DataFrame({"id_a": pd.Series(a, dtype="int64"),
                              "id_b": pd.Series(b, dtype="int64"),
                              "hamming": pd.Series(h, dtype="int64")})

@@ -648,3 +648,34 @@ def test_incremental_minhash_across_waves(tmp_path):
     assert (10, 11) not in s2
     # sanity: the planted cross pair really is a near-dup
     assert ngram_jaccard(w1["text"][0], w2["text"][0]) > 0.7
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_pairs_match_bruteforce_hamming():
+    """The block-matmul hamming verify equals brute-force hamming64 over
+    all pairs (pigeonhole: every pair within max_hamming shares a chunk,
+    so recall is exact)."""
+    import itertools
+
+    import ray.data
+
+    from basicocr_ray.core.sketches import hamming64, simhash
+    from basicocr_ray.stages.dedup import simhash_pairs
+
+    base = "shared prefix words for everyone in this tiny corpus "
+    rows = [
+        {"doc_id": i, "text": base + f"suffix {i % 5} tail{i % 3}"}
+        for i in range(40)
+    ]
+    got = simhash_pairs(
+        ray.data.from_items(rows), "doc_id", "text", max_hamming=3
+    ).to_pandas()
+    got_set = set(zip(got["id_a"], got["id_b"], got["hamming"]))
+
+    sigs = {r["doc_id"]: simhash(r["text"], 4) for r in rows}
+    want = set()
+    for i, j in itertools.combinations(sorted(sigs), 2):
+        d = hamming64(sigs[i], sigs[j])
+        if d <= 3:
+            want.add((i, j, d))
+    assert got_set == want and len(want) > 0
