@@ -2549,6 +2549,49 @@ def q86_dense_rank_tokens(sf_dir: str):
     )
 
 
+def q87_oov_rate(sf_dir: str):
+    """OOV-rate quality signal (the CCNet/fastText-era LM-vocabulary
+    filter reduced to its integer core): per document, total tokens and
+    tokens OUTSIDE the corpus top-100 vocabulary. The vocabulary comes
+    from the distributed count (count_terms partial+final) pruned to a
+    deterministic top-k (count desc, token asc) — a BOUNDED broadcast by
+    construction (K entries, the fit_bigram_lm max_vocab discipline),
+    then one zero-shuffle membership scan."""
+    import ray
+
+    from basicocr_ray.core.collect import collect_rows
+    from basicocr_ray.stages.wide import count_terms, token_items, top_k
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    counts = count_terms(
+        _read(sf_dir, "documents", columns=["text"]), "text", token_items
+    )
+    vocab = frozenset(
+        r["token"] for r in collect_rows(top_k(counts, 100, "cnt", "token"))
+    )
+    ref = ray.put(vocab)
+
+    def stats(b: pa.Table) -> pa.Table:
+        v = ray.get(ref)
+        ids, n_tok, n_oov = [], [], []
+        for did, t in zip(
+            b["doc_id"].to_pylist(), b["text"].to_pylist()
+        ):
+            toks = token_items(t or "")
+            ids.append(did)
+            n_tok.append(len(toks))
+            n_oov.append(sum(1 for x in toks if x not in v))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_oov": pa.array(n_oov, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
 def q61_chained_join_returns(sf_dir: str):
     """THREE-table chained bucketed join (TPC-H Q10 shape): revenue lost
     to returned items per customer — lineitem(R) ⋈ orders on orderkey,
@@ -2974,6 +3017,7 @@ QUERIES = {
     "q84_full_outer_counts": q84_full_outer_counts,
     "q85_bpe_token_stats": q85_bpe_token_stats,
     "q86_dense_rank_tokens": q86_dense_rank_tokens,
+    "q87_oov_rate": q87_oov_rate,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -3544,6 +3588,29 @@ ORACLE_SQL = {
         SELECT lang, token, CAST(n AS BIGINT) AS n,
                CAST(rnk AS BIGINT) AS rnk
         FROM r WHERE rnk <= 2
+    """,
+    "q87_oov_rate": """
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_filter(
+                   regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                   x -> x <> '')) AS token
+          FROM documents
+        ), cnt AS (
+          SELECT token, count(*) AS n FROM tok GROUP BY token
+        ), vocab AS (
+          SELECT token FROM cnt ORDER BY n DESC, token ASC LIMIT 100
+        ), per AS (
+          SELECT t.doc_id,
+                 count(*) AS n_tokens,
+                 count(*) FILTER (
+                   t.token NOT IN (SELECT token FROM vocab)) AS n_oov
+          FROM tok t GROUP BY t.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(p.n_oov, 0) AS BIGINT) AS n_oov
+        FROM documents d LEFT JOIN per p USING (doc_id)
     """,
     "q68_edit1_fuzzy_pairs": """
         WITH vocab AS (
