@@ -1,0 +1,135 @@
+"""End-to-end corpus curation: the round's LLM-data operators composed
+into ONE pipeline — the shape a real training-data run takes, registered
+as a driver query (q88) with a full SQL twin so the WHOLE CHAIN is
+hash-checked, not just its stages.
+
+    read → quality filter (min tokens) → benchmark-slice exclusion
+         → exact dedup (first occurrence by content fingerprint)
+         → n-gram decontamination vs the benchmark slice
+         → deterministic md5 train/val/test split
+         → per-(lang, split) rollup
+
+Scale shape of each stage is the house discipline it reuses: the quality
+filter and split are stateless per-batch maps; dedup shuffles (id, fp)
+only and brings winners back with a single-shuffle semi-join; the
+decontamination gram set is the bounded benchmark broadcast;
+contaminated ids leave via a bucketed anti-join (both sides fact-scale
+safe); the rollup is partial+final. No stage materializes payload on the
+driver."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from basicocr_ray.core.textstats import md5_hex, ws_tokens
+
+
+def curate_rollup(sf_dir: str, min_tokens: int = 5, bench_mod: int = 17):
+    import ray
+
+    from basicocr_ray.pipelines.queries import _read
+    from basicocr_ray.stages.decontam import (
+        build_benchmark_grams,
+        flag_contaminated,
+    )
+    from basicocr_ray.stages.dedup import _coarse_salts
+    from basicocr_ray.stages.joins import bucketed_hash_join
+    from basicocr_ray.stages.sample import hash_split
+
+    salts = _coarse_salts(None)
+    docs = _read(
+        sf_dir, "documents", columns=["doc_id", "text", "lang", "n_chars"]
+    )
+
+    # 1+2. quality floor + benchmark-slice exclusion (stateless map)
+    def keep(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        texts = b["text"].to_pylist()
+        ok = np.fromiter(
+            (len(ws_tokens(t or "")) >= min_tokens for t in texts),
+            dtype=bool,
+            count=len(texts),
+        )
+        return b.filter(pa.array(ok & (ids % bench_mod != 0)))
+
+    kept = docs.map_batches(keep, batch_format="pyarrow")
+
+    # 3. exact dedup: winner ids via the (id, fp) coarse-salt shuffle,
+    #    full rows back through one semi-join
+    def id_fp(b: pa.Table) -> pa.Table:
+        fps = [md5_hex(t or "") for t in b["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "fp": pa.array(fps, pa.string()),
+                "cg": pa.array(
+                    [int(f[:8], 16) & (salts - 1) for f in fps],
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def min_per_fp(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("fp", as_index=False)["doc_id"].min()
+        return g[["doc_id"]].astype({"doc_id": "int64"})
+
+    winners = (
+        kept.map_batches(id_fp, batch_format="pyarrow")
+        .groupby("cg")
+        .map_groups(min_per_fp, batch_format="pandas")
+        .map_batches(
+            lambda b: pa.table(
+                {"doc_id": pa.array(b["doc_id"].to_pylist(), pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    deduped = bucketed_hash_join(
+        kept, winners, "doc_id",
+        ["text", "lang", "n_chars"], [], join_type="left semi",
+    )
+
+    # 4. decontamination: bounded benchmark gram broadcast → flags →
+    #    contaminated ids leave via a bucketed anti-join
+    def is_bench(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % bench_mod == 0))
+
+    bench = docs.map_batches(is_bench, batch_format="pyarrow")
+    grams_ref = ray.put(build_benchmark_grams(bench, "text", n=5))
+    flags = flag_contaminated(deduped, grams_ref, n=5)
+    contaminated = flags.map_batches(
+        lambda b: b.filter(b["contaminated"]).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+    clean = bucketed_hash_join(
+        deduped, contaminated, "doc_id",
+        ["text", "lang", "n_chars"], [], join_type="left anti",
+    )
+
+    # 5+6. split assignment (stateless) + partial/final rollup
+    split_ds = hash_split(clean, "doc_id")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "split"], as_index=False).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum")
+        )
+        h = pd.util.hash_pandas_object(
+            g[["lang", "split"]], index=False
+        ).to_numpy()
+        g["cg"] = (h & (salts - 1)).astype("int32")
+        return g
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["lang", "split"], as_index=False)[
+            ["n_docs", "sum_chars"]
+        ].sum()
+        return out.astype({"n_docs": "int64", "sum_chars": "int64"})
+
+    return (
+        split_ds.map_batches(partial, batch_format="pandas")
+        .groupby("cg")
+        .map_groups(final, batch_format="pandas")
+    )

@@ -2592,6 +2592,19 @@ def q87_oov_rate(sf_dir: str):
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
+def q88_curate_corpus(sf_dir: str):
+    """END-TO-END corpus curation (pipelines/curate.py): quality floor →
+    benchmark-slice exclusion → exact dedup (first occurrence by content
+    fingerprint, winners back via semi-join) → 5-gram decontamination vs
+    the benchmark slice (bounded broadcast + anti-join) → deterministic
+    md5 train/val/test split → per-(lang, split) rollup. The whole chain
+    hash-checks against one SQL twin — the integration test a per-stage
+    oracle can't give."""
+    from basicocr_ray.pipelines.curate import curate_rollup
+
+    return curate_rollup(sf_dir)
+
+
 def q61_chained_join_returns(sf_dir: str):
     """THREE-table chained bucketed join (TPC-H Q10 shape): revenue lost
     to returned items per customer — lineitem(R) ⋈ orders on orderkey,
@@ -3018,6 +3031,7 @@ QUERIES = {
     "q85_bpe_token_stats": q85_bpe_token_stats,
     "q86_dense_rank_tokens": q86_dense_rank_tokens,
     "q87_oov_rate": q87_oov_rate,
+    "q88_curate_corpus": q88_curate_corpus,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -3611,6 +3625,56 @@ ORACLE_SQL = {
                CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
                CAST(coalesce(p.n_oov, 0) AS BIGINT) AS n_oov
         FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
+    "q88_curate_corpus": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(
+                   regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                   x -> x <> '') AS ts
+          FROM documents
+        ), keep1 AS (
+          SELECT d.doc_id, d.text, d.lang, d.n_chars
+          FROM documents d JOIN toks USING (doc_id)
+          WHERE len(ts) >= 5 AND d.doc_id % 17 <> 0
+        ), dedup AS (
+          SELECT doc_id, text, lang, n_chars FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY md5(coalesce(text, '')) ORDER BY doc_id) AS rn
+            FROM keep1)
+          WHERE rn = 1
+        ), g AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, CAST(greatest(len(ts) - 4, 0) AS BIGINT)),
+                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                        || ' ' || ts[i+3] || ' ' || ts[i+4])) AS gram
+          FROM toks
+        ), bench AS (
+          SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0
+        ), contaminated AS (
+          SELECT DISTINCT g.doc_id
+          FROM g JOIN bench USING (gram)
+          WHERE g.doc_id % 17 <> 0
+        ), clean AS (
+          SELECT * FROM dedup
+          WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        ), assigned AS (
+          SELECT lang, n_chars,
+                 CASE WHEN p < 80 THEN 'train'
+                      WHEN p < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM (
+            SELECT lang, n_chars,
+                   CAST('0x' || substr(
+                     md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                     % 100 AS p
+            FROM clean)
+        )
+        SELECT lang, split,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM assigned GROUP BY 1, 2
     """,
     "q68_edit1_fuzzy_pairs": """
         WITH vocab AS (
