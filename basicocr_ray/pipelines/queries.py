@@ -2605,6 +2605,110 @@ def q88_curate_corpus(sf_dir: str):
     return curate_rollup(sf_dir)
 
 
+def q89_group_variance(sf_dir: str):
+    """Exact grouped sample variance via ALGEBRAIC moments: partials
+    carry (n, Σx, Σx²) in integer cents — mergeable by addition, so the
+    partial+final shape is exact at any parallelism — and the variance
+    is ONE double expression over exactly-representable int64 sums
+    ((n·Σx² − (Σx)²) / (n·(n−1)·100²·… )), reproduced verbatim in the
+    SQL twin so even the inexact int→double roundings coincide."""
+    from basicocr_ray.stages.dedup import _coarse_salts
+
+    salts = _coarse_salts(None)
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.round(df["value"].to_numpy() * 100.0).astype("int64")
+        g = pd.DataFrame(
+            {"event_type": df["event_type"], "c": c, "c2": c * c}
+        ).groupby("event_type", as_index=False).agg(
+            n=("c", "size"), s=("c", "sum"), s2=("c2", "sum")
+        )
+        h = pd.util.hash_array(g["event_type"].to_numpy())
+        g["cg"] = (h & (salts - 1)).astype("int32")
+        return g
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("event_type", as_index=False)[
+            ["n", "s", "s2"]
+        ].sum()
+        # Python big-int moments (n·Σx² overflows int64 at corpus scale;
+        # the oracle's HUGEINT is exact the same way), ONE double at the end
+        var = [
+            float(int(n) * int(s2) - int(s) * int(s))
+            / (float(int(n) * (int(n) - 1)) * 10000.0)
+            for n, s, s2 in zip(out["n"], out["s"], out["s2"])
+        ]
+        out["var_value"] = var
+        return out[["event_type", "n", "var_value"]].astype({"n": "int64"})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("cg")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def q90_value_k_corr(sf_dir: str):
+    """Exact Pearson correlation between the event value (cents) and the
+    JSON-sidecar integer k, per event type — the same algebraic-moment
+    discipline as q89 extended to cross moments (n, Σx, Σy, Σx², Σy²,
+    Σxy all int64; one double expression at the end, identical on the
+    SQL side including the IEEE sqrt). Rows with unparseable props drop
+    on both sides."""
+    from basicocr_ray.stages.dedup import _coarse_salts
+
+    salts = _coarse_salts(None)
+    ds = _read(sf_dir, "events", columns=["event_type", "value", "props"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = pd.to_numeric(
+            df["props"].str.extract(r'"k":\s*(\d+)', expand=False),
+            errors="coerce",
+        )
+        m = k.notna() & df["value"].notna()
+        x = np.round(df.loc[m, "value"].to_numpy() * 100.0).astype("int64")
+        y = k[m].to_numpy().astype("int64")
+        g = pd.DataFrame(
+            {
+                "event_type": df.loc[m, "event_type"],
+                "x": x, "y": y, "x2": x * x, "y2": y * y, "xy": x * y,
+            }
+        ).groupby("event_type", as_index=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sx2=("x2", "sum"), sy2=("y2", "sum"), sxy=("xy", "sum"),
+        )
+        h = pd.util.hash_array(g["event_type"].to_numpy())
+        g["cg"] = (h & (salts - 1)).astype("int32")
+        return g
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        out = df.groupby("event_type", as_index=False)[
+            ["n", "sx", "sy", "sx2", "sy2", "sxy"]
+        ].sum()
+        corr = []
+        for _, r in out.iterrows():  # ≤ |event types| rows
+            n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+            sx2, sy2, sxy = int(r["sx2"]), int(r["sy2"]), int(r["sxy"])
+            corr.append(
+                float(n * sxy - sx * sy)
+                / (
+                    math.sqrt(float(n * sx2 - sx * sx))
+                    * math.sqrt(float(n * sy2 - sy * sy))
+                )
+            )
+        out["corr_vk"] = corr
+        return out[["event_type", "n", "corr_vk"]].astype({"n": "int64"})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("cg")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 def q61_chained_join_returns(sf_dir: str):
     """THREE-table chained bucketed join (TPC-H Q10 shape): revenue lost
     to returned items per customer — lineitem(R) ⋈ orders on orderkey,
@@ -3032,6 +3136,8 @@ QUERIES = {
     "q86_dense_rank_tokens": q86_dense_rank_tokens,
     "q87_oov_rate": q87_oov_rate,
     "q88_curate_corpus": q88_curate_corpus,
+    "q89_group_variance": q89_group_variance,
+    "q90_value_k_corr": q90_value_k_corr,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -3675,6 +3781,42 @@ ORACLE_SQL = {
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(n_chars) AS BIGINT) AS sum_chars
         FROM assigned GROUP BY 1, 2
+    """,
+    "q89_group_variance": """
+        WITH m AS (
+          SELECT event_type, count(*) AS n,
+                 sum(c) AS s, sum(c * c) AS s2
+          FROM (SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS c
+                FROM events)
+          GROUP BY event_type
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               CAST(n * s2 - s * s AS DOUBLE)
+                 / (CAST(n * (n - 1) AS DOUBLE) * 10000.0) AS var_value
+        FROM m
+    """,
+    "q90_value_k_corr": """
+        WITH src AS (
+          SELECT event_type,
+                 CAST(round(value * 100) AS BIGINT) AS x,
+                 TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1)
+                   AS BIGINT) AS y
+          FROM events
+        ), f AS (
+          SELECT * FROM src WHERE x IS NOT NULL AND y IS NOT NULL
+        ), m AS (
+          SELECT event_type, count(*) AS n,
+                 sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sx2, sum(y * y) AS sy2,
+                 sum(x * y) AS sxy
+          FROM f GROUP BY event_type
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE))) AS corr_vk
+        FROM m
     """,
     "q68_edit1_fuzzy_pairs": """
         WITH vocab AS (
