@@ -393,6 +393,7 @@ def main() -> None:
             "q34_bucketed_join_revenue", "q40_cjk_segment", "q32_lm_score",
             "q61_chained_join_returns", "q62_skew_join_nation_revenue",
             "q64_tfidf_topk", "q66_group_quantile_cont",
+            "q88_curate_corpus",
         ]
         for name in bench_qs:
             t0 = time.perf_counter()
