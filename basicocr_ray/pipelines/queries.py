@@ -3051,6 +3051,352 @@ def q40_cjk_segment(sf_dir: str):
 
 
 # ===========================================================================
+# Round-3 late wave: end-to-end near-dup dedup, clustering, cohorts,
+# corpus mixing, collocations, per-group argmax join
+# ===========================================================================
+
+def q91_neardup_survivors(sf_dir: str):
+    """END-TO-END near-duplicate DEDUP — the flagship LLM-corpus operator:
+    MinHash-LSH candidates → exact-Jaccard verify (bucketed join) →
+    join-based connected components → drop every non-representative member
+    → per-language survivor rollup. Composes q22's discovery, q42's
+    clustering and the anti-join in one pipeline; `sum_doc_id` is exact
+    integer evidence of WHICH docs survived, not just how many. The
+    text relation never materializes on the driver; the removal set rides
+    a bucketed left-anti join (both-sides-large NOT EXISTS)."""
+    from ray.data.aggregate import Count, Sum
+
+    from basicocr_ray.stages.dedup import (
+        assign_components,
+        minhash_candidate_pairs,
+        verify_pairs_jaccard_join,
+    )
+    from basicocr_ray.stages.joins import bucketed_hash_join
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    ids_text = docs.select_columns(["doc_id", "text"])
+    pairs = minhash_candidate_pairs(ids_text, "doc_id", "text", num_bands=32)
+    verified = verify_pairs_jaccard_join(
+        pairs, ids_text, "doc_id", "text", threshold=0.8
+    )
+    comps = assign_components(verified.select_columns(["id_a", "id_b"]))
+
+    def removed_only(b: pa.Table) -> pa.Table:
+        keep = pc.not_equal(b["id"], b["rep"])
+        return pa.table(
+            {"doc_id": pc.cast(b.filter(keep)["id"], pa.int64())}
+        )
+
+    removed = comps.map_batches(removed_only, batch_format="pyarrow")
+    survivors = bucketed_hash_join(
+        docs.select_columns(["doc_id", "lang"]),
+        removed,
+        key="doc_id",
+        left_columns=["lang"],
+        right_columns=[],
+        join_type="left anti",
+    )
+    out = (
+        survivors.groupby("lang")
+        .aggregate(
+            Count(alias_name="n_kept"),
+            Sum("doc_id", alias_name="sum_doc_id"),
+        )
+        .to_pandas()
+    )
+    out["n_kept"] = out["n_kept"].astype("int64")
+    out["sum_doc_id"] = out["sum_doc_id"].astype("int64")
+    return out
+
+
+def q92_kmeans_assign(sf_dir: str):
+    """Embedding cluster assignment against k=4 broadcast centroids (the
+    IVF coarse-quantizer step): centroids = the vec_id<4 embeddings,
+    per-batch vectorized argmin of squared L2 in float64 (ties → lowest
+    centroid id, `stages.kmeans._assign`), tiny per-cluster rollup.
+    No shuffle — the k×dim centroid matrix broadcasts in the task closure;
+    `sum_vec_id` is exact integer evidence of the full assignment."""
+    from ray.data.aggregate import Count, Sum
+
+    from basicocr_ray.stages.kmeans import kmeans_assign
+
+    ctab = pq.read_table(
+        _p(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    )
+    crows = ctab.filter(pc.less(ctab["vec_id"], 4)).sort_by("vec_id")
+    centroids = np.asarray(crows["embedding"].to_pylist(), dtype=np.float64)
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    assigned = kmeans_assign(ds, centroids)
+
+    def widen(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": b["vec_id"],
+                "cluster": pc.cast(b["cluster"], pa.int64()),
+            }
+        )
+
+    out = (
+        assigned.map_batches(widen, batch_format="pyarrow")
+        .groupby("cluster")
+        .aggregate(
+            Count(alias_name="n_vecs"),
+            Sum("vec_id", alias_name="sum_vec_id"),
+        )
+        .to_pandas()
+    )
+    out["n_vecs"] = out["n_vecs"].astype("int64")
+    out["sum_vec_id"] = out["sum_vec_id"].astype("int64")
+    return out
+
+
+_WEEK_US = 7 * 86_400_000_000
+_DAY_US = 86_400_000_000
+
+
+def _week_start_us(ts_us: np.ndarray) -> np.ndarray:
+    """Monday-start week truncation on µs-epoch ints — exact integer
+    arithmetic mirroring DuckDB date_trunc('week', ts) (1970-01-01 was a
+    Thursday → weekday = (days + 3) % 7)."""
+    d = ts_us // _DAY_US
+    return (d - (d + 3) % 7) * _DAY_US
+
+
+def q93_cohort_retention(sf_dir: str):
+    """Cohort retention matrix over events: each user's cohort is the week
+    of their FIRST event; count distinct users per (cohort_week,
+    active_week). One user-hash shuffle: per-batch (user, week) pair dedup
+    shrinks the exchange, coarse groups of the user hash make the
+    per-user min-week exact (a user lands wholly in one group), groups
+    emit (cohort, week, partial n) and a tiny final sum finishes —
+    the q65 exact-distinct discipline extended to a self-derived key."""
+    from ray.data.aggregate import Sum
+
+    from basicocr_ray.stages.dedup import _coarse_salts
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    salts = _coarse_salts(None)
+
+    def local_pairs(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        weeks = _week_start_us(ts_us)
+        t = pa.table(
+            {
+                "user_id": b["user_id"],
+                "week_us": pa.array(weeks, pa.int64()),
+            }
+        )
+        g = pa.TableGroupBy(t, ["user_id", "week_us"], use_threads=False)
+        d = g.aggregate([])
+        return d.append_column(
+            "cg",
+            pc.cast(
+                pc.bit_wise_and(pc.cast(d["user_id"], pa.int64()), salts - 1),
+                pa.int32(),
+            ),
+        )
+
+    def group_matrix(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["user_id", "week_us"])
+        cohort = d.groupby("user_id")["week_us"].transform("min")
+        out = (
+            pd.DataFrame({"cohort_us": cohort, "week_us": d["week_us"]})
+            .groupby(["cohort_us", "week_us"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_users"})
+        )
+        return out
+
+    res = (
+        ds.map_batches(local_pairs, batch_format="pyarrow")
+        .groupby("cg")
+        .map_groups(group_matrix, batch_format="pandas")
+        .groupby(["cohort_us", "week_us"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .to_pandas()
+    )
+    res["cohort_week"] = pd.to_datetime(res.pop("cohort_us"), unit="us")
+    res["active_week"] = pd.to_datetime(res.pop("week_us"), unit="us")
+    res["n_users"] = res["n_users"].astype("int64")
+    return res[["cohort_week", "active_week", "n_users"]]
+
+
+def q94_lang_mix_weights(sf_dir: str):
+    """Multilingual sampling-temperature weights (the mBERT/XLM exponent
+    trick at α=0.5): per-lang share ∝ sqrt(n_l/N). One tiny aggregate;
+    sqrt and the n/N division are IEEE-exact-rounded so both engines agree
+    bitwise, and the ≤5-term normalizing sum hides any last-ulp
+    order drift under round-6."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", columns=["lang"])
+    df = ds.groupby("lang").aggregate(Count(alias_name="n_docs")).to_pandas()
+    df["n_docs"] = df["n_docs"].astype("int64")
+    n_total = int(df["n_docs"].sum())
+    w = np.sqrt(df["n_docs"].to_numpy(dtype=np.float64) / float(n_total))
+    total_w = float(w.sum())
+    df["sample_share"] = [_round_half_up(x / total_w, 6) for x in w]
+    return df
+
+
+def q95_pmi_collocations(sf_dir: str):
+    """PMI-ranked collocations: lift(x,y) = c_xy·N / (c_x·c_y) over
+    whitespace bigrams with c_xy ≥ 5. Distributed shape: partial+final
+    unigram AND bigram counts (G3/G4), then the bigram relation joins the
+    unigram counts TWICE via the bucketed hash join on each constituent
+    token — open-vocabulary safe (no driver-side vocab dict; contrast the
+    round-2 q48 anti-pattern). All counts are exact int64; the score is
+    ONE division of exact integers (< 2^53) so both engines produce the
+    identical double, then round-6."""
+    from basicocr_ray.stages.joins import bucketed_hash_join
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    uni = count_terms(ds, "text", token_items, "token")
+    bi = count_terms(ds, "text", make_ngram_items(2), "bigram")
+
+    n_total = int(
+        uni.map_batches(
+            lambda b: pa.table(
+                {"s": pa.array([pc.sum(b["cnt"]).as_py() or 0], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).sum("s")
+    )
+
+    def split_bi(b: pa.Table) -> pa.Table:
+        big = b["bigram"].to_pylist()
+        w1, w2 = [], []
+        for g in big:
+            a, _, c = g.partition(" ")
+            w1.append(a)
+            w2.append(c)
+        return pa.table(
+            {
+                "bigram": b["bigram"],
+                "w1": pa.array(w1, pa.string()),
+                "w2": pa.array(w2, pa.string()),
+                "cnt_xy": b["cnt"],
+            }
+        )
+
+    bi_f = bi.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["cnt"], 5)),
+        batch_format="pyarrow",
+    ).map_batches(split_bi, batch_format="pyarrow")
+
+    uni1 = uni.map_batches(
+        lambda b: pa.table({"w1": b["token"], "cnt_x": b["cnt"]}),
+        batch_format="pyarrow",
+    )
+    uni2 = uni.map_batches(
+        lambda b: pa.table({"w2": b["token"], "cnt_y": b["cnt"]}),
+        batch_format="pyarrow",
+    )
+    j1 = bucketed_hash_join(
+        bi_f, uni1, key="w1",
+        left_columns=["bigram", "w2", "cnt_xy"], right_columns=["cnt_x"],
+    )
+    j2 = bucketed_hash_join(
+        j1, uni2, key="w2",
+        left_columns=["bigram", "cnt_xy", "cnt_x"], right_columns=["cnt_y"],
+    )
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        num = df["cnt_xy"].to_numpy(dtype=np.int64) * np.int64(n_total)
+        den = df["cnt_x"].to_numpy(dtype=np.int64) * df["cnt_y"].to_numpy(
+            dtype=np.int64
+        )
+        df = df[["bigram", "cnt_xy"]].copy()
+        df["lift"] = num.astype(np.float64) / den.astype(np.float64)
+        # local prune: top-20 per batch before the tiny global sort
+        return df.sort_values(
+            ["lift", "bigram"], ascending=[False, True], kind="mergesort"
+        ).head(20)
+
+    top = (
+        j2.map_batches(score, batch_format="pandas")
+        .sort(["lift", "bigram"], descending=[True, False])
+        .limit(20)
+        .to_pandas()
+    )
+    return _round_col(top, "lift", 6)
+
+
+def q96_top_supplier_per_part(sf_dir: str):
+    """Per-part best supplier by revenue (the TPC-H Q2 correlated-subquery
+    shape as a distributed argmax): partial (part, supp) revenue sums →
+    per-part top-1 inside coarse groups of the part key (a part never
+    spans groups → exact) → the 10-row supplier table broadcasts as a
+    plain lookup (J1) instead of a shuffle join. Revenue accumulates in
+    exact integer 10⁻⁴-currency units (price-cents × discount-percent)
+    so partial-sum order can't drift a ulp and the argmax ordering is
+    exact — the q89/q77 integer-evidence discipline."""
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["l_extendedprice"].to_numpy() * 100.0).astype(
+            np.int64
+        )
+        dpct = np.rint(
+            (1.0 - df["l_discount"].to_numpy()) * 100.0
+        ).astype(np.int64)
+        df = df.assign(rev=cents * dpct)
+        out = df.groupby(["l_partkey", "l_suppkey"], as_index=False)[
+            "rev"
+        ].sum()
+        return out
+
+    from basicocr_ray.stages.dedup import _coarse_salts
+
+    salts = _coarse_salts(None)
+
+    def add_cg(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "cg",
+            pc.cast(
+                pc.bit_wise_and(
+                    pc.cast(b["l_partkey"], pa.int64()), salts - 1
+                ),
+                pa.int32(),
+            ),
+        )
+
+    sup = pq.read_table(_p(sf_dir, "supplier"), columns=["s_suppkey", "s_name"])
+    name_of = dict(
+        zip(sup["s_suppkey"].to_pylist(), sup["s_name"].to_pylist())
+    )
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["l_partkey", "l_suppkey"], as_index=False)["rev"].sum()
+        g = g.sort_values(
+            ["l_partkey", "rev", "l_suppkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        ).drop_duplicates("l_partkey")
+        return pd.DataFrame(
+            {
+                "partkey": g["l_partkey"].astype("int64"),
+                "suppkey": g["l_suppkey"].astype("int64"),
+                "s_name": [name_of[s] for s in g["l_suppkey"]],
+                "revenue": [
+                    _round_half_up(int(r) / 10000.0, 2) for r in g["rev"]
+                ],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(add_cg, batch_format="pyarrow")
+        .groupby("cg")
+        .map_groups(best, batch_format="pandas")
+    )
+
+
+# ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
 
@@ -3138,6 +3484,12 @@ QUERIES = {
     "q88_curate_corpus": q88_curate_corpus,
     "q89_group_variance": q89_group_variance,
     "q90_value_k_corr": q90_value_k_corr,
+    "q91_neardup_survivors": q91_neardup_survivors,
+    "q92_kmeans_assign": q92_kmeans_assign,
+    "q93_cohort_retention": q93_cohort_retention,
+    "q94_lang_mix_weights": q94_lang_mix_weights,
+    "q95_pmi_collocations": q95_pmi_collocations,
+    "q96_top_supplier_per_part": q96_top_supplier_per_part,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -4178,5 +4530,132 @@ ORACLE_SQL = {
           SELECT l_orderkey AS k FROM lineitem
           UNION ALL SELECT o_orderkey AS k FROM orders
         )
+    """,
+    "q91_neardup_survivors": """
+        WITH RECURSIVE sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(len(lower(text)) - 4),
+                   i -> substr(lower(text), CAST(i AS BIGINT) + 1, 5))) AS g
+          FROM documents
+        ),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE (len(list_intersect(a.g, b.g))::DOUBLE
+                 / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))))
+                >= 0.8
+        ),
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs
+        ),
+        reach(node, peer) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.node, e.b FROM reach r JOIN edges e ON r.peer = e.a
+        ),
+        removed AS (
+          SELECT node FROM reach GROUP BY node
+          HAVING least(node, min(peer)) <> node
+        )
+        SELECT lang, count(*) AS n_kept,
+               CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+        FROM documents
+        WHERE doc_id NOT IN (SELECT node FROM removed)
+        GROUP BY lang
+    """,
+    "q92_kmeans_assign": """
+        WITH cen AS (
+          SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+          FROM embeddings WHERE vec_id < 4
+        ),
+        d AS (
+          SELECT e.vec_id, c.cid,
+                 list_distance(CAST(e.embedding AS DOUBLE[]), c.cvec) AS dist
+          FROM embeddings e CROSS JOIN cen c
+        ),
+        a AS (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY dist, cid) AS rn
+          FROM d
+        )
+        SELECT CAST(cid AS BIGINT) AS cluster, count(*) AS n_vecs,
+               CAST(sum(vec_id) AS BIGINT) AS sum_vec_id
+        FROM a WHERE rn = 1 GROUP BY cid
+    """,
+    "q93_cohort_retention": """
+        WITH uw AS (
+          SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+          FROM events
+        ),
+        cohort AS (
+          SELECT user_id, min(active_week) AS cohort_week
+          FROM uw GROUP BY user_id
+        )
+        SELECT CAST(c.cohort_week AS TIMESTAMP) AS cohort_week,
+               CAST(u.active_week AS TIMESTAMP) AS active_week,
+               count(*) AS n_users
+        FROM uw u JOIN cohort c ON u.user_id = c.user_id
+        GROUP BY 1, 2
+    """,
+    "q94_lang_mix_weights": """
+        WITH c AS (
+          SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        ),
+        t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM c),
+        w AS (
+          SELECT lang, n_docs,
+                 sqrt(CAST(n_docs AS DOUBLE) / total) AS wt
+          FROM c, t
+        )
+        SELECT lang, n_docs,
+               round(wt / (SELECT sum(wt) FROM w), 6) AS sample_share
+        FROM w
+    """,
+    "q95_pmi_collocations": f"""
+        WITH toks AS (SELECT {_TOKS} AS toks FROM documents),
+        uni AS (
+          SELECT token, count(*) AS cnt FROM (
+            SELECT unnest(toks) AS token FROM toks
+          ) WHERE token <> '' GROUP BY token
+        ),
+        n AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM uni),
+        bi AS (
+          SELECT bigram, count(*) AS cnt_xy FROM (
+            SELECT unnest(list_transform(
+              range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]
+            )) AS bigram FROM toks
+          ) GROUP BY bigram HAVING count(*) >= 5
+        )
+        SELECT bigram, cnt_xy,
+               round(CAST(cnt_xy * total AS DOUBLE)
+                     / CAST(u1.cnt * u2.cnt AS DOUBLE), 6) AS lift
+        FROM bi, n
+        JOIN uni u1 ON split_part(bigram, ' ', 1) = u1.token
+        JOIN uni u2 ON split_part(bigram, ' ', 2) = u2.token
+        ORDER BY CAST(cnt_xy * total AS DOUBLE)
+                 / CAST(u1.cnt * u2.cnt AS DOUBLE) DESC, bigram
+        LIMIT 20
+    """,
+    "q96_top_supplier_per_part": """
+        -- exact integer 1e-4-currency units mirror the Ray side: cents ×
+        -- discount-percent sums can't drift with accumulation order
+        WITH rev AS (
+          SELECT l_partkey, l_suppkey,
+                 sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS r
+          FROM lineitem GROUP BY 1, 2
+        ),
+        best AS (
+          SELECT l_partkey, l_suppkey, r,
+                 row_number() OVER (PARTITION BY l_partkey
+                                    ORDER BY r DESC, l_suppkey) AS rn
+          FROM rev
+        )
+        SELECT l_partkey AS partkey, l_suppkey AS suppkey, s_name,
+               round(CAST(r AS DOUBLE) / 10000.0, 2) AS revenue
+        FROM best JOIN supplier ON l_suppkey = s_suppkey
+        WHERE rn = 1
     """,
 }

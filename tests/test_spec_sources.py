@@ -252,3 +252,68 @@ def test_read_jsonl_routes_corrupt_lines(tmp_path):
     )
     assert back["doc_id"].tolist() == [1, 2, 3]
     assert back["text"].tolist() == ["a", "b", "c"]
+
+
+def test_read_csv_quarantine_and_roundtrip(tmp_path):
+    """Declared-schema CSV read: RFC-4180 quoting honored, the header is
+    recognized by content (read_text erases file boundaries), wrong field
+    counts and uncoercible cells route to quarantine, empty cells are
+    NULL; the content-hash writer roundtrips."""
+    import pyarrow as pa
+
+    from basicocr_ray.sources.csvfile import read_csv_quarantine, write_csv
+
+    p = tmp_path / "meta.csv"
+    p.write_text(
+        "\n".join(
+            [
+                "doc_id,lang,score",          # header (content-recognized)
+                "1,en,0.5",
+                '2,"fr,ca",1.25',             # quoted delimiter
+                "3,de,",                      # empty cell -> NULL
+                "4,en",                       # wrong field count
+                "notanint,en,0.1",            # uncoercible cell
+                "",                           # blank: ignored
+            ]
+        )
+        + "\n"
+    )
+    fields = {"doc_id": pa.int64(), "lang": pa.string(), "score": pa.float64()}
+    got = (
+        read_csv_quarantine(str(p), fields, keep_corrupt=True)
+        .to_pandas()
+        .sort_values(["_corrupt", "doc_id"])
+        .reset_index(drop=True)
+    )
+    ok = got[~got["_corrupt"]]
+    bad = got[got["_corrupt"]]
+    assert ok["doc_id"].tolist() == [1.0, 2.0, 3.0]
+    assert ok["lang"].tolist() == ["en", "fr,ca", "de"]
+    assert pd.isna(ok["score"].tolist()[2])
+    assert len(bad) == 2 and all(bad["doc_id"].isna())
+    assert "4,en" in bad["_raw"].tolist()
+
+    strict = read_csv_quarantine(str(p), fields).to_pandas()
+    assert len(strict) == 3 and "_corrupt" not in strict.columns
+
+    import ray.data
+
+    out_dir = tmp_path / "out"
+    n = write_csv(
+        ray.data.from_pandas(
+            pd.DataFrame({"doc_id": [1, 2], "note": ['say "hi", ok', "b"]})
+        ),
+        str(out_dir),
+    )
+    assert n == 2
+    back = (
+        read_csv_quarantine(
+            str(out_dir),
+            {"doc_id": pa.int64(), "note": pa.string()},
+            header=False,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert back["note"].tolist() == ['say "hi", ok', "b"]
