@@ -3396,6 +3396,268 @@ def q96_top_supplier_per_part(sf_dir: str):
     )
 
 
+def q97_ngram_langid(sf_dir: str):
+    """Cavnar–Trenkle (1994) n-gram-profile language ID — the classic
+    langid a crawl pipeline runs before routing (reference analogue: the
+    per-lang corpus routing of SURVEY §2.5 G7). Integer end-to-end, so the
+    whole train→classify→confusion-matrix chain hash-matches SQL exactly:
+
+    * TRAIN: char-trigram counts per (lang, gram) via the G4 partial+final
+      shape (shuffle carries (lang\\x1fgram, cnt) partials, never text);
+      each lang's profile is its top-K grams ranked (cnt desc, gram asc).
+      #langs is small and K fixed → the profile relation is BOUNDED
+      (≤ langs×K rows) and broadcasts legitimately.
+    * CLASSIFY: one streaming map_batches; a doc's own top-K gram ranks
+      measure out-of-place distance |r_doc − r_profile| (missing gram =
+      K penalty) against every profile; argmin (dist, lang) predicts.
+    * OUTPUT: the (actual, predicted) confusion matrix — per-batch partial
+      counts, tiny final groupby."""
+    from ray.data.aggregate import Sum
+
+    K = 50
+    ds = _read(sf_dir, "documents", columns=["text", "lang"])
+
+    # ---- train ----------------------------------------------------------
+    def lg_items(lt: str) -> list[str]:
+        lang, _, text = lt.partition("\x1f")
+        return [lang + "\x1f" + text[i : i + 3] for i in range(len(text) - 2)]
+
+    with_lt = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "lt": pc.binary_join_element_wise(
+                    b["lang"], b["text"], "\x1f"
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    counts = count_terms(with_lt, "lt", lg_items, "lg")
+
+    def top_per_lang(df: pd.DataFrame) -> pd.DataFrame:
+        parts = df["lg"].str.partition("\x1f")
+        df = pd.DataFrame(
+            {"lang": parts[0], "gram": parts[2], "cnt": df["cnt"]}
+        )
+        df = df.sort_values(
+            ["lang", "cnt", "gram"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        df = df.groupby("lang", as_index=False).head(K)
+        df["r"] = df.groupby("lang").cumcount() + 1
+        return df[["lang", "gram", "r"]]
+
+    def add_lang_cg(b: pa.Table) -> pa.Table:
+        # group by the LANG prefix so each lang's top-K is computed whole
+        lg = b["lg"].to_pylist()
+        return b.append_column(
+            "langkey", pa.array([s.split("\x1f", 1)[0] for s in lg], pa.string())
+        )
+
+    prof_rows = collect_rows(
+        counts.map_batches(add_lang_cg, batch_format="pyarrow")
+        .groupby("langkey")
+        .map_groups(
+            lambda df: top_per_lang(df.drop(columns=["langkey"])),
+            batch_format="pandas",
+        )
+    )  # ≤ langs×K rows — bounded metadata
+    profiles: dict[str, dict[str, int]] = {}
+    for row in prof_rows:
+        profiles.setdefault(row["lang"], {})[row["gram"]] = int(row["r"])
+    lang_list = sorted(profiles)
+
+    import ray
+
+    prof_ref = ray.put((lang_list, profiles))
+
+    # ---- classify -------------------------------------------------------
+    def classify(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        import ray as _ray
+
+        langs, profs = _ray.get(prof_ref)
+        out: Counter[tuple[str, str]] = Counter()
+        for text, actual in zip(
+            batch["text"].to_pylist(), batch["lang"].to_pylist()
+        ):
+            if len(text) < 3:
+                continue
+            c = Counter(text[i : i + 3] for i in range(len(text) - 2))
+            top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:K]
+            best = None
+            for lang in langs:
+                p = profs[lang]
+                d = 0
+                for r, (g, _) in enumerate(top, 1):
+                    pr = p.get(g)
+                    d += K if pr is None else abs(r - pr)
+                if best is None or d < best[0]:
+                    best = (d, lang)
+            out[(actual, best[1])] += 1
+        keys = list(out.keys())
+        return pa.table(
+            {
+                "lang": pa.array([k[0] for k in keys], pa.string()),
+                "pred_lang": pa.array([k[1] for k in keys], pa.string()),
+                "n_docs": pa.array([out[k] for k in keys], pa.int64()),
+            }
+        )
+
+    df = (
+        ds.map_batches(classify, batch_format="pyarrow")
+        .groupby(["lang", "pred_lang"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .to_pandas()
+    )
+    df["n_docs"] = df["n_docs"].astype("int64")
+    return df
+
+
+def q98_importance_ratio(sf_dir: str):
+    """DSIR-style hashed n-gram importance weighting (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"): score
+    every raw document by how target-like its hashed unigram features are.
+    Exact-evidence variant: with Laplace-smoothed integer bucket counts
+    t[b], r[b] (target = lang='en' docs, raw = all docs), a doc scores
+    num = Σ(t[b]+1), den = Σ(r[b]+1) over its token buckets — both exact
+    int64 — and ratio = num/den is ONE IEEE division both engines compute
+    identically (the q95 discipline). Distributed shape: the B=1024-bucket
+    histograms aggregate from per-batch partials (groupby on a
+    BOUNDED-cardinality key), broadcast once via ray.put (8 KB, not a
+    vocabulary); scoring is a zero-shuffle scan with per-batch local
+    top-k before the tiny global sort."""
+    from ray.data.aggregate import Sum
+
+    from basicocr_ray.core.textstats import md5_hex
+
+    B = 1024
+    TARGET = "en"
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        t_hist = np.zeros(B, dtype=np.int64)
+        r_hist = np.zeros(B, dtype=np.int64)
+        bucket_of: dict[str, int] = {}
+        for text, lang in zip(
+            batch["text"].to_pylist(), batch["lang"].to_pylist()
+        ):
+            for tok in token_items(text):
+                b = bucket_of.get(tok)
+                if b is None:
+                    b = int(md5_hex(tok)[:8], 16) % B
+                    bucket_of[tok] = b
+                r_hist[b] += 1
+                if lang == TARGET:
+                    t_hist[b] += 1
+        nz = np.nonzero(r_hist)[0]
+        return pa.table(
+            {
+                "b": pa.array(nz, pa.int64()),
+                "tc": pa.array(t_hist[nz], pa.int64()),
+                "rc": pa.array(r_hist[nz], pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("b")  # key cardinality ≤ B — bounded, no salt needed
+        .aggregate(Sum("tc", alias_name="tc"), Sum("rc", alias_name="rc"))
+    )
+    t_arr = np.ones(B, dtype=np.int64)  # +1 Laplace baked in
+    r_arr = np.ones(B, dtype=np.int64)
+    for row in collect_rows(hist):  # ≤ B rows — metadata
+        t_arr[int(row["b"])] += int(row["tc"])
+        r_arr[int(row["b"])] += int(row["rc"])
+
+    import ray
+
+    arrs_ref = ray.put((t_arr, r_arr))
+
+    def score(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        t_a, r_a = _ray.get(arrs_ref)
+        ids, nums, dens = [], [], []
+        bucket_of: dict[str, int] = {}
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = token_items(text)
+            if not toks:
+                continue
+            bs = np.empty(len(toks), dtype=np.int64)
+            for i, tok in enumerate(toks):
+                b = bucket_of.get(tok)
+                if b is None:
+                    b = int(md5_hex(tok)[:8], 16) % B
+                    bucket_of[tok] = b
+                bs[i] = b
+            ids.append(did)
+            nums.append(int(t_a[bs].sum()))
+            dens.append(int(r_a[bs].sum()))
+        out = pd.DataFrame({"doc_id": ids, "num": nums, "den": dens})
+        out["ratio"] = out["num"].to_numpy(dtype=np.float64) / out[
+            "den"
+        ].to_numpy(dtype=np.float64)
+        # local prune before the tiny global sort
+        return out.sort_values(
+            ["ratio", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(20)
+
+    top = (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["ratio", "doc_id"], descending=[True, False])
+        .limit(20)
+        .to_pandas()
+    )
+    top["doc_id"] = top["doc_id"].astype("int64")
+    top["num"] = top["num"].astype("int64")
+    top["den"] = top["den"].astype("int64")
+    return _round_col(top, "ratio", 6)
+
+
+def q99_quantile_floor(sf_dir: str):
+    """Corpus-global quality floor at a learned threshold: keep documents
+    at or above the corpus p90 of n_chars, then per-lang rollup — the
+    'top decile by length' curation step. The threshold comes from the
+    exact distributed two-pass histogram quantile (q60's machinery with a
+    constant group — three metadata-narrow scans, NO global sort), the
+    filter is a streaming scan with the threshold inlined, and the rollup
+    is the tiny G7 aggregate. Everything integer → exact hash."""
+    from ray.data.aggregate import Count, Sum
+
+    from basicocr_ray.stages.wide import grouped_quantile_disc
+
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    one = ds.map_batches(
+        lambda b: b.append_column(
+            "g", pa.array(np.zeros(len(b), dtype=np.int32))
+        ),
+        batch_format="pyarrow",
+    )
+    qrows = collect_rows(grouped_quantile_disc(one, "g", "n_chars", 9, 10))
+    thr = int(qrows[0]["q_value"])
+
+    flt = ds.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["n_chars"], thr)),
+        batch_format="pyarrow",
+    )
+    df = (
+        flt.groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
+        )
+        .to_pandas()
+    )
+    df["p90_chars"] = np.int64(thr)
+    df["n_docs"] = df["n_docs"].astype("int64")
+    df["sum_chars"] = df["sum_chars"].astype("int64")
+    return df[["lang", "p90_chars", "n_docs", "sum_chars"]]
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -3490,6 +3752,9 @@ QUERIES = {
     "q94_lang_mix_weights": q94_lang_mix_weights,
     "q95_pmi_collocations": q95_pmi_collocations,
     "q96_top_supplier_per_part": q96_top_supplier_per_part,
+    "q97_ngram_langid": q97_ngram_langid,
+    "q98_importance_ratio": q98_importance_ratio,
+    "q99_quantile_floor": q99_quantile_floor,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -4637,6 +4902,93 @@ ORACLE_SQL = {
         ORDER BY CAST(cnt_xy * total AS DOUBLE)
                  / CAST(u1.cnt * u2.cnt AS DOUBLE) DESC, bigram
         LIMIT 20
+    """,
+    "q97_ngram_langid": """
+        -- Cavnar–Trenkle out-of-place distance, integers end to end
+        WITH grams AS (
+          SELECT doc_id, lang,
+                 unnest(list_transform(
+                   range(1, len(text) - 1), i -> substr(text, i, 3)
+                 )) AS g
+          FROM documents
+        ),
+        langcnt AS (
+          SELECT lang, g, count(*) AS c FROM grams GROUP BY 1, 2
+        ),
+        prof AS (
+          SELECT lang, g,
+                 row_number() OVER (
+                   PARTITION BY lang ORDER BY c DESC, g
+                 ) AS r
+          FROM langcnt QUALIFY r <= 50
+        ),
+        doccnt AS (
+          SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2
+        ),
+        docprof AS (
+          SELECT doc_id, g,
+                 row_number() OVER (
+                   PARTITION BY doc_id ORDER BY c DESC, g
+                 ) AS r
+          FROM doccnt QUALIFY r <= 50
+        ),
+        dist AS (
+          SELECT d.doc_id, l.lang,
+                 sum(CASE WHEN p.r IS NULL THEN 50
+                          ELSE abs(d.r - p.r) END) AS dist
+          FROM docprof d
+          CROSS JOIN (SELECT DISTINCT lang FROM documents) l
+          LEFT JOIN prof p ON p.lang = l.lang AND p.g = d.g
+          GROUP BY 1, 2
+        ),
+        pred AS (
+          SELECT doc_id, lang AS pred_lang,
+                 row_number() OVER (
+                   PARTITION BY doc_id ORDER BY dist, lang
+                 ) AS rn
+          FROM dist QUALIFY rn = 1
+        )
+        SELECT dd.lang, p.pred_lang, count(*) AS n_docs
+        FROM pred p JOIN documents dd USING (doc_id)
+        GROUP BY 1, 2
+    """,
+    "q98_importance_ratio": f"""
+        -- DSIR-style hashed importance ratio: exact integer evidence,
+        -- one IEEE division (Ray side is bit-identical by construction)
+        WITH tok2 AS (
+          SELECT doc_id, lang,
+                 CAST('0x' || substr(md5(token), 1, 8) AS BIGINT)
+                   % 1024 AS b
+          FROM (SELECT doc_id, lang, unnest({_TOKS}) AS token
+                FROM documents)
+          WHERE token <> ''
+        ),
+        tcnt AS (
+          SELECT b, count(*) AS tc FROM tok2 WHERE lang = 'en' GROUP BY b
+        ),
+        rcnt AS (SELECT b, count(*) AS rc FROM tok2 GROUP BY b),
+        sc AS (
+          SELECT doc_id,
+                 CAST(sum(coalesce(tc, 0) + 1) AS BIGINT) AS num,
+                 CAST(sum(rc + 1) AS BIGINT) AS den
+          FROM tok2
+          LEFT JOIN tcnt USING (b) JOIN rcnt USING (b)
+          GROUP BY doc_id
+        )
+        SELECT doc_id, num, den,
+               round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS ratio
+        FROM sc
+        ORDER BY CAST(num AS DOUBLE) / CAST(den AS DOUBLE) DESC, doc_id
+        LIMIT 20
+    """,
+    "q99_quantile_floor": """
+        WITH t AS (
+          SELECT quantile_disc(n_chars, 0.9) AS thr FROM documents
+        )
+        SELECT lang, CAST(thr AS BIGINT) AS p90_chars,
+               count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents, t WHERE n_chars >= thr
+        GROUP BY lang, thr
     """,
     "q96_top_supplier_per_part": """
         -- exact integer 1e-4-currency units mirror the Ray side: cents ×
