@@ -3658,6 +3658,184 @@ def q99_quantile_floor(sf_dir: str):
     return df[["lang", "p90_chars", "n_docs", "sum_chars"]]
 
 
+def q100_sequence_packing(sf_dir: str):
+    """Token-budget SEQUENCE PACKING — the step between a curated corpus
+    and a training run: lay documents end-to-end in a deterministic
+    global order and cut every 4096 tokens, reporting per-bin document
+    and token counts. The order is the house md5 shuffle rank (q55), the
+    layout cursor is `stages.sample.global_prefix_sum` — a distributed
+    EXCLUSIVE running sum whose cross-bucket carry is an O(S) driver
+    prefix over bucket totals (metadata), never a global sort. bin =
+    prefix // 4096; all integers → exact hash. Partition/retry/cluster-
+    size-invariant, so a resumed packing run reproduces byte-identical
+    shards."""
+    from ray.data.aggregate import Count, Sum
+
+    from basicocr_ray.stages.sample import global_prefix_sum
+
+    BIN = 4096
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tokcount(batch: pa.Table) -> pa.Table:
+        n = [len(token_items(t)) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tok": pa.array(n, pa.int64()),
+            }
+        )
+
+    with_prefix = global_prefix_sum(
+        ds.map_batches(tokcount, batch_format="pyarrow"),
+        "doc_id", "n_tok", seed=42,
+    )
+
+    def binify(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bin_id": pc.divide(b["prefix"], BIN),
+                "n_tok": b["n_tok"],
+            }
+        )
+
+    df = (
+        with_prefix.map_batches(binify, batch_format="pyarrow")
+        .groupby("bin_id")
+        .aggregate(
+            Count(alias_name="n_docs"), Sum("n_tok", alias_name="n_tokens")
+        )
+        .to_pandas()
+    )
+    df["bin_id"] = df["bin_id"].astype("int64")
+    df["n_docs"] = df["n_docs"].astype("int64")
+    df["n_tokens"] = df["n_tokens"].astype("int64")
+    return df
+
+
+def q101_crawl_diff(sf_dir: str):
+    """Crawl SNAPSHOT DIFF — recrawl triage (added / removed / changed /
+    same) between two crawl waves, derived deterministically from
+    `documents`: wave A holds doc_id % 10 ≠ 0, wave B holds doc_id % 7 ≠ 0
+    with text revised ('<text> v2') where doc_id % 5 = 0. The diff is ONE
+    full-outer bucketed hash join on doc_id carrying (id, md5-fingerprint)
+    only — text never shuffles (the D3 fingerprint discipline) — then a
+    vectorized status classification and a tiny rollup."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def wave_a(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(ids % 10 != 0))
+        fps = [md5_hex(t) for t in b["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": b["doc_id"], "fp_a": pa.array(fps, pa.string())}
+        )
+
+    def wave_b(b: pa.Table) -> pa.Table:
+        allids = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(allids % 7 != 0))
+        ids = b["doc_id"].to_pylist()
+        fps = [
+            md5_hex(t + " v2" if i % 5 == 0 else t)
+            for i, t in zip(ids, b["text"].to_pylist())
+        ]
+        return pa.table(
+            {"doc_id": b["doc_id"], "fp_b": pa.array(fps, pa.string())}
+        )
+
+    from basicocr_ray.stages.joins import bucketed_hash_join
+
+    a = ds.map_batches(wave_a, batch_format="pyarrow")
+    bds = ds.map_batches(wave_b, batch_format="pyarrow")
+
+    def classify(t: pa.Table) -> pa.Table:
+        fa, fb = t["fp_a"], t["fp_b"]
+        a_null = pc.is_null(fa)
+        b_null = pc.is_null(fb)
+        status = pc.if_else(
+            a_null,
+            pa.scalar("added"),
+            pc.if_else(
+                b_null,
+                pa.scalar("removed"),
+                pc.if_else(
+                    pc.equal(fa, fb), pa.scalar("same"), pa.scalar("changed")
+                ),
+            ),
+        )
+        # in-bucket partial rollup: the status relation leaves the join
+        # task as ≤4 rows per bucket
+        out = pa.table({"status": status}).group_by("status").aggregate(
+            [([], "count_all")]
+        )
+        return out.rename_columns(["status", "n_docs"])
+
+    joined = bucketed_hash_join(
+        a, bds, key="doc_id",
+        left_columns=["fp_a"], right_columns=["fp_b"],
+        join_type="full outer", bucket_post_fn=classify,
+    )
+    df = (
+        joined.groupby("status")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .to_pandas()
+    )
+    df["n_docs"] = df["n_docs"].astype("int64")
+    return df
+
+
+def q102_warc_roundtrip(sf_dir: str):
+    """WARC codec conformance as a streaming pipeline: each batch of
+    documents is ENCODED into a WARC/1.0 file image (`sources/warc.py` —
+    the Common-Crawl container) and immediately PARSED back, and the
+    per-lang rollup of the decoded payloads must match SQL computed from
+    the original table — any header, Content-Length or boundary bug
+    breaks the hash. Encode+decode stay inside one map_batches (zero shuffle); the
+    rollup is the tiny G7 aggregate."""
+    from ray.data.aggregate import Count, Sum
+
+    from basicocr_ray.sources.warc import encode_warc, parse_warc
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def roundtrip(b: pa.Table) -> pa.Table:
+        recs = [
+            (
+                f"https://example.org/doc/{i}",
+                "2026-01-01T00:00:00Z",
+                t.encode("utf-8"),
+            )
+            for i, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist())
+        ]
+        blob = encode_warc(recs)
+        parsed = parse_warc(blob)
+        assert not any(r["_corrupt"] for r in parsed)
+        ids = [int(r["uri"].rsplit("/", 1)[1]) for r in parsed]
+        nch = [len(r["payload"].decode("utf-8")) for r in parsed]
+        langs = dict(
+            zip(b["doc_id"].to_pylist(), b["lang"].to_pylist())
+        )
+        return pa.table(
+            {
+                "lang": pa.array([langs[i] for i in ids], pa.string()),
+                "n_chars": pa.array(nch, pa.int64()),
+            }
+        )
+
+    df = (
+        ds.map_batches(roundtrip, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
+        )
+        .to_pandas()
+    )
+    df["n_docs"] = df["n_docs"].astype("int64")
+    df["sum_chars"] = df["sum_chars"].astype("int64")
+    return df
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -3755,6 +3933,9 @@ QUERIES = {
     "q97_ngram_langid": q97_ngram_langid,
     "q98_importance_ratio": q98_importance_ratio,
     "q99_quantile_floor": q99_quantile_floor,
+    "q100_sequence_packing": q100_sequence_packing,
+    "q101_crawl_diff": q101_crawl_diff,
+    "q102_warc_roundtrip": q102_warc_roundtrip,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -4989,6 +5170,51 @@ ORACLE_SQL = {
                count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         FROM documents, t WHERE n_chars >= thr
         GROUP BY lang, thr
+    """,
+    "q100_sequence_packing": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 len(list_filter(
+                   regexp_split_to_array(lower(text), '\s+'),
+                   x -> x <> ''
+                 )) AS n_tok
+          FROM documents
+        ),
+        o AS (
+          SELECT doc_id, n_tok,
+                 coalesce(sum(n_tok) OVER (
+                   ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS prev
+          FROM t
+        )
+        SELECT CAST(prev // 4096 AS BIGINT) AS bin_id,
+               count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        FROM o GROUP BY 1
+    """,
+    "q101_crawl_diff": """
+        WITH a AS (
+          SELECT doc_id, md5(text) AS fp_a
+          FROM documents WHERE doc_id % 10 <> 0
+        ),
+        b AS (
+          SELECT doc_id,
+                 md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                          ELSE text END) AS fp_b
+          FROM documents WHERE doc_id % 7 <> 0
+        )
+        SELECT CASE WHEN fp_a IS NULL THEN 'added'
+                    WHEN fp_b IS NULL THEN 'removed'
+                    WHEN fp_a = fp_b THEN 'same'
+                    ELSE 'changed' END AS status,
+               count(*) AS n_docs
+        FROM a FULL OUTER JOIN b USING (doc_id)
+        GROUP BY 1
+    """,
+    "q102_warc_roundtrip": """
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(len(text)) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY lang
     """,
     "q96_top_supplier_per_part": """
         -- exact integer 1e-4-currency units mirror the Ray side: cents ×

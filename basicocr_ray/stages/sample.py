@@ -116,6 +116,50 @@ def global_rank(ds, id_column: str, seed: int = 42,
     return ranked.groupby("cg").map_groups(number, batch_format="pandas")
 
 
+def global_prefix_sum(ds, id_column: str, value_column: str,
+                      seed: int = 42, num_salt: int | None = None,
+                      out_column: str = "prefix"):
+    """Distributed EXCLUSIVE running sum of ``value_column`` under the
+    deterministic shuffle order — ``SUM(v) OVER (ORDER BY md5(seed:id),
+    id ROWS UNBOUNDED PRECEDING AND 1 PRECEDING)`` with no global sort.
+
+    Same discipline as `global_rank`: per-bucket VALUE TOTALS (not row
+    counts) reduce on the driver into an exclusive prefix over the ≤ S
+    rank-prefix buckets — O(S) driver state at any data size — then each
+    bucket sorts locally by the full rank and takes a vectorized cumsum
+    plus its bucket offset. The primitive behind sequence packing,
+    token-budget cuts and size-based file splitting."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    ranked = _ranked(ds, id_column, seed, num_salt).materialize()
+
+    def partial_totals(batch: pa.Table) -> pa.Table:
+        t = batch.group_by("cg").aggregate([(value_column, "sum")])
+        return t.rename_columns(["cg", "v"])
+
+    totals: dict[int, int] = {}
+    for row in collect_rows(ranked.map_batches(
+        partial_totals, batch_format="pyarrow"
+    )):  # ≤ blocks × S rows — metadata
+        totals[int(row["cg"])] = totals.get(int(row["cg"]), 0) + int(row["v"])
+    offsets: dict[int, int] = {}
+    acc = 0
+    for cg in sorted(totals):
+        offsets[cg] = acc
+        acc += totals[cg]
+
+    def prefix(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["_rank", id_column], kind="mergesort")
+        base = offsets[int(df["cg"].iloc[0])]
+        v = df[value_column].to_numpy(dtype=np.int64)
+        df[out_column] = base + np.cumsum(v) - v  # exclusive
+        return df.drop(columns=["_rank", "cg"])
+
+    return ranked.groupby("cg").map_groups(prefix, batch_format="pandas")
+
+
 def sampled(ds, fraction: float, seed: int = 42):
     """Bernoulli sample of ~fraction rows (val-subset analogue, T5)."""
     return ds.random_sample(fraction, seed=seed)

@@ -317,3 +317,95 @@ def test_read_csv_quarantine_and_roundtrip(tmp_path):
         .reset_index(drop=True)
     )
     assert back["note"].tolist() == ['say "hi", ok', "b"]
+
+
+def test_warc_roundtrip_and_quarantine(tmp_path):
+    """WARC codec: encode→parse is identity on well-formed records;
+    malformed records (bad Content-Length, truncation) quarantine and
+    the scan resynchronizes at the next record magic; read_warc streams
+    files into typed rows."""
+    import pyarrow as pa
+
+    from basicocr_ray.sources.warc import (
+        encode_warc,
+        encode_warc_record,
+        parse_warc,
+        read_warc,
+    )
+
+    recs = [
+        ("https://a.example/1", "2026-01-01T00:00:00Z", b"hello world"),
+        ("https://a.example/2", "2026-01-01T00:00:01Z", b""),
+        # payload containing bytes that look like record structure
+        ("https://a.example/3", "2026-01-01T00:00:02Z",
+         b"WARC/1.0\r\nnot a real header\r\n\r\nbody"),
+    ]
+    blob = encode_warc(recs)
+    back = parse_warc(blob)
+    assert [(r["uri"], r["payload"]) for r in back] == [
+        (u, p) for u, _, p in recs
+    ]
+    assert not any(r["_corrupt"] for r in back)
+
+    # corrupt middle record: Content-Length lies past EOF of its body,
+    # but a full record follows and must still be recovered
+    bad = (
+        encode_warc_record("https://a.example/ok1", "d", b"aaa")
+        + b"WARC/1.0\r\nWARC-Target-URI: https://a.example/bad\r\n"
+        + b"Content-Length: notanint\r\n\r\nxxx\r\n\r\n"
+        + encode_warc_record("https://a.example/ok2", "d", b"bbb")
+    )
+    parsed = parse_warc(bad)
+    oks = [r for r in parsed if not r["_corrupt"]]
+    bads = [r for r in parsed if r["_corrupt"]]
+    assert [r["payload"] for r in oks] == [b"aaa", b"bbb"]
+    assert len(bads) == 1 and bads[0]["uri"] == "https://a.example/bad"
+
+    # truncated final record
+    trunc = encode_warc_record("https://a.example/t", "d", b"0123456789")
+    parsed = parse_warc(trunc[:-8])
+    assert parsed[-1]["_corrupt"]
+
+    # file-based distributed read
+    (tmp_path / "a.warc").write_bytes(blob)
+    (tmp_path / "b.warc").write_bytes(bad)
+    got = (
+        read_warc([str(tmp_path / "a.warc"), str(tmp_path / "b.warc")])
+        .to_pandas()
+        .sort_values("uri")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 5 and "_corrupt" not in got.columns
+    withq = read_warc(str(tmp_path / "b.warc"), keep_corrupt=True).to_pandas()
+    assert withq["_corrupt"].sum() == 1
+
+
+def test_global_prefix_sum_matches_window_sql(tmp_path):
+    """global_prefix_sum == SUM OVER (ORDER BY md5(seed:id), id) exclusive,
+    invariant to input partitioning and salt count."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from basicocr_ray.stages.sample import global_prefix_sum
+
+    df = pd.DataFrame({"id": list(range(200)), "v": [i % 7 for i in range(200)]})
+    want = duckdb.sql(
+        """
+        SELECT id, coalesce(sum(v) OVER (
+          ORDER BY md5('9:' || CAST(id AS VARCHAR)), id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        FROM df ORDER BY id
+        """
+    ).df()
+    for nblocks, salts in [(1, 4), (7, 4), (7, 16)]:
+        ds = ray.data.from_pandas(df).repartition(nblocks)
+        got = (
+            global_prefix_sum(ds, "id", "v", seed=9, num_salt=salts)
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        assert got["prefix"].astype("int64").tolist() == want[
+            "prefix"
+        ].astype("int64").tolist()
