@@ -3836,6 +3836,74 @@ def q102_warc_roundtrip(sf_dir: str):
     return df
 
 
+def q103_pagerank_hosts(sf_dir: str):
+    """PageRank over the host graph — the canonical web link-analysis
+    op, as join-based SpMV (`stages/graph.py`): each of the 3 fixed
+    iterations is ONE bucketed hash join (ranks ⋈ edges on src, with the
+    per-dst pre-sum fused into the join bucket) plus one aggregate —
+    rows shuffle once per round, no driver materialization (the q42
+    connected-components discipline with weighted mass instead of min
+    labels). Hash-exact because ranks are carried as INTEGER numerators:
+    every host has out-degree exactly 3, so with d = 17/20 the rank
+    after k rounds is a rational with denominator N·60^k — the engine
+    propagates the int64 numerators and performs ONE final IEEE division
+    (the q95 discipline). Nodes are doc hosts (doc_id % 64) massed by
+    doc count; the teleport vector is the document-mass distribution
+    (personalized PageRank), keeping everything data-derived and
+    integer."""
+    from ray.data.aggregate import Count
+
+    from basicocr_ray.stages.graph import pagerank_scaled_int
+
+    H = 64
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def hostify(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({"h": pa.array(ids % H, pa.int64())})
+
+    nodes = (
+        ds.map_batches(hostify, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Count(alias_name="mass"))
+        .materialize()
+    )
+
+    def mk_edges(b: pa.Table) -> pa.Table:
+        hs = b["h"].combine_chunks().to_numpy(zero_copy_only=False)
+        src = np.repeat(hs, 3)
+        dst = np.stack(
+            [(3 * hs + 1) % H, (5 * hs + 2) % H, (7 * hs + 4) % H], axis=1
+        ).reshape(-1)
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+            }
+        )
+
+    edges = nodes.map_batches(mk_edges, batch_format="pyarrow")
+    # 64 hosts → 4 buckets; a real host graph would keep the default 32+
+    out, scale = pagerank_scaled_int(nodes, edges, iters=3, num_buckets=4)
+
+    n_total = int(
+        nodes.map_batches(
+            lambda b: pa.table(
+                {"s": pa.array([pc.sum(b["mass"]).as_py() or 0], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).sum("s")
+    )
+    df = out.to_pandas()
+    df["h"] = df["h"].astype("int64")
+    df["mass"] = df["mass"].astype("int64")
+    df["x"] = df["x"].astype("int64")
+    df["pr"] = [
+        _round_half_up(float(x) / float(n_total * scale), 8) for x in df["x"]
+    ]
+    return df
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -3936,6 +4004,7 @@ QUERIES = {
     "q100_sequence_packing": q100_sequence_packing,
     "q101_crawl_diff": q101_crawl_diff,
     "q102_warc_roundtrip": q102_warc_roundtrip,
+    "q103_pagerank_hosts": q103_pagerank_hosts,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -5215,6 +5284,37 @@ ORACLE_SQL = {
         SELECT lang, count(*) AS n_docs,
                CAST(sum(len(text)) AS BIGINT) AS sum_chars
         FROM documents GROUP BY lang
+    """,
+    "q103_pagerank_hosts": """
+        -- 3 unrolled rounds of the exact-integer PageRank recurrence
+        -- x_{k+1}(v) = 9·60^k·mass(v) + 17·Σ_{u→v} x_k(u)  (d = 17/20,
+        -- out-degree 3, teleport ∝ mass); pr = x_3 / (N·60^3)
+        WITH hosts AS (
+          SELECT doc_id % 64 AS h, count(*) AS mass
+          FROM documents GROUP BY 1
+        ),
+        n AS (SELECT CAST(sum(mass) AS BIGINT) AS total FROM hosts),
+        edges AS (
+          SELECT h AS src,
+                 unnest([(3*h+1) % 64, (5*h+2) % 64, (7*h+4) % 64]) AS dst
+          FROM hosts
+        ),
+        x0 AS (SELECT h, mass AS x FROM hosts),
+        s1 AS (SELECT dst AS h, sum(x0.x) AS inc
+               FROM edges JOIN x0 ON edges.src = x0.h GROUP BY 1),
+        x1 AS (SELECT hosts.h, 9 * mass + 17 * coalesce(inc, 0) AS x
+               FROM hosts LEFT JOIN s1 USING (h)),
+        s2 AS (SELECT dst AS h, sum(x1.x) AS inc
+               FROM edges JOIN x1 ON edges.src = x1.h GROUP BY 1),
+        x2 AS (SELECT hosts.h, 540 * mass + 17 * coalesce(inc, 0) AS x
+               FROM hosts LEFT JOIN s2 USING (h)),
+        s3 AS (SELECT dst AS h, sum(x2.x) AS inc
+               FROM edges JOIN x2 ON edges.src = x2.h GROUP BY 1),
+        x3 AS (SELECT hosts.h, 32400 * mass + 17 * coalesce(inc, 0) AS x
+               FROM hosts LEFT JOIN s3 USING (h))
+        SELECT hosts.h, mass, CAST(x AS BIGINT) AS x,
+               round(CAST(x AS DOUBLE) / (total * 216000.0), 8) AS pr
+        FROM hosts JOIN x3 USING (h), n
     """,
     "q96_top_supplier_per_part": """
         -- exact integer 1e-4-currency units mirror the Ray side: cents ×

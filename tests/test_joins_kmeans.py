@@ -157,3 +157,55 @@ def test_interval_join_matches_bruteforce():
         if lo[i] <= pv[p] < hi[i]
     )
     assert got == expect
+
+
+def test_pagerank_scaled_int_matches_reference():
+    """Exact-integer PageRank equals a driver-side reference computation
+    regardless of input partitioning / bucket count / salt count, and
+    contributions to ids absent from the node table are dropped."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from basicocr_ray.stages.graph import pagerank_scaled_int
+
+    H = 12
+    rng = [(h, (h * 3 + 1) % H, (h * 5 + 2) % H, (h * 7 + 4) % H)
+           for h in range(H)]
+    nodes = pd.DataFrame({"h": range(H), "mass": [(h % 4) + 1 for h in range(H)]})
+    edges = pd.DataFrame(
+        {"src": [r[0] for r in rng for _ in range(3)],
+         "dst": [d for r in rng for d in r[1:]]}
+    )
+    # drop node 11 from the node table: edges into it must vanish,
+    # edges out of it too (its rank rows never exist)
+    nodes = nodes[nodes["h"] != 11].reset_index(drop=True)
+    edges_kept = edges[edges["src"] != 11].reset_index(drop=True)
+    # NB out-degree contract still holds for remaining nodes
+
+    def reference(iters=3):
+        x = {int(r.h): int(r.mass) for r in nodes.itertuples()}
+        scale = 1
+        for _ in range(iters):
+            inc = {h: 0 for h in x}
+            for r in edges_kept.itertuples():
+                if int(r.dst) in inc and int(r.src) in x:
+                    inc[int(r.dst)] += x[int(r.src)]
+            x = {
+                h: 9 * scale * int(nodes.loc[nodes.h == h, "mass"].iloc[0])
+                + 17 * inc[h]
+                for h in x
+            }
+            scale *= 60
+        return x, scale
+
+    want, want_scale = reference()
+    for nblocks, buckets, salts in [(1, 2, 4), (5, 4, 8)]:
+        nds = ray.data.from_pandas(nodes).repartition(nblocks)
+        eds = ray.data.from_pandas(edges_kept).repartition(nblocks)
+        out, scale = pagerank_scaled_int(
+            nds, eds, iters=3, num_buckets=buckets, num_salt=salts
+        )
+        got = out.to_pandas().sort_values("h").reset_index(drop=True)
+        assert scale == want_scale
+        assert {int(r.h): int(r.x) for r in got.itertuples()} == want
