@@ -3904,6 +3904,104 @@ def q103_pagerank_hosts(sf_dir: str):
     return df
 
 
+def q104_bpe_merges(sf_dir: str):
+    """BPE tokenizer TRAINING (Sennrich et al. 2016), distributed: learn
+    the first 5 merge rules from the corpus word-frequency table. The
+    textbook shape — pair statistics over the (word, count) relation,
+    not the corpus — means ONE corpus scan total (the count_terms G3
+    build); each merge round is then a scan of the small vocab relation:
+    per-batch weighted pair partials → coarse-group exact sum → global
+    top-1 (cnt desc, pair asc) → ONE merge row to the driver (metadata)
+    → vectorized merge application. Merge application is the
+    'space-padded non-overlapping replace' both engines implement
+    identically (Python str.replace ≡ SQL replace, left-to-right
+    non-overlapping), so the learned merge table hash-matches the
+    5-round unrolled SQL twin exactly — integers end to end."""
+    from collections import Counter
+
+    from basicocr_ray.stages.dedup import _coarse_salts
+
+    STEPS = 5
+    ds = _read(sf_dir, "documents", columns=["text"])
+    words = count_terms(ds, "text", token_items, "token")
+
+    def symbolize(b: pa.Table) -> pa.Table:
+        toks = b["token"].to_pylist()
+        return pa.table(
+            {
+                "s": pa.array([" ".join(t) for t in toks], pa.string()),
+                "c": pc.cast(b["cnt"], pa.int64()),
+            }
+        )
+
+    words = words.map_batches(symbolize, batch_format="pyarrow").materialize()
+
+    salts = _coarse_salts(None)
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        cnt: Counter[str] = Counter()
+        for s, c in zip(batch["s"].to_pylist(), batch["c"].to_pylist()):
+            syms = s.split(" ")
+            for a, b2 in zip(syms, syms[1:]):
+                cnt[a + " " + b2] += c
+        keys = list(cnt.keys())
+        return pa.table(
+            {
+                "pair": pa.array(keys, pa.string()),
+                "cnt": pa.array([cnt[k] for k in keys], pa.int64()),
+            }
+        )
+
+    def add_cg(b: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            b["pair"].combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        return b.append_column(
+            "cg", pa.array((h & (salts - 1)).astype(np.int32))
+        )
+
+    def final_sum(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("pair", as_index=False)["cnt"].sum()
+        return out.astype({"cnt": "int64"})
+
+    steps, pairs_out, cnts_out = [], [], []
+    for step in range(1, STEPS + 1):
+        pair_counts = (
+            words.map_batches(pair_partial, batch_format="pyarrow")
+            .map_batches(add_cg, batch_format="pyarrow")
+            .groupby("cg")
+            .map_groups(
+                lambda df: final_sum(df.drop(columns=["cg"])),
+                batch_format="pandas",
+            )
+        )
+        best = collect_rows(top_k(pair_counts, 1, "cnt", "pair"))
+        pair, cnt = best[0]["pair"], int(best[0]["cnt"])
+        steps.append(step)
+        pairs_out.append(pair)
+        cnts_out.append(cnt)
+        merged = pair.replace(" ", "")
+
+        def apply(b: pa.Table, _p=pair, _m=merged) -> pa.Table:
+            ss = [
+                (" " + s + " ").replace(f" {_p} ", f" {_m} ").strip()
+                for s in b["s"].to_pylist()
+            ]
+            return pa.table(
+                {"s": pa.array(ss, pa.string()), "c": b["c"]}
+            )
+
+        words = words.map_batches(apply, batch_format="pyarrow").materialize()
+
+    return pd.DataFrame(
+        {
+            "step": pd.array(steps, dtype="int64"),
+            "pair": pairs_out,
+            "cnt": pd.array(cnts_out, dtype="int64"),
+        }
+    )
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -4005,6 +4103,7 @@ QUERIES = {
     "q101_crawl_diff": q101_crawl_diff,
     "q102_warc_roundtrip": q102_warc_roundtrip,
     "q103_pagerank_hosts": q103_pagerank_hosts,
+    "q104_bpe_merges": q104_bpe_merges,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -4015,6 +4114,45 @@ QUERIES = {
 }
 
 _TOKS = r"regexp_split_to_array(lower(text), '\s+')"
+
+
+def _bpe_oracle_sql(steps: int = 5) -> str:
+    """Unrolled SQL twin of q104: `steps` rounds of weighted pair count →
+    argmax (cnt desc, pair asc) → space-padded non-overlapping replace."""
+    parts = [
+        f"""WITH w0 AS (
+          SELECT trim(regexp_replace(token, '(.)', '\\1 ', 'g')) AS s,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+          WHERE token <> '' GROUP BY 1
+        )"""
+    ]
+    for r in range(1, steps + 1):
+        prev = f"w{r - 1}"
+        parts.append(
+            f""", p{r} AS (
+          SELECT pr AS pair, CAST(sum(c) AS BIGINT) AS cnt FROM (
+            SELECT c, unnest(list_transform(
+              range(1, len(a)), i -> a[i] || ' ' || a[i+1]
+            )) AS pr
+            FROM (SELECT c, string_split(s, ' ') AS a FROM {prev})
+          ) GROUP BY 1
+        ), m{r} AS (
+          SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1
+        ), w{r} AS (
+          SELECT trim(replace(' ' || s || ' ',
+                 ' ' || (SELECT pair FROM m{r}) || ' ',
+                 ' ' || replace((SELECT pair FROM m{r}), ' ', '') || ' '
+          )) AS s, c FROM {prev}
+        )"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS step, pair, cnt FROM m{r}"
+        for r in range(1, steps + 1)
+    )
+    parts.append(f" SELECT * FROM ({selects})")
+    return "".join(parts)
+
 
 ORACLE_SQL = {
     "q01_pricing_summary": """
@@ -5285,6 +5423,7 @@ ORACLE_SQL = {
                CAST(sum(len(text)) AS BIGINT) AS sum_chars
         FROM documents GROUP BY lang
     """,
+    "q104_bpe_merges": _bpe_oracle_sql(5),
     "q103_pagerank_hosts": """
         -- 3 unrolled rounds of the exact-integer PageRank recurrence
         -- x_{k+1}(v) = 9·60^k·mass(v) + 17·Σ_{u→v} x_k(u)  (d = 17/20,
