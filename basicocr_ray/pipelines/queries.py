@@ -4002,6 +4002,106 @@ def q104_bpe_merges(sf_dir: str):
     )
 
 
+def q105_source_lang_entropy(sf_dir: str):
+    """Per-source language-mix diagnostics (the corpus-composition
+    dashboard every multilingual pipeline keeps): Shannon entropy (bits)
+    of each source's language distribution plus its dominant-language doc
+    count. Distributed shape: per-batch (source, lang) partial counts →
+    coarse-salted source groups → one vectorized in-group pass. Counts
+    stay exact int64; each entropy term −p·log2(p) is computed from the
+    identical IEEE division on both engines and the ≤5-term sum hides
+    any last-ulp libm/accumulation drift under round-6 (the q94
+    discipline)."""
+    from basicocr_ray.stages.dedup import _coarse_salts
+
+    ds = _read(sf_dir, "documents", columns=["source", "lang"])
+    salts = _coarse_salts(None)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["source", "lang"], as_index=False).agg(
+            n=("lang", "size")
+        )
+
+    def add_cg(b: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            b["source"].combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        return b.append_column(
+            "cg", pa.array((h & (salts - 1)).astype(np.int32))
+        )
+
+    def entropy(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["source", "lang"], as_index=False)["n"].sum()
+        rows = []
+        for src, grp in g.groupby("source"):
+            n = grp["n"].to_numpy(dtype=np.int64)
+            tot = int(n.sum())
+            p = n.astype(np.float64) / float(tot)
+            ent = float(np.sum(-p * np.log2(p)))
+            rows.append(
+                {
+                    "source": src,
+                    "n_docs": tot,
+                    "lang_entropy": _round_half_up(ent, 6),
+                    "max_lang_docs": int(n.max()),
+                }
+            )
+        out = pd.DataFrame(rows)
+        return out.astype(
+            {"n_docs": "int64", "max_lang_docs": "int64"}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(add_cg, batch_format="pyarrow")
+        .groupby("cg")
+        .map_groups(
+            lambda df: entropy(df.drop(columns=["cg"])),
+            batch_format="pandas",
+        )
+    )
+
+
+def q106_url_canonicalize(sf_dir: str):
+    """URL canonicalization (`core/urlnorm.py`) — the crawl-frontier key
+    normalization, exercised over a deterministic spread of messy URL
+    spellings derived from doc_id (mixed-case scheme/host, default and
+    NON-default ports on both schemes, utm tracking params, unsorted
+    params, bare '?', fragments). A pure vectorized per-batch map, zero
+    shuffle; the oracle constructs the expected canonical form
+    analytically from the same doc_id arithmetic, so every rule (strip
+    :443 only on https, keep :80 on https, drop utm_*, sort by key,
+    drop fragment) is independently pinned."""
+    from basicocr_ray.core.urlnorm import canonicalize_url
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def mk_and_canon(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        out = []
+        for i in ids:
+            scheme = "HTTPS" if i % 2 == 1 else "http"
+            port = ":443" if i % 3 == 0 else (":80" if i % 3 == 1 else "")
+            q = (
+                "?b=2&A=1&utm_campaign=z"
+                if i % 4 == 0
+                else "?x=1" if i % 4 == 1 else "?" if i % 4 == 2 else ""
+            )
+            frag = "#sec" if i % 6 == 0 else ""
+            raw = (
+                f"{scheme}://WWW.Site{i % 7}.Example.COM{port}/p/{i}{q}{frag}"
+            )
+            out.append(canonicalize_url(raw))
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "url": pa.array(out, pa.string()),
+            }
+        )
+
+    return ds.map_batches(mk_and_canon, batch_format="pyarrow")
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -4104,6 +4204,8 @@ QUERIES = {
     "q102_warc_roundtrip": q102_warc_roundtrip,
     "q103_pagerank_hosts": q103_pagerank_hosts,
     "q104_bpe_merges": q104_bpe_merges,
+    "q105_source_lang_entropy": q105_source_lang_entropy,
+    "q106_url_canonicalize": q106_url_canonicalize,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -5424,6 +5526,37 @@ ORACLE_SQL = {
         FROM documents GROUP BY lang
     """,
     "q104_bpe_merges": _bpe_oracle_sql(5),
+    "q105_source_lang_entropy": """
+        WITH c AS (
+          SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2
+        ),
+        t AS (
+          SELECT source, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1
+        )
+        SELECT c.source, t.tot AS n_docs,
+               round(sum(-(CAST(n AS DOUBLE) / tot)
+                         * log2(CAST(n AS DOUBLE) / tot)), 6)
+                 AS lang_entropy,
+               CAST(max(n) AS BIGINT) AS max_lang_docs
+        FROM c JOIN t USING (source)
+        GROUP BY c.source, t.tot
+    """,
+    "q106_url_canonicalize": """
+        -- expected canonical form constructed analytically from the
+        -- same doc_id arithmetic the Ray side uses to build RAW urls
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 1 THEN 'https' ELSE 'http' END)
+               || '://www.site' || (doc_id % 7) || '.example.com'
+               || (CASE
+                     WHEN doc_id % 3 = 0 AND doc_id % 2 = 0 THEN ':443'
+                     WHEN doc_id % 3 = 1 AND doc_id % 2 = 1 THEN ':80'
+                     ELSE '' END)
+               || '/p/' || doc_id
+               || (CASE WHEN doc_id % 4 = 0 THEN '?A=1&b=2'
+                        WHEN doc_id % 4 = 1 THEN '?x=1'
+                        ELSE '' END) AS url
+        FROM documents
+    """,
     "q103_pagerank_hosts": """
         -- 3 unrolled rounds of the exact-integer PageRank recurrence
         -- x_{k+1}(v) = 9·60^k·mass(v) + 17·Σ_{u→v} x_k(u)  (d = 17/20,

@@ -344,3 +344,21 @@ def test_simhash_batch_matches_per_doc():
         [simhash(t or "", 3) for t in texts], dtype=np.uint64
     )
     np.testing.assert_array_equal(got4, want4)
+
+
+def test_canonicalize_url_rules():
+    from basicocr_ray.core.urlnorm import canonicalize_url as c
+
+    # scheme/host lowering, default-port strip per scheme
+    assert c("HTTPS://WWW.X.COM:443/p") == "https://www.x.com/p"
+    assert c("http://X.com:80/p") == "http://x.com/p"
+    # NON-default ports kept, including cross-scheme defaults
+    assert c("http://x.com:443/p") == "http://x.com:443/p"
+    assert c("https://x.com:80/p") == "https://x.com:80/p"
+    assert c("https://x.com:8080/p") == "https://x.com:8080/p"
+    # fragment dropped; bare '?' dropped; params sorted; utm_* removed
+    assert c("https://x.com/p#frag") == "https://x.com/p"
+    assert c("https://x.com/p?") == "https://x.com/p"
+    assert c("https://x.com/p?b=2&A=1&utm_source=s") == "https://x.com/p?A=1&b=2"
+    # duplicate keys sort by (key, value); blank values kept
+    assert c("https://x.com/p?a=2&a=1&a=") == "https://x.com/p?a=&a=1&a=2"
