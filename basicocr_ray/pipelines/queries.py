@@ -4102,6 +4102,122 @@ def q106_url_canonicalize(sf_dir: str):
     return ds.map_batches(mk_and_canon, batch_format="pyarrow")
 
 
+def q107_temperature_mix_sample(sf_dir: str):
+    """Temperature-weighted corpus MIXING (the mBERT/XLM α=0.5 sampling
+    actually executed, not just the weights of q94): per-lang quota
+    k_l = round(share_l·M) with share ∝ sqrt(n_l/N), then a DETERMINISTIC
+    per-lang bottom-k_l by md5(doc_id) — partition/retry-invariant and
+    SQL-reproducible (the q46/q47 sampler discipline with per-group
+    VARIABLE k). The quota map is bounded by #langs and broadcasts; the
+    sample is one lang-keyed group pass. Output: the sampled rows."""
+    from ray.data.aggregate import Count
+
+    from basicocr_ray.core.textstats import md5_hex
+
+    M = 100
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    cnt = (
+        ds.groupby("lang").aggregate(Count(alias_name="n")).to_pandas()
+    )  # ≤ #langs rows — metadata
+    n_total = int(cnt["n"].sum())
+    w = np.sqrt(cnt["n"].to_numpy(dtype=np.float64) / float(n_total))
+    shares = [_round_half_up(x / float(w.sum()), 6) for x in w]
+    k_of = {
+        lang: int(math.floor(s * M + 0.5))
+        for lang, s in zip(cnt["lang"], shares)
+    }
+
+    def head_per_lang(df: pd.DataFrame) -> pd.DataFrame:
+        k = k_of.get(df["lang"].iloc[0], 0)
+        df = df.sort_values(["_rk", "doc_id"], kind="mergesort").head(k)
+        return df[["doc_id", "lang"]].astype({"doc_id": "int64"})
+
+    def add_rank(b: pa.Table) -> pa.Table:
+        rks = [md5_hex(str(i)) for i in b["doc_id"].to_pylist()]
+        return b.append_column("_rk", pa.array(rks, pa.string()))
+
+    return (
+        ds.map_batches(add_rank, batch_format="pyarrow")
+        .groupby("lang")  # bounded cardinality (#langs)
+        .map_groups(head_per_lang, batch_format="pandas")
+    )
+
+
+def q108_vocab_growth(sf_dir: str):
+    """Vocabulary-growth profile (the Heaps-law curve a tokenizer-corpus
+    sizing study needs): for every word bigram (unigram vocab saturates
+    on this corpus), the FIRST document position
+    (under the deterministic md5 global order) at which it appears, then
+    a histogram of first occurrences per corpus decile. Distributed
+    shape: `global_rank` numbers docs with O(S) driver state; the
+    shuffle then carries (token, min-pos) PARTIALS (per-batch min before
+    the exchange, coarse-salted exact min groups after — G4 with min
+    instead of sum); the decile rollup is tiny. Integers end to end."""
+    from ray.data.aggregate import Count
+
+    from basicocr_ray.stages.dedup import _coarse_salts
+    from basicocr_ray.stages.sample import global_rank
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_total = int(ds.count())
+    positioned = global_rank(ds, "doc_id", seed=42, out_column="pos")
+
+    bigram_items = make_ngram_items(2)
+
+    def partial_min(df: pd.DataFrame) -> pd.DataFrame:
+        first: dict[str, int] = {}
+        for pos, text in zip(df["pos"], df["text"]):
+            p = int(pos)
+            for tok in bigram_items(text):
+                old = first.get(tok)
+                if old is None or p < old:
+                    first[tok] = p
+        return pd.DataFrame(
+            {"token": list(first.keys()),
+             "fp": pd.array(list(first.values()), dtype="int64")}
+        )
+
+    salts = _coarse_salts(None)
+
+    def add_cg(b: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            b["token"].combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        return b.append_column(
+            "cg", pa.array((h & (salts - 1)).astype(np.int32))
+        )
+
+    def final_min(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("token", as_index=False)["fp"].min()
+        return out.astype({"fp": "int64"})
+
+    firsts = (
+        positioned.map_batches(partial_min, batch_format="pandas")
+        .map_batches(add_cg, batch_format="pyarrow")
+        .groupby("cg")
+        .map_groups(
+            lambda df: final_min(df.drop(columns=["cg"])),
+            batch_format="pandas",
+        )
+    )
+
+    def decile(b: pa.Table) -> pa.Table:
+        fp = b["fp"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"decile": pa.array(fp * 10 // n_total, pa.int64())}
+        )
+
+    df = (
+        firsts.map_batches(decile, batch_format="pyarrow")
+        .groupby("decile")
+        .aggregate(Count(alias_name="n_new_tokens"))
+        .to_pandas()
+    )
+    df["decile"] = df["decile"].astype("int64")
+    df["n_new_tokens"] = df["n_new_tokens"].astype("int64")
+    return df
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -4206,6 +4322,8 @@ QUERIES = {
     "q104_bpe_merges": q104_bpe_merges,
     "q105_source_lang_entropy": q105_source_lang_entropy,
     "q106_url_canonicalize": q106_url_canonicalize,
+    "q107_temperature_mix_sample": q107_temperature_mix_sample,
+    "q108_vocab_growth": q108_vocab_growth,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -5540,6 +5658,54 @@ ORACLE_SQL = {
                CAST(max(n) AS BIGINT) AS max_lang_docs
         FROM c JOIN t USING (source)
         GROUP BY c.source, t.tot
+    """,
+    "q107_temperature_mix_sample": """
+        WITH c AS (
+          SELECT lang, count(*) AS n FROM documents GROUP BY lang
+        ),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+        w AS (
+          SELECT lang, sqrt(CAST(n AS DOUBLE) / total) AS wt FROM c, t
+        ),
+        k AS (
+          SELECT lang,
+                 CAST(floor(round(wt / (SELECT sum(wt) FROM w), 6)
+                            * 100 + 0.5) AS BIGINT) AS quota
+          FROM w
+        ),
+        ranked AS (
+          SELECT doc_id, lang,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ) AS rn
+          FROM documents
+        )
+        SELECT doc_id, ranked.lang
+        FROM ranked JOIN k USING (lang)
+        WHERE rn <= quota
+    """,
+    "q108_vocab_growth": f"""
+        WITH pos AS (
+          SELECT text,
+                 row_number() OVER (
+                   ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id
+                 ) - 1 AS pos
+          FROM documents
+        ),
+        toks AS (
+          SELECT pos, unnest(list_transform(
+            range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]
+          )) AS token
+          FROM (SELECT pos, {_TOKS} AS ws FROM pos)
+        ),
+        firsts AS (
+          SELECT token, min(pos) AS fp FROM toks GROUP BY token
+        ),
+        n AS (SELECT count(*) AS total FROM documents)
+        SELECT CAST(fp * 10 // total AS BIGINT) AS decile,
+               count(*) AS n_new_tokens
+        FROM firsts, n GROUP BY 1
     """,
     "q106_url_canonicalize": """
         -- expected canonical form constructed analytically from the
