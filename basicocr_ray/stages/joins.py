@@ -97,7 +97,22 @@ def bucketed_hash_join(
             return pa.string()
         return pa.from_numpy_dtype(np.dtype(t))
 
-    ls, rs = left_ds.schema(), right_ds.schema()
+    def _probed(ds):
+        # schema(fetch_if_missing=True) EXECUTES a lazy plan and throws
+        # the result away — a side that is itself a join/groupby chain
+        # would then run twice (probe + join). Probe without executing;
+        # only when the schema is genuinely unknown, materialize that
+        # side once and reuse the materialized handle for the join (the
+        # following groupby barrier materializes every block anyway, so
+        # peak memory is unchanged).
+        s = ds.schema(fetch_if_missing=False)
+        if s is None:
+            ds = ds.materialize()
+            s = ds.schema()
+        return ds, s
+
+    left_ds, ls = _probed(left_ds)
+    right_ds, rs = _probed(right_ds)
     # an EMPTY side (e.g. a fully-deduped resume wave) has schema None;
     # its columns' types then come from the other side (the key) and the
     # per-bucket empty-side branches below give the right semantics
