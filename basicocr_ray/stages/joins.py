@@ -34,6 +34,20 @@ def _bucket_ids(col: pa.ChunkedArray | pa.Array, num_buckets: int) -> pa.Array:
     return pa.array(b.astype(np.int32, copy=False))
 
 
+def _probed(ds):
+    """(ds, schema) with NO throwaway execution: schema(fetch_if_missing=
+    True) EXECUTES a lazy plan and discards the result — a side that is
+    itself a join/groupby chain would then run twice (probe + consume).
+    Probe without executing; only when the schema is genuinely unknown,
+    materialize that side once and hand back the materialized handle so
+    the probe work is the consumption work."""
+    s = ds.schema(fetch_if_missing=False)
+    if s is None:
+        ds = ds.materialize()
+        s = ds.schema()
+    return ds, s
+
+
 def bucketed_hash_join(
     left_ds,
     right_ds,
@@ -96,20 +110,6 @@ def bucketed_hash_join(
         if t in (str, object) or str(t) == "object":
             return pa.string()
         return pa.from_numpy_dtype(np.dtype(t))
-
-    def _probed(ds):
-        # schema(fetch_if_missing=True) EXECUTES a lazy plan and throws
-        # the result away — a side that is itself a join/groupby chain
-        # would then run twice (probe + join). Probe without executing;
-        # only when the schema is genuinely unknown, materialize that
-        # side once and reuse the materialized handle for the join (the
-        # following groupby barrier materializes every block anyway, so
-        # peak memory is unchanged).
-        s = ds.schema(fetch_if_missing=False)
-        if s is None:
-            ds = ds.materialize()
-            s = ds.schema()
-        return ds, s
 
     left_ds, ls = _probed(left_ds)
     right_ds, rs = _probed(right_ds)
@@ -282,10 +282,12 @@ def interval_join(
         return pa.Table.from_arrays(arrays, names)
 
     # widen both sides to a common schema for the union
-    pts = points_ds.map_batches(prep_points, batch_format="pyarrow")
-    ivs = intervals_ds.map_batches(prep_intervals, batch_format="pyarrow")
-    p_schema = pts.schema()
-    i_schema = ivs.schema()
+    pts, p_schema = _probed(
+        points_ds.map_batches(prep_points, batch_format="pyarrow")
+    )
+    ivs, i_schema = _probed(
+        intervals_ds.map_batches(prep_intervals, batch_format="pyarrow")
+    )
     all_names = list(p_schema.names) + [
         c for c in i_schema.names if c not in p_schema.names
     ]
@@ -437,8 +439,9 @@ def skew_aware_join(
             num_buckets=num_buckets,
         )
 
-    key_type = dict(zip(right_ds.schema().names, right_ds.schema().types))[key]
-    hot_arr = pa.array(hot, type=key_type)
+    right_ds, r_schema = _probed(right_ds)
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    hot_arr = pa.array(hot, type=r_types[key])
     rcols = [key] + [c for c in right_columns if c != key]
     lcols = [key] + [c for c in left_columns if c != key]
     out_cols = lcols + [c for c in rcols if c not in lcols]
@@ -449,10 +452,7 @@ def skew_aware_join(
             .select(rcols),
             batch_format="pyarrow",
         )),
-        schema=pa.schema(
-            [(c, dict(zip(right_ds.schema().names,
-                          right_ds.schema().types))[c]) for c in rcols]
-        ),
+        schema=pa.schema([(c, r_types[c]) for c in rcols]),
     )
     hot_ref = ray.put(hot_right)
 
