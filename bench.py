@@ -384,6 +384,31 @@ def main() -> None:
         )
         queries["hll_distinct_corpus"] = round(time.perf_counter() - t0, 2)
 
+        # sequence packing at corpus scale: distributed exclusive prefix
+        # sum of per-doc token counts under the md5 shuffle order (the
+        # q100 primitive over 200k real rows; consume via the final max)
+        from basicocr_ray.stages.sample import global_prefix_sum
+
+        def tokcount(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "n_tok": pa.array(
+                        [len(token_items(t)) for t in b["text"].to_pylist()],
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        t0 = time.perf_counter()
+        total_tok = global_prefix_sum(
+            with_int_ids(200_000).map_batches(
+                tokcount, batch_format="pyarrow"
+            ),
+            "doc_id", "n_tok",
+        ).max("prefix")
+        queries["pack_prefix_200k"] = round(time.perf_counter() - t0, 2)
+
         from basicocr_ray.pipelines.queries import QUERIES
 
         bench_qs = [
