@@ -4063,7 +4063,8 @@ def q105_source_lang_entropy(sf_dir: str):
 
 
 def q106_url_canonicalize(sf_dir: str):
-    """URL canonicalization (`core/urlnorm.py`) — the crawl-frontier key
+    """URL canonicalization (`core/textstats.py:normalize_url`, the
+    spec-surface `normalize_url` op) — the crawl-frontier key
     normalization, exercised over a deterministic spread of messy URL
     spellings derived from doc_id (mixed-case scheme/host, default and
     NON-default ports on both schemes, utm tracking params, unsorted
@@ -4072,7 +4073,7 @@ def q106_url_canonicalize(sf_dir: str):
     analytically from the same doc_id arithmetic, so every rule (strip
     :443 only on https, keep :80 on https, drop utm_*, sort by key,
     drop fragment) is independently pinned."""
-    from basicocr_ray.core.urlnorm import canonicalize_url
+    from basicocr_ray.core.textstats import normalize_url as canonicalize_url
 
     ds = _read(sf_dir, "documents", columns=["doc_id"])
 

@@ -347,7 +347,7 @@ def test_simhash_batch_matches_per_doc():
 
 
 def test_canonicalize_url_rules():
-    from basicocr_ray.core.urlnorm import canonicalize_url as c
+    from basicocr_ray.core.textstats import normalize_url as c
 
     # scheme/host lowering, default-port strip per scheme
     assert c("HTTPS://WWW.X.COM:443/p") == "https://www.x.com/p"
