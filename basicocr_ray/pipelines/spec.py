@@ -429,7 +429,31 @@ def _op_decontaminate(ds, params):
     return flagged
 
 
+def _op_pack(ds, params):
+    """Token-budget sequence packing (q100 primitive): exclusive prefix
+    sum of ``count_column`` under the deterministic md5 shuffle order,
+    then ``bin_id = prefix // bin_size``."""
+    import pyarrow.compute as pc
+
+    from basicocr_ray.stages.sample import global_prefix_sum
+
+    id_col = params.get("id_column", "doc_id")
+    count_col = params.get("count_column", "n_tok")
+    bin_size = int(params.get("bin_size", 4096))
+    with_prefix = global_prefix_sum(
+        ds, id_col, count_col, seed=int(params.get("seed", 42))
+    )
+
+    def binify(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "bin_id", pc.divide(b["prefix"], bin_size)
+        )
+
+    return with_prefix.map_batches(binify, batch_format="pyarrow")
+
+
 OP_REGISTRY: dict[str, Callable] = {
+    "pack": _op_pack,
     "rename": _op_rename,
     "chunk_dedup": _op_chunk_dedup,
     "decontaminate": _op_decontaminate,
@@ -470,10 +494,29 @@ def run_spec(spec: dict | str, sf_dir: str):
             spec = json.loads(spec)
 
     inp = spec["input"]
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, f"{inp['table']}.parquet"),
-        columns=inp.get("columns"),
-    )
+    fmt = inp.get("format", "parquet")
+    if fmt == "warc":
+        from basicocr_ray.sources.warc import read_warc
+
+        ds = read_warc(inp["path"], keep_corrupt=bool(
+            inp.get("keep_corrupt", False)
+        ))
+    elif fmt == "jsonl":
+        import pyarrow as _pa
+
+        from basicocr_ray.sources.jsonl import read_jsonl
+
+        fields = {
+            name: getattr(_pa, t)() for name, t in inp["fields"].items()
+        }
+        ds = read_jsonl(inp["path"], fields, keep_corrupt=bool(
+            inp.get("keep_corrupt", False)
+        ))
+    else:
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, f"{inp['table']}.parquet"),
+            columns=inp.get("columns"),
+        )
     for step in spec.get("steps", []):
         op = OP_REGISTRY.get(step["op"])
         if op is None:

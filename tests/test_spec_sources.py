@@ -409,3 +409,54 @@ def test_global_prefix_sum_matches_window_sql(tmp_path):
         assert got["prefix"].astype("int64").tolist() == want[
             "prefix"
         ].astype("int64").tolist()
+
+
+def test_spec_pack_and_warc_input(tmp_path):
+    """Spec surface: the `pack` op realizes the q100 packing semantics;
+    a WARC file drives a spec pipeline end-to-end via input format."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+
+    from basicocr_ray.pipelines.spec import OP_REGISTRY, run_spec
+    from basicocr_ray.sources.warc import encode_warc
+
+    import ray.data
+
+    df = pd.DataFrame({"doc_id": range(50), "n_tok": [(i % 9) + 1 for i in range(50)]})
+    got = (
+        OP_REGISTRY["pack"](
+            ray.data.from_pandas(df).repartition(4),
+            {"bin_size": 16, "seed": 9},
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        """
+        SELECT doc_id,
+               coalesce(sum(n_tok) OVER (
+                 ORDER BY md5('9:' || CAST(doc_id AS VARCHAR)), doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // 16 AS bin_id
+        FROM df ORDER BY doc_id
+        """
+    ).df()
+    assert got["bin_id"].astype("int64").tolist() == want["bin_id"].astype(
+        "int64"
+    ).tolist()
+
+    blob = encode_warc(
+        [(f"https://w.example/{i}", "2026-01-01T00:00:00Z",
+          f"payload {i}".encode()) for i in range(20)]
+    )
+    (tmp_path / "x.warc").write_bytes(blob)
+    out = run_spec(
+        {
+            "input": {"format": "warc", "path": str(tmp_path / "x.warc")},
+            "steps": [{"op": "select", "columns": ["uri", "payload"]}],
+        },
+        sf_dir="/unused",
+    ).to_pandas()
+    assert len(out) == 20 and set(out.columns) == {"uri", "payload"}
