@@ -192,3 +192,31 @@ def test_fmm_covers_input_property(text):
 
     seg = FmmSegmenter(["a", "ab", "ba", "aab", "bb"])
     assert "".join(seg.segment(text)) == text
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 10**6),
+            st.binary(max_size=200),
+        ),
+        min_size=0,
+        max_size=8,
+    )
+)
+@settings(max_examples=80, deadline=None)
+def test_warc_roundtrip_property(items):
+    """encode→parse is identity for ANY payload bytes — including
+    payloads that embed 'WARC/1.0', CRLF pairs, or record terminators
+    (Content-Length framing must win over any content sniffing)."""
+    from basicocr_ray.sources.warc import encode_warc, parse_warc
+
+    recs = [
+        (f"https://h.example/{i}", "2026-01-01T00:00:00Z", payload)
+        for i, payload in items
+    ]
+    back = parse_warc(encode_warc(recs))
+    assert [(r["uri"], r["payload"]) for r in back] == [
+        (u, p) for u, _, p in recs
+    ]
+    assert not any(r["_corrupt"] for r in back)
