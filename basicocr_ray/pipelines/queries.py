@@ -4219,6 +4219,203 @@ def q108_vocab_growth(sf_dir: str):
     return df
 
 
+def q109_lsh_calibration(sf_dir: str):
+    """LSH CALIBRATION AUDIT — the measurement that justifies a banding
+    choice before burning 100 TB of compute on it: for every candidate
+    pair surfaced by (B=8, r=2) MinHash banding, how many bands matched
+    vs the pair's EXACT Jaccard. Uses an md5-based MinHash
+    (mh_p = min over shingles of md5(f"{p}:{shingle}")) precisely so the
+    whole sketch is SQL-expressible and the audit itself is
+    oracle-checkable — integers end to end (per-bands-matched pair
+    counts and exact Σinter/Σunion). Distributed shape: signatures per
+    batch (zero shuffle), band-key groups coarse-salted, per-pair band
+    counts in key-hash groups, shingle sets fetched back by TWO bucketed
+    joins (text never rides the band shuffle), tiny final rollup."""
+    from itertools import combinations
+
+    from ray.data.aggregate import Count, Sum
+
+    from basicocr_ray.core.textstats import md5_hex
+    from basicocr_ray.stages.dedup import _coarse_salts
+    from basicocr_ray.stages.joins import bucketed_hash_join
+
+    P, R = 16, 2
+    B = P // R
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    salts = _coarse_salts(None)
+
+    def shingle_set(text: str) -> list[str]:
+        toks = token_items(text)
+        return sorted(
+            {
+                " ".join(toks[i : i + 3])
+                for i in range(len(toks) - 2)
+            }
+        )
+
+    def sets_batch(b: pa.Table) -> pa.Table:
+        # the set rides joins as ONE \\x1f-joined string (Acero doesn't
+        # take list<> payload columns), split again at the verify
+        ids, sets = [], []
+        for i, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            s = shingle_set(t or "")
+            if s:
+                ids.append(i)
+                sets.append("\x1f".join(s))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "s": pa.array(sets, pa.string()),
+            }
+        )
+
+    sets_ds = ds.map_batches(sets_batch, batch_format="pyarrow").materialize()
+
+    def band_rows(b: pa.Table) -> pa.Table:
+        ids, bands, keys = [], [], []
+        for i, joined in zip(b["doc_id"].to_pylist(), b["s"].to_pylist()):
+            s = joined.split("\x1f")
+            mh = [
+                min(md5_hex(f"{p}:{sh}") for sh in s) for p in range(P)
+            ]
+            for band in range(B):
+                ids.append(i)
+                bands.append(band)
+                keys.append("|".join(mh[band * R : band * R + R]))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "band": pa.array(bands, pa.int64()),
+                "key": pa.array(keys, pa.string()),
+            }
+        )
+
+    bands_ds = sets_ds.map_batches(band_rows, batch_format="pyarrow")
+
+    def add_cg_key(b: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            b["key"].combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        return b.append_column(
+            "cg", pa.array((h & (salts - 1)).astype(np.int32))
+        )
+
+    def pairs_in_group(df: pd.DataFrame) -> pd.DataFrame:
+        out1, out2 = [], []
+        for (_, _), grp in df.groupby(["band", "key"]):
+            ids = sorted(grp["doc_id"].tolist())
+            for a, c in combinations(ids, 2):
+                out1.append(a)
+                out2.append(c)
+        return pd.DataFrame(
+            {
+                "id1": pd.array(out1, dtype="int64"),
+                "id2": pd.array(out2, dtype="int64"),
+            }
+        )
+
+    pair_rows = (
+        bands_ds.map_batches(add_cg_key, batch_format="pyarrow")
+        .groupby("cg")
+        .map_groups(
+            lambda df: pairs_in_group(df.drop(columns=["cg"])),
+            batch_format="pandas",
+        )
+    )
+
+    # bands_matched per pair: count the per-band pair emissions inside
+    # pair-hash coarse groups (a pair never spans groups → exact)
+    def add_cg_pair(b: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            (
+                b["id1"].combine_chunks().to_numpy(zero_copy_only=False)
+                << 20
+            )
+            ^ b["id2"].combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        return b.append_column(
+            "cg", pa.array((h & (salts - 1)).astype(np.int32))
+        )
+
+    def count_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["id1", "id2"], as_index=False).agg(
+            bands_matched=("id1", "size")
+        )
+        return g.astype(
+            {"id1": "int64", "id2": "int64", "bands_matched": "int64"}
+        )
+
+    pairs = (
+        pair_rows.map_batches(add_cg_pair, batch_format="pyarrow")
+        .groupby("cg")
+        .map_groups(
+            lambda df: count_pairs(df.drop(columns=["cg"])),
+            batch_format="pandas",
+        )
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "id1": pc.cast(b["id1"], pa.int64()),
+                    "id2": pc.cast(b["id2"], pa.int64()),
+                    "bands_matched": pc.cast(b["bands_matched"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    s1 = sets_ds.map_batches(
+        lambda b: pa.table({"id1": b["doc_id"], "s1": b["s"]}),
+        batch_format="pyarrow",
+    )
+    s2 = sets_ds.map_batches(
+        lambda b: pa.table({"id2": b["doc_id"], "s2": b["s"]}),
+        batch_format="pyarrow",
+    )
+    j1 = bucketed_hash_join(
+        pairs, s1, key="id1",
+        left_columns=["id2", "bands_matched"], right_columns=["s1"],
+    )
+    j2 = bucketed_hash_join(
+        j1, s2, key="id2",
+        left_columns=["bands_matched", "s1"], right_columns=["s2"],
+    )
+
+    def verify(b: pa.Table) -> pa.Table:
+        bm, inter, uni = [], [], []
+        for m, a, c in zip(
+            b["bands_matched"].to_pylist(),
+            b["s1"].to_pylist(),
+            b["s2"].to_pylist(),
+        ):
+            sa, sc = set(a.split("\x1f")), set(c.split("\x1f"))
+            n_i = len(sa & sc)
+            bm.append(m)
+            inter.append(n_i)
+            uni.append(len(sa) + len(sc) - n_i)
+        return pa.table(
+            {
+                "bands_matched": pa.array(bm, pa.int64()),
+                "inter": pa.array(inter, pa.int64()),
+                "uni": pa.array(uni, pa.int64()),
+            }
+        )
+
+    df = (
+        j2.map_batches(verify, batch_format="pyarrow")
+        .groupby("bands_matched")
+        .aggregate(
+            Count(alias_name="n_pairs"),
+            Sum("inter", alias_name="sum_inter"),
+            Sum("uni", alias_name="sum_union"),
+        )
+        .to_pandas()
+    )
+    for c in ("bands_matched", "n_pairs", "sum_inter", "sum_union"):
+        df[c] = df[c].astype("int64")
+    return df
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -4325,6 +4522,7 @@ QUERIES = {
     "q106_url_canonicalize": q106_url_canonicalize,
     "q107_temperature_mix_sample": q107_temperature_mix_sample,
     "q108_vocab_growth": q108_vocab_growth,
+    "q109_lsh_calibration": q109_lsh_calibration,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -5707,6 +5905,54 @@ ORACLE_SQL = {
         SELECT CAST(fp * 10 // total AS BIGINT) AS decile,
                count(*) AS n_new_tokens
         FROM firsts, n GROUP BY 1
+    """,
+    "q109_lsh_calibration": f"""
+        -- md5-MinHash (16 perms, 8 bands x 2 rows) candidate pairs with
+        -- per-pair matched-band counts vs EXACT Jaccard evidence
+        WITH toks AS (
+          SELECT doc_id, list_filter({_TOKS}, t -> t <> '') AS toks
+          FROM documents
+        ),
+        sets AS (
+          SELECT doc_id, list_distinct(list_transform(
+            range(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+          )) AS s
+          FROM toks
+        ),
+        nonempty AS (SELECT doc_id, s FROM sets WHERE len(s) > 0),
+        sh AS (SELECT doc_id, unnest(s) AS shingle FROM nonempty),
+        mh AS (
+          SELECT doc_id, p,
+                 min(md5(CAST(p AS VARCHAR) || ':' || shingle)) AS mh
+          FROM sh CROSS JOIN range(16) t(p) GROUP BY 1, 2
+        ),
+        bands AS (
+          SELECT doc_id, p // 2 AS band,
+                 string_agg(mh, '|' ORDER BY p) AS key
+          FROM mh GROUP BY 1, 2
+        ),
+        pb AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2,
+                 count(*) AS bands_matched
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key
+           AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        sized AS (SELECT doc_id, s, len(s) AS n FROM nonempty),
+        j AS (
+          SELECT pb.bands_matched,
+                 len(list_intersect(x.s, y.s)) AS inter,
+                 x.n + y.n - len(list_intersect(x.s, y.s)) AS uni
+          FROM pb JOIN sized x ON pb.id1 = x.doc_id
+                  JOIN sized y ON pb.id2 = y.doc_id
+        )
+        SELECT CAST(bands_matched AS BIGINT) AS bands_matched,
+               count(*) AS n_pairs,
+               CAST(sum(inter) AS BIGINT) AS sum_inter,
+               CAST(sum(uni) AS BIGINT) AS sum_union
+        FROM j GROUP BY 1
     """,
     "q106_url_canonicalize": """
         -- expected canonical form constructed analytically from the
