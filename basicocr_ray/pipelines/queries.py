@@ -4133,12 +4133,19 @@ def q107_temperature_mix_sample(sf_dir: str):
         df = df.sort_values(["_rk", "doc_id"], kind="mergesort").head(k)
         return df[["doc_id", "lang"]].astype({"doc_id": "int64"})
 
-    def add_rank(b: pa.Table) -> pa.Table:
-        rks = [md5_hex(str(i)) for i in b["doc_id"].to_pylist()]
-        return b.append_column("_rk", pa.array(rks, pa.string()))
+    k_max = max(k_of.values(), default=0)
+
+    def add_rank_prune(df: pd.DataFrame) -> pd.DataFrame:
+        # local prune BEFORE the lang shuffle (the q46/q47 bottom-k
+        # discipline): each batch contributes at most k_max candidates
+        # per lang, so a group carries ≤ k_max×blocks rows — never a
+        # whole language of a 100-TB corpus
+        df = df.assign(_rk=[md5_hex(str(i)) for i in df["doc_id"]])
+        df = df.sort_values(["_rk", "doc_id"], kind="mergesort")
+        return df.groupby("lang", as_index=False).head(k_max)
 
     return (
-        ds.map_batches(add_rank, batch_format="pyarrow")
+        ds.map_batches(add_rank_prune, batch_format="pandas")
         .groupby("lang")  # bounded cardinality (#langs)
         .map_groups(head_per_lang, batch_format="pandas")
     )
