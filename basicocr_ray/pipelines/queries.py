@@ -4163,26 +4163,43 @@ def q108_vocab_growth(sf_dir: str):
     instead of sum); the decile rollup is tiny. Integers end to end."""
     from ray.data.aggregate import Count
 
+    from basicocr_ray.core.textstats import md5_hex
     from basicocr_ray.stages.dedup import _coarse_salts
+    from basicocr_ray.stages.joins import bucketed_hash_join
     from basicocr_ray.stages.sample import global_rank
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     n_total = int(ds.count())
-    positioned = global_rank(ds, "doc_id", seed=42, out_column="pos")
+    # pos numbering runs over (doc_id) ONLY — text never rides the rank
+    # shuffle; the per-token shuffle below carries (token, rank, id)
+    # partials, and pos attaches to the ≤|vocab| winners via one join
+    positioned = global_rank(
+        ds.map_batches(
+            lambda b: b.select(["doc_id"]), batch_format="pyarrow"
+        ),
+        "doc_id", seed=42, out_column="pos",
+    )
 
     bigram_items = make_ngram_items(2)
 
     def partial_min(df: pd.DataFrame) -> pd.DataFrame:
-        first: dict[str, int] = {}
-        for pos, text in zip(df["pos"], df["text"]):
-            p = int(pos)
+        # min over (md5 rank, id) == min over pos: rank order IS the
+        # position order, so first-occurrence reduces on the rank string
+        first: dict[str, tuple[str, int]] = {}
+        for did, text in zip(df["doc_id"], df["text"]):
+            key = (md5_hex(f"42:{int(did)}"), int(did))
             for tok in bigram_items(text):
                 old = first.get(tok)
-                if old is None or p < old:
-                    first[tok] = p
+                if old is None or key < old:
+                    first[tok] = key
         return pd.DataFrame(
-            {"token": list(first.keys()),
-             "fp": pd.array(list(first.values()), dtype="int64")}
+            {
+                "token": list(first.keys()),
+                "rk": [v[0] for v in first.values()],
+                "doc_id": pd.array(
+                    [v[1] for v in first.values()], dtype="int64"
+                ),
+            }
         )
 
     salts = _coarse_salts(None)
@@ -4196,27 +4213,51 @@ def q108_vocab_growth(sf_dir: str):
         )
 
     def final_min(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby("token", as_index=False)["fp"].min()
-        return out.astype({"fp": "int64"})
+        df = df.sort_values(["token", "rk", "doc_id"], kind="mergesort")
+        out = df.drop_duplicates("token")[["token", "doc_id"]]
+        return out.astype({"doc_id": "int64"})
 
     firsts = (
-        positioned.map_batches(partial_min, batch_format="pandas")
+        ds.map_batches(partial_min, batch_format="pandas")
         .map_batches(add_cg, batch_format="pyarrow")
         .groupby("cg")
         .map_groups(
             lambda df: final_min(df.drop(columns=["cg"])),
             batch_format="pandas",
         )
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                    "token": pc.cast(b["token"], pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    with_pos = bucketed_hash_join(
+        firsts,
+        positioned.map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                    "pos": pc.cast(b["pos"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        key="doc_id", left_columns=["token"], right_columns=["pos"],
     )
 
     def decile(b: pa.Table) -> pa.Table:
-        fp = b["fp"].combine_chunks().to_numpy(zero_copy_only=False)
+        fp = b["pos"].combine_chunks().to_numpy(zero_copy_only=False)
         return pa.table(
             {"decile": pa.array(fp * 10 // n_total, pa.int64())}
         )
 
     df = (
-        firsts.map_batches(decile, batch_format="pyarrow")
+        with_pos.map_batches(decile, batch_format="pyarrow")
         .groupby("decile")
         .aggregate(Count(alias_name="n_new_tokens"))
         .to_pandas()
