@@ -4464,6 +4464,119 @@ def q109_lsh_calibration(sf_dir: str):
     return df
 
 
+def q110_robots_filter(sf_dir: str):
+    """robots.txt-style URL filtering — the crawl-side gate every fetch
+    pipeline runs: a per-host DISALLOW prefix table (bounded: one robots
+    file per host) broadcasts once via ray.put; each page tests its path
+    against its host's prefixes in a zero-shuffle streaming scan
+    (startswith = the robots longest-prefix-ignored simple form); rollup
+    counts allowed/blocked per host. Urls derive deterministically from
+    doc_id (host = site<doc_id%7>, path = /p/<doc_id>), and hosts 0/3/6
+    disallow the '/p/1' prefix while hosts 1/4 disallow '/p/2' — so the
+    oracle pins the exact rule semantics with LIKE arithmetic."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    rules = {
+        f"site{k}": (["/p/1"] if k % 3 == 0 else
+                     ["/p/2"] if k % 3 == 1 else [])
+        for k in range(7)
+    }
+    rules_ref = ray.put(rules)
+
+    def classify(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        r = _ray.get(rules_ref)
+        hosts, allowed, blocked = [], [], []
+        agg: dict[str, list[int]] = {}
+        for i in b["doc_id"].to_pylist():
+            host = f"site{i % 7}"
+            path = f"/p/{i}"
+            bad = any(path.startswith(p) for p in r.get(host, ()))
+            a = agg.setdefault(host, [0, 0])
+            a[1 if bad else 0] += 1
+        for host, (n_ok, n_bad) in agg.items():
+            hosts.append(host)
+            allowed.append(n_ok)
+            blocked.append(n_bad)
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "n_allowed": pa.array(allowed, pa.int64()),
+                "n_blocked": pa.array(blocked, pa.int64()),
+            }
+        )
+
+    df = (
+        ds.map_batches(classify, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(
+            Sum("n_allowed", alias_name="n_allowed"),
+            Sum("n_blocked", alias_name="n_blocked"),
+        )
+        .to_pandas()
+    )
+    df["n_allowed"] = df["n_allowed"].astype("int64")
+    df["n_blocked"] = df["n_blocked"].astype("int64")
+    return df
+
+
+def q111_event_transitions(sf_dir: str):
+    """Per-corpus Markov TRANSITION matrix over user event sequences
+    (the session-model statistic recommendation/abuse pipelines compute):
+    (prev_type → type) counts over each user's time-ordered events, plus
+    the row-normalized transition probability. One user-hash shuffle
+    (the q63 LAG discipline — a user's events sort inside one coarse
+    group, vectorized shift), exact int64 counts, and the probability is
+    ONE division of two < 2^53 integers → bit-identical to the SQL
+    window twin."""
+    from basicocr_ray.stages.dedup import _coarse_salts
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                          "event_type"])
+    salts = _coarse_salts(None)
+
+    def add_cg(b: pa.Table) -> pa.Table:
+        u = b["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(u)
+        return b.append_column(
+            "cg", pa.array((h & (salts - 1)).astype(np.int32))
+        )
+
+    def transitions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        )
+        prev = df.groupby("user_id")["event_type"].shift(1)
+        out = pd.DataFrame(
+            {"prev_type": prev, "event_type": df["event_type"]}
+        ).dropna()
+        g = out.groupby(["prev_type", "event_type"], as_index=False).agg(
+            n=("event_type", "size")
+        )
+        return g.astype({"n": "int64"})
+
+    counts = (
+        ds.map_batches(add_cg, batch_format="pyarrow")
+        .groupby("cg")
+        .map_groups(
+            lambda df: transitions(df.drop(columns=["cg"])),
+            batch_format="pandas",
+        )
+    )
+    df = counts.to_pandas()
+    df = df.groupby(["prev_type", "event_type"], as_index=False)["n"].sum()
+    df["n"] = df["n"].astype("int64")
+    totals = df.groupby("prev_type")["n"].transform("sum").astype("int64")
+    df["p"] = [
+        _round_half_up(float(n) / float(t), 6)
+        for n, t in zip(df["n"], totals)
+    ]
+    return df
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -4571,6 +4684,8 @@ QUERIES = {
     "q107_temperature_mix_sample": q107_temperature_mix_sample,
     "q108_vocab_growth": q108_vocab_growth,
     "q109_lsh_calibration": q109_lsh_calibration,
+    "q110_robots_filter": q110_robots_filter,
+    "q111_event_transitions": q111_event_transitions,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -5953,6 +6068,43 @@ ORACLE_SQL = {
         SELECT CAST(fp * 10 // total AS BIGINT) AS decile,
                count(*) AS n_new_tokens
         FROM firsts, n GROUP BY 1
+    """,
+    "q110_robots_filter": """
+        WITH u AS (
+          SELECT 'site' || (doc_id % 7) AS host,
+                 '/p/' || doc_id AS path, doc_id % 7 AS k
+          FROM documents
+        ),
+        c AS (
+          SELECT host,
+                 CASE WHEN (k % 3 = 0 AND path LIKE '/p/1%')
+                       OR (k % 3 = 1 AND path LIKE '/p/2%')
+                      THEN 1 ELSE 0 END AS blocked
+          FROM u
+        )
+        SELECT host,
+               CAST(sum(1 - blocked) AS BIGINT) AS n_allowed,
+               CAST(sum(blocked) AS BIGINT) AS n_blocked
+        FROM c GROUP BY host
+    """,
+    "q111_event_transitions": """
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS prev_type
+          FROM events
+        ),
+        c AS (
+          SELECT prev_type, event_type, count(*) AS n FROM seq
+          WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        ),
+        t AS (
+          SELECT prev_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1
+        )
+        SELECT c.prev_type, c.event_type, CAST(n AS BIGINT) AS n,
+               round(CAST(n AS DOUBLE) / tot, 6) AS p
+        FROM c JOIN t USING (prev_type)
     """,
     "q109_lsh_calibration": f"""
         -- md5-MinHash (16 perms, 8 bands x 2 rows) candidate pairs with

@@ -197,13 +197,16 @@ def incremental_exact_dedup(
         write_fps, batch_format="pyarrow"
     ).sum("n")
 
+    from basicocr_ray.stages.joins import _probed
+
+    new_ds, new_schema = _probed(new_ds)  # no throwaway execution
     survivors = bucketed_hash_join(
         new_ds,
         winners.map_batches(
             lambda b: b.select([id_column]), batch_format="pyarrow"
         ),
         id_column,
-        [c for c in new_ds.schema().names if c != id_column],
+        [c for c in new_schema.names if c != id_column],
         [],
         join_type="left semi",
     )
