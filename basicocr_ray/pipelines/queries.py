@@ -4577,6 +4577,55 @@ def q111_event_transitions(sf_dir: str):
     return df
 
 
+def q112_late_events(sf_dir: str):
+    """Event-time vs ARRIVAL-time late-data accounting — the watermark
+    bookkeeping a streaming ingest keeps (SURVEY §2.9: the reference is
+    batch; this is the engine's streaming-lateness translation): each
+    event's arrival is its event time plus a deterministic transport
+    delay (event_id % 7200 seconds); an event is LATE if it arrives
+    more than the 30-min allowed lateness after its hour window closes.
+    Pure integer µs arithmetic per batch (zero shuffle before the
+    partial), per-hour partial counts, tiny final sum."""
+    from ray.data.aggregate import Sum
+
+    HOUR_US = 3_600_000_000
+    LATE_US = 1_800_000_000
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b["ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts_us = ts.astype("datetime64[us]").astype(np.int64)
+        eid = b["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        hour_us = (ts_us // HOUR_US) * HOUR_US
+        arrival = ts_us + (eid % 7200) * 1_000_000
+        late = arrival > hour_us + HOUR_US + LATE_US
+        df = pd.DataFrame(
+            {"hour_us": hour_us, "late": late.astype(np.int64)}
+        )
+        g = df.groupby("hour_us", as_index=False).agg(
+            n_events=("late", "size"), n_late=("late", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    df = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hour_us")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("n_late", alias_name="n_late"),
+        )
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "hour": pd.to_datetime(df["hour_us"], unit="us"),
+            "n_events": df["n_events"].astype("int64"),
+            "n_late": df["n_late"].astype("int64"),
+        }
+    )
+    return out
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -4686,6 +4735,7 @@ QUERIES = {
     "q109_lsh_calibration": q109_lsh_calibration,
     "q110_robots_filter": q110_robots_filter,
     "q111_event_transitions": q111_event_transitions,
+    "q112_late_events": q112_late_events,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -6068,6 +6118,19 @@ ORACLE_SQL = {
         SELECT CAST(fp * 10 // total AS BIGINT) AS decile,
                count(*) AS n_new_tokens
         FROM firsts, n GROUP BY 1
+    """,
+    "q112_late_events": """
+        WITH e AS (
+          SELECT date_trunc('hour', ts) AS hour,
+                 epoch_us(ts) + (event_id % 7200) * 1000000 AS arrival_us,
+                 epoch_us(date_trunc('hour', ts))
+                   + 3600000000 AS wend_us
+          FROM events
+        )
+        SELECT hour, count(*) AS n_events,
+               CAST(sum(CASE WHEN arrival_us > wend_us + 1800000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+        FROM e GROUP BY hour
     """,
     "q110_robots_filter": """
         WITH u AS (
