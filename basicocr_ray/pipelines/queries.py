@@ -4626,6 +4626,50 @@ def q112_late_events(sf_dir: str):
     return out
 
 
+def q113_chunk_windows(sf_dir: str):
+    """Overlapping CONTEXT-WINDOW chunking (the RAG/embedding prep step:
+    split every document into 32-word windows with stride 24, keeping
+    provenance): a pure flat-map expansion — each input row fans out to
+    its chunk rows inside one map_batches, zero shuffle, so the op
+    streams at any scale. Chunk identity is pinned by md5(chunk text);
+    the final (doc_id, chunk_idx) relation carries exact integers +
+    hashes only. Short docs yield their single (possibly sub-width)
+    chunk; the tail chunk is kept IF it adds new words (start < n)."""
+    W, S = 32, 24
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunk(b: pa.Table) -> pa.Table:
+        ids, idxs, nws, fps = [], [], [], []
+        for did, text in zip(
+            b["doc_id"].to_pylist(), b["text"].to_pylist()
+        ):
+            toks = token_items(text or "")
+            n = len(toks)
+            if n == 0:
+                continue
+            starts = range(0, max(n - W, 0) + S, S) if n > W else [0]
+            ci = 0
+            for st in starts:
+                if st >= n:
+                    break
+                piece = toks[st : st + W]
+                ids.append(did)
+                idxs.append(ci)
+                nws.append(len(piece))
+                fps.append(md5_hex(" ".join(piece)))
+                ci += 1
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "chunk_idx": pa.array(idxs, pa.int64()),
+                "n_words": pa.array(nws, pa.int64()),
+                "fp": pa.array(fps, pa.string()),
+            }
+        )
+
+    return ds.map_batches(chunk, batch_format="pyarrow")
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -4736,6 +4780,7 @@ QUERIES = {
     "q110_robots_filter": q110_robots_filter,
     "q111_event_transitions": q111_event_transitions,
     "q112_late_events": q112_late_events,
+    "q113_chunk_windows": q113_chunk_windows,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -6118,6 +6163,32 @@ ORACLE_SQL = {
         SELECT CAST(fp * 10 // total AS BIGINT) AS decile,
                count(*) AS n_new_tokens
         FROM firsts, n GROUP BY 1
+    """,
+    "q113_chunk_windows": f"""
+        WITH toks AS (
+          SELECT doc_id, list_filter({_TOKS}, t -> t <> '') AS tk
+          FROM documents
+        ),
+        sized AS (
+          SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0
+        ),
+        starts AS (
+          SELECT doc_id, tk, n,
+                 unnest(range(0, greatest(n - 32, 0) + 24, 24)) AS st
+          FROM sized
+        ),
+        c AS (
+          SELECT doc_id, st,
+                 row_number() OVER (
+                   PARTITION BY doc_id ORDER BY st
+                 ) - 1 AS chunk_idx,
+                 tk[st + 1 : st + 32] AS piece
+          FROM starts WHERE st < n
+        )
+        SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               CAST(len(piece) AS BIGINT) AS n_words,
+               md5(array_to_string(piece, ' ')) AS fp
+        FROM c
     """,
     "q112_late_events": """
         WITH e AS (
