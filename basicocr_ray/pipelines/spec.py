@@ -452,8 +452,78 @@ def _op_pack(ds, params):
     return with_prefix.map_batches(binify, batch_format="pyarrow")
 
 
+def _op_chunk_windows(ds, params):
+    """Overlapping context-window chunking (q113 semantics): each row
+    fans out to (id, chunk_idx, n_words, chunk_text) rows."""
+    from basicocr_ray.stages.wide import token_items
+
+    W = int(params.get("width", 32))
+    S = int(params.get("stride", 24))
+    id_col = params.get("id_column", "doc_id")
+    text_col = params.get("text_column", "text")
+
+    def chunk(b: pa.Table) -> pa.Table:
+        ids, idxs, nws, texts = [], [], [], []
+        for did, text in zip(
+            b[id_col].to_pylist(), b[text_col].to_pylist()
+        ):
+            toks = token_items(text or "")
+            n = len(toks)
+            if n == 0:
+                continue
+            starts = range(0, max(n - W, 0) + S, S) if n > W else [0]
+            ci = 0
+            for st in starts:
+                if st >= n:
+                    break
+                piece = toks[st : st + W]
+                ids.append(did)
+                idxs.append(ci)
+                nws.append(len(piece))
+                texts.append(" ".join(piece))
+                ci += 1
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "chunk_idx": pa.array(idxs, pa.int64()),
+                "n_words": pa.array(nws, pa.int64()),
+                "chunk_text": pa.array(texts, pa.string()),
+            }
+        )
+
+    return ds.map_batches(chunk, batch_format="pyarrow")
+
+
+def _op_robots_filter(ds, params):
+    """Drop rows whose url matches a per-host disallow-prefix table
+    (params["rules"]: {host: [path_prefix, ...]}), broadcast once."""
+    import ray
+    from urllib.parse import urlsplit
+
+    rules_ref = ray.put(dict(params["rules"]))
+    url_col = params.get("url_column", "url")
+
+    def keep(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        rules = _ray.get(rules_ref)
+        mask = []
+        for u in b[url_col].to_pylist():
+            parts = urlsplit(u or "")
+            host = (parts.hostname or "").lower()
+            path = parts.path or "/"
+            mask.append(
+                not any(path.startswith(p) for p in rules.get(host, ()))
+            )
+        return b.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 OP_REGISTRY: dict[str, Callable] = {
     "pack": _op_pack,
+    "chunk_windows": _op_chunk_windows,
+    "robots_filter": _op_robots_filter,
     "rename": _op_rename,
     "chunk_dedup": _op_chunk_dedup,
     "decontaminate": _op_decontaminate,

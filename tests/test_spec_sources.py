@@ -460,3 +460,53 @@ def test_spec_pack_and_warc_input(tmp_path):
         sf_dir="/unused",
     ).to_pandas()
     assert len(out) == 20 and set(out.columns) == {"uri", "payload"}
+
+
+def test_spec_chunk_and_robots_ops():
+    """chunk_windows fans rows out with provenance and full word
+    coverage; robots_filter drops disallowed (host, path-prefix) urls."""
+    import pandas as pd
+    import ray.data
+
+    from basicocr_ray.pipelines.spec import OP_REGISTRY
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["w" + " w".join(str(i) for i in range(70)), "short text"],
+        }
+    )
+    out = (
+        OP_REGISTRY["chunk_windows"](
+            ray.data.from_pandas(docs), {"width": 32, "stride": 24}
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    d1 = out[out["doc_id"] == 1]
+    # 70 words: starts 0,24,48 -> 32,32,22 words; every word covered
+    assert d1["n_words"].tolist() == [32, 32, 22]
+    covered = set()
+    for st, txt in zip([0, 24, 48], d1["chunk_text"]):
+        covered.update(range(st, st + len(txt.split())))
+    assert covered == set(range(70))
+    assert out[out["doc_id"] == 2]["n_words"].tolist() == [2]
+
+    urls = pd.DataFrame(
+        {
+            "url": [
+                "https://a.com/keep/1",
+                "https://a.com/private/2",
+                "https://B.com/private/3",   # host case-folded
+                "https://c.com/private/4",   # no rule for c.com
+            ]
+        }
+    )
+    kept = OP_REGISTRY["robots_filter"](
+        ray.data.from_pandas(urls),
+        {"rules": {"a.com": ["/private"], "b.com": ["/private"]}},
+    ).to_pandas()
+    assert sorted(kept["url"]) == [
+        "https://a.com/keep/1", "https://c.com/private/4"
+    ]
