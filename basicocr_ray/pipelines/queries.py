@@ -4670,6 +4670,83 @@ def q113_chunk_windows(sf_dir: str):
     return ds.map_batches(chunk, batch_format="pyarrow")
 
 
+def q114_blocklist_filter(sf_dir: str):
+    """C4-style BAD-WORD filtering (Raffel et al. 2020 §2.2 — drop any
+    page containing a blocklisted word): the blocklist broadcasts once
+    (bounded by construction — a curated list, not a vocabulary), each
+    doc streams through a zero-shuffle membership scan, and the rollup
+    reports kept/dropped doc and char counts per lang. The blocklist
+    derives deterministically from the corpus vocabulary (every 13th
+    token by md5 order) so the oracle can reconstruct it exactly —
+    integers end to end."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["text", "lang", "n_chars"])
+
+    # blocklist: every 13th distinct corpus token under md5 order — a
+    # deterministic, corpus-derived stand-in for a curated list
+    vocab = count_terms(ds, "text", token_items, "token")
+
+    def pick(b: pa.Table) -> pa.Table:
+        toks = [
+            t for t in b["token"].to_pylist()
+            if int(md5_hex(t)[:8], 16) % 13 == 0
+        ]
+        return pa.table({"token": pa.array(toks, pa.string())})
+
+    bad = sorted(
+        r["token"] for r in collect_rows(
+            vocab.map_batches(pick, batch_format="pyarrow")
+        )
+    )  # bounded: |vocab|/13 at fixture scale; a curated list in prod
+    bad_ref = ray.put(frozenset(bad))
+
+    def classify(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        bset = _ray.get(bad_ref)
+        langs = b["lang"].to_pylist()
+        nch = b["n_chars"].to_pylist()
+        agg: dict[str, list[int]] = {}
+        for text, lang, n in zip(b["text"].to_pylist(), langs, nch):
+            blocked = any(t in bset for t in token_items(text or ""))
+            a = agg.setdefault(lang, [0, 0, 0, 0])
+            if blocked:
+                a[1] += 1
+                a[3] += int(n)
+            else:
+                a[0] += 1
+                a[2] += int(n)
+        rows = sorted(agg.items())
+        return pa.table(
+            {
+                "lang": pa.array([k for k, _ in rows], pa.string()),
+                "n_kept": pa.array([v[0] for _, v in rows], pa.int64()),
+                "n_dropped": pa.array([v[1] for _, v in rows], pa.int64()),
+                "kept_chars": pa.array([v[2] for _, v in rows], pa.int64()),
+                "dropped_chars": pa.array(
+                    [v[3] for _, v in rows], pa.int64()
+                ),
+            }
+        )
+
+    df = (
+        ds.map_batches(classify, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_kept", alias_name="n_kept"),
+            Sum("n_dropped", alias_name="n_dropped"),
+            Sum("kept_chars", alias_name="kept_chars"),
+            Sum("dropped_chars", alias_name="dropped_chars"),
+        )
+        .to_pandas()
+    )
+    for c in ("n_kept", "n_dropped", "kept_chars", "dropped_chars"):
+        df[c] = df[c].astype("int64")
+    return df
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -4781,6 +4858,7 @@ QUERIES = {
     "q111_event_transitions": q111_event_transitions,
     "q112_late_events": q112_late_events,
     "q113_chunk_windows": q113_chunk_windows,
+    "q114_blocklist_filter": q114_blocklist_filter,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -6163,6 +6241,35 @@ ORACLE_SQL = {
         SELECT CAST(fp * 10 // total AS BIGINT) AS decile,
                count(*) AS n_new_tokens
         FROM firsts, n GROUP BY 1
+    """,
+    "q114_blocklist_filter": f"""
+        WITH vocab AS (
+          SELECT DISTINCT token FROM (
+            SELECT unnest({_TOKS}) AS token FROM documents
+          ) WHERE token <> ''
+        ),
+        bad AS (
+          SELECT token FROM vocab
+          WHERE CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % 13 = 0
+        ),
+        flagged AS (
+          SELECT lang, n_chars,
+                 EXISTS (
+                   SELECT 1 FROM bad
+                   WHERE list_contains({_TOKS}, bad.token)
+                 ) AS blocked
+          FROM documents
+        )
+        SELECT lang,
+               CAST(sum(CASE WHEN blocked THEN 0 ELSE 1 END) AS BIGINT)
+                 AS n_kept,
+               CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dropped,
+               CAST(sum(CASE WHEN blocked THEN 0 ELSE n_chars END)
+                 AS BIGINT) AS kept_chars,
+               CAST(sum(CASE WHEN blocked THEN n_chars ELSE 0 END)
+                 AS BIGINT) AS dropped_chars
+        FROM flagged GROUP BY lang
     """,
     "q113_chunk_windows": f"""
         WITH toks AS (
