@@ -3449,11 +3449,11 @@ def q97_ngram_langid(sf_dir: str):
         return df[["lang", "gram", "r"]]
 
     def add_lang_cg(b: pa.Table) -> pa.Table:
-        # group by the LANG prefix so each lang's top-K is computed whole
-        lg = b["lg"].to_pylist()
-        return b.append_column(
-            "langkey", pa.array([s.split("\x1f", 1)[0] for s in lg], pa.string())
-        )
+        # group by the LANG prefix so each lang's top-K is computed whole;
+        # vectorized split — this relation is vocabulary-scale (the
+        # per-row pylist loop here is the round-2 q07/q08 regression class)
+        parts = pc.split_pattern(b["lg"], pattern="\x1f", max_splits=1)
+        return b.append_column("langkey", pc.list_element(parts, 0))
 
     prof_rows = collect_rows(
         counts.map_batches(add_lang_cg, batch_format="pyarrow")
@@ -3810,7 +3810,8 @@ def q102_warc_roundtrip(sf_dir: str):
         ]
         blob = encode_warc(recs)
         parsed = parse_warc(blob)
-        assert not any(r["_corrupt"] for r in parsed)
+        if any(r["_corrupt"] for r in parsed):
+            raise ValueError("WARC roundtrip produced corrupt records")
         ids = [int(r["uri"].rsplit("/", 1)[1]) for r in parsed]
         nch = [len(r["payload"].decode("utf-8")) for r in parsed]
         langs = dict(
@@ -3886,15 +3887,9 @@ def q103_pagerank_hosts(sf_dir: str):
     # 64 hosts → 4 buckets; a real host graph would keep the default 32+
     out, scale = pagerank_scaled_int(nodes, edges, iters=3, num_buckets=4)
 
-    n_total = int(
-        nodes.map_batches(
-            lambda b: pa.table(
-                {"s": pa.array([pc.sum(b["mass"]).as_py() or 0], pa.int64())}
-            ),
-            batch_format="pyarrow",
-        ).sum("s")
-    )
     df = out.to_pandas()
+    n_total = int(df["mass"].sum())  # the full node relation is already
+    # on the driver for the final frame — no extra distributed pass
     df["h"] = df["h"].astype("int64")
     df["mass"] = df["mass"].astype("int64")
     df["x"] = df["x"].astype("int64")
@@ -3919,7 +3914,7 @@ def q104_bpe_merges(sf_dir: str):
     5-round unrolled SQL twin exactly — integers end to end."""
     from collections import Counter
 
-    from basicocr_ray.stages.dedup import _coarse_salts
+    from basicocr_ray.stages.wide import coarse_group_reduce
 
     STEPS = 5
     ds = _read(sf_dir, "documents", columns=["text"])
@@ -3936,8 +3931,6 @@ def q104_bpe_merges(sf_dir: str):
 
     words = words.map_batches(symbolize, batch_format="pyarrow").materialize()
 
-    salts = _coarse_salts(None)
-
     def pair_partial(batch: pa.Table) -> pa.Table:
         cnt: Counter[str] = Counter()
         for s, c in zip(batch["s"].to_pylist(), batch["c"].to_pylist()):
@@ -3952,28 +3945,15 @@ def q104_bpe_merges(sf_dir: str):
             }
         )
 
-    def add_cg(b: pa.Table) -> pa.Table:
-        h = pd.util.hash_array(
-            b["pair"].combine_chunks().to_numpy(zero_copy_only=False)
-        )
-        return b.append_column(
-            "cg", pa.array((h & (salts - 1)).astype(np.int32))
-        )
-
     def final_sum(df: pd.DataFrame) -> pd.DataFrame:
         out = df.groupby("pair", as_index=False)["cnt"].sum()
         return out.astype({"cnt": "int64"})
 
     steps, pairs_out, cnts_out = [], [], []
     for step in range(1, STEPS + 1):
-        pair_counts = (
-            words.map_batches(pair_partial, batch_format="pyarrow")
-            .map_batches(add_cg, batch_format="pyarrow")
-            .groupby("cg")
-            .map_groups(
-                lambda df: final_sum(df.drop(columns=["cg"])),
-                batch_format="pandas",
-            )
+        pair_counts = coarse_group_reduce(
+            words.map_batches(pair_partial, batch_format="pyarrow"),
+            "pair", final_sum,
         )
         best = collect_rows(top_k(pair_counts, 1, "cnt", "pair"))
         pair, cnt = best[0]["pair"], int(best[0]["cnt"])
@@ -4012,22 +3992,13 @@ def q105_source_lang_entropy(sf_dir: str):
     identical IEEE division on both engines and the ≤5-term sum hides
     any last-ulp libm/accumulation drift under round-6 (the q94
     discipline)."""
-    from basicocr_ray.stages.dedup import _coarse_salts
+    from basicocr_ray.stages.wide import coarse_group_reduce
 
     ds = _read(sf_dir, "documents", columns=["source", "lang"])
-    salts = _coarse_salts(None)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(["source", "lang"], as_index=False).agg(
             n=("lang", "size")
-        )
-
-    def add_cg(b: pa.Table) -> pa.Table:
-        h = pd.util.hash_array(
-            b["source"].combine_chunks().to_numpy(zero_copy_only=False)
-        )
-        return b.append_column(
-            "cg", pa.array((h & (salts - 1)).astype(np.int32))
         )
 
     def entropy(df: pd.DataFrame) -> pd.DataFrame:
@@ -4051,14 +4022,8 @@ def q105_source_lang_entropy(sf_dir: str):
             {"n_docs": "int64", "max_lang_docs": "int64"}
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pandas")
-        .map_batches(add_cg, batch_format="pyarrow")
-        .groupby("cg")
-        .map_groups(
-            lambda df: entropy(df.drop(columns=["cg"])),
-            batch_format="pandas",
-        )
+    return coarse_group_reduce(
+        ds.map_batches(partial, batch_format="pandas"), "source", entropy
     )
 
 
@@ -4164,9 +4129,9 @@ def q108_vocab_growth(sf_dir: str):
     from ray.data.aggregate import Count
 
     from basicocr_ray.core.textstats import md5_hex
-    from basicocr_ray.stages.dedup import _coarse_salts
     from basicocr_ray.stages.joins import bucketed_hash_join
     from basicocr_ray.stages.sample import global_rank
+    from basicocr_ray.stages.wide import coarse_group_reduce
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     n_total = int(ds.count())
@@ -4202,28 +4167,15 @@ def q108_vocab_growth(sf_dir: str):
             }
         )
 
-    salts = _coarse_salts(None)
-
-    def add_cg(b: pa.Table) -> pa.Table:
-        h = pd.util.hash_array(
-            b["token"].combine_chunks().to_numpy(zero_copy_only=False)
-        )
-        return b.append_column(
-            "cg", pa.array((h & (salts - 1)).astype(np.int32))
-        )
-
     def final_min(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["token", "rk", "doc_id"], kind="mergesort")
         out = df.drop_duplicates("token")[["token", "doc_id"]]
         return out.astype({"doc_id": "int64"})
 
     firsts = (
-        ds.map_batches(partial_min, batch_format="pandas")
-        .map_batches(add_cg, batch_format="pyarrow")
-        .groupby("cg")
-        .map_groups(
-            lambda df: final_min(df.drop(columns=["cg"])),
-            batch_format="pandas",
+        coarse_group_reduce(
+            ds.map_batches(partial_min, batch_format="pandas"),
+            "token", final_min,
         )
         .map_batches(
             lambda b: pa.table(
@@ -4284,13 +4236,12 @@ def q109_lsh_calibration(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     from basicocr_ray.core.textstats import md5_hex
-    from basicocr_ray.stages.dedup import _coarse_salts
     from basicocr_ray.stages.joins import bucketed_hash_join
+    from basicocr_ray.stages.wide import coarse_group_reduce
 
     P, R = 16, 2
     B = P // R
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    salts = _coarse_salts(None)
 
     def shingle_set(text: str) -> list[str]:
         toks = token_items(text)
@@ -4340,14 +4291,6 @@ def q109_lsh_calibration(sf_dir: str):
 
     bands_ds = sets_ds.map_batches(band_rows, batch_format="pyarrow")
 
-    def add_cg_key(b: pa.Table) -> pa.Table:
-        h = pd.util.hash_array(
-            b["key"].combine_chunks().to_numpy(zero_copy_only=False)
-        )
-        return b.append_column(
-            "cg", pa.array((h & (salts - 1)).astype(np.int32))
-        )
-
     def pairs_in_group(df: pd.DataFrame) -> pd.DataFrame:
         out1, out2 = [], []
         for (_, _), grp in df.groupby(["band", "key"]):
@@ -4362,29 +4305,10 @@ def q109_lsh_calibration(sf_dir: str):
             }
         )
 
-    pair_rows = (
-        bands_ds.map_batches(add_cg_key, batch_format="pyarrow")
-        .groupby("cg")
-        .map_groups(
-            lambda df: pairs_in_group(df.drop(columns=["cg"])),
-            batch_format="pandas",
-        )
-    )
+    pair_rows = coarse_group_reduce(bands_ds, "key", pairs_in_group)
 
     # bands_matched per pair: count the per-band pair emissions inside
     # pair-hash coarse groups (a pair never spans groups → exact)
-    def add_cg_pair(b: pa.Table) -> pa.Table:
-        h = pd.util.hash_array(
-            (
-                b["id1"].combine_chunks().to_numpy(zero_copy_only=False)
-                << 20
-            )
-            ^ b["id2"].combine_chunks().to_numpy(zero_copy_only=False)
-        )
-        return b.append_column(
-            "cg", pa.array((h & (salts - 1)).astype(np.int32))
-        )
-
     def count_pairs(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(["id1", "id2"], as_index=False).agg(
             bands_matched=("id1", "size")
@@ -4394,12 +4318,7 @@ def q109_lsh_calibration(sf_dir: str):
         )
 
     pairs = (
-        pair_rows.map_batches(add_cg_pair, batch_format="pyarrow")
-        .groupby("cg")
-        .map_groups(
-            lambda df: count_pairs(df.drop(columns=["cg"])),
-            batch_format="pandas",
-        )
+        coarse_group_reduce(pair_rows, ["id1", "id2"], count_pairs)
         .map_batches(
             lambda b: pa.table(
                 {
@@ -4532,18 +4451,10 @@ def q111_event_transitions(sf_dir: str):
     group, vectorized shift), exact int64 counts, and the probability is
     ONE division of two < 2^53 integers → bit-identical to the SQL
     window twin."""
-    from basicocr_ray.stages.dedup import _coarse_salts
+    from basicocr_ray.stages.wide import coarse_group_reduce
 
     ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id",
                                           "event_type"])
-    salts = _coarse_salts(None)
-
-    def add_cg(b: pa.Table) -> pa.Table:
-        u = b["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
-        h = pd.util.hash_array(u)
-        return b.append_column(
-            "cg", pa.array((h & (salts - 1)).astype(np.int32))
-        )
 
     def transitions(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(
@@ -4558,14 +4469,7 @@ def q111_event_transitions(sf_dir: str):
         )
         return g.astype({"n": "int64"})
 
-    counts = (
-        ds.map_batches(add_cg, batch_format="pyarrow")
-        .groupby("cg")
-        .map_groups(
-            lambda df: transitions(df.drop(columns=["cg"])),
-            batch_format="pandas",
-        )
-    )
+    counts = coarse_group_reduce(ds, "user_id", transitions)
     df = counts.to_pandas()
     df = df.groupby(["prev_type", "event_type"], as_index=False)["n"].sum()
     df["n"] = df["n"].astype("int64")

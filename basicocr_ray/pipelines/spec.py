@@ -463,6 +463,9 @@ def _op_chunk_windows(ds, params):
     text_col = params.get("text_column", "text")
 
     def chunk(b: pa.Table) -> pa.Table:
+        id_type = b.schema.field(id_col).type  # keep dtype stable even
+        # for zero-chunk batches (untyped pa.array([]) is null-typed and
+        # breaks downstream schema unification)
         ids, idxs, nws, texts = [], [], [], []
         for did, text in zip(
             b[id_col].to_pylist(), b[text_col].to_pylist()
@@ -484,7 +487,7 @@ def _op_chunk_windows(ds, params):
                 ci += 1
         return pa.table(
             {
-                id_col: pa.array(ids),
+                id_col: pa.array(ids, type=id_type),
                 "chunk_idx": pa.array(idxs, pa.int64()),
                 "n_words": pa.array(nws, pa.int64()),
                 "chunk_text": pa.array(texts, pa.string()),

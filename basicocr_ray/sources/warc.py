@@ -31,7 +31,17 @@ _MAGIC = b"WARC/1.0"
 def encode_warc_record(
     uri: str, date: str, payload: bytes, warc_type: str = "response"
 ) -> bytes:
-    """One WARC/1.0 record with the minimal Common-Crawl header set."""
+    """One WARC/1.0 record with the minimal Common-Crawl header set.
+
+    Header values are validated against CR/LF: an embedded newline would
+    terminate the header block early (header injection), silently
+    re-framing the record so its payload is lost to the resync scan.
+    Refuse loudly instead — a URI with control characters is corrupt
+    input, and the caller's quarantine path is the place for it."""
+    for name, value in (("uri", uri), ("date", date),
+                        ("warc_type", warc_type)):
+        if "\r" in value or "\n" in value:
+            raise ValueError(f"CR/LF in WARC header field {name}: {value!r}")
     headers = (
         f"WARC/1.0\r\n"
         f"WARC-Type: {warc_type}\r\n"

@@ -66,9 +66,10 @@ def pagerank_scaled_int(
     The combine groupby runs inside cluster-sized coarse hash groups
     (the count_terms discipline), so node-table cardinality never feeds
     a raw high-cardinality Ray aggregate."""
-    from basicocr_ray.stages.dedup import _coarse_salts
+    if iters < 1:
+        raise ValueError("iters must be >= 1 (x_0 is the mass baseline)")
 
-    salts = _coarse_salts(num_salt)
+    from basicocr_ray.stages.wide import coarse_group_reduce
 
     nodes_typed = nodes_ds.map_batches(
         lambda b: pa.table(
@@ -127,14 +128,6 @@ def pagerank_scaled_int(
             }
         )
 
-    def add_cg(b: pa.Table) -> pa.Table:
-        h = pd.util.hash_array(
-            b["k"].combine_chunks().to_numpy(zero_copy_only=False)
-        )
-        return b.append_column(
-            "cg", pa.array((h & (salts - 1)).astype(np.int32))
-        )
-
     scale = 1  # (damp_den·M)^k
     tele_base = (damp_den - damp_num) * out_degree
     for _ in range(iters):
@@ -163,13 +156,9 @@ def pagerank_scaled_int(
             )
             return out
 
-        ranked = (
-            contrib.union(tagged_nodes)
-            .map_batches(add_cg, batch_format="pyarrow")
-            .groupby("cg")
-            .map_groups(combine, batch_format="pandas")
-            .materialize()
-        )
+        ranked = coarse_group_reduce(
+            contrib.union(tagged_nodes), "k", combine, num_salt=num_salt
+        ).materialize()
         ranks = ranked.map_batches(
             lambda b: pa.table({"src": b[node_column], "x": b["x"]}),
             batch_format="pyarrow",

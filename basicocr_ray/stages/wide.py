@@ -56,6 +56,44 @@ def make_ngram_items(n: int) -> Callable[[str], list[str]]:
     return items
 
 
+def coarse_group_reduce(ds, key_columns, final_fn, num_salt: int | None = None):
+    """THE house exact-reduce shape in one place: shuffle partial rows
+    into cluster-sized coarse groups of a stable hash of
+    ``key_columns`` (str or list of str; same key → same group on every
+    worker), then apply ``final_fn`` (pandas in → pandas out, ``cg``
+    already dropped) once per group. A Ray Aggregate keyed on every
+    distinct key is a high-cardinality sort stall on open-vocabulary
+    relations — this is its bounded-group replacement."""
+    import numpy as np
+
+    from basicocr_ray.stages.dedup import _coarse_salts
+
+    salts = _coarse_salts(num_salt)
+    cols = [key_columns] if isinstance(key_columns, str) else list(key_columns)
+
+    def add_cg(b: pa.Table) -> pa.Table:
+        h = None
+        for c in cols:
+            hc = pd.util.hash_array(
+                b[c].combine_chunks().to_numpy(zero_copy_only=False)
+            )
+            h = hc if h is None else (
+                h * np.uint64(0x9E3779B97F4A7C15)
+            ) ^ hc
+        return b.append_column(
+            "cg", pa.array((h & (salts - 1)).astype(np.int32))
+        )
+
+    return (
+        ds.map_batches(add_cg, batch_format="pyarrow")
+        .groupby("cg")
+        .map_groups(
+            lambda df: final_fn(df.drop(columns=["cg"])),
+            batch_format="pandas",
+        )
+    )
+
+
 def count_terms(
     ds,
     text_column: str,
@@ -67,25 +105,6 @@ def count_terms(
     coarse groups of the key hash (same key → same group, pandas sum is
     exact) — a Ray Aggregate keyed on every distinct token is the
     high-cardinality sort stall on an open-vocabulary corpus."""
-    import pandas as pd
-
-    from basicocr_ray.stages.dedup import _coarse_salts
-
-    salts = _coarse_salts(None)
-
-    def add_cg(b: pa.Table) -> pa.Table:
-        import numpy as np
-
-        # vectorized stable hash (pandas SipHash, fixed key — same token →
-        # same group on every worker); the per-row md5 loop here was the
-        # round-2 q07/q08 regression
-        h = pd.util.hash_array(
-            b[key_name].combine_chunks().to_numpy(zero_copy_only=False)
-        )
-        return b.append_column(
-            "cg", pa.array((h & (salts - 1)).astype(np.int32))
-        )
-
     def final_sum(df: pd.DataFrame) -> pd.DataFrame:
         out = df.groupby(key_name, as_index=False)["cnt"].sum()
         return out.astype({"cnt": "int64"})
@@ -94,11 +113,9 @@ def count_terms(
         lambda b: partial_count_batch(b, text_column, item_fn, key_name),
         batch_format="pyarrow",
     )
-    return (
-        partials.map_batches(add_cg, batch_format="pyarrow")
-        .groupby("cg")
-        .map_groups(final_sum, batch_format="pandas")
-    )
+    # vectorized stable hash grouping (the per-row md5 loop here was the
+    # round-2 q07/q08 regression) — single-sourced in coarse_group_reduce
+    return coarse_group_reduce(partials, key_name, final_sum)
 
 
 def approx_distinct(

@@ -510,3 +510,16 @@ def test_spec_chunk_and_robots_ops():
     assert sorted(kept["url"]) == [
         "https://a.com/keep/1", "https://c.com/private/4"
     ]
+
+
+def test_warc_encode_rejects_header_injection():
+    """A CR/LF in a header value would re-frame the record (payload
+    silently lost); the encoder must refuse loudly."""
+    import pytest
+
+    from basicocr_ray.sources.warc import encode_warc_record
+
+    with pytest.raises(ValueError, match="CR/LF"):
+        encode_warc_record("https://x/\r\n\r\nEVIL", "d", b"payload")
+    with pytest.raises(ValueError, match="CR/LF"):
+        encode_warc_record("https://x/", "2026\n01", b"p")
