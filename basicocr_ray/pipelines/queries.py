@@ -4651,6 +4651,230 @@ def q114_blocklist_filter(sf_dir: str):
     return df
 
 
+def q115_ivf_ann_int(sf_dir: str):
+    """IVF approximate-nearest-neighbor as a HASHABLE contract — the ANN
+    scale path promoted from pytest-only (`ivf_topk`) to the oracle gate:
+    embeddings quantize to int64 (floor(x·1e6+0.5), bit-identical in
+    numpy and SQL), 8 fixed centroid vectors (vec_id < 8 — a stand-in
+    for a sampled k-means fit; loaded with a vec_id<8 row-group
+    predicate pushdown, never a full scan) assign every vector to its
+    exact argmin cell, and only the query's 3 nearest cells are scored —
+    the (1 − n_probe/C) dot-product pruning that makes brute-force
+    cosine (q15's baseline) survive 100 TB. Output (vec_id, cell, dot)
+    is integer end-to-end."""
+    from basicocr_ray.stages.embed import ivf_topk_int, quantize_vec
+
+    head = pq.read_table(
+        _p(sf_dir, "embeddings"), columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 8)],
+    ).sort_by("vec_id")
+    cents = quantize_vec(
+        np.asarray(head["embedding"].to_pylist(), dtype=np.float64)
+    )
+    qvec = cents[0]  # query = vec_id 0 (same convention as q15)
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    df = ivf_topk_int(
+        ds, qvec, cents, k=10, n_probe=3, exclude_ids=frozenset({0})
+    ).to_pandas()
+    return df.astype({"vec_id": "int64", "cell": "int64", "dot": "int64"})
+
+
+def q116_gopher_rules(sf_dir: str):
+    """Gopher-style quality filtering (Rae et al. 2021 Table A1 subset)
+    with EXACT integer evidence — every ratio threshold is a
+    cross-multiplied integer comparison, so the rule vector hashes:
+    word count in [50, 100000], mean word length in [3, 10]
+    (3·n ≤ Σlen ≤ 10·n), ≤10% no-alphanumeric words (10·n_nonal ≤ n),
+    ≥80% words containing a letter (5·n_alpha ≥ 4·n), ≥2 stopwords.
+    Zero-shuffle per-doc scan (the C4/Gopher quality pass is
+    embarrassingly parallel — only the rollup would ever aggregate)."""
+    import re
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    alpha_re = re.compile(r"[a-z]")
+    alnum_re = re.compile(r"[a-z0-9]")
+
+    def rules(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        nw, sl, na, nn, ns, kept = [], [], [], [], [], []
+        for t in batch["text"].to_pylist():
+            toks = token_items(t or "")
+            n = len(toks)
+            s = sum(len(x) for x in toks)
+            a = sum(1 for x in toks if alpha_re.search(x))
+            z = sum(1 for x in toks if not alnum_re.search(x))
+            st = sum(1 for x in toks if x in _STOP5)
+            ok = (
+                50 <= n <= 100000
+                and 3 * n <= s <= 10 * n
+                and 10 * z <= n
+                and 5 * a >= 4 * n
+                and st >= 2
+            )
+            nw.append(n)
+            sl.append(s)
+            na.append(a)
+            nn.append(z)
+            ns.append(st)
+            kept.append(1 if ok else 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_words": pa.array(nw, pa.int64()),
+                "sum_len": pa.array(sl, pa.int64()),
+                "n_alpha": pa.array(na, pa.int64()),
+                "n_nonal": pa.array(nn, pa.int64()),
+                "n_stop": pa.array(ns, pa.int64()),
+                "kept": pa.array(kept, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(rules, batch_format="pyarrow")
+
+
+def q117_hll_registers(sf_dir: str):
+    """HyperLogLog with an AUDITABLE sketch (the q109 discipline applied
+    to distinct-counting): per event type, the p=6 register table built
+    from the md5 lower-64 hash — reg = h≫58, rho = leading-zeros(h mod
+    2⁵⁸)+1 — so the oracle reconstructs every register EXACTLY
+    (md5_number_lower + bin() bit-length; no float estimate in the
+    hash). Each batch emits at most |types|·64 partial register maxima
+    (the sketch IS the shuffle payload — user ids never move), a bounded
+    groupby max-merges them, and the exact distinct count rides along
+    per type as the audit column the estimate would be judged against."""
+    import hashlib
+    import struct
+
+    from ray.data.aggregate import Max, Sum
+
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        best: dict[tuple[str, int], int] = {}
+        for et, uid in zip(
+            batch["event_type"].to_pylist(), batch["user_id"].to_pylist()
+        ):
+            h = struct.unpack(
+                "<Q", hashlib.md5(str(uid).encode()).digest()[8:]
+            )[0]
+            reg = h >> 58
+            w = h & ((1 << 58) - 1)
+            rho = 59 if w == 0 else 58 - w.bit_length() + 1
+            key = (et, reg)
+            if rho > best.get(key, 0):
+                best[key] = rho
+        rows = sorted(best.items())
+        return pa.table(
+            {
+                "event_type": pa.array([k[0] for k, _ in rows], pa.string()),
+                "reg": pa.array([k[1] for k, _ in rows], pa.int64()),
+                "rho": pa.array([v for _, v in rows], pa.int64()),
+            }
+        )
+
+    regs = (
+        ds.map_batches(sketch, batch_format="pyarrow")
+        .groupby(["event_type", "reg"])  # bounded: |types| × 64 keys
+        .aggregate(Max("rho", alias_name="rho"))
+        .to_pandas()
+    )
+
+    # exact distinct audit column: per-batch distinct pairs → coarse-group
+    # dedup (same (type,user) → same group) → partial counts → tiny Sum
+    def pair_distinct(batch: pa.Table) -> pa.Table:
+        seen = {
+            (et, uid)
+            for et, uid in zip(
+                batch["event_type"].to_pylist(),
+                batch["user_id"].to_pylist(),
+            )
+        }
+        rows = sorted(seen)
+        return pa.table(
+            {
+                "event_type": pa.array([r[0] for r in rows], pa.string()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        )
+
+    def count_group(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.drop_duplicates()
+            .groupby("event_type", as_index=False)
+            .agg(n=("user_id", "size"))
+        )
+        return out.astype({"n": "int64"})
+
+    exact = (
+        coarse_group_reduce(
+            ds.map_batches(pair_distinct, batch_format="pyarrow"),
+            ["event_type", "user_id"],
+            count_group,
+        )
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="exact_distinct"))
+        .to_pandas()
+    )
+    exact["exact_distinct"] = exact["exact_distinct"].astype("int64")
+
+    # both relations are bounded (|types|×64 and |types|) — driver merge
+    df = regs.merge(exact, on="event_type", how="inner")
+    return df.astype({"reg": "int64", "rho": "int64"})
+
+
+def q118_inverted_index(sf_dir: str):
+    """Inverted-index build with positions — the IR structure a search
+    stack derives from a crawl: one flat pass emits (token, doc_id, pos)
+    postings (positions are 1-based over the nonempty whitespace
+    tokens), a coarse-grouped exchange co-locates each token's postings
+    (the shuffle carries the postings themselves — that IS the index
+    build's irreducible exchange; document text never moves), and the
+    in-group reduce emits (token, df, n_postings, postings) with the
+    posting list string-agg'd in (doc_id, pos) order. Hapax pruning
+    (df ≥ 2) drops the singleton tail; at 100 TB the same reduce would
+    also tier by df and shard each hot token's postings by doc range."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def postings(batch: pa.Table) -> pa.Table:
+        out_t, out_d, out_p = [], [], []
+        for did, t in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            for i, tok in enumerate(token_items(t or ""), start=1):
+                out_t.append(tok)
+                out_d.append(did)
+                out_p.append(i)
+        return pa.table(
+            {
+                "token": pa.array(out_t, pa.string()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "pos": pa.array(out_p, pa.int64()),
+            }
+        )
+
+    def build(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["token", "doc_id", "pos"], kind="mergesort")
+        df["post"] = (
+            df["doc_id"].astype(str) + ":" + df["pos"].astype(str)
+        )
+        out = df.groupby("token", as_index=False).agg(
+            df=("doc_id", "nunique"),
+            n_postings=("post", "size"),
+            postings=("post", ",".join),
+        )
+        out = out[out["df"] >= 2]
+        return out.astype({"df": "int64", "n_postings": "int64"})
+
+    return coarse_group_reduce(
+        ds.map_batches(postings, batch_format="pyarrow"), "token", build
+    )
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -4763,6 +4987,10 @@ QUERIES = {
     "q112_late_events": q112_late_events,
     "q113_chunk_windows": q113_chunk_windows,
     "q114_blocklist_filter": q114_blocklist_filter,
+    "q115_ivf_ann_int": q115_ivf_ann_int,
+    "q116_gopher_rules": q116_gopher_rules,
+    "q117_hll_registers": q117_hll_registers,
+    "q118_inverted_index": q118_inverted_index,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -6174,6 +6402,136 @@ ORACLE_SQL = {
                CAST(sum(CASE WHEN blocked THEN n_chars ELSE 0 END)
                  AS BIGINT) AS dropped_chars
         FROM flagged GROUP BY lang
+    """,
+    "q115_ivf_ann_int": """
+        -- integer-exact IVF: quantize → assign argmin cell over 8 fixed
+        -- centroids (vec_id < 8) → score only the query's 3 nearest cells
+        WITH ev AS (
+          SELECT vec_id,
+                 list_transform(embedding, x ->
+                   CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                 ) AS v
+          FROM embeddings
+        ),
+        q AS (SELECT v AS qv FROM ev WHERE vec_id = 0),
+        cent AS (SELECT vec_id AS cid, v AS cv FROM ev WHERE vec_id < 8),
+        d2 AS (
+          SELECT e.vec_id, c.cid,
+                 CAST(list_sum(list_transform(range(1, 65),
+                   i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])
+                 )) AS BIGINT) AS d
+          FROM ev e CROSS JOIN cent c
+        ),
+        assigned AS (
+          SELECT vec_id, cid, d,
+                 row_number() OVER (
+                   PARTITION BY vec_id ORDER BY d, cid
+                 ) AS rn
+          FROM d2
+        ),
+        cells AS (SELECT vec_id, cid AS cell FROM assigned WHERE rn = 1),
+        probe AS (
+          SELECT cid AS cell FROM assigned WHERE vec_id = 0 AND rn <= 3
+        ),
+        scored AS (
+          SELECT e.vec_id, cl.cell,
+                 CAST(list_sum(list_transform(range(1, 65),
+                   i -> e.v[i] * q.qv[i]
+                 )) AS BIGINT) AS dot
+          FROM ev e
+          JOIN cells cl ON cl.vec_id = e.vec_id
+          JOIN probe p ON p.cell = cl.cell
+          CROSS JOIN q
+          WHERE e.vec_id <> 0
+        )
+        SELECT vec_id, cell, dot FROM scored
+        ORDER BY dot DESC, vec_id LIMIT 10
+    """,
+    "q116_gopher_rules": f"""
+        WITH t AS (
+          SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS toks
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_words,
+                 CAST(coalesce(list_sum(
+                   list_transform(toks, x -> length(x))), 0
+                 ) AS BIGINT) AS sum_len,
+                 CAST(len(list_filter(toks,
+                   x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+                 CAST(len(list_filter(toks,
+                   x -> NOT regexp_matches(x, '[a-z0-9]')
+                 )) AS BIGINT) AS n_nonal,
+                 CAST(len(list_filter(toks,
+                   x -> x IN ('the', 'a', 'data', 'key', 'value')
+                 )) AS BIGINT) AS n_stop
+          FROM t
+        )
+        SELECT doc_id, n_words, sum_len, n_alpha, n_nonal, n_stop,
+               CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                          AND 3 * n_words <= sum_len
+                          AND sum_len <= 10 * n_words
+                          AND 10 * n_nonal <= n_words
+                          AND 5 * n_alpha >= 4 * n_words
+                          AND n_stop >= 2
+                    THEN 1 ELSE 0 END AS BIGINT) AS kept
+        FROM m
+    """,
+    "q117_hll_registers": """
+        -- md5-HLL p=6: reg = h >> 58, rho = lz(h mod 2^58) + 1 — the
+        -- register table is exact, the estimate is auditable against
+        -- the exact distinct column
+        WITH h AS (
+          SELECT event_type,
+                 md5_number_lower(CAST(user_id AS VARCHAR)) AS h64
+          FROM events
+        ),
+        parts AS (
+          SELECT event_type,
+                 CAST(h64 >> 58 AS BIGINT) AS reg,
+                 h64 % (1::UBIGINT << 58) AS w
+          FROM h
+        ),
+        rr AS (
+          SELECT event_type, reg,
+                 CAST(CASE WHEN w = 0 THEN 59
+                      ELSE 58 - length(bin(w)) + 1 END AS BIGINT) AS rho
+          FROM parts
+        ),
+        regs AS (
+          SELECT event_type, reg, max(rho) AS rho FROM rr GROUP BY 1, 2
+        ),
+        ex AS (
+          SELECT event_type,
+                 CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+          FROM events GROUP BY 1
+        )
+        SELECT r.event_type, r.reg, r.rho, ex.exact_distinct
+        FROM regs r JOIN ex ON r.event_type = ex.event_type
+    """,
+    "q118_inverted_index": f"""
+        WITH t AS (
+          SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS toks
+          FROM documents
+        ),
+        p AS (
+          SELECT doc_id, unnest(toks) AS token,
+                 unnest(range(1, len(toks) + 1)) AS pos
+          FROM t
+        ),
+        g AS (
+          SELECT token,
+                 CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+                 CAST(count(*) AS BIGINT) AS n_postings,
+                 string_agg(
+                   CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR),
+                   ',' ORDER BY doc_id, pos
+                 ) AS postings
+          FROM p GROUP BY token
+        )
+        SELECT token, df, n_postings, postings
+        FROM g WHERE df >= 2
     """,
     "q113_chunk_windows": f"""
         WITH toks AS (

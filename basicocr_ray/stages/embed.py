@@ -154,6 +154,79 @@ def ivf_topk_trained(
     )
 
 
+def quantize_vec(m: np.ndarray, scale: float = 1_000_000.0) -> np.ndarray:
+    """float embedding matrix → int64 via floor(x·scale + 0.5) (round half
+    up, DuckDB-compatible: `CAST(floor(CAST(x AS DOUBLE)*scale + 0.5) AS
+    BIGINT)`). float32 → float64 is exact and the product/+0.5/floor are
+    single IEEE ops, so numpy and SQL produce bit-identical integers —
+    the move that makes every downstream distance/dot EXACT (hashable)
+    instead of a summation-order-dependent float."""
+    return np.floor(
+        np.asarray(m, dtype=np.float64) * scale + 0.5
+    ).astype(np.int64)
+
+
+def ivf_topk_int(
+    ds,
+    query_q: np.ndarray,
+    centroids_q: np.ndarray,
+    k: int = 10,
+    n_probe: int = 3,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    exclude_ids: frozenset[int] = frozenset(),
+):
+    """INTEGER-EXACT IVF top-k — the ANN scale path with a hashable
+    contract (no float summation-order ambiguity anywhere):
+
+    * ``query_q`` / ``centroids_q`` are pre-quantized int64 (see
+      `quantize_vec`); the centroid table is bounded (C rows) and rides
+      the task closure — at a real corpus scale it is the output of a
+      sampled k-means fit, `ray.put` once.
+    * each batch quantizes its vectors, assigns every vector to the
+      argmin squared-L2 centroid (exact int64 arithmetic; ties → the
+      LOWEST cell id, matching the SQL twin's ``ORDER BY d, cid``), and
+      scores ONLY vectors whose cell is among the query's ``n_probe``
+      nearest cells — pruning (1 − n_probe/C) of the dot-product work,
+      which is the entire point of IVF at 100 TB.
+    * per-batch local top-k (dot desc, id asc) bounds the final global
+      sort at k × num_batches rows.
+
+    Returns Dataset (id, cell, dot) — all int64, bit-reproducible."""
+    q = np.asarray(query_q, dtype=np.int64)
+    cents = np.asarray(centroids_q, dtype=np.int64)
+    # query's probe cells: squared-L2 asc, cell id asc on ties
+    dq = ((cents - q) ** 2).sum(axis=1)
+    probe_cells = np.lexsort((np.arange(len(cents)), dq))[:n_probe]
+    probe = frozenset(int(c) for c in probe_cells)
+    c_sq = (cents * cents).sum(axis=1)  # (C,) — reused per batch
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_column].to_pylist(), dtype=np.int64)
+        m = quantize_vec(_stack(batch[vec_column]))
+        # ||v−c||² = ||v||² − 2 v·c + ||c||²; argmin ties → first (lowest
+        # cell id) — identical to the oracle's (d, cid) ordering
+        d2 = (m * m).sum(axis=1)[:, None] - 2 * (m @ cents.T) + c_sq[None, :]
+        assign = np.argmin(d2, axis=1)
+        keep = np.isin(assign, list(probe))
+        if exclude_ids:
+            keep &= ~np.isin(ids, list(exclude_ids))
+        ids, cells = ids[keep], assign[keep].astype(np.int64)
+        dots = m[keep] @ q
+        order = np.lexsort((ids, -dots))[:k]
+        return pa.table(
+            {
+                id_column: pa.array(ids[order], pa.int64()),
+                "cell": pa.array(cells[order], pa.int64()),
+                "dot": pa.array(dots[order], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow").sort(
+        ["dot", id_column], descending=[True, False]
+    ).limit(k)
+
+
 def cosine_lsh_pairs(
     ds,
     id_column: str = "vec_id",

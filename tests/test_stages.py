@@ -209,6 +209,54 @@ def test_ivf_trained_centroids_recall():
     assert list(probed["vec_id"]) == list(brute["vec_id"])
 
 
+def test_quantize_vec_half_up():
+    """quantize_vec rounds half AWAY from zero for positives and matches
+    floor(x*1e6+0.5) for negatives (DuckDB floor semantics)."""
+    from basicocr_ray.stages.embed import quantize_vec
+
+    q = quantize_vec(np.array([[0.0000015, -0.0000015, 0.25, -0.25]]))
+    assert q.tolist() == [[2, -1, 250000, -250000]]
+    assert q.dtype == np.int64
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_topk_int_exact_and_pruned():
+    """Integer IVF: full probe equals the exact int64 brute-force top-k;
+    a pruned probe only returns vectors assigned to probed cells."""
+    import ray.data
+
+    from basicocr_ray.stages.embed import ivf_topk_int, quantize_vec
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((4, 16)) * 3
+    vecs = []
+    for i in range(200):
+        vecs.append(centers[i % 4] + rng.standard_normal(16) * 0.1)
+    m = np.array(vecs)
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": v.tolist()} for i, v in enumerate(m)]
+    )
+    cents_q = quantize_vec(centers)
+    qv = quantize_vec(m[2:3])[0]  # query = vector 2 (cluster 2)
+
+    full = ivf_topk_int(
+        ds, qv, cents_q, k=5, n_probe=4, exclude_ids=frozenset({2})
+    ).to_pandas()
+    # exact integer brute force
+    mq = quantize_vec(m)
+    dots = mq @ qv
+    order = np.lexsort((np.arange(len(mq)), -dots))
+    expect = [i for i in order if i != 2][:5]
+    assert list(full["vec_id"]) == expect
+
+    pruned = ivf_topk_int(
+        ds, qv, cents_q, k=5, n_probe=1, exclude_ids=frozenset({2})
+    ).to_pandas()
+    # cluster-2 query on a well-separated corpus: 1-probe finds the same
+    assert list(pruned["vec_id"]) == expect
+    assert set(pruned["cell"]) == {2}
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_cosine_lsh_multi_table_recall():
     """OR-amplification: multi-table LSH finds a superset of single-table
