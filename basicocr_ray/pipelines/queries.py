@@ -4875,6 +4875,90 @@ def q118_inverted_index(sf_dir: str):
     )
 
 
+def q119_latest_by_url(sf_dir: str):
+    """Snapshot COMPACTION (upsert/keep-latest — what a recrawl store runs
+    before training ever sees the data): a versioned corpus derived
+    deterministically from `documents` (version v∈{0,1,2} exists when
+    (doc_id+v) % 3 ≠ 0, ts = doc_id·10+v, fp = md5(text ∥ ' v<v>')) is
+    reduced to the max-ts row per doc. The fan-out and the per-batch
+    partial argmax happen in the SAME task (all versions of a doc are
+    emitted together), so the shuffle carries one (id, ver, ts, fp) row
+    per doc per batch and the coarse-group final argmax is exact — text
+    itself never moves."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def versions(batch: pa.Table) -> pa.Table:
+        out_id, out_v, out_ts, out_fp = [], [], [], []
+        for did, t in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            best = None
+            for v in range(3):
+                if (did + v) % 3 == 0:
+                    continue
+                row = (did * 10 + v, v, md5_hex(f"{t} v{v}"))
+                if best is None or row[0] > best[0]:
+                    best = row
+            if best is not None:  # partial argmax: one row per doc
+                out_id.append(did)
+                out_v.append(best[1])
+                out_ts.append(best[0])
+                out_fp.append(best[2])
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "ver": pa.array(out_v, pa.int64()),
+                "ts": pa.array(out_ts, pa.int64()),
+                "fp": pa.array(out_fp, pa.string()),
+            }
+        )
+
+    def keep_latest(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "ts"], kind="mergesort")
+        return df.groupby("doc_id", as_index=False).last()
+
+    return coarse_group_reduce(
+        ds.map_batches(versions, batch_format="pyarrow"),
+        "doc_id",
+        keep_latest,
+    )
+
+
+def q120_epoch_upsample(sf_dir: str):
+    """Data-mixing UPSAMPLING (the per-source epoch factors of the
+    Llama/Gopher training recipes): each language gets a deterministic
+    integer repeat factor n = 1 + ascii(lang[0]) % 3 and every doc fans
+    out to (doc_id, lang, copy_idx 1..n) — a pure vectorized flat-map
+    (numpy repeat on the batch), ZERO shuffle: upsampling is the one
+    corpus-growing operator that never needs an exchange, the copies are
+    born partitioned exactly like their source rows."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        langs = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        n = np.array([1 + (ord(l[0]) % 3) for l in langs], dtype=np.int64)
+        rep_ids = np.repeat(ids, n)
+        rep_langs = np.repeat(langs, n)
+        # copy_idx: 1..n per source row, concatenated
+        idx = np.arange(int(n.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(n)[:-1])), n
+        ) + 1
+        return pa.table(
+            {
+                "doc_id": pa.array(rep_ids, pa.int64()),
+                "lang": pa.array(rep_langs, pa.string()),
+                "copy_idx": pa.array(idx, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fan_out, batch_format="pyarrow")
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -4991,6 +5075,8 @@ QUERIES = {
     "q116_gopher_rules": q116_gopher_rules,
     "q117_hll_registers": q117_hll_registers,
     "q118_inverted_index": q118_inverted_index,
+    "q119_latest_by_url": q119_latest_by_url,
+    "q120_epoch_upsample": q120_epoch_upsample,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -6532,6 +6618,31 @@ ORACLE_SQL = {
         )
         SELECT token, df, n_postings, postings
         FROM g WHERE df >= 2
+    """,
+    "q119_latest_by_url": """
+        WITH v AS (
+          SELECT doc_id,
+                 CAST(u.v AS BIGINT) AS ver,
+                 CAST(doc_id * 10 + u.v AS BIGINT) AS ts,
+                 md5(text || ' v' || CAST(u.v AS VARCHAR)) AS fp
+          FROM documents
+          CROSS JOIN (SELECT unnest(range(0, 3)) AS v) u
+          WHERE (doc_id + u.v) % 3 <> 0
+        ),
+        r AS (
+          SELECT doc_id, ver, ts, fp,
+                 row_number() OVER (
+                   PARTITION BY doc_id ORDER BY ts DESC
+                 ) AS rn
+          FROM v
+        )
+        SELECT doc_id, ver, ts, fp FROM r WHERE rn = 1
+    """,
+    "q120_epoch_upsample": """
+        SELECT doc_id, lang,
+               CAST(unnest(range(1, 2 + ascii(lang) % 3)) AS BIGINT)
+                 AS copy_idx
+        FROM documents
     """,
     "q113_chunk_windows": f"""
         WITH toks AS (

@@ -409,6 +409,40 @@ def main() -> None:
         ).max("prefix")
         queries["pack_prefix_200k"] = round(time.perf_counter() - t0, 2)
 
+        # ANN scale path: integer-exact IVF over 200k deterministic
+        # 64-dim vectors (32 cells, 4 probed → 7/8 of the dot-product
+        # work pruned). Vector synthesis is untimed (materialized first).
+        from basicocr_ray.stages.embed import ivf_topk_int, quantize_vec
+
+        import numpy as _np
+
+        def synth_vecs(b: pa.Table) -> pa.Table:
+            ids = b["id"].combine_chunks().to_numpy(zero_copy_only=False)
+            rng = _np.random.default_rng(int(ids[0]) + 1)
+            m = rng.standard_normal((len(ids), 64))
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(
+                        list(m), pa.list_(pa.float64())
+                    ),
+                }
+            )
+
+        vec_ds = (
+            rd.range(200_000, override_num_blocks=64)
+            .map_batches(synth_vecs, batch_format="pyarrow")
+            .materialize()
+        )
+        rng0 = _np.random.default_rng(0)
+        cents_q = quantize_vec(rng0.standard_normal((32, 64)) * 2)
+        query_q = quantize_vec(rng0.standard_normal(64))
+        t0 = time.perf_counter()
+        ivf_topk_int(
+            vec_ds, query_q, cents_q, k=10, n_probe=4
+        ).to_pandas()
+        queries["ann_ivf_200k"] = round(time.perf_counter() - t0, 2)
+
         from basicocr_ray.pipelines.queries import QUERIES
 
         bench_qs = [
