@@ -105,8 +105,12 @@ def decode_png(data: bytes) -> np.ndarray:
     return out.reshape(height, width, ch)
 
 
-def encode_png(arr: np.ndarray) -> bytes:
-    """uint8 array (h, w) / (h, w, 3) / (h, w, 4) → PNG bytes (filter 0)."""
+def encode_png(arr: np.ndarray, level: int = 6) -> bytes:
+    """uint8 array (h, w) / (h, w, 3) / (h, w, 4) → PNG bytes (filter 0).
+
+    ``level`` is the zlib compression level: different levels produce
+    byte-DIFFERENT files for pixel-IDENTICAL images — the re-encode
+    case byte-level dedup misses and perceptual hashing catches."""
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
         color_type, ch = 0, 1
@@ -130,7 +134,7 @@ def encode_png(arr: np.ndarray) -> bytes:
     return (
         PNG_SIGNATURE
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IDAT", zlib.compress(raw, level))
         + chunk(b"IEND", b"")
     )
 

@@ -4959,6 +4959,148 @@ def q120_epoch_upsample(sf_dir: str):
     return ds.map_batches(fan_out, batch_format="pyarrow")
 
 
+def q121_image_phash_dup(sf_dir: str):
+    """PERCEPTUAL image dedup — the multimodal near-dup byte hashing
+    can't do: each corpus image (deterministic per-id noise, real PNG)
+    gets a clone that is brightness-shifted (+1 on every pixel, aHash
+    is invariant to uniform shifts) AND re-encoded at a different zlib
+    level, so the clone matches in NEITHER bytes NOR pixels — only the
+    8×8 average hash pairs them. Decode + hash run on the
+    ImageFeatureExtractor actor pool (real stdlib PNG codec), the
+    groupby moves 16-char hash hexes (never image bytes), and every
+    (i, i+10000) clone pair must come back exactly — recall AND
+    precision 1.0 by construction, which is what the analytic oracle
+    asserts."""
+    from basicocr_ray.core.png import encode_png
+    from basicocr_ray.stages.multimodal import ImageFeatureExtractor
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id"])
+
+    def payloads(batch: pa.Table) -> pa.Table:
+        ids, blobs = [], []
+        for i in batch["vec_id"].to_pylist():
+            rng = np.random.default_rng(int(i))
+            arr = rng.integers(0, 200, size=(24, 32)).astype(np.uint8)
+            ids.append(i)
+            blobs.append(encode_png(arr, level=6))
+            ids.append(i + 10000)  # clone: +1 brightness, re-encoded
+            blobs.append(encode_png(arr + 1, level=9))
+        return pa.table(
+            {
+                "item_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(blobs, pa.large_binary()),
+            }
+        )
+
+    feats = (
+        ds.map_batches(payloads, batch_format="pyarrow")
+        .map_batches(
+            ImageFeatureExtractor, batch_format="pyarrow",
+            batch_size=256, concurrency=2,
+        )
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "item_id": b["item_id"],
+                    "ph": pc.cast(b["phash"], pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out1, out2 = [], []
+        for _, grp in df.groupby("ph"):
+            ids = sorted(grp["item_id"])
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out1.append(ids[i])
+                    out2.append(ids[j])
+        return pd.DataFrame(
+            {"id1": pd.array(out1, dtype="int64"),
+             "id2": pd.array(out2, dtype="int64")}
+        )
+
+    return coarse_group_reduce(feats, "ph", pairs)
+
+
+def q122_cms_audit(sf_dir: str):
+    """Count-Min sketch ERROR AUDIT (the q109/q117 discipline applied to
+    q45's sketch): a deliberately tiny CMS (d=2 rows × w=8 counters, so
+    collisions actually happen) is built from per-batch partials on a
+    BOUNDED key space (16 cells ride the shuffle, tokens never do),
+    broadcast as 16 integers, and every vocabulary token gets
+    (exact_cnt, cms_est) side by side — cms_est ≥ exact_cnt always
+    (CMS only overcounts), and the gap IS the measurement that sizes w
+    before a real run. Cell hash = md5 lower-64 of 'r:token' mod 8,
+    reconstructed exactly by the oracle."""
+    import hashlib
+    import struct
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    def _cell(r: int, tok: str) -> int:
+        h = struct.unpack(
+            "<Q", hashlib.md5(f"{r}:{tok}".encode()).digest()[8:]
+        )[0]
+        return h % 8
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def cms_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            for tok in token_items(t or ""):
+                for r in (0, 1):
+                    c[(r, _cell(r, tok))] += 1
+        rows = sorted(c.items())
+        return pa.table(
+            {
+                "r": pa.array([k[0] for k, _ in rows], pa.int64()),
+                "col": pa.array([k[1] for k, _ in rows], pa.int64()),
+                "cnt": pa.array([v for _, v in rows], pa.int64()),
+            }
+        )
+
+    counters = (
+        ds.map_batches(cms_partial, batch_format="pyarrow")
+        .groupby(["r", "col"])  # bounded: 16 keys
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    cms = {
+        (int(r), int(c)): int(n)
+        for r, c, n in zip(counters["r"], counters["col"], counters["cnt"])
+    }
+    cms_ref = ray.put(cms)
+
+    exact = count_terms(ds, "text", token_items, "token")
+
+    def attach(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        table = _ray.get(cms_ref)
+        toks = batch["token"].to_pylist()
+        est = [
+            min(table.get((r, _cell(r, t)), 0) for r in (0, 1))
+            for t in toks
+        ]
+        return pa.table(
+            {
+                "token": batch["token"],
+                "exact_cnt": batch["cnt"],
+                "cms_est": pa.array(est, pa.int64()),
+            }
+        )
+
+    return exact.map_batches(attach, batch_format="pyarrow")
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -5077,6 +5219,8 @@ QUERIES = {
     "q118_inverted_index": q118_inverted_index,
     "q119_latest_by_url": q119_latest_by_url,
     "q120_epoch_upsample": q120_epoch_upsample,
+    "q121_image_phash_dup": q121_image_phash_dup,
+    "q122_cms_audit": q122_cms_audit,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -6643,6 +6787,44 @@ ORACLE_SQL = {
                CAST(unnest(range(1, 2 + ascii(lang) % 3)) AS BIGINT)
                  AS copy_idx
         FROM documents
+    """,
+    "q121_image_phash_dup": """
+        -- analytic contract: every (i, i+10000) brightness-shifted
+        -- re-encoded clone pair, and ONLY those pairs (recall and
+        -- precision 1.0 for the 8x8 average hash by construction)
+        SELECT vec_id AS id1, CAST(vec_id + 10000 AS BIGINT) AS id2
+        FROM embeddings
+    """,
+    "q122_cms_audit": f"""
+        WITH toks AS (
+          SELECT unnest(list_filter({_TOKS}, x -> x <> '')) AS token
+          FROM documents
+        ),
+        cells AS (
+          SELECT t.r,
+                 CAST(md5_number_lower(
+                   CAST(t.r AS VARCHAR) || ':' || token
+                 ) % 8 AS BIGINT) AS col,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM toks CROSS JOIN range(2) t(r)
+          GROUP BY 1, 2
+        ),
+        exact AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt
+          FROM toks GROUP BY 1
+        ),
+        tok_cells AS (
+          SELECT e.token, e.exact_cnt, t.r,
+                 CAST(md5_number_lower(
+                   CAST(t.r AS VARCHAR) || ':' || e.token
+                 ) % 8 AS BIGINT) AS col
+          FROM exact e CROSS JOIN range(2) t(r)
+        )
+        SELECT tc.token, tc.exact_cnt,
+               CAST(min(c.cnt) AS BIGINT) AS cms_est
+        FROM tok_cells tc
+        JOIN cells c ON c.r = tc.r AND c.col = tc.col
+        GROUP BY 1, 2
     """,
     "q113_chunk_windows": f"""
         WITH toks AS (
