@@ -64,6 +64,16 @@ def _round_col(df: pd.DataFrame, col: str, n: int) -> pd.DataFrame:
     return df
 
 
+def _md5_low64(s: str) -> int:
+    """md5 lower-64 bits, little-endian of digest[8:] — EXACTLY DuckDB's
+    `md5_number_lower`, so any sketch built on it is SQL-reconstructible
+    (the q109/q117/q122/q123 audit discipline)."""
+    import hashlib
+    import struct
+
+    return struct.unpack("<Q", hashlib.md5(s.encode()).digest()[8:])[0]
+
+
 # ===========================================================================
 # Relational / TPC-H-ish (G1/G2/G5, M6, T2/T5, J-patterns)
 # ===========================================================================
@@ -5101,6 +5111,84 @@ def q122_cms_audit(sf_dir: str):
     return exact.map_batches(attach, batch_format="pyarrow")
 
 
+def q123_simhash_hamming(sf_dir: str):
+    """SimHash near-dup at a HAMMING RADIUS (Manku et al., WWW 2007 —
+    the web-crawl near-dup algorithm q23's exact-signature match can't
+    do): 32-bit md5-based SimHash per doc (bit i sum of ±occurrence
+    over tokens, >0 → 1; exact integers, SQL-reconstructible), split
+    into 4 × 8-bit bands — by PIGEONHOLE any pair within hamming ≤ 3
+    agrees exactly on ≥1 band, so band-bucket candidates are a
+    superset of the answer and the exact popcount(xor) verify inside
+    the bucket is complete. The corpus is doubled with one-token-
+    appended clones (doc_id+10000) whose distance is usually small but
+    NOT zero — the radius search is doing real work. Shuffles carry
+    (band value, id, 32-bit sig) — never text."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def signatures(batch: pa.Table) -> pa.Table:
+        out_band, out_bv, out_id, out_sig = [], [], [], []
+        for did, t in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            for docid, text in ((did, t), (did + 10000, f"{t} zzz")):
+                hs = np.array(
+                    [
+                        _md5_low64(tok) & 0xFFFFFFFF
+                        for tok in token_items(text or "")
+                    ],
+                    dtype=np.uint32,
+                ).reshape(-1, 1)
+                # ±1 per occurrence per bit, summed vectorized
+                bits = ((hs >> np.arange(32, dtype=np.uint32)) & 1)
+                sums = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
+                sig = int(((sums > 0) << np.arange(32)).sum())
+                for b in range(4):
+                    out_band.append(b)
+                    out_bv.append((sig >> (b * 8)) & 255)
+                    out_id.append(docid)
+                    out_sig.append(sig)
+        return pa.table(
+            {
+                "band": pa.array(out_band, pa.int64()),
+                "bv": pa.array(out_bv, pa.int64()),
+                "doc_id": pa.array(out_id, pa.int64()),
+                "sig": pa.array(out_sig, pa.int64()),
+            }
+        )
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        o1, o2, hd = [], [], []
+        for _, grp in df.groupby(["band", "bv"]):
+            rows = sorted(zip(grp["doc_id"], grp["sig"]))
+            for i in range(len(rows)):
+                for j in range(i + 1, len(rows)):
+                    d = int(rows[i][1] ^ rows[j][1]).bit_count()
+                    if d <= 3:
+                        o1.append(rows[i][0])
+                        o2.append(rows[j][0])
+                        hd.append(d)
+        return pd.DataFrame(
+            {"id_a": pd.array(o1, dtype="int64"),
+             "id_b": pd.array(o2, dtype="int64"),
+             "hamming": pd.array(hd, dtype="int64")}
+        )
+
+    cands = coarse_group_reduce(
+        ds.map_batches(signatures, batch_format="pyarrow"),
+        ["band", "bv"],
+        bucket_pairs,
+    )
+
+    # a pair found in k bands appears k times — distinct via one more
+    # bounded coarse-group pass on the pair key
+    def distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    return coarse_group_reduce(cands, ["id_a", "id_b"], distinct)
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -5221,6 +5309,7 @@ QUERIES = {
     "q120_epoch_upsample": q120_epoch_upsample,
     "q121_image_phash_dup": q121_image_phash_dup,
     "q122_cms_audit": q122_cms_audit,
+    "q123_simhash_hamming": q123_simhash_hamming,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -6825,6 +6914,54 @@ ORACLE_SQL = {
         FROM tok_cells tc
         JOIN cells c ON c.r = tc.r AND c.col = tc.col
         GROUP BY 1, 2
+    """,
+    "q123_simhash_hamming": f"""
+        -- 32-bit md5 SimHash, 4x8-bit pigeonhole bands, exact
+        -- popcount(xor) verify at radius 3 (Manku et al. 2007)
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 10000, text || ' zzz' FROM documents
+        ),
+        toks AS (
+          SELECT doc_id,
+                 unnest(list_filter({_TOKS}, x -> x <> '')) AS token
+          FROM corpus
+        ),
+        th AS (
+          SELECT doc_id,
+                 md5_number_lower(token) % 4294967296 AS h32
+          FROM toks
+        ),
+        bits AS (
+          SELECT doc_id, i.i,
+                 sum(CASE WHEN (h32 >> i.i) & 1 = 1
+                     THEN 1 ELSE -1 END) AS s
+          FROM th CROSS JOIN range(32) i(i)
+          GROUP BY 1, 2
+        ),
+        sig AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << i)
+                          ELSE 0 END) AS BIGINT) AS sig
+          FROM bits GROUP BY doc_id
+        ),
+        bands AS (
+          SELECT doc_id, sig, b.b AS band,
+                 (sig >> CAST(b.b * 8 AS INTEGER)) & 255 AS bv
+          FROM sig CROSS JOIN range(4) b(b)
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+                          a.sig AS sa, c.sig AS sb
+          FROM bands a
+          JOIN bands c
+            ON a.band = c.band AND a.bv = c.bv
+           AND a.doc_id < c.doc_id
+        )
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= 3
     """,
     "q113_chunk_windows": f"""
         WITH toks AS (
