@@ -5189,6 +5189,75 @@ def q123_simhash_hamming(sf_dir: str):
     return coarse_group_reduce(cands, ["id_a", "id_b"], distinct)
 
 
+def q124_rare_feature_pairs(sf_dir: str):
+    """Cross-lingual document PAIRING via rare shared features — the
+    bitext-mining candidate-generation shape (shared rare n-grams as
+    alignment anchors, cf. the anchor heuristics of parallel-corpus
+    mining): word trigrams with GLOBAL df exactly 2 name their own
+    candidate pair; pairs of docs in DIFFERENT languages sharing ≥ 2
+    such anchors survive. Two bounded exchanges, both payload-light:
+    (trigram, id, lang) rows group by trigram hash (all occurrences of
+    a trigram co-locate, so the df==2 test is exact in-group), then
+    (id_a, id_b) partials sum per pair. Document text never moves."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def trigrams(batch: pa.Table) -> pa.Table:
+        out_g, out_id, out_lang = [], [], []
+        for did, t, lg in zip(
+            batch["doc_id"].to_pylist(),
+            batch["text"].to_pylist(),
+            batch["lang"].to_pylist(),
+        ):
+            toks = token_items(t or "")
+            seen = {
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            }
+            for g in sorted(seen):
+                out_g.append(g)
+                out_id.append(did)
+                out_lang.append(lg)
+        return pa.table(
+            {
+                "g": pa.array(out_g, pa.string()),
+                "doc_id": pa.array(out_id, pa.int64()),
+                "lang": pa.array(out_lang, pa.string()),
+            }
+        )
+
+    def anchor_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ia, ib, la, lb = [], [], [], []
+        for _, grp in df.groupby("g"):
+            if len(grp) != 2:  # global df==2: the group holds all of g
+                continue
+            rows = sorted(zip(grp["doc_id"], grp["lang"]))
+            if rows[0][1] == rows[1][1]:
+                continue
+            ia.append(rows[0][0])
+            ib.append(rows[1][0])
+            la.append(rows[0][1])
+            lb.append(rows[1][1])
+        return pd.DataFrame(
+            {"id_a": pd.array(ia, dtype="int64"),
+             "id_b": pd.array(ib, dtype="int64"),
+             "lang_a": la, "lang_b": lb}
+        )
+
+    anchors = coarse_group_reduce(
+        ds.map_batches(trigrams, batch_format="pyarrow"), "g", anchor_pairs
+    )
+
+    def sum_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(
+            ["id_a", "id_b", "lang_a", "lang_b"], as_index=False
+        ).agg(n_shared=("id_a", "size"))
+        out = out[out["n_shared"] >= 2]
+        return out.astype({"n_shared": "int64"})
+
+    return coarse_group_reduce(anchors, ["id_a", "id_b"], sum_pairs)
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -5310,6 +5379,7 @@ QUERIES = {
     "q121_image_phash_dup": q121_image_phash_dup,
     "q122_cms_audit": q122_cms_audit,
     "q123_simhash_hamming": q123_simhash_hamming,
+    "q124_rare_feature_pairs": q124_rare_feature_pairs,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -6962,6 +7032,36 @@ ORACLE_SQL = {
         SELECT id_a, id_b,
                CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
         FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    """,
+    "q124_rare_feature_pairs": f"""
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 list_filter({_TOKS}, x -> x <> '') AS tk
+          FROM documents
+        ),
+        tri AS (
+          SELECT DISTINCT doc_id, lang,
+                 unnest(list_transform(
+                   range(1, len(tk) - 1),
+                   i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]
+                 )) AS g
+          FROM toks
+        ),
+        g2 AS (
+          SELECT g, min(doc_id) AS ia, max(doc_id) AS ib
+          FROM tri GROUP BY g HAVING count(*) = 2
+        ),
+        langs AS (SELECT doc_id, lang FROM documents),
+        p AS (
+          SELECT g2.ia, g2.ib, x.lang AS la, y.lang AS lb
+          FROM g2
+          JOIN langs x ON x.doc_id = g2.ia
+          JOIN langs y ON y.doc_id = g2.ib
+          WHERE x.lang <> y.lang
+        )
+        SELECT ia AS id_a, ib AS id_b, la AS lang_a, lb AS lang_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM p GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2
     """,
     "q113_chunk_windows": f"""
         WITH toks AS (
