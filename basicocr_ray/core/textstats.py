@@ -32,6 +32,43 @@ def ws_tokens(text: str, lower: bool = True) -> list[str]:
     return [t for t in _WS_SPLIT_RE.split(text) if t]
 
 
+_ALPHA_RE = re.compile(r"[a-z]")
+_ALNUM_RE = re.compile(r"[a-z0-9]")
+
+
+def gopher_counts(
+    text: str, stopwords: tuple[str, ...] | frozenset[str]
+) -> tuple[int, int, int, int, int]:
+    """Integer evidence for Gopher-style quality rules (Rae et al. 2021
+    Table A1): (n_words, sum_word_len, n_alpha_words, n_no_alnum_words,
+    n_stopwords) over lowercased whitespace tokens. Every downstream
+    ratio threshold is a cross-multiplied integer comparison — no float
+    ratio anywhere, so the rule vector is hashable and SQL-twinnable."""
+    toks = text.lower().split()
+    n = len(toks)
+    s = sum(len(x) for x in toks)
+    a = sum(1 for x in toks if _ALPHA_RE.search(x))
+    z = sum(1 for x in toks if not _ALNUM_RE.search(x))
+    st = sum(1 for x in toks if x in stopwords)
+    return n, s, a, z, st
+
+
+def gopher_keep(
+    n: int, s: int, a: int, z: int, st: int,
+    min_words: int = 50, max_words: int = 100000,
+) -> bool:
+    """The Gopher rule vector on `gopher_counts` evidence: word count in
+    [min,max], mean word length in [3,10] (3n ≤ Σlen ≤ 10n), ≤10%
+    no-alphanumeric words, ≥80% words containing a letter, ≥2 stopwords."""
+    return (
+        min_words <= n <= max_words
+        and 3 * n <= s <= 10 * n
+        and 10 * z <= n
+        and 5 * a >= 4 * n
+        and st >= 2
+    )
+
+
 def char_runs(text: str) -> list[str]:
     """Segment into runs of CJK / alphabetic / numeric chars, dropping
     "other" chars (`string2List`, trietree_correct.py:74-91)."""

@@ -4698,30 +4698,19 @@ def q116_gopher_rules(sf_dir: str):
     (3·n ≤ Σlen ≤ 10·n), ≤10% no-alphanumeric words (10·n_nonal ≤ n),
     ≥80% words containing a letter (5·n_alpha ≥ 4·n), ≥2 stopwords.
     Zero-shuffle per-doc scan (the C4/Gopher quality pass is
-    embarrassingly parallel — only the rollup would ever aggregate)."""
-    import re
+    embarrassingly parallel — only the rollup would ever aggregate).
+    Kernel single-sourced in `core/textstats.py:gopher_counts` /
+    `gopher_keep` (also the `gopher_filter` spec op)."""
+    from basicocr_ray.core.textstats import gopher_counts, gopher_keep
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    alpha_re = re.compile(r"[a-z]")
-    alnum_re = re.compile(r"[a-z0-9]")
 
     def rules(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
         nw, sl, na, nn, ns, kept = [], [], [], [], [], []
         for t in batch["text"].to_pylist():
-            toks = token_items(t or "")
-            n = len(toks)
-            s = sum(len(x) for x in toks)
-            a = sum(1 for x in toks if alpha_re.search(x))
-            z = sum(1 for x in toks if not alnum_re.search(x))
-            st = sum(1 for x in toks if x in _STOP5)
-            ok = (
-                50 <= n <= 100000
-                and 3 * n <= s <= 10 * n
-                and 10 * z <= n
-                and 5 * a >= 4 * n
-                and st >= 2
-            )
+            n, s, a, z, st = gopher_counts(t or "", _STOP5)
+            ok = gopher_keep(n, s, a, z, st)
             nw.append(n)
             sl.append(s)
             na.append(a)
@@ -5122,7 +5111,11 @@ def q123_simhash_hamming(sf_dir: str):
     the bucket is complete. The corpus is doubled with one-token-
     appended clones (doc_id+10000) whose distance is usually small but
     NOT zero — the radius search is doing real work. Shuffles carry
-    (band value, id, 32-bit sig) — never text."""
+    (band value, id, 32-bit sig) — never text. The production scale
+    path is `stages/dedup.py:simhash_pairs` (64-bit signature, same
+    pigeonhole bucketing, bit-matrix popcount verify); this query is
+    its ORACLE-AUDITABLE twin (the q109 discipline: md5 signature the
+    SQL twin reconstructs bit-for-bit)."""
     from basicocr_ray.stages.wide import coarse_group_reduce
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])

@@ -97,6 +97,69 @@ def _op_quality(ds, params):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _op_gopher_filter(ds, params):
+    """Gopher-style quality gate (Rae et al. 2021 Table A1 subset): keep
+    rows passing the integer rule vector; evidence columns attached.
+    Kernel shared with q116 (`core/textstats.py:gopher_counts`)."""
+    from basicocr_ray.core.textstats import gopher_counts, gopher_keep
+
+    col = params.get("column", "text")
+    stop = frozenset(
+        params.get("stopwords", ("the", "a", "data", "key", "value"))
+    )
+    min_words = int(params.get("min_words", 50))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch[col].to_pylist()
+        stats = [gopher_counts(t or "", stop) for t in texts]
+        keep = [gopher_keep(*s, min_words=min_words) for s in stats]
+        out = batch.filter(pa.array(keep))
+        kept_stats = [s for s, k in zip(stats, keep) if k]
+        return out.append_column(
+            "n_words",
+            pa.array([s[0] for s in kept_stats], pa.int64()),
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _op_simhash_radius(ds, params):
+    """Hamming-radius near-dup pairs over a text column (Manku et al.
+    2007 pigeonhole bucketing; `stages/dedup.py:simhash_pairs`)."""
+    from basicocr_ray.stages.dedup import simhash_pairs
+
+    return simhash_pairs(
+        ds,
+        params.get("id_column", "doc_id"),
+        params.get("column", "text"),
+        max_hamming=int(params.get("max_hamming", 3)),
+        token_k=int(params.get("token_k", 4)),
+    )
+
+
+def _op_epoch_upsample(ds, params):
+    """Data-mixing repeat fan-out: duplicate each row `weights[key]`
+    times (integer epochs per source/lang), adding a copy_idx column.
+    Zero shuffle — copies are born partitioned like their sources."""
+    key_col = params.get("key_column", "lang")
+    weights = {k: int(v) for k, v in params["weights"].items()}
+    default = int(params.get("default", 1))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        keys = batch[key_col].to_pylist()
+        n = np.array([weights.get(k, default) for k in keys], dtype=np.int64)
+        idx_rows = np.repeat(np.arange(len(keys), dtype=np.int64), n)
+        out = batch.take(pa.array(idx_rows))
+        copy_idx = np.arange(int(n.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(n)[:-1])), n
+        ) + 1
+        return out.append_column("copy_idx", pa.array(copy_idx))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def _op_fingerprint(ds, params):
     from basicocr_ray.core.textstats import md5_hex
 
@@ -539,6 +602,9 @@ OP_REGISTRY: dict[str, Callable] = {
     "quality": _op_quality,
     "fingerprint": _op_fingerprint,
     "quality_filter": _op_quality_filter,
+    "gopher_filter": _op_gopher_filter,
+    "simhash_radius": _op_simhash_radius,
+    "epoch_upsample": _op_epoch_upsample,
     "normalize_url": _op_normalize_url,
     "filter_ge": _op_filter_ge,
     "select": _op_select,

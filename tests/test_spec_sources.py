@@ -36,6 +36,56 @@ def test_run_spec_end_to_end(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_run_spec_gopher_and_upsample_ops():
+    from basicocr_ray.pipelines.spec import run_spec
+
+    ds = run_spec(
+        {
+            "input": {"table": "documents",
+                      "columns": ["doc_id", "text", "lang"]},
+            "steps": [{"op": "gopher_filter", "min_words": 20}],
+        },
+        "/root/testdata/sf0.001",
+    )
+    df = ds.to_pandas()
+    assert 0 < len(df) < 500  # the gate actually filters
+    assert (df["n_words"] >= 20).all()
+
+    ds2 = run_spec(
+        {
+            "input": {"table": "documents", "columns": ["doc_id", "lang"]},
+            "steps": [
+                {"op": "epoch_upsample",
+                 "weights": {"en": 3}, "default": 1},
+            ],
+        },
+        "/root/testdata/sf0.001",
+    )
+    df2 = ds2.to_pandas()
+    en = df2[df2["lang"] == "en"]
+    rest = df2[df2["lang"] != "en"]
+    assert (en.groupby("doc_id")["copy_idx"].max() == 3).all()
+    assert (rest.groupby("doc_id")["copy_idx"].max() == 1).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_run_spec_simhash_radius_op():
+    from basicocr_ray.pipelines.spec import run_spec
+
+    ds = run_spec(
+        {
+            "input": {"table": "documents", "columns": ["doc_id", "text"]},
+            "steps": [{"op": "simhash_radius", "max_hamming": 2}],
+        },
+        "/root/testdata/sf0.001",
+    )
+    df = ds.to_pandas()
+    assert set(df.columns) >= {"id_a", "id_b", "hamming"}
+    assert (df["hamming"] <= 2).all()
+    assert (df["id_a"] < df["id_b"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_run_spec_unknown_op():
     from basicocr_ray.pipelines.spec import run_spec
 
