@@ -5251,6 +5251,101 @@ def q124_rare_feature_pairs(sf_dir: str):
     return coarse_group_reduce(anchors, ["id_a", "id_b"], sum_pairs)
 
 
+def q125_crawl_budget(sf_dir: str):
+    """Crawl-budget APPORTIONMENT — dividing a fixed fetch budget of
+    B=1000 across sources proportional to their doc counts with the
+    largest-remainder (Hamilton) method, EXACT in integers: base =
+    B·n // total, the B − Σbase leftover slots go to the largest
+    remainders (ties → source asc), so Σ quota == B always. Counts
+    come from a bounded groupby (|sources| rows); the apportionment
+    itself is O(|sources|) driver arithmetic — the correct place for
+    it at any corpus size."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", columns=["source"])
+    counts = (
+        ds.groupby("source")
+        .aggregate(Count(alias_name="n_docs"))
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    B = 1000
+    total = int(counts["n_docs"].sum())
+    n = counts["n_docs"].astype("int64")
+    base = (B * n) // total
+    rem = (B * n) % total
+    extra = B - int(base.sum())
+    order = sorted(
+        range(len(counts)),
+        key=lambda i: (-int(rem.iloc[i]), counts["source"].iloc[i]),
+    )
+    quota = base.copy()
+    for i in order[:extra]:
+        quota.iloc[i] += 1
+    return pd.DataFrame(
+        {
+            "source": counts["source"],
+            "n_docs": n.astype("int64"),
+            "quota": quota.astype("int64"),
+        }
+    )
+
+
+def q126_padding_waste(sf_dir: str):
+    """PADDING-WASTE accounting for length-bucketed batching — the
+    measurement behind dynamic batching in training loaders: documents
+    take the deterministic md5 global order (q55/q100 discipline), form
+    fixed batches of 64, and each batch reports n_docs, its max token
+    length, and waste = n_docs·max_len − Σlen (tokens burned padding
+    every sequence to the batch max). The 0-based rank is
+    `global_prefix_sum` over a constant-1 column — no global sort; the
+    per-batch reduce runs in coarse groups of the batch id. Integers
+    end-to-end."""
+    from basicocr_ray.stages.sample import global_prefix_sum
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    BATCH = 64
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def lengths(batch: pa.Table) -> pa.Table:
+        n = [len(token_items(t or "")) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "one": pa.array([1] * len(n), pa.int64()),
+                "n_tok": pa.array(n, pa.int64()),
+            }
+        )
+
+    ranked = global_prefix_sum(
+        ds.map_batches(lengths, batch_format="pyarrow"),
+        "doc_id", "one", seed=42, out_column="rank0",
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "batch_id": pc.divide(b["rank0"], BATCH),
+                "n_tok": b["n_tok"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("batch_id", as_index=False).agg(
+            n_docs=("n_tok", "size"),
+            max_len=("n_tok", "max"),
+            sum_len=("n_tok", "sum"),
+        )
+        out["waste"] = out["n_docs"] * out["max_len"] - out["sum_len"]
+        return out.astype(
+            {"n_docs": "int64", "max_len": "int64",
+             "sum_len": "int64", "waste": "int64"}
+        )
+
+    return coarse_group_reduce(ranked, "batch_id", per_batch)
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -5373,6 +5468,8 @@ QUERIES = {
     "q122_cms_audit": q122_cms_audit,
     "q123_simhash_hamming": q123_simhash_hamming,
     "q124_rare_feature_pairs": q124_rare_feature_pairs,
+    "q125_crawl_budget": q125_crawl_budget,
+    "q126_padding_waste": q126_padding_waste,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -7055,6 +7152,50 @@ ORACLE_SQL = {
         SELECT ia AS id_a, ib AS id_b, la AS lang_a, lb AS lang_b,
                CAST(count(*) AS BIGINT) AS n_shared
         FROM p GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2
+    """,
+    "q125_crawl_budget": """
+        WITH c AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY 1
+        ),
+        t AS (SELECT sum(n_docs) AS total FROM c),
+        b AS (
+          SELECT source, n_docs,
+                 CAST((1000 * n_docs) // total AS BIGINT) AS base,
+                 CAST((1000 * n_docs) % total AS BIGINT) AS rem
+          FROM c CROSS JOIN t
+        ),
+        k AS (SELECT CAST(1000 - sum(base) AS BIGINT) AS extra FROM b),
+        r AS (
+          SELECT source, n_docs, base,
+                 row_number() OVER (ORDER BY rem DESC, source) AS rn
+          FROM b
+        )
+        SELECT source, n_docs,
+               CAST(base + CASE WHEN rn <= k.extra THEN 1 ELSE 0 END
+                    AS BIGINT) AS quota
+        FROM r CROSS JOIN k
+    """,
+    "q126_padding_waste": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(list_filter({_TOKS}, x -> x <> ''))
+                      AS BIGINT) AS n_tok
+          FROM documents
+        ),
+        o AS (
+          SELECT n_tok,
+                 (row_number() OVER (
+                   ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id
+                 ) - 1) // 64 AS batch_id
+          FROM t
+        )
+        SELECT CAST(batch_id AS BIGINT) AS batch_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(max(n_tok) AS BIGINT) AS max_len,
+               CAST(sum(n_tok) AS BIGINT) AS sum_len,
+               CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS waste
+        FROM o GROUP BY 1
     """,
     "q113_chunk_windows": f"""
         WITH toks AS (
