@@ -5346,6 +5346,89 @@ def q126_padding_waste(sf_dir: str):
     return coarse_group_reduce(ranked, "batch_id", per_batch)
 
 
+def q127_video_scene_cuts(sf_dir: str):
+    """Video SCENE-CUT detection via per-frame perceptual hashes — the
+    shot-boundary pass a video-curation pipeline runs before sampling
+    keyframes: each fixture video has 12 real-PNG frames in
+    n_shots = 2 + (id % 3) shots; WITHIN a shot frames differ in both
+    bytes and pixels (alternating +1 brightness, re-encoded) but share
+    the aHash (uniform-shift invariance, the q121 property), ACROSS
+    shots the noise content changes the hash. Cuts = adjacent-frame
+    hash changes, counted per item in an ordered in-group reduce —
+    frame hashes ride the exchange, frames never do. The oracle is the
+    analytic shot structure: n_cuts = 1 + (id % 3)."""
+    import struct as _struct
+
+    from basicocr_ray.core.png import encode_png
+    from basicocr_ray.stages.multimodal import (
+        VIDEO_MAGIC,
+        VideoFrameSampler,
+    )
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    N_FRAMES = 12
+    ds = _read(sf_dir, "embeddings", columns=["vec_id"])
+
+    def make_shot_video(item_id: int) -> bytes:
+        n_shots = 2 + (item_id % 3)
+        bounds = [round(s * N_FRAMES / n_shots) for s in range(n_shots + 1)]
+        body = _struct.pack("<HH", 24, N_FRAMES)
+        for shot in range(n_shots):
+            rng = np.random.default_rng(item_id * 100 + shot)
+            base = rng.integers(0, 199, size=(12, 16)).astype(np.uint8)
+            for f in range(bounds[shot], bounds[shot + 1]):
+                png = encode_png(base + (f % 2), level=6 + (f % 2))
+                body += _struct.pack("<I", len(png)) + png
+        return VIDEO_MAGIC + body
+
+    def payloads(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_pylist()
+        return pa.table(
+            {
+                "item_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(
+                    [make_shot_video(i) for i in ids], pa.large_binary()
+                ),
+            }
+        )
+
+    frames = (
+        ds.map_batches(payloads, batch_format="pyarrow")
+        .map_batches(
+            VideoFrameSampler,
+            fn_constructor_kwargs={"sample_every": 1},
+            batch_format="pyarrow", batch_size=64, concurrency=2,
+        )
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "item_id": b["item_id"],
+                    "frame_index": b["frame_index"],
+                    "ph": pc.cast(b["phash"], pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def count_cuts(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for item, grp in df.groupby("item_id"):
+            grp = grp.sort_values("frame_index", kind="mergesort")
+            hs = grp["ph"].tolist()
+            cuts = sum(1 for a, b in zip(hs, hs[1:]) if a != b)
+            rows.append((item, len(hs), cuts))
+        return pd.DataFrame(
+            {
+                "item_id": pd.array([r[0] for r in rows], dtype="int64"),
+                "n_frames": pd.array([r[1] for r in rows], dtype="int64"),
+                "n_cuts": pd.array([r[2] for r in rows], dtype="int64"),
+            }
+        )
+
+    return coarse_group_reduce(frames, "item_id", count_cuts)
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -5470,6 +5553,7 @@ QUERIES = {
     "q124_rare_feature_pairs": q124_rare_feature_pairs,
     "q125_crawl_budget": q125_crawl_budget,
     "q126_padding_waste": q126_padding_waste,
+    "q127_video_scene_cuts": q127_video_scene_cuts,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -7196,6 +7280,14 @@ ORACLE_SQL = {
                CAST(sum(n_tok) AS BIGINT) AS sum_len,
                CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS waste
         FROM o GROUP BY 1
+    """,
+    "q127_video_scene_cuts": """
+        -- analytic shot structure: 12 frames in 2 + (id % 3) shots,
+        -- within-shot frames share only the perceptual hash
+        SELECT vec_id AS item_id,
+               CAST(12 AS BIGINT) AS n_frames,
+               CAST(1 + vec_id % 3 AS BIGINT) AS n_cuts
+        FROM embeddings
     """,
     "q113_chunk_windows": f"""
         WITH toks AS (
