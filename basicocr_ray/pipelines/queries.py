@@ -4742,9 +4742,6 @@ def q117_hll_registers(sf_dir: str):
     (the sketch IS the shuffle payload — user ids never move), a bounded
     groupby max-merges them, and the exact distinct count rides along
     per type as the audit column the estimate would be judged against."""
-    import hashlib
-    import struct
-
     from ray.data.aggregate import Max, Sum
 
     from basicocr_ray.stages.wide import coarse_group_reduce
@@ -4756,9 +4753,7 @@ def q117_hll_registers(sf_dir: str):
         for et, uid in zip(
             batch["event_type"].to_pylist(), batch["user_id"].to_pylist()
         ):
-            h = struct.unpack(
-                "<Q", hashlib.md5(str(uid).encode()).digest()[8:]
-            )[0]
+            h = _md5_low64(str(uid))
             reg = h >> 58
             w = h & ((1 << 58) - 1)
             rho = 59 if w == 0 else 58 - w.bit_length() + 1
@@ -4897,7 +4892,9 @@ def q119_latest_by_url(sf_dir: str):
             for v in range(3):
                 if (did + v) % 3 == 0:
                     continue
-                row = (did * 10 + v, v, md5_hex(f"{t} v{v}"))
+                # oracle lockstep: NULL text → NULL fp (md5(NULL) is NULL)
+                fp = md5_hex(f"{t} v{v}") if t is not None else None
+                row = (did * 10 + v, v, fp)
                 if best is None or row[0] > best[0]:
                     best = row
             if best is not None:  # partial argmax: one row per doc
@@ -4930,30 +4927,18 @@ def q120_epoch_upsample(sf_dir: str):
     Llama/Gopher training recipes): each language gets a deterministic
     integer repeat factor n = 1 + ascii(lang[0]) % 3 and every doc fans
     out to (doc_id, lang, copy_idx 1..n) — a pure vectorized flat-map
-    (numpy repeat on the batch), ZERO shuffle: upsampling is the one
-    corpus-growing operator that never needs an exchange, the copies are
-    born partitioned exactly like their source rows."""
+    (kernel single-sourced in `stages/sample.py:repeat_with_copy_idx`,
+    shared with the `epoch_upsample` spec op), ZERO shuffle: upsampling
+    is the one corpus-growing operator that never needs an exchange,
+    the copies are born partitioned exactly like their source rows."""
+    from basicocr_ray.stages.sample import repeat_with_copy_idx
+
     ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
 
     def fan_out(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].combine_chunks().to_numpy(
-            zero_copy_only=False
-        )
-        langs = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        langs = batch["lang"].to_pylist()
         n = np.array([1 + (ord(l[0]) % 3) for l in langs], dtype=np.int64)
-        rep_ids = np.repeat(ids, n)
-        rep_langs = np.repeat(langs, n)
-        # copy_idx: 1..n per source row, concatenated
-        idx = np.arange(int(n.sum()), dtype=np.int64) - np.repeat(
-            np.concatenate(([0], np.cumsum(n)[:-1])), n
-        ) + 1
-        return pa.table(
-            {
-                "doc_id": pa.array(rep_ids, pa.int64()),
-                "lang": pa.array(rep_langs, pa.string()),
-                "copy_idx": pa.array(idx, pa.int64()),
-            }
-        )
+        return repeat_with_copy_idx(batch, n)
 
     return ds.map_batches(fan_out, batch_format="pyarrow")
 
@@ -5035,17 +5020,11 @@ def q122_cms_audit(sf_dir: str):
     (CMS only overcounts), and the gap IS the measurement that sizes w
     before a real run. Cell hash = md5 lower-64 of 'r:token' mod 8,
     reconstructed exactly by the oracle."""
-    import hashlib
-    import struct
-
     import ray
     from ray.data.aggregate import Sum
 
     def _cell(r: int, tok: str) -> int:
-        h = struct.unpack(
-            "<Q", hashlib.md5(f"{r}:{tok}".encode()).digest()[8:]
-        )[0]
-        return h % 8
+        return _md5_low64(f"{r}:{tok}") % 8
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -5125,12 +5104,18 @@ def q123_simhash_hamming(sf_dir: str):
         for did, t in zip(
             batch["doc_id"].to_pylist(), batch["text"].to_pylist()
         ):
+            if t is None:
+                # oracle lockstep: NULL text yields no tokens on either
+                # side (list_filter(NULL) / NULL || ' zzz' are both NULL)
+                continue
             for docid, text in ((did, t), (did + 10000, f"{t} zzz")):
+                toks = token_items(text)
+                if not toks:
+                    # token-less doc: the SQL twin has no row in `sig`
+                    # for it (unnest of an empty list emits nothing)
+                    continue
                 hs = np.array(
-                    [
-                        _md5_low64(tok) & 0xFFFFFFFF
-                        for tok in token_items(text or "")
-                    ],
+                    [_md5_low64(tok) & 0xFFFFFFFF for tok in toks],
                     dtype=np.uint32,
                 ).reshape(-1, 1)
                 # ±1 per occurrence per bit, summed vectorized
@@ -5298,11 +5283,11 @@ def q126_padding_waste(sf_dir: str):
     take the deterministic md5 global order (q55/q100 discipline), form
     fixed batches of 64, and each batch reports n_docs, its max token
     length, and waste = n_docs·max_len − Σlen (tokens burned padding
-    every sequence to the batch max). The 0-based rank is
-    `global_prefix_sum` over a constant-1 column — no global sort; the
+    every sequence to the batch max). The 0-based rank is `global_rank`
+    (ROW_NUMBER()−1 under the md5 order without a global sort); the
     per-batch reduce runs in coarse groups of the batch id. Integers
     end-to-end."""
-    from basicocr_ray.stages.sample import global_prefix_sum
+    from basicocr_ray.stages.sample import global_rank
     from basicocr_ray.stages.wide import coarse_group_reduce
 
     BATCH = 64
@@ -5313,14 +5298,13 @@ def q126_padding_waste(sf_dir: str):
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "one": pa.array([1] * len(n), pa.int64()),
                 "n_tok": pa.array(n, pa.int64()),
             }
         )
 
-    ranked = global_prefix_sum(
+    ranked = global_rank(
         ds.map_batches(lengths, batch_format="pyarrow"),
-        "doc_id", "one", seed=42, out_column="rank0",
+        "doc_id", seed=42, out_column="rank0",
     ).map_batches(
         lambda b: pa.table(
             {

@@ -128,11 +128,19 @@ def _op_simhash_radius(ds, params):
     2007 pigeonhole bucketing; `stages/dedup.py:simhash_pairs`)."""
     from basicocr_ray.stages.dedup import simhash_pairs
 
+    max_hamming = int(params.get("max_hamming", 3))
+    if max_hamming > 3:
+        # 4 × 16-bit chunks guarantee recall only to radius 3 (pigeonhole:
+        # 4 chunks cover ≤ 3 differing bits); a larger radius would return
+        # a silently incomplete pair set
+        raise ValueError(
+            f"simhash_radius supports max_hamming <= 3, got {max_hamming}"
+        )
     return simhash_pairs(
         ds,
         params.get("id_column", "doc_id"),
         params.get("column", "text"),
-        max_hamming=int(params.get("max_hamming", 3)),
+        max_hamming=max_hamming,
         token_k=int(params.get("token_k", 4)),
     )
 
@@ -140,7 +148,11 @@ def _op_simhash_radius(ds, params):
 def _op_epoch_upsample(ds, params):
     """Data-mixing repeat fan-out: duplicate each row `weights[key]`
     times (integer epochs per source/lang), adding a copy_idx column.
-    Zero shuffle — copies are born partitioned like their sources."""
+    Kernel single-sourced in `stages/sample.py:repeat_with_copy_idx`
+    (shared with q120). Zero shuffle — copies are born partitioned
+    like their sources."""
+    from basicocr_ray.stages.sample import repeat_with_copy_idx
+
     key_col = params.get("key_column", "lang")
     weights = {k: int(v) for k, v in params["weights"].items()}
     default = int(params.get("default", 1))
@@ -150,12 +162,7 @@ def _op_epoch_upsample(ds, params):
 
         keys = batch[key_col].to_pylist()
         n = np.array([weights.get(k, default) for k in keys], dtype=np.int64)
-        idx_rows = np.repeat(np.arange(len(keys), dtype=np.int64), n)
-        out = batch.take(pa.array(idx_rows))
-        copy_idx = np.arange(int(n.sum()), dtype=np.int64) - np.repeat(
-            np.concatenate(([0], np.cumsum(n)[:-1])), n
-        ) + 1
-        return out.append_column("copy_idx", pa.array(copy_idx))
+        return repeat_with_copy_idx(batch, n)
 
     return ds.map_batches(fn, batch_format="pyarrow")
 

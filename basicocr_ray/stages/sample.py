@@ -160,6 +160,29 @@ def global_prefix_sum(ds, id_column: str, value_column: str,
     return ranked.groupby("cg").map_groups(prefix, batch_format="pandas")
 
 
+def repeat_with_copy_idx(batch: pa.Table, n) -> pa.Table:
+    """Repeat row i of ``batch`` n[i] times (int64 array, one entry per
+    row) and append a 1-based ``copy_idx`` column (1..n[i] per source
+    row) — the upsampling fan-out kernel shared by the q120 query and
+    the `epoch_upsample` spec op. Pure vectorized numpy; zero shuffle
+    (copies are born partitioned like their sources)."""
+    import numpy as np
+
+    n = np.asarray(n, dtype=np.int64)
+    total = int(n.sum()) if len(n) else 0
+    if total == 0:
+        empty = batch.slice(0, 0)
+        return empty.append_column(
+            "copy_idx", pa.array([], type=pa.int64())
+        )
+    idx_rows = np.repeat(np.arange(len(n), dtype=np.int64), n)
+    out = batch.take(pa.array(idx_rows))
+    copy_idx = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(n)[:-1])), n
+    ) + 1
+    return out.append_column("copy_idx", pa.array(copy_idx))
+
+
 def sampled(ds, fraction: float, seed: int = 42):
     """Bernoulli sample of ~fraction rows (val-subset analogue, T5)."""
     return ds.random_sample(fraction, seed=seed)
