@@ -105,12 +105,20 @@ def decode_png(data: bytes) -> np.ndarray:
     return out.reshape(height, width, ch)
 
 
-def encode_png(arr: np.ndarray, level: int = 6) -> bytes:
+def encode_png(
+    arr: np.ndarray,
+    level: int = 6,
+    text_chunks: dict[str, str] | None = None,
+) -> bytes:
     """uint8 array (h, w) / (h, w, 3) / (h, w, 4) → PNG bytes (filter 0).
 
     ``level`` is the zlib compression level: different levels produce
     byte-DIFFERENT files for pixel-IDENTICAL images — the re-encode
-    case byte-level dedup misses and perceptual hashing catches."""
+    case byte-level dedup misses and perceptual hashing catches.
+
+    ``text_chunks`` writes tEXt metadata chunks (keyword → latin-1 text,
+    PNG spec 11.3.4.3) between IHDR and IDAT — the provenance/EXIF
+    analogue a crawl pipeline must surface without decoding pixels."""
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
         color_type, ch = 0, 1
@@ -131,12 +139,53 @@ def encode_png(arr: np.ndarray, level: int = 6) -> bytes:
         return struct.pack(">I", len(payload)) + ctype + payload + struct.pack(">I", crc)
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    texts = b""
+    for kw, val in (text_chunks or {}).items():
+        kb = kw.encode("latin-1")
+        if not 1 <= len(kb) <= 79 or b"\x00" in kb:
+            raise ValueError(f"bad tEXt keyword {kw!r}")
+        texts += chunk(b"tEXt", kb + b"\x00" + val.encode("latin-1"))
     return (
         PNG_SIGNATURE
         + chunk(b"IHDR", ihdr)
+        + texts
         + chunk(b"IDAT", zlib.compress(raw, level))
         + chunk(b"IEND", b"")
     )
+
+
+def png_text_chunks(data: bytes) -> dict[str, str]:
+    """Metadata WITHOUT pixel decode: walk the chunk stream and collect
+    tEXt keyword→value pairs (first occurrence of a keyword wins, per the
+    common-reader convention). Skips IDAT payloads entirely — at crawl
+    scale this reads kilobytes per image, not the image. Corrupt chunks
+    (bad CRC, truncation) end the walk with whatever was parsed — callers
+    route empty results like any failed-probe payload."""
+    if not data.startswith(PNG_SIGNATURE):
+        raise ValueError("not a PNG (bad signature)")
+    out: dict[str, str] = {}
+    pos = len(PNG_SIGNATURE)
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        end = pos + 8 + length
+        if end + 4 > len(data):
+            break  # truncated chunk
+        if ctype == b"tEXt":
+            payload = data[pos + 8 : end]
+            if zlib.crc32(ctype + payload) & 0xFFFFFFFF != struct.unpack(
+                ">I", data[end : end + 4]
+            )[0]:
+                break  # corrupt metadata: stop, keep what we have
+            kw, _, val = payload.partition(b"\x00")
+            try:
+                out.setdefault(kw.decode("latin-1"), val.decode("latin-1"))
+            except UnicodeDecodeError:
+                pass
+        elif ctype == b"IEND":
+            break
+        pos = end + 4
+    return out
 
 
 def to_grayscale(arr: np.ndarray) -> np.ndarray:

@@ -5413,6 +5413,486 @@ def q127_video_scene_cuts(sf_dir: str):
     return coarse_group_reduce(frames, "item_id", count_cuts)
 
 
+def q128_bloom_semi_audit(sf_dir: str):
+    """Bloom-filter SEMI-JOIN pre-filter with its false-positive AUDIT
+    (the q109/q117/q122 discipline applied to the join family): a tiny
+    m=1024-bit k=2 filter over BUILDING-segment customer keys is built
+    from per-batch partials on a BOUNDED key space (≤ 2·1024 (r, cell)
+    rows ride the exchange — keys never do), broadcast once, and every
+    order gets a bloom verdict; the EXACT verdict comes from the house
+    bucketed semi-join over only the bloom-passing rows (no false
+    negatives, so exact ⊆ passed — the composition a 100-TB fact⋈dim
+    semi-join runs to cut the probe side's shuffle volume before the
+    exchange). Output per order status: total / bloom-pass / exact /
+    false-positive counts — the FP-rate measurement that sizes m before
+    a real run. Cell hash = md5-low64 of 'r:key' mod 1024, reconstructed
+    exactly by the oracle. The PRODUCTION path (vectorized double
+    hashing, packed bit partials) is `stages/joins.py:bloom_prefilter`;
+    this query is its oracle-auditable twin."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from basicocr_ray.stages.joins import bucketed_hash_join
+
+    M, K = 1024, 2
+    build = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    build = build.map_batches(
+        lambda b: b.filter(
+            pc.equal(b["c_mktsegment"], "BUILDING")
+        ).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+
+    def cells_partial(batch: pa.Table) -> pa.Table:
+        seen = set()
+        for key in batch["c_custkey"].to_pylist():
+            for r in range(K):
+                seen.add((r, _md5_low64(f"{r}:{key}") % M))
+        rows = sorted(seen)
+        return pa.table(
+            {
+                "r": pa.array([r for r, _ in rows], pa.int64()),
+                "cell": pa.array([c for _, c in rows], pa.int64()),
+            }
+        )
+
+    cells_df = (
+        build.map_batches(cells_partial, batch_format="pyarrow")
+        .groupby(["r", "cell"])  # bounded: ≤ K·M keys
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    cells = set(zip(cells_df["r"].astype(int), cells_df["cell"].astype(int)))
+    cells_ref = ray.put(cells)
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
+
+    def bloom_flag(batch: pa.Table) -> pa.Table:
+        table = ray.get(cells_ref)
+        keys = batch["o_custkey"].to_pylist()
+        bp = [
+            int(all((r, _md5_low64(f"{r}:{key}") % M) in table
+                    for r in range(K)))
+            for key in keys
+        ]
+        return batch.append_column("bp", pa.array(bp, pa.int64()))
+
+    flagged = orders.map_batches(bloom_flag, batch_format="pyarrow")
+
+    def counts_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("o_orderstatus", as_index=False).agg(
+            n_orders=("bp", "size"), n_bloom_pass=("bp", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    base = (
+        flagged.map_batches(counts_partial, batch_format="pyarrow")
+        .groupby("o_orderstatus")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("n_bloom_pass", alias_name="n_bloom_pass"),
+        )
+        .to_pandas()
+    )
+
+    # exact verdict: bucketed semi-join of ONLY the bloom-passing rows
+    passed = flagged.map_batches(
+        lambda b: pa.table(
+            {
+                "c_custkey": b.filter(pc.equal(b["bp"], 1))["o_custkey"],
+                "o_orderstatus": b.filter(pc.equal(b["bp"], 1))[
+                    "o_orderstatus"
+                ],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    exact = bucketed_hash_join(
+        passed, build.map_batches(
+            lambda b: pa.table({"c_custkey": b["c_custkey"]}).combine_chunks(),
+            batch_format="pyarrow",
+        ),
+        "c_custkey", ["o_orderstatus"], [], join_type="left semi",
+    )
+    exact_df = (
+        exact.groupby("o_orderstatus")
+        .aggregate(Count(alias_name="n_exact"))
+        .to_pandas()
+    )
+
+    out = base.merge(exact_df, on="o_orderstatus", how="left")
+    out["n_exact"] = out["n_exact"].fillna(0).astype("int64")
+    for c in ("n_orders", "n_bloom_pass"):
+        out[c] = out[c].astype("int64")
+    out["n_false_pos"] = (out["n_bloom_pass"] - out["n_exact"]).astype("int64")
+    return out
+
+
+def q129_quality_classifier(sf_dir: str):
+    """Hashed-linear QUALITY-CLASSIFIER inference — the fastText-style
+    quality gate of the GPT-3/LLaMA curation recipes as a Ray stage:
+    tokens hash into B=64 feature buckets, each bucket carries a FIXED
+    integer weight in [-10, 10] derived from md5-low64('w:b') (a stand-in
+    for trained weights with the same execution shape: the weight vector
+    broadcasts once, inference is a zero-shuffle scan, scores are exact
+    int64 so the oracle reconstructs them bit-for-bit). Output: per-doc
+    score and the keep verdict (score > 0). A real model swaps the weight
+    table; nothing else changes — this is A1's load-once scorer semantics
+    on the documents table."""
+    B = 64
+    weights = np.array(
+        [_md5_low64(f"w:{b}") % 21 - 10 for b in range(B)], dtype=np.int64
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        out_id, out_s = [], []
+        for did, t in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = token_items(t) if t else []
+            s = int(
+                weights[[_md5_low64(tok) % B for tok in toks]].sum()
+            ) if toks else 0
+            out_id.append(did)
+            out_s.append(s)
+        kept = [1 if s > 0 else 0 for s in out_s]
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "score": pa.array(out_s, pa.int64()),
+                "kept": pa.array(kept, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def q130_embedding_outliers(sf_dir: str):
+    """Embedding OUTLIER detection (the SemDeDup/SSL-curation shape —
+    flag the member farthest from its cluster centroid): vectors
+    quantize to int64 (q115 discipline, scale 10³ so the score bound
+    stays far inside int64), pass 1 reduces BOUNDED per-label (n, Σv)
+    partials (labels × 64 ints — no shuffle of vectors), pass 2
+    broadcasts them and scores every row with the EXACT integer
+    n²·‖x − s/n‖² = Σ_i (n·x_i − s_i)², keeping only each batch's
+    per-label argmax (≤ |labels| rows per batch reach the driver).
+    Ties break to the lowest vec_id so the result is
+    partition-invariant. The oracle replays the same integer algebra
+    with unnest-zip list SQL."""
+    import ray
+
+    from basicocr_ray.stages.embed import _stack, quantize_vec
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = quantize_vec(_stack(batch["embedding"]), scale=1000.0)
+        labels = batch["label"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        out_l, out_n, out_s = [], [], []
+        for lab in np.unique(labels):
+            mask = labels == lab
+            out_l.append(int(lab))
+            out_n.append(int(mask.sum()))
+            out_s.append(m[mask].sum(axis=0).tolist())
+        return pa.table(
+            {
+                "label": pa.array(out_l, pa.int64()),
+                "n": pa.array(out_n, pa.int64()),
+                "s": pa.array(out_s, pa.list_(pa.int64())),
+            }
+        )
+
+    stats: dict[int, tuple[int, np.ndarray]] = {}
+    for tbl in ds.map_batches(
+        partial, batch_format="pyarrow"
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        for lab, n, s in zip(
+            tbl["label"].to_pylist(), tbl["n"].to_pylist(), tbl["s"].to_pylist()
+        ):
+            pn, ps = stats.get(lab, (0, np.zeros(len(s), dtype=np.int64)))
+            stats[lab] = (pn + n, ps + np.asarray(s, dtype=np.int64))
+    stats_ref = ray.put(stats)
+
+    def local_argmax(batch: pa.Table) -> pa.Table:
+        st = ray.get(stats_ref)
+        m = quantize_vec(_stack(batch["embedding"]), scale=1000.0)
+        labels = batch["label"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        ids = batch["vec_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        out_l, out_id, out_sc = [], [], []
+        for lab in np.unique(labels):
+            n, s = st[int(lab)]
+            mask = labels == lab
+            d = n * m[mask] - s[None, :]
+            sc = (d * d).sum(axis=1)
+            sub_ids = ids[mask]
+            order = np.lexsort((sub_ids, -sc))  # score desc, id asc
+            out_l.append(int(lab))
+            out_id.append(int(sub_ids[order[0]]))
+            out_sc.append(int(sc[order[0]]))
+        return pa.table(
+            {
+                "label": pa.array(out_l, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "score": pa.array(out_sc, pa.int64()),
+            }
+        )
+
+    cand = ds.map_batches(local_argmax, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(
+        ["label", "score", "vec_id"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    out = cand.groupby("label", as_index=False).first()
+    for c in ("label", "vec_id", "score"):
+        out[c] = out[c].astype("int64")
+    return out[["label", "vec_id", "score"]]
+
+
+def q131_validity_intervals(sf_dir: str):
+    """SCD-2 VALIDITY INTERVALS — the keep-history sibling of q119's
+    keep-latest compaction (what a recrawl store materializes so
+    training can ask 'which snapshot was live at time T'): the same
+    deterministic versioned corpus, each version's interval being
+    [its ts, the NEXT version's ts) with the current version open-ended
+    at a 2⁶² sentinel. One (doc_id, ver, ts) row per version rides the
+    exchange (text never does); the LEAD runs as an ordered in-group
+    shift in doc-keyed coarse groups (the q63 discipline, LEAD flavor)."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    SENTINEL = 1 << 62
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def versions(batch: pa.Table) -> pa.Table:
+        out_id, out_v, out_ts = [], [], []
+        for did in batch["doc_id"].to_pylist():
+            for v in range(3):
+                if (did + v) % 3 == 0:
+                    continue
+                out_id.append(did)
+                out_v.append(v)
+                out_ts.append(did * 10 + v)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "ver": pa.array(out_v, pa.int64()),
+                "ts": pa.array(out_ts, pa.int64()),
+            }
+        )
+
+    def intervals(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "ts"], kind="mergesort")
+        nxt = df.groupby("doc_id")["ts"].shift(-1)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "ver": df["ver"].astype("int64"),
+                "valid_from": df["ts"].astype("int64"),
+                "valid_to": nxt.fillna(SENTINEL).astype("int64"),
+                "is_current": nxt.isna().astype("int64"),
+            }
+        )
+
+    return coarse_group_reduce(
+        ds.map_batches(versions, batch_format="pyarrow"),
+        "doc_id",
+        intervals,
+    )
+
+
+def q132_png_metadata(sf_dir: str):
+    """Image METADATA extraction WITHOUT pixel decode (the provenance/
+    EXIF pass a crawl pipeline runs on every image before deciding what
+    to decode): fixture PNGs carry real tEXt chunks (Software = cam<id%5>,
+    Comment on even ids only), `ImageMetadataExtractor` walks chunk
+    headers and skips IDAT bodies entirely — kilobytes read per image —
+    and the rollup counts images and comment-bearing images per software
+    tag. The oracle is the analytic chunk-content contract."""
+    from ray.data.aggregate import Sum
+
+    from basicocr_ray.core.png import encode_png
+    from basicocr_ray.stages.multimodal import ImageMetadataExtractor
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id"])
+
+    def payloads(batch: pa.Table) -> pa.Table:
+        ids, blobs = [], []
+        for i in batch["vec_id"].to_pylist():
+            rng = np.random.default_rng(int(i))
+            arr = rng.integers(0, 200, size=(16, 16)).astype(np.uint8)
+            meta = {"Software": f"cam{i % 5}"}
+            if i % 2 == 0:
+                meta["Comment"] = f"shot {i}"
+            ids.append(i)
+            blobs.append(encode_png(arr, text_chunks=meta))
+        return pa.table(
+            {
+                "item_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(blobs, pa.large_binary()),
+            }
+        )
+
+    meta = (
+        ds.map_batches(payloads, batch_format="pyarrow")
+        .map_batches(
+            ImageMetadataExtractor,
+            fn_constructor_kwargs={"keywords": ["Software", "Comment"]},
+            batch_format="pyarrow", batch_size=256, concurrency=2,
+        )
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["n_images"] = 1
+        df["n_with_comment"] = df["Comment"].notna().astype("int64")
+        g = df.groupby("Software", as_index=False)[
+            ["n_images", "n_with_comment"]
+        ].sum()
+        return pa.Table.from_pandas(
+            g.rename(columns={"Software": "software"}), preserve_index=False
+        )
+
+    out = (
+        meta.map_batches(partial, batch_format="pyarrow")
+        .groupby("software")
+        .aggregate(
+            Sum("n_images", alias_name="n_images"),
+            Sum("n_with_comment", alias_name="n_with_comment"),
+        )
+        .to_pandas()
+    )
+    for c in ("n_images", "n_with_comment"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def q133_audio_silence(sf_dir: str):
+    """Audio SILENCE segmentation (the VAD pre-pass of a speech-corpus
+    pipeline): fixture WAVs interleave 0.1 s silence gaps with
+    n = 1 + id % 4 active 0.1 s square-wave bursts (real 16-bit PCM),
+    the `AudioSilenceSegmenter` actor pool decodes, takes per-50 ms-hop
+    RMS, thresholds, and counts maximal active runs. Segment boundaries
+    align to hop boundaries by construction, so the frame/segment
+    arithmetic is exact and the oracle is analytic:
+    n_frames = 2 + 4n, active = 2n, segments = n."""
+    from basicocr_ray.core.wav import encode_wav
+    from basicocr_ray.stages.multimodal import AudioSilenceSegmenter
+
+    RATE, BLK = 8000, 800  # 0.1 s blocks; hop 0.05 s = 400 samples
+    ds = _read(sf_dir, "embeddings", columns=["vec_id"])
+
+    def payloads(batch: pa.Table) -> pa.Table:
+        ids, blobs = [], []
+        for i in batch["vec_id"].to_pylist():
+            n_seg = 1 + (i % 4)
+            burst = 0.25 * (1.0 - 2.0 * (np.arange(BLK) % 2))
+            sil = np.zeros(BLK)
+            parts = [sil]
+            for _ in range(n_seg):
+                parts.extend((burst, sil))
+            ids.append(i)
+            blobs.append(encode_wav(RATE, np.concatenate(parts)))
+        return pa.table(
+            {
+                "item_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(blobs, pa.large_binary()),
+            }
+        )
+
+    seg = (
+        ds.map_batches(payloads, batch_format="pyarrow")
+        .map_batches(
+            AudioSilenceSegmenter,
+            fn_constructor_kwargs={"frame_hop_s": 0.05, "threshold": 0.05},
+            batch_format="pyarrow", batch_size=128, concurrency=2,
+        )
+    )
+    return seg.map_batches(
+        lambda b: b.select(
+            ["item_id", "n_frames", "n_active_frames", "n_segments"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q134_duplicate_spans(sf_dir: str):
+    """Cross-document DUPLICATED-SPAN detection — the span-level exact
+    substring dedup of Lee et al. 2022 ('Deduplicating Training Data
+    Makes Language Models Better') re-expressed for Ray Data: every
+    stride-1 word 5-gram emits (md5 fp, doc_id, pos) — the fp exchange
+    holds ALL occurrences of a gram, so the ≥2-distinct-docs test is
+    exact and text never rides a shuffle; duplicated positions come
+    back to doc-keyed coarse groups where overlapping/adjacent gram
+    intervals [pos, pos+5) merge into MAXIMAL spans (the
+    gaps-and-islands reduce). Output per affected doc: span count and
+    words covered — the measurement that decides whether span-level
+    cutting is worth running on a corpus."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    W = 5
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def grams(batch: pa.Table) -> pa.Table:
+        out_fp, out_id, out_pos = [], [], []
+        for did, t in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = token_items(t) if t else []
+            for pos in range(len(toks) - W + 1):
+                out_fp.append(md5_hex(" ".join(toks[pos : pos + W])))
+                out_id.append(did)
+                out_pos.append(pos)
+        return pa.table(
+            {
+                "fp": pa.array(out_fp, pa.string()),
+                "doc_id": pa.array(out_id, pa.int64()),
+                "pos": pa.array(out_pos, pa.int64()),
+            }
+        )
+
+    def dup_positions(df: pd.DataFrame) -> pd.DataFrame:
+        nd = df.groupby("fp")["doc_id"].transform("nunique")
+        out = df[nd >= 2][["doc_id", "pos"]].copy()
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out["pos"] = out["pos"].astype("int64")
+        return out
+
+    dup = coarse_group_reduce(
+        ds.map_batches(grams, batch_format="pyarrow"), "fp", dup_positions
+    )
+
+    def spans(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for did, grp in df.groupby("doc_id"):
+            ps = np.sort(grp["pos"].to_numpy())
+            brk = np.ones(len(ps), dtype=np.int64)
+            brk[1:] = (np.diff(ps) > W).astype(np.int64)
+            sid = np.cumsum(brk)
+            n_spans = int(sid[-1])
+            covered = 0
+            for s in range(1, n_spans + 1):
+                sel = ps[sid == s]
+                covered += int(sel[-1] + W - sel[0])
+            rows.append((did, n_spans, covered))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.array([r[0] for r in rows], dtype="int64"),
+                "n_dup_spans": pd.array([r[1] for r in rows], dtype="int64"),
+                "n_dup_words": pd.array([r[2] for r in rows], dtype="int64"),
+            }
+        )
+
+    return coarse_group_reduce(dup, "doc_id", spans)
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -5538,6 +6018,13 @@ QUERIES = {
     "q125_crawl_budget": q125_crawl_budget,
     "q126_padding_waste": q126_padding_waste,
     "q127_video_scene_cuts": q127_video_scene_cuts,
+    "q128_bloom_semi_audit": q128_bloom_semi_audit,
+    "q129_quality_classifier": q129_quality_classifier,
+    "q130_embedding_outliers": q130_embedding_outliers,
+    "q131_validity_intervals": q131_validity_intervals,
+    "q132_png_metadata": q132_png_metadata,
+    "q133_audio_silence": q133_audio_silence,
+    "q134_duplicate_spans": q134_duplicate_spans,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -7190,6 +7677,199 @@ ORACLE_SQL = {
         SELECT id_a, id_b,
                CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
         FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    """,
+    "q128_bloom_semi_audit": """
+        -- m=1024 k=2 Bloom filter over BUILDING customer keys,
+        -- reconstructed cell by cell from md5_number_lower; exact
+        -- verdict via plain membership — n_false_pos is the audited
+        -- FP tax of the pre-filter
+        WITH bk AS (
+          SELECT DISTINCT c_custkey AS k FROM customer
+          WHERE c_mktsegment = 'BUILDING'
+        ),
+        cells AS (
+          SELECT DISTINCT r.r,
+                 CAST(md5_number_lower(
+                   CAST(r.r AS VARCHAR) || ':' || CAST(k AS VARCHAR)
+                 ) % 1024 AS BIGINT) AS cell
+          FROM bk CROSS JOIN range(2) r(r)
+        ),
+        p AS (
+          SELECT o_orderstatus, o_custkey,
+                 CAST(md5_number_lower(
+                   '0:' || CAST(o_custkey AS VARCHAR)
+                 ) % 1024 AS BIGINT) AS c0,
+                 CAST(md5_number_lower(
+                   '1:' || CAST(o_custkey AS VARCHAR)
+                 ) % 1024 AS BIGINT) AS c1
+          FROM orders
+        ),
+        f AS (
+          SELECT o_orderstatus,
+                 CASE WHEN c0 IN (SELECT cell FROM cells WHERE r = 0)
+                       AND c1 IN (SELECT cell FROM cells WHERE r = 1)
+                      THEN 1 ELSE 0 END AS bp,
+                 CASE WHEN o_custkey IN (SELECT k FROM bk)
+                      THEN 1 ELSE 0 END AS ex
+          FROM p
+        )
+        SELECT o_orderstatus, count(*) AS n_orders,
+               CAST(sum(bp) AS BIGINT) AS n_bloom_pass,
+               CAST(sum(ex) AS BIGINT) AS n_exact,
+               CAST(sum(bp) - sum(ex) AS BIGINT) AS n_false_pos
+        FROM f GROUP BY 1
+    """,
+    "q129_quality_classifier": f"""
+        -- B=64 hashed buckets, integer weights in [-10, 10] from
+        -- md5_number_lower('w:b'); scores are exact int64
+        WITH w AS (
+          SELECT b.b AS b,
+                 CAST(md5_number_lower(
+                   'w:' || CAST(b.b AS VARCHAR)
+                 ) % 21 AS BIGINT) - 10 AS w
+          FROM range(64) b(b)
+        ),
+        toks AS (
+          SELECT doc_id,
+                 unnest(list_filter({_TOKS}, x -> x <> '')) AS token
+          FROM documents
+        ),
+        s AS (
+          SELECT t.doc_id, CAST(sum(w.w) AS BIGINT) AS score
+          FROM toks t
+          JOIN w ON w.b = CAST(md5_number_lower(t.token) % 64 AS BIGINT)
+          GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(s.score, 0) AS BIGINT) AS score,
+               CAST(CASE WHEN coalesce(s.score, 0) > 0
+                    THEN 1 ELSE 0 END AS BIGINT) AS kept
+        FROM documents d LEFT JOIN s USING (doc_id)
+    """,
+    "q130_embedding_outliers": """
+        -- integer outlier score n^2*dist^2 = sum_i (n*x_i - s_i)^2 over
+        -- scale-1000 quantized vectors; argmax per label, ties to the
+        -- lowest vec_id
+        WITH ev AS (
+          SELECT vec_id, CAST(label AS BIGINT) AS label,
+                 list_transform(embedding, x ->
+                   CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+                 ) AS v
+          FROM embeddings
+        ),
+        el AS (
+          SELECT vec_id, label, i.i AS i, v[i.i] AS x
+          FROM ev CROSS JOIN range(1, 65) i(i)
+        ),
+        cs AS (
+          SELECT label, i, CAST(sum(x) AS BIGINT) AS s
+          FROM el GROUP BY 1, 2
+        ),
+        cn AS (SELECT label, count(*) AS n FROM ev GROUP BY 1),
+        sc AS (
+          SELECT e.vec_id, e.label,
+                 CAST(sum(
+                   (cn.n * e.x - cs.s) * (cn.n * e.x - cs.s)
+                 ) AS BIGINT) AS score
+          FROM el e
+          JOIN cs ON cs.label = e.label AND cs.i = e.i
+          JOIN cn ON cn.label = e.label
+          GROUP BY 1, 2
+        ),
+        best AS (
+          SELECT label, vec_id, score,
+                 row_number() OVER (
+                   PARTITION BY label ORDER BY score DESC, vec_id
+                 ) AS rn
+          FROM sc
+        )
+        SELECT label, vec_id, score FROM best WHERE rn = 1
+    """,
+    "q131_validity_intervals": """
+        -- SCD-2 intervals over the q119 versioned corpus: LEAD per doc,
+        -- current row open-ended at the 2^62 sentinel
+        WITH v AS (
+          SELECT doc_id,
+                 CAST(u.v AS BIGINT) AS ver,
+                 CAST(doc_id * 10 + u.v AS BIGINT) AS ts
+          FROM documents
+          CROSS JOIN (SELECT unnest(range(0, 3)) AS v) u
+          WHERE (doc_id + u.v) % 3 <> 0
+        )
+        SELECT doc_id, ver, ts AS valid_from,
+               CAST(coalesce(
+                 lead(ts) OVER (PARTITION BY doc_id ORDER BY ts),
+                 4611686018427387904
+               ) AS BIGINT) AS valid_to,
+               CAST(CASE WHEN lead(ts) OVER (
+                      PARTITION BY doc_id ORDER BY ts
+                    ) IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        FROM v
+    """,
+    "q132_png_metadata": """
+        -- analytic tEXt contract: Software = cam(id % 5) on every image,
+        -- Comment only on even ids
+        SELECT 'cam' || CAST(vec_id % 5 AS VARCHAR) AS software,
+               count(*) AS n_images,
+               CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_with_comment
+        FROM embeddings GROUP BY 1
+    """,
+    "q133_audio_silence": """
+        -- analytic VAD contract: n = 1 + id % 4 bursts, hop-aligned
+        SELECT vec_id AS item_id,
+               CAST(2 + 4 * (1 + vec_id % 4) AS BIGINT) AS n_frames,
+               CAST(2 * (1 + vec_id % 4) AS BIGINT) AS n_active_frames,
+               CAST(1 + vec_id % 4 AS BIGINT) AS n_segments
+        FROM embeddings
+    """,
+    "q134_duplicate_spans": f"""
+        -- stride-1 word 5-grams; grams in >= 2 distinct docs merge into
+        -- maximal spans (gaps-and-islands, break when gap > 5)
+        WITH toks AS (
+          SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS tk
+          FROM documents
+        ),
+        g0 AS (
+          SELECT doc_id,
+                 list_transform(
+                   range(1, greatest(len(tk) - 3, 1)),
+                   i -> md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                            || ' ' || tk[i+3] || ' ' || tk[i+4])
+                 ) AS fps
+          FROM toks WHERE len(tk) >= 5
+        ),
+        g AS (
+          SELECT doc_id, unnest(fps) AS fp,
+                 unnest(range(1, len(fps) + 1)) - 1 AS pos
+          FROM g0
+        ),
+        dup AS (
+          SELECT fp FROM g GROUP BY fp
+          HAVING count(DISTINCT doc_id) >= 2
+        ),
+        d AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (fp)),
+        isl AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos - lag(pos) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                      ) <= 5 THEN 0 ELSE 1 END AS brk
+          FROM d
+        ),
+        sp AS (
+          SELECT doc_id, pos,
+                 sum(brk) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                 ) AS sid
+          FROM isl
+        ),
+        spans AS (
+          SELECT doc_id, sid, min(pos) AS a, max(pos) + 5 AS b
+          FROM sp GROUP BY 1, 2
+        )
+        SELECT doc_id, count(*) AS n_dup_spans,
+               CAST(sum(b - a) AS BIGINT) AS n_dup_words
+        FROM spans GROUP BY 1
     """,
     "q124_rare_feature_pairs": f"""
         WITH toks AS (

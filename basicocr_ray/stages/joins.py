@@ -485,3 +485,77 @@ def skew_aware_join(
         num_buckets=num_buckets,
     )
     return hot_out.union(cold_out)
+
+
+def _bloom_positions(keys: np.ndarray, m: int, k: int) -> np.ndarray:
+    """Vectorized Kirsch–Mitzenmacher double hashing: position_i =
+    (h1 + i·h2) mod m for i < k. h1 is the house pandas hash (fixed
+    key, identical on every worker); h2 is a splitmix64 remix of h1 —
+    NOT a second hash_array call, whose ``hash_key`` is silently
+    ignored for numeric dtypes (h2 == h1 would collapse k hashes into
+    one). Returns shape (k, len(keys)) int64 positions."""
+    h1 = pd.util.hash_array(keys)
+    with np.errstate(over="ignore"):
+        z = h1 + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h2 = z ^ (z >> np.uint64(31))
+        i = np.arange(k, dtype=np.uint64)[:, None]
+        pos = (h1[None, :] + i * h2[None, :]) % np.uint64(m)
+    return pos.astype(np.int64)
+
+
+def bloom_bits(build_ds, key: str, m: int = 1 << 20, k: int = 2) -> np.ndarray:
+    """Distributed Bloom-filter BUILD over ``build_ds[key]``: each batch
+    packs its local bits into an m/8-byte uint8 array, ONE row per batch
+    rides the exchange (keys never do), and the driver OR-folds the
+    partials — m/8 bytes of metadata per batch, the same
+    bounded-key-space discipline as the CMS/HLL partials. Returns the
+    packed bit array (length m//8)."""
+    if m % 8:
+        raise ValueError("m must be a multiple of 8")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[key].combine_chunks()
+        pos = _bloom_positions(
+            col.to_numpy(zero_copy_only=False), m, k
+        ).ravel()
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        np.bitwise_or.at(
+            bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8)
+        )
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.large_binary())})
+
+    out = np.zeros(m // 8, dtype=np.uint8)
+    for tbl in build_ds.map_batches(
+        partial, batch_format="pyarrow"
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        for buf in tbl["bits"].to_pylist():
+            out |= np.frombuffer(buf, dtype=np.uint8)
+    return out
+
+
+def bloom_prefilter(
+    probe_ds, build_ds, key: str, m: int = 1 << 20, k: int = 2
+):
+    """Bloom-filtered SEMI-JOIN pre-pass: drop probe rows whose key
+    CANNOT be on the build side before any exchange runs. No false
+    negatives (every true match survives); false-positive survivors
+    must still flow through an exact join — this is a volume reducer,
+    not a join. At 100 TB this is the standard way to keep a selective
+    fact⋈dim semi-join from shuffling the whole fact table: the filter
+    is m/8 bytes broadcast ONCE via ray.put, membership is two
+    vectorized hash passes per batch. Size m ≥ ~10× the build-side
+    cardinality for a ~1% false-positive tax (k=2)."""
+    import ray
+
+    bits_ref = ray.put(bloom_bits(build_ds, key, m, k))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)
+        col = batch[key].combine_chunks()
+        pos = _bloom_positions(col.to_numpy(zero_copy_only=False), m, k)
+        hit = (bits[pos >> 3] >> (pos & 7)) & 1
+        return batch.filter(pa.array(hit.all(axis=0)))
+
+    return probe_ds.map_batches(keep, batch_format="pyarrow")

@@ -421,3 +421,103 @@ class AudioResampler:
                 "error": pa.array(errs, pa.string()),
             }
         )
+
+
+class ImageMetadataExtractor:
+    """Actor-pool stage: PNG binary column → tEXt metadata WITHOUT pixel
+    decode (`core.png.png_text_chunks` walks chunk headers and skips IDAT
+    bodies — kilobytes read per image, not the image). One row per image
+    with the requested keywords as string columns (missing → NULL);
+    non-PNG/corrupt payloads route to ok=False like every decode stage."""
+
+    def __init__(
+        self,
+        keywords: list[str],
+        payload_column: str = "payload",
+        id_column: str = "item_id",
+    ):
+        self.keywords = list(keywords)
+        self.payload_column = payload_column
+        self.id_column = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from basicocr_ray.core.png import png_text_chunks
+
+        ids = batch[self.id_column].to_pylist()
+        cols: dict[str, list] = {kw: [] for kw in self.keywords}
+        oks, errs = [], []
+        for data in batch[self.payload_column].to_pylist():
+            try:
+                meta = png_text_chunks(data if data is not None else b"")
+                for kw in self.keywords:
+                    cols[kw].append(meta.get(kw))
+                oks.append(True); errs.append("")
+            except Exception as exc:
+                for kw in self.keywords:
+                    cols[kw].append(None)
+                oks.append(False)
+                errs.append(f"{type(exc).__name__}: {exc}"[:120])
+        out = {"item_id": pa.array(ids, pa.int64())}
+        for kw in self.keywords:
+            out[kw] = pa.array(cols[kw], pa.string())
+        out["ok"] = pa.array(oks, pa.bool_())
+        out["error"] = pa.array(errs, pa.string())
+        return pa.table(out)
+
+
+class AudioSilenceSegmenter:
+    """Actor-pool stage: WAV binary column → voice-activity segmentation
+    (the VAD pre-pass of every speech-corpus pipeline): real PCM decode,
+    per-hop RMS, frames above ``threshold`` are active, and maximal runs
+    of active frames are SEGMENTS. Emits one row per payload with
+    (n_frames, n_active_frames, n_segments); corrupt audio → ok=False."""
+
+    def __init__(
+        self,
+        payload_column: str = "payload",
+        id_column: str = "item_id",
+        frame_hop_s: float = 0.05,
+        threshold: float = 0.05,
+    ):
+        self.payload_column = payload_column
+        self.id_column = id_column
+        self.frame_hop_s = frame_hop_s
+        self.threshold = threshold
+
+    def _segments(self, data: bytes) -> tuple[int, int, int]:
+        from basicocr_ray.core.wav import decode_wav
+
+        rate, x = decode_wav(data)
+        hop = max(1, int(rate * self.frame_hop_s))
+        n_frames = max(1, -(-len(x) // hop)) if len(x) else 1
+        pad = np.zeros(n_frames * hop, dtype=np.float64)
+        pad[: len(x)] = x
+        rms = np.sqrt((pad.reshape(n_frames, hop) ** 2).mean(axis=1))
+        active = rms > self.threshold
+        starts = int(active[0]) + int(
+            (active[1:] & ~active[:-1]).sum()
+        ) if n_frames else 0
+        return n_frames, int(active.sum()), starts
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_column].to_pylist()
+        nf, na, ns, oks, errs = [], [], [], [], []
+        for data in batch[self.payload_column].to_pylist():
+            try:
+                f, a, s = self._segments(data if data is not None else b"")
+                nf.append(f); na.append(a); ns.append(s)
+                oks.append(True); errs.append("")
+            except Exception as exc:
+                nf.append(0); na.append(0); ns.append(0)
+                oks.append(False)
+                errs.append(f"{type(exc).__name__}: {exc}"[:120])
+        return pa.table(
+            {
+                "item_id": pa.array(ids, pa.int64()),
+                "n_frames": pa.array(nf, pa.int64()),
+                "n_active_frames": pa.array(na, pa.int64()),
+                "n_segments": pa.array(ns, pa.int64()),
+                "ok": pa.array(oks, pa.bool_()),
+                "error": pa.array(errs, pa.string()),
+            }
+        )

@@ -1,0 +1,185 @@
+"""Wave-13 operators: bloom prefilter, PNG tEXt metadata, audio silence
+segmentation, duplicated-span merging."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def test_png_text_chunks_roundtrip():
+    from basicocr_ray.core.png import decode_png, encode_png, png_text_chunks
+
+    arr = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    meta = {"Software": "cam3", "Comment": "héllo"}  # latin-1 exercises
+    data = encode_png(arr, text_chunks=meta)
+    assert png_text_chunks(data) == meta
+    # metadata chunks must not disturb the pixel stream
+    assert np.array_equal(decode_png(data), arr)
+    # no metadata → empty dict
+    assert png_text_chunks(encode_png(arr)) == {}
+    # corrupt tEXt CRC: walk stops, nothing invented
+    pos = data.find(b"tEXt")
+    broken = bytearray(data)
+    broken[pos + 20] ^= 0xFF  # flip a CRC/payload byte
+    out = png_text_chunks(bytes(broken))
+    assert "Comment" not in out or out != meta
+    with pytest.raises(ValueError):
+        png_text_chunks(b"not a png")
+
+
+def test_png_text_keyword_validation():
+    from basicocr_ray.core.png import encode_png
+
+    arr = np.zeros((2, 2), dtype=np.uint8)
+    with pytest.raises(ValueError):
+        encode_png(arr, text_chunks={"": "x"})
+    with pytest.raises(ValueError):
+        encode_png(arr, text_chunks={"a" * 80: "x"})
+    with pytest.raises(ValueError):
+        encode_png(arr, text_chunks={"a\x00b": "x"})
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bloom_prefilter_no_false_negatives_and_fp_bounded():
+    import ray.data
+
+    from basicocr_ray.stages.joins import bloom_prefilter
+
+    rng = np.random.default_rng(7)
+    build = pd.DataFrame({"k": rng.choice(10_000, 300, replace=False)})
+    probe = pd.DataFrame(
+        {"k": rng.integers(0, 10_000, 5_000), "v": np.arange(5_000)}
+    )
+    kept = bloom_prefilter(
+        ray.data.from_pandas(probe), ray.data.from_pandas(build),
+        "k", m=1 << 13, k=2,
+    ).to_pandas()
+
+    true_mask = probe["k"].isin(set(build["k"]))
+    # NO false negatives: every true match survives
+    assert set(probe[true_mask]["v"]) <= set(kept["v"])
+    # false-positive tax bounded: m = 8192 bits over 300 keys, k=2 →
+    # p ≈ (600/8192)^2 ≈ 0.54%; allow generous slack
+    n_fp = len(kept) - int(true_mask.sum())
+    n_neg = len(probe) - int(true_mask.sum())
+    assert n_fp / max(1, n_neg) < 0.05
+
+    # string keys go through the same path
+    buildS = pd.DataFrame({"k": [f"u{i}" for i in range(50)]})
+    probeS = pd.DataFrame({"k": [f"u{i}" for i in range(0, 2000, 3)]})
+    keptS = bloom_prefilter(
+        ray.data.from_pandas(probeS), ray.data.from_pandas(buildS),
+        "k", m=1 << 12, k=2,
+    ).to_pandas()
+    assert set(probeS[probeS["k"].isin(set(buildS["k"]))]["k"]) <= set(
+        keptS["k"]
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bloom_prefilter_then_semi_join_equals_exact_semi_join():
+    import ray.data
+
+    from basicocr_ray.stages.joins import bloom_prefilter, bucketed_hash_join
+
+    rng = np.random.default_rng(13)
+    build = pd.DataFrame({"k": rng.choice(3_000, 200, replace=False)})
+    probe = pd.DataFrame(
+        {"k": rng.integers(0, 3_000, 2_000), "v": np.arange(2_000)}
+    )
+    pre = bloom_prefilter(
+        ray.data.from_pandas(probe), ray.data.from_pandas(build),
+        "k", m=1 << 12, k=2,
+    )
+    got = bucketed_hash_join(
+        pre, ray.data.from_pandas(build[["k"]]), "k", ["v"], [],
+        num_buckets=8, join_type="left semi",
+    ).to_pandas().sort_values("v").reset_index(drop=True)
+    want = (
+        probe[probe["k"].isin(set(build["k"]))]
+        .sort_values("v").reset_index(drop=True)[["k", "v"]]
+    )
+    pd.testing.assert_frame_equal(got[["k", "v"]], want)
+
+
+def test_bloom_positions_k_hashes_differ():
+    from basicocr_ray.stages.joins import _bloom_positions
+
+    keys = np.arange(1_000, dtype=np.int64)
+    pos = _bloom_positions(keys, 1 << 16, 2)
+    # splitmix remix: the two hash rows must disagree almost everywhere
+    assert (pos[0] != pos[1]).mean() > 0.99
+
+
+def test_audio_silence_segmenter_counts_runs():
+    import pyarrow as pa
+
+    from basicocr_ray.core.wav import encode_wav
+    from basicocr_ray.stages.multimodal import AudioSilenceSegmenter
+
+    rate, blk = 8000, 800
+    burst = 0.25 * (1.0 - 2.0 * (np.arange(blk) % 2))
+    sil = np.zeros(blk)
+    # silence + 3 bursts with gaps
+    x = np.concatenate([sil, burst, sil, burst, sil, burst, sil])
+    seg = AudioSilenceSegmenter(frame_hop_s=0.05, threshold=0.05)
+    out = seg(pa.table({
+        "item_id": pa.array([1], pa.int64()),
+        "payload": pa.array([encode_wav(rate, x)], pa.large_binary()),
+    }))
+    assert out["n_segments"].to_pylist() == [3]
+    assert out["n_active_frames"].to_pylist() == [6]
+    assert out["n_frames"].to_pylist() == [14]
+    # all-silence and all-active edge cases
+    out2 = seg(pa.table({
+        "item_id": pa.array([1, 2], pa.int64()),
+        "payload": pa.array(
+            [encode_wav(rate, sil), encode_wav(rate, burst)],
+            pa.large_binary(),
+        ),
+    }))
+    assert out2["n_segments"].to_pylist() == [0, 1]
+    # corrupt payload routes to failed path
+    out3 = seg(pa.table({
+        "item_id": pa.array([9], pa.int64()),
+        "payload": pa.array([b"nope"], pa.large_binary()),
+    }))
+    assert out3["ok"].to_pylist() == [False]
+
+
+def test_duplicate_span_merge_referee():
+    """The gaps-and-islands merge in q134 against a brute-force interval
+    union, including the adjacent-interval (gap == W) merge case."""
+    W = 5
+
+    def spans_from_positions(ps):
+        ps = np.sort(np.asarray(ps))
+        brk = np.ones(len(ps), dtype=np.int64)
+        brk[1:] = (np.diff(ps) > W).astype(np.int64)
+        sid = np.cumsum(brk)
+        n_spans = int(sid[-1])
+        covered = 0
+        for s in range(1, n_spans + 1):
+            sel = ps[sid == s]
+            covered += int(sel[-1] + W - sel[0])
+        return n_spans, covered
+
+    def referee(ps):
+        ivs = sorted((p, p + W) for p in ps)
+        merged = []
+        for a, b in ivs:
+            if merged and a <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], b)
+            else:
+                merged.append([a, b])
+        return len(merged), sum(b - a for a, b in merged)
+
+    rng = np.random.default_rng(3)
+    for _ in range(200):
+        ps = np.unique(rng.integers(0, 60, rng.integers(1, 12)))
+        assert spans_from_positions(ps) == referee(ps)
+    # adjacency: positions exactly W apart merge into one span
+    assert spans_from_positions([0, 5]) == (1, 10)
+    assert spans_from_positions([0, 6]) == (2, 10)
