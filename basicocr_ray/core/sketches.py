@@ -347,3 +347,41 @@ class CountMinSketch:
         s = cls(width, depth)
         s.counts = np.frombuffer(data, dtype=np.int64).reshape(depth, width).copy()
         return s
+
+
+def winnow_fingerprints(
+    text: str, k: int = 8, w: int = 4
+) -> tuple[int, list[str]]:
+    """MOSS winnowing (Schleimer, Wilkerson & Aiken, SIGMOD 2003): md5
+    hex of every char ``k``-gram of the lowercased text, minimum per
+    sliding window of ``w`` consecutive gram hashes, distinct selected
+    hashes sorted. Guarantees every shared substring of length
+    ≥ k + w − 1 contributes at least one shared fingerprint — the
+    document-fingerprinting contract plagiarism/near-dup detection
+    relies on. Returns (n_grams, fingerprints); texts too short for one
+    full window return (n_grams, []). md5 keeps the selection
+    SQL-reconstructible (the audit-hash discipline); a production swap
+    is a vectorized rolling polynomial hash — selection logic unchanged."""
+    t = text.lower()
+    if len(t) < k:
+        return 0, []
+    hs = [
+        hashlib.md5(t[i : i + k].encode("utf-8")).hexdigest()
+        for i in range(len(t) - k + 1)
+    ]
+    if len(hs) < w:
+        return len(hs), []
+    # monotonic-deque window minimum: O(n) over the gram stream
+    from collections import deque
+
+    sel: set[str] = set()
+    dq: deque[int] = deque()
+    for i, h in enumerate(hs):
+        while dq and hs[dq[-1]] >= h:
+            dq.pop()
+        dq.append(i)
+        if dq[0] <= i - w:
+            dq.popleft()
+        if i >= w - 1:
+            sel.add(hs[dq[0]])
+    return len(hs), sorted(sel)

@@ -269,6 +269,16 @@ def md5_hex(text: str) -> str:
     return hashlib.md5(text.encode("utf-8")).hexdigest()
 
 
+def md5_low64(s: str) -> int:
+    """md5 lower-64 bits, little-endian of digest[8:] — EXACTLY DuckDB's
+    `md5_number_lower`, so any sketch/weight table built on it is
+    SQL-reconstructible (the q109/q117/q122/q123/q128/q129 audit
+    discipline)."""
+    import struct
+
+    return struct.unpack("<Q", hashlib.md5(s.encode()).digest()[8:])[0]
+
+
 _ROLL_BASE = 1000003
 _ROLL_MOD = (1 << 61) - 1
 

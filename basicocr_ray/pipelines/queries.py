@@ -64,14 +64,9 @@ def _round_col(df: pd.DataFrame, col: str, n: int) -> pd.DataFrame:
     return df
 
 
-def _md5_low64(s: str) -> int:
-    """md5 lower-64 bits, little-endian of digest[8:] — EXACTLY DuckDB's
-    `md5_number_lower`, so any sketch built on it is SQL-reconstructible
-    (the q109/q117/q122/q123 audit discipline)."""
-    import hashlib
-    import struct
-
-    return struct.unpack("<Q", hashlib.md5(s.encode()).digest()[8:])[0]
+from basicocr_ray.core.textstats import md5_low64 as _md5_low64  # noqa: E402
+# (single-sourced in core/textstats so stages and spec ops share the
+# DuckDB-md5_number_lower-exact hash)
 
 
 # ===========================================================================
@@ -5834,63 +5829,165 @@ def q134_duplicate_spans(sf_dir: str):
     intervals [pos, pos+5) merge into MAXIMAL spans (the
     gaps-and-islands reduce). Output per affected doc: span count and
     words covered — the measurement that decides whether span-level
-    cutting is worth running on a corpus."""
-    from basicocr_ray.stages.wide import coarse_group_reduce
+    cutting is worth running on a corpus. Kernel single-sourced in
+    `stages/dedup.py:duplicate_spans` (shared with the spec op)."""
+    from basicocr_ray.stages.dedup import duplicate_spans
 
-    W = 5
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return duplicate_spans(ds, id_column="doc_id", text_column="text",
+                           width=5)
+
+
+def q135_priority_dedup(sf_dir: str):
+    """Keep-BEST-source exact dedup — the multi-corpus union resolution
+    (curated > web > crawl) where q10's min-id pick is arbitrary: each
+    source gets a deterministic integer priority (md5-low64(source) %
+    100, a stand-in for a curation-quality rank with the same execution
+    shape) and per distinct text the highest-priority row wins (tie →
+    lowest doc_id), with the multiplicity alongside. Kernel
+    single-sourced in `stages/dedup.py:priority_dedup` (shared with the
+    spec op): the shuffle carries (id, priority, fp) — text never moves."""
+    from basicocr_ray.stages.dedup import priority_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def add_prio(batch: pa.Table) -> pa.Table:
+        prio = [
+            _md5_low64(s) % 100 for s in batch["source"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text": batch["text"],
+                "prio": pa.array(prio, pa.int64()),
+            }
+        )
+
+    return priority_dedup(
+        ds.map_batches(add_prio, batch_format="pyarrow"),
+        id_column="doc_id", text_column="text", priority_column="prio",
+    )
+
+
+def q136_winnow_fingerprints(sf_dir: str):
+    """Document FINGERPRINTING by winnowing (Schleimer et al., SIGMOD
+    2003 — the MOSS algorithm): md5 of every char 8-gram, window-of-4
+    minima, distinct selected hashes per doc. Winnowing guarantees any
+    shared substring of length ≥ k+w−1 = 11 chars yields a shared
+    fingerprint while storing only ~2/(w+1) of the grams — the
+    plagiarism-detection-grade dedup sketch between exact md5 (q11) and
+    MinHash (q22). Zero-shuffle scan (the fingerprint SET stays
+    per-doc); output is the (doc_id, n_grams, n_fps) profile the
+    storage sizing of a fingerprint index needs. md5 keeps the window
+    minima SQL-reconstructible — the oracle replays the same selection
+    with a window-function MIN."""
+    from basicocr_ray.core.sketches import winnow_fingerprints
+
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def grams(batch: pa.Table) -> pa.Table:
-        out_fp, out_id, out_pos = [], [], []
+    def winnow(batch: pa.Table) -> pa.Table:
+        out_id, out_g, out_f = [], [], []
         for did, t in zip(
             batch["doc_id"].to_pylist(), batch["text"].to_pylist()
         ):
-            toks = token_items(t) if t else []
-            for pos in range(len(toks) - W + 1):
-                out_fp.append(md5_hex(" ".join(toks[pos : pos + W])))
-                out_id.append(did)
-                out_pos.append(pos)
+            if t is None or len(t) < 8:
+                continue  # oracle lockstep: length(text) >= 8 filter
+            n_grams, fps = winnow_fingerprints(t, k=8, w=4)
+            if not fps:
+                continue  # no full window → no row on either side
+            out_id.append(did)
+            out_g.append(n_grams)
+            out_f.append(len(fps))
         return pa.table(
             {
-                "fp": pa.array(out_fp, pa.string()),
                 "doc_id": pa.array(out_id, pa.int64()),
-                "pos": pa.array(out_pos, pa.int64()),
+                "n_grams": pa.array(out_g, pa.int64()),
+                "n_fps": pa.array(out_f, pa.int64()),
             }
         )
 
-    def dup_positions(df: pd.DataFrame) -> pd.DataFrame:
-        nd = df.groupby("fp")["doc_id"].transform("nunique")
-        out = df[nd >= 2][["doc_id", "pos"]].copy()
-        out["doc_id"] = out["doc_id"].astype("int64")
-        out["pos"] = out["pos"].astype("int64")
-        return out
+    return ds.map_batches(winnow, batch_format="pyarrow")
 
-    dup = coarse_group_reduce(
-        ds.map_batches(grams, batch_format="pyarrow"), "fp", dup_positions
-    )
 
-    def spans(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for did, grp in df.groupby("doc_id"):
-            ps = np.sort(grp["pos"].to_numpy())
-            brk = np.ones(len(ps), dtype=np.int64)
-            brk[1:] = (np.diff(ps) > W).astype(np.int64)
-            sid = np.cumsum(brk)
-            n_spans = int(sid[-1])
-            covered = 0
-            for s in range(1, n_spans + 1):
-                sel = ps[sid == s]
-                covered += int(sel[-1] + W - sel[0])
-            rows.append((did, n_spans, covered))
-        return pd.DataFrame(
+def q137_trailing_distinct(sf_dir: str):
+    """TRAILING-WINDOW distinct count — distinct active users over each
+    hour's trailing 3-hour window (the rolling-DAU shape every
+    freshness dashboard computes, and a composition Ray Data has no
+    primitive for): per-batch LOCAL (hour, user) pair dedup shrinks the
+    exchange, each surviving pair fans out to the ≤3 window-end hours
+    that exist in the data (the bounded hour set broadcasts once), and
+    the q65 exact-distinct discipline finishes — pairs land in
+    user-hash coarse groups (a pair lands in exactly one group → the
+    in-group dedup is globally exact), groups emit per-hour partial
+    counts, a tiny final sum ends it."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from basicocr_ray.stages.dedup import _coarse_salts
+
+    HOUR_US = 3_600_000_000
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+    salts = _coarse_salts(None)
+
+    def local_pairs(b: pa.Table) -> pa.Table:
+        hour = pc.cast(
+            pc.multiply(
+                pc.divide(pc.cast(b["ts"], pa.int64()), HOUR_US), HOUR_US
+            ),
+            pa.int64(),
+        )
+        t = pa.table({"h": hour, "user_id": b["user_id"]})
+        return pa.TableGroupBy(
+            t, ["h", "user_id"], use_threads=False
+        ).aggregate([])
+
+    pairs = ds.map_batches(local_pairs, batch_format="pyarrow")
+
+    hours_df = pairs.groupby("h").aggregate(Sum("user_id")).to_pandas()
+    hours_ref = ray.put(set(int(h) for h in hours_df["h"]))
+
+    def fan_out(b: pa.Table) -> pa.Table:
+        hour_set = ray.get(hours_ref)
+        hs = b["h"].to_numpy(zero_copy_only=False)
+        us = b["user_id"].to_numpy(zero_copy_only=False)
+        out_h, out_u = [], []
+        for k in range(3):
+            th = hs + k * HOUR_US
+            keep = np.array([int(x) in hour_set for x in th])
+            out_h.append(th[keep])
+            out_u.append(us[keep])
+        th = np.concatenate(out_h)
+        uu = np.concatenate(out_u)
+        return pa.table(
             {
-                "doc_id": pd.array([r[0] for r in rows], dtype="int64"),
-                "n_dup_spans": pd.array([r[1] for r in rows], dtype="int64"),
-                "n_dup_words": pd.array([r[2] for r in rows], dtype="int64"),
+                "th": pa.array(th, pa.int64()),
+                "user_id": pa.array(uu, pa.int64()),
+                "cg": pa.array(
+                    (uu.astype(np.int64) & (salts - 1)).astype(np.int32)
+                ),
             }
         )
 
-    return coarse_group_reduce(dup, "doc_id", spans)
+    def group_counts(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["th", "user_id"])
+        out = d.groupby("th", as_index=False).size()
+        return out.rename(columns={"size": "n_users_3h"})
+
+    res = (
+        pairs.map_batches(fan_out, batch_format="pyarrow")
+        .groupby("cg")
+        .map_groups(group_counts, batch_format="pandas")
+        .groupby("th")
+        .aggregate(Sum("n_users_3h", alias_name="n_users_3h"))
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "hour": pd.to_datetime(res["th"], unit="us"),
+            "n_users_3h": res["n_users_3h"].astype("int64"),
+        }
+    )
+    return out
 
 
 # ===========================================================================
@@ -6025,6 +6122,9 @@ QUERIES = {
     "q132_png_metadata": q132_png_metadata,
     "q133_audio_silence": q133_audio_silence,
     "q134_duplicate_spans": q134_duplicate_spans,
+    "q135_priority_dedup": q135_priority_dedup,
+    "q136_winnow_fingerprints": q136_winnow_fingerprints,
+    "q137_trailing_distinct": q137_trailing_distinct,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -7870,6 +7970,76 @@ ORACLE_SQL = {
         SELECT doc_id, count(*) AS n_dup_spans,
                CAST(sum(b - a) AS BIGINT) AS n_dup_words
         FROM spans GROUP BY 1
+    """,
+    "q135_priority_dedup": """
+        -- keep-best-source dedup: highest md5-derived source priority
+        -- per distinct text, tie to lowest doc_id, multiplicity kept
+        WITH d AS (
+          SELECT doc_id, md5(coalesce(text, '')) AS fp,
+                 CAST(md5_number_lower(source) % 100 AS BIGINT) AS prio
+          FROM documents
+        ),
+        w AS (
+          SELECT doc_id, prio,
+                 row_number() OVER (
+                   PARTITION BY fp ORDER BY prio DESC, doc_id
+                 ) AS rn,
+                 count(*) OVER (PARTITION BY fp) AS n_dups
+          FROM d
+        )
+        SELECT doc_id, prio, CAST(n_dups AS BIGINT) AS n_dups
+        FROM w WHERE rn = 1
+    """,
+    "q136_winnow_fingerprints": """
+        -- winnowing (k=8, w=4): md5 per char 8-gram, window-of-4 MIN,
+        -- distinct selected hashes per doc
+        WITH s AS (
+          SELECT doc_id, lower(text) AS t FROM documents
+          WHERE text IS NOT NULL AND length(text) >= 8
+        ),
+        g0 AS (
+          SELECT doc_id,
+                 list_transform(
+                   range(1, length(t) - 6),
+                   i -> md5(substr(t, i, 8))
+                 ) AS hs
+          FROM s
+        ),
+        g AS (
+          SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_grams,
+                 unnest(hs) AS h,
+                 unnest(range(1, len(hs) + 1)) AS i
+          FROM g0
+        ),
+        w AS (
+          SELECT doc_id, n_grams, i,
+                 min(h) OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+                 ) AS mh
+          FROM g
+        ),
+        sel AS (
+          SELECT DISTINCT doc_id, n_grams, mh FROM w WHERE i >= 4
+        )
+        SELECT doc_id, n_grams, count(*) AS n_fps
+        FROM sel GROUP BY 1, 2
+    """,
+    "q137_trailing_distinct": """
+        -- distinct users over each hour's trailing 3-hour window,
+        -- reported only for hours that exist in the data
+        WITH hu AS (
+          SELECT DISTINCT date_trunc('hour', ts) AS h, user_id
+          FROM events
+        ),
+        hours AS (SELECT DISTINCT h FROM hu),
+        f AS (
+          SELECT DISTINCT hours.h AS hour, hu.user_id
+          FROM hu JOIN hours
+            ON hours.h >= hu.h
+           AND hours.h <= hu.h + INTERVAL 2 HOUR
+        )
+        SELECT hour, count(*) AS n_users_3h FROM f GROUP BY 1
     """,
     "q124_rare_feature_pairs": f"""
         WITH toks AS (

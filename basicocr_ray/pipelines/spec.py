@@ -593,7 +593,117 @@ def _op_robots_filter(ds, params):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def _op_bloom_prefilter(ds, params):
+    """Bloom-filtered semi-join pre-pass: drop rows whose ``key`` cannot
+    be in the ``right`` table (no false negatives; follow with an exact
+    `join` op when exactness is required — the filter only cuts shuffle
+    volume). `stages.joins.bloom_prefilter`."""
+    from basicocr_ray.stages.joins import bloom_prefilter
+
+    right = _read_right(params)
+    if params.get("right_rename"):
+        mapping = dict(params["right_rename"])
+        right = right.map_batches(
+            lambda b: b.rename_columns(
+                [mapping.get(c, c) for c in b.column_names]
+            ),
+            batch_format="pyarrow",
+        )
+    return bloom_prefilter(
+        ds, right, params["key"],
+        m=int(params.get("m", 1 << 20)), k=int(params.get("k", 2)),
+    )
+
+
+def _op_priority_dedup(ds, params):
+    """Keep-best-source exact dedup (`stages.dedup.priority_dedup`):
+    per distinct text keep the highest-``priority_column`` row."""
+    from basicocr_ray.stages.dedup import priority_dedup
+
+    return priority_dedup(
+        ds,
+        id_column=params.get("id_column", "doc_id"),
+        text_column=params.get("text_column", "text"),
+        priority_column=params["priority_column"],
+    )
+
+
+def _op_duplicate_spans(ds, params):
+    """Cross-document duplicated-span detection (Lee et al. 2022 shape;
+    `stages.dedup.duplicate_spans`)."""
+    from basicocr_ray.stages.dedup import duplicate_spans
+
+    return duplicate_spans(
+        ds,
+        id_column=params.get("id_column", "doc_id"),
+        text_column=params.get("text_column", "text"),
+        width=int(params.get("width", 5)),
+    )
+
+
+def _op_winnow(ds, params):
+    """Winnowing fingerprints (Schleimer et al. 2003;
+    `core.sketches.winnow_fingerprints`): one (id, fp) row per selected
+    fingerprint — feed into `join`/dedup ops downstream."""
+    from basicocr_ray.core.sketches import winnow_fingerprints
+
+    col = params.get("column", "text")
+    id_col = params.get("id_column", "doc_id")
+    k = int(params.get("k", 8))
+    w = int(params.get("w", 4))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out_id, out_fp = [], []
+        for did, t in zip(
+            batch[id_col].to_pylist(), batch[col].to_pylist()
+        ):
+            _, fps = winnow_fingerprints(t or "", k=k, w=w)
+            out_id.extend([did] * len(fps))
+            out_fp.extend(fps)
+        return pa.table(
+            {
+                id_col: pa.array(out_id, pa.int64()),
+                "fp": pa.array(out_fp, pa.string()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _op_quality_gate(ds, params):
+    """Hashed-linear classifier gate (the q129 shape with caller-supplied
+    integer weights): tokens hash into len(weights) buckets via the
+    DuckDB-exact md5-low64, score = Σ weight[bucket], keep score >
+    ``threshold``. Score attached as ``score``."""
+    from basicocr_ray.core.textstats import md5_low64
+    from basicocr_ray.stages.wide import token_items
+
+    weights = [int(x) for x in params["weights"]]
+    b_count = len(weights)
+    col = params.get("column", "text")
+    threshold = int(params.get("threshold", 0))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        scores = []
+        for t in batch[col].to_pylist():
+            toks = token_items(t) if t else []
+            scores.append(
+                sum(weights[md5_low64(tok) % b_count] for tok in toks)
+            )
+        out = batch.append_column("score", pa.array(scores, pa.int64()))
+        return out.filter(
+            pa.array([s > threshold for s in scores], pa.bool_())
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 OP_REGISTRY: dict[str, Callable] = {
+    "bloom_prefilter": _op_bloom_prefilter,
+    "priority_dedup": _op_priority_dedup,
+    "duplicate_spans": _op_duplicate_spans,
+    "winnow": _op_winnow,
+    "quality_gate": _op_quality_gate,
     "pack": _op_pack,
     "chunk_windows": _op_chunk_windows,
     "robots_filter": _op_robots_filter,

@@ -89,6 +89,122 @@ def exact_dedup_groups(ds, id_column: str, text_column: str,
     )
 
 
+def priority_dedup(ds, id_column: str, text_column: str,
+                   priority_column: str, num_salt: int | None = None):
+    """Keep-BEST-source exact dedup — the multi-corpus union resolution
+    (curated > web > crawl) where `exact_dedup_groups`' min-id pick is
+    arbitrary: per distinct text keep the row with the HIGHEST
+    ``priority_column`` value (tie → lowest id), plus the multiplicity.
+    Same scale shape as exact dedup: the shuffle carries (id, priority,
+    fp) — text never moves — keyed by a cluster-sized coarse group of
+    the fingerprint with the per-fingerprint argmax done by an
+    in-process pandas pass. → (id_column, priority_column, n_dups)."""
+    salts = _coarse_salts(num_salt)
+
+    def add_fp(batch: pa.Table) -> pa.Table:
+        fps = [md5_hex(t or "") for t in batch[text_column].to_pylist()]
+        return pa.table(
+            {
+                id_column: batch[id_column],
+                priority_column: batch[priority_column],
+                "fp": pa.array(fps, pa.string()),
+                "cg": pa.array(
+                    [int(f[:8], 16) & (salts - 1) for f in fps], pa.int32()
+                ),
+            }
+        )
+
+    def best_per_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            [priority_column, id_column], ascending=[False, True],
+            kind="mergesort",
+        )
+        g = df.groupby("fp", as_index=False).agg(
+            **{
+                id_column: (id_column, "first"),
+                priority_column: (priority_column, "first"),
+                "n_dups": (id_column, "size"),
+            }
+        )
+        return g[[id_column, priority_column, "n_dups"]].astype(
+            {id_column: "int64", priority_column: "int64", "n_dups": "int64"}
+        )
+
+    return (
+        ds.map_batches(add_fp, batch_format="pyarrow")
+        .groupby("cg")
+        .map_groups(best_per_group, batch_format="pandas")
+    )
+
+
+def duplicate_spans(ds, id_column: str = "doc_id",
+                    text_column: str = "text", width: int = 5,
+                    num_salt: int | None = None):
+    """Cross-document DUPLICATED-SPAN detection (Lee et al. 2022, span-
+    level exact substring dedup re-expressed for Ray Data): every
+    stride-1 word ``width``-gram emits (md5 fp, id, pos); the fp-keyed
+    coarse-group exchange holds ALL occurrences of a gram, so the
+    ≥2-distinct-docs test is exact — and text never rides a shuffle.
+    Duplicated positions return to id-keyed coarse groups where
+    overlapping/adjacent gram intervals [pos, pos+width) merge into
+    MAXIMAL spans (gaps-and-islands). → (id, n_dup_spans, n_dup_words)
+    for each doc holding at least one cross-doc duplicated gram."""
+    from basicocr_ray.stages.wide import coarse_group_reduce, token_items
+
+    def grams(batch: pa.Table) -> pa.Table:
+        out_fp, out_id, out_pos = [], [], []
+        for did, t in zip(
+            batch[id_column].to_pylist(), batch[text_column].to_pylist()
+        ):
+            toks = token_items(t) if t else []
+            for pos in range(len(toks) - width + 1):
+                out_fp.append(md5_hex(" ".join(toks[pos : pos + width])))
+                out_id.append(did)
+                out_pos.append(pos)
+        return pa.table(
+            {
+                "fp": pa.array(out_fp, pa.string()),
+                id_column: pa.array(out_id, pa.int64()),
+                "pos": pa.array(out_pos, pa.int64()),
+            }
+        )
+
+    def dup_positions(df: pd.DataFrame) -> pd.DataFrame:
+        nd = df.groupby("fp")[id_column].transform("nunique")
+        out = df[nd >= 2][[id_column, "pos"]].copy()
+        out[id_column] = out[id_column].astype("int64")
+        out["pos"] = out["pos"].astype("int64")
+        return out
+
+    dup = coarse_group_reduce(
+        ds.map_batches(grams, batch_format="pyarrow"), "fp", dup_positions,
+        num_salt=num_salt,
+    )
+
+    def spans(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for did, grp in df.groupby(id_column):
+            ps = np.sort(grp["pos"].to_numpy())
+            brk = np.ones(len(ps), dtype=np.int64)
+            brk[1:] = (np.diff(ps) > width).astype(np.int64)
+            sid = np.cumsum(brk)
+            n_spans = int(sid[-1])
+            covered = 0
+            for s in range(1, n_spans + 1):
+                sel = ps[sid == s]
+                covered += int(sel[-1] + width - sel[0])
+            rows.append((did, n_spans, covered))
+        return pd.DataFrame(
+            {
+                id_column: pd.array([r[0] for r in rows], dtype="int64"),
+                "n_dup_spans": pd.array([r[1] for r in rows], dtype="int64"),
+                "n_dup_words": pd.array([r[2] for r in rows], dtype="int64"),
+            }
+        )
+
+    return coarse_group_reduce(dup, id_column, spans, num_salt=num_salt)
+
+
 def incremental_exact_dedup(
     new_ds,
     index_dir: str,

@@ -183,3 +183,115 @@ def test_duplicate_span_merge_referee():
     # adjacency: positions exactly W apart merge into one span
     assert spans_from_positions([0, 5]) == (1, 10)
     assert spans_from_positions([0, 6]) == (2, 10)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_spec_ops_wave14():
+    """Wave-14 operators reachable through the spec surface (S5):
+    bloom_prefilter, priority_dedup, duplicate_spans, winnow,
+    quality_gate."""
+    import duckdb
+
+    from basicocr_ray.pipelines.spec import run_spec
+
+    sf = "/root/testdata/sf0.001"
+
+    # bloom_prefilter: a superset of the exact semi-join, never a miss
+    pre = run_spec(
+        {
+            "input": {"table": "orders",
+                      "columns": ["o_custkey", "o_orderkey"]},
+            "steps": [
+                {"op": "bloom_prefilter", "right": "customer",
+                 "right_columns": ["c_custkey"], "key": "o_custkey",
+                 "right_rename": {"c_custkey": "o_custkey"},
+                 "m": 4096, "k": 2},
+            ],
+        },
+        sf,
+    ).to_pandas()
+    n_true = duckdb.sql(
+        f"SELECT count(*) FROM parquet_scan('{sf}/orders.parquet') o "
+        f"WHERE EXISTS (SELECT 1 FROM "
+        f"parquet_scan('{sf}/customer.parquet') c "
+        f"WHERE c.c_custkey = o.o_custkey)"
+    ).fetchone()[0]
+    assert len(pre) >= n_true
+
+    # priority_dedup: one winner per distinct text
+    pd_out = run_spec(
+        {
+            "input": {"table": "documents",
+                      "columns": ["doc_id", "text", "n_chars"]},
+            "steps": [
+                {"op": "priority_dedup", "priority_column": "n_chars"},
+            ],
+        },
+        sf,
+    ).to_pandas()
+    n_distinct = duckdb.sql(
+        f"SELECT count(DISTINCT md5(coalesce(text,''))) FROM "
+        f"parquet_scan('{sf}/documents.parquet')"
+    ).fetchone()[0]
+    assert len(pd_out) == n_distinct
+    assert set(pd_out.columns) == {"doc_id", "n_chars", "n_dups"}
+
+    # duplicate_spans + winnow emit their relations
+    spans = run_spec(
+        {
+            "input": {"table": "documents", "columns": ["doc_id", "text"]},
+            "steps": [{"op": "duplicate_spans", "width": 5}],
+        },
+        sf,
+    ).to_pandas()
+    assert (spans["n_dup_words"] >= 5 * spans["n_dup_spans"]).all()
+
+    fps = run_spec(
+        {
+            "input": {"table": "documents", "columns": ["doc_id", "text"]},
+            "steps": [{"op": "winnow", "k": 8, "w": 4}],
+        },
+        sf,
+    ).to_pandas()
+    assert len(fps) > 0 and fps["fp"].str.len().eq(32).all()
+
+    # quality_gate: kept rows all score above threshold
+    gated = run_spec(
+        {
+            "input": {"table": "documents", "columns": ["doc_id", "text"]},
+            "steps": [
+                {"op": "quality_gate",
+                 "weights": [1 if i % 3 else -2 for i in range(64)],
+                 "threshold": 0},
+            ],
+        },
+        sf,
+    ).to_pandas()
+    assert (gated["score"] > 0).all() and 0 < len(gated) < 500
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_priority_dedup_prefers_priority_then_id():
+    import ray.data
+
+    from basicocr_ray.stages.dedup import priority_dedup
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": ["a", "a", "a", "b", "b"],
+            "prio": [5, 9, 9, 1, 1],
+        }
+    )
+    out = (
+        priority_dedup(
+            ray.data.from_pandas(df), "doc_id", "text", "prio"
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # text 'a': prio 9 tie between ids 2,3 → id 2; text 'b': id 4
+    assert out["doc_id"].tolist() == [2, 4]
+    assert out["n_dups"].tolist() == [3, 2]
+    assert out["prio"].tolist() == [9, 1]
