@@ -385,3 +385,31 @@ def winnow_fingerprints(
         if i >= w - 1:
             sel.add(hs[dq[0]])
     return len(hs), sorted(sel)
+
+
+def cdc_chunk_lengths(
+    text: str, k: int = 8, divisor: int = 64
+) -> list[int]:
+    """Content-defined chunking (the LBFS/rsync primitive a crawl-
+    snapshot store uses so an edit reshifts ONE chunk boundary, not
+    every fixed-width chunk after it): scanning 1-based window
+    positions i = 1..len−k+1, cut after character i+k−1 whenever
+    md5-low64 of the k-char window ≡ 0 (mod divisor) and the cut is
+    not at the very end. Returns the chunk lengths (sum == len(text));
+    texts shorter than k are one chunk. Expected chunk length ≈
+    divisor chars. md5 keeps boundaries SQL-reconstructible (audit
+    discipline); a gear/Rabin rolling hash is the production swap —
+    the cut rule is unchanged."""
+    from basicocr_ray.core.textstats import md5_low64
+
+    L = len(text)
+    if L == 0:
+        return []
+    cuts = [
+        i + k - 1
+        for i in range(1, max(L - k + 1, 0) + 1)
+        if i + k - 1 < L
+        and md5_low64(text[i - 1 : i - 1 + k]) % divisor == 0
+    ]
+    bounds = [0] + cuts + [L]
+    return [b - a for a, b in zip(bounds, bounds[1:])]

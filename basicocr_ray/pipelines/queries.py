@@ -5990,6 +5990,110 @@ def q137_trailing_distinct(sf_dir: str):
     return out
 
 
+def q138_group_mad(sf_dir: str):
+    """ROBUST per-group dispersion — median absolute deviation and the
+    3×MAD outlier count (the outlier gate quality pipelines prefer over
+    mean±σ because one 10 MB page doesn't drag the threshold): both
+    medians come from the exact two-pass histogram quantile
+    (`stages/wide.py:grouped_quantile_disc` — zero row shuffle beyond
+    the candidate trickle), the per-lang medians broadcast as bounded
+    metadata between the passes, and the outlier count is one more
+    integer-compare scan. All arithmetic on int64 n_chars, so Ray and
+    the quantile_disc-based oracle agree bit-for-bit."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from basicocr_ray.stages.wide import grouped_quantile_disc
+
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    med_df = grouped_quantile_disc(
+        ds, "lang", "n_chars", 1, 2, out_name="med"
+    ).to_pandas()
+    med = {r.lang: int(r.med) for r in med_df.itertuples()}
+    med_ref = ray.put(med)
+
+    def dev(b: pa.Table) -> pa.Table:
+        m = ray.get(med_ref)
+        langs = b["lang"].to_pylist()
+        x = b["n_chars"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = np.abs(x - np.array([m[l] for l in langs], dtype=np.int64))
+        return pa.table(
+            {"lang": b["lang"], "dev": pa.array(d, pa.int64())}
+        )
+
+    devs = ds.map_batches(dev, batch_format="pyarrow")
+    mad_df = grouped_quantile_disc(
+        devs, "lang", "dev", 1, 2, out_name="mad"
+    ).to_pandas()
+    mad = {r.lang: int(r.mad) for r in mad_df.itertuples()}
+    mad_ref = ray.put(mad)
+
+    def outlier_partial(b: pa.Table) -> pa.Table:
+        m = ray.get(med_ref)
+        md = ray.get(mad_ref)
+        df = b.to_pandas()
+        df["dev"] = (df["n_chars"] - df["lang"].map(m)).abs()
+        df["is_out"] = (df["dev"] > 3 * df["lang"].map(md)).astype("int64")
+        g = df.groupby("lang", as_index=False).agg(
+            n_outliers=("is_out", "sum"), n_docs=("is_out", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (
+        ds.map_batches(outlier_partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_outliers", alias_name="n_outliers"),
+            Sum("n_docs", alias_name="n_docs"),
+        )
+        .to_pandas()
+    )
+    counts["med"] = counts["lang"].map(med).astype("int64")
+    counts["mad"] = counts["lang"].map(mad).astype("int64")
+    for c in ("n_outliers", "n_docs"):
+        counts[c] = counts[c].astype("int64")
+    return counts[["lang", "med", "mad", "n_outliers", "n_docs"]]
+
+
+def q139_cdc_chunks(sf_dir: str):
+    """CONTENT-DEFINED CHUNKING (the LBFS/rsync/restic primitive a crawl-
+    snapshot store runs so one edit reshifts one chunk boundary instead
+    of every fixed-width boundary after it — the storage-dedup
+    complement of q76's fixed chunks): cut after a character whenever
+    the md5-low64 of the 8-char window ending there ≡ 0 (mod 64) —
+    expected ~64-char chunks. Zero-shuffle scan (boundaries are a pure
+    per-doc function); output per doc: chunk count and max chunk
+    length, the sizing profile a chunk store needs. Kernel
+    single-sourced in `core/sketches.py:cdc_chunk_lengths` (shared with
+    the `cdc_chunk` spec op); md5 keeps every boundary
+    SQL-reconstructible."""
+    from basicocr_ray.core.sketches import cdc_chunk_lengths
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        out_id, out_n, out_mx = [], [], []
+        for did, t in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            if t is None:
+                continue  # oracle lockstep: WHERE text IS NOT NULL
+            lens = cdc_chunk_lengths(t, k=8, divisor=64)
+            out_id.append(did)
+            out_n.append(len(lens))
+            out_mx.append(max(lens) if lens else 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "n_chunks": pa.array(out_n, pa.int64()),
+                "max_len": pa.array(out_mx, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(chunks, batch_format="pyarrow")
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -6125,6 +6229,8 @@ QUERIES = {
     "q135_priority_dedup": q135_priority_dedup,
     "q136_winnow_fingerprints": q136_winnow_fingerprints,
     "q137_trailing_distinct": q137_trailing_distinct,
+    "q138_group_mad": q138_group_mad,
+    "q139_cdc_chunks": q139_cdc_chunks,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -8040,6 +8146,63 @@ ORACLE_SQL = {
            AND hours.h <= hu.h + INTERVAL 2 HOUR
         )
         SELECT hour, count(*) AS n_users_3h FROM f GROUP BY 1
+    """,
+    "q138_group_mad": """
+        -- exact discrete medians (quantile_disc) for med and MAD;
+        -- outliers = |x - med| > 3*MAD, all int64
+        WITH med AS (
+          SELECT lang, quantile_disc(n_chars, 0.5) AS med
+          FROM documents GROUP BY 1
+        ),
+        d AS (
+          SELECT documents.lang, n_chars, med,
+                 abs(n_chars - med) AS dev
+          FROM documents JOIN med USING (lang)
+        ),
+        mad AS (
+          SELECT lang, quantile_disc(dev, 0.5) AS mad FROM d GROUP BY 1
+        )
+        SELECT d.lang,
+               CAST(max(d.med) AS BIGINT) AS med,
+               CAST(max(mad.mad) AS BIGINT) AS mad,
+               CAST(sum(CASE WHEN d.dev > 3 * mad.mad
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               count(*) AS n_docs
+        FROM d JOIN mad USING (lang) GROUP BY 1
+    """,
+    "q139_cdc_chunks": """
+        -- content-defined chunk boundaries: cut after char i+7 whenever
+        -- md5_number_lower(substr(t, i, 8)) % 64 == 0 (cut < len only)
+        WITH s AS (
+          SELECT doc_id, text AS t, length(text) AS L
+          FROM documents WHERE text IS NOT NULL
+        ),
+        c AS (
+          SELECT doc_id, L,
+                 list_transform(
+                   list_filter(
+                     range(1, greatest(L - 7, 0) + 1),
+                     i -> md5_number_lower(substr(t, i, 8)) % 64 = 0
+                          AND i + 7 < L
+                   ),
+                   i -> i + 7
+                 ) AS cuts
+          FROM s
+        ),
+        z AS (
+          SELECT doc_id,
+                 list_concat(cuts, [L]) AS ends,
+                 list_concat([0], cuts) AS starts
+          FROM c
+        )
+        SELECT doc_id,
+               CAST(len(ends) AS BIGINT) AS n_chunks,
+               CAST(list_aggregate(
+                 list_transform(range(1, len(ends) + 1),
+                                j -> ends[j] - starts[j]),
+                 'max'
+               ) AS BIGINT) AS max_len
+        FROM z
     """,
     "q124_rare_feature_pairs": f"""
         WITH toks AS (

@@ -698,8 +698,48 @@ def _op_quality_gate(ds, params):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _op_cdc_chunk(ds, params):
+    """Content-defined chunking (`core.sketches.cdc_chunk_lengths`): one
+    (id, chunk_idx, chunk_len, fp) row per chunk — the chunk-store
+    relation incremental snapshot dedup joins against."""
+    from basicocr_ray.core.sketches import cdc_chunk_lengths
+    from basicocr_ray.core.textstats import md5_hex
+
+    col = params.get("column", "text")
+    id_col = params.get("id_column", "doc_id")
+    k = int(params.get("k", 8))
+    divisor = int(params.get("divisor", 64))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out_id, out_ix, out_ln, out_fp = [], [], [], []
+        for did, t in zip(
+            batch[id_col].to_pylist(), batch[col].to_pylist()
+        ):
+            t = t or ""
+            pos = 0
+            for ix, ln in enumerate(
+                cdc_chunk_lengths(t, k=k, divisor=divisor)
+            ):
+                out_id.append(did)
+                out_ix.append(ix)
+                out_ln.append(ln)
+                out_fp.append(md5_hex(t[pos : pos + ln]))
+                pos += ln
+        return pa.table(
+            {
+                id_col: pa.array(out_id, pa.int64()),
+                "chunk_idx": pa.array(out_ix, pa.int64()),
+                "chunk_len": pa.array(out_ln, pa.int64()),
+                "fp": pa.array(out_fp, pa.string()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 OP_REGISTRY: dict[str, Callable] = {
     "bloom_prefilter": _op_bloom_prefilter,
+    "cdc_chunk": _op_cdc_chunk,
     "priority_dedup": _op_priority_dedup,
     "duplicate_spans": _op_duplicate_spans,
     "winnow": _op_winnow,

@@ -295,3 +295,60 @@ def test_priority_dedup_prefers_priority_then_id():
     assert out["doc_id"].tolist() == [2, 4]
     assert out["n_dups"].tolist() == [3, 2]
     assert out["prio"].tolist() == [9, 1]
+
+
+def test_cdc_chunk_lengths_referee():
+    """CDC boundary rule vs a brute-force referee; edit-locality: a
+    prefix edit must leave all chunks after the next boundary intact."""
+    from basicocr_ray.core.sketches import cdc_chunk_lengths
+    from basicocr_ray.core.textstats import md5_low64
+
+    rng = np.random.default_rng(5)
+    alpha = "abcdefgh "
+    for _ in range(50):
+        t = "".join(rng.choice(list(alpha), rng.integers(0, 200)))
+        lens = cdc_chunk_lengths(t, k=8, divisor=16)
+        assert sum(lens) == len(t)
+        assert all(x > 0 for x in lens) or lens == []
+        # referee: recompute cuts directly
+        cuts = [
+            i + 7
+            for i in range(1, max(len(t) - 7, 0) + 1)
+            if i + 7 < len(t)
+            and md5_low64(t[i - 1 : i + 7]) % 16 == 0
+        ]
+        assert len(lens) == len(cuts) + (1 if t else 0)
+
+    # edit locality: chunks strictly after the first post-edit boundary
+    # are identical (the CDC property fixed-width chunking lacks)
+    base = "".join(rng.choice(list(alpha), 500))
+    edited = "X" + base
+    a = cdc_chunk_lengths(base, k=8, divisor=16)
+    b = cdc_chunk_lengths(edited, k=8, divisor=16)
+    # tails re-align after at most two boundaries
+    assert a[-max(1, len(a) - 3):] == b[-max(1, len(a) - 3):]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_spec_op_cdc_chunk_roundtrip():
+    from basicocr_ray.pipelines.spec import run_spec
+
+    out = run_spec(
+        {
+            "input": {"table": "documents", "columns": ["doc_id", "text"]},
+            "steps": [{"op": "cdc_chunk", "k": 8, "divisor": 64}],
+        },
+        "/root/testdata/sf0.001",
+    ).to_pandas()
+    # chunk lengths per doc sum to the doc length
+    import duckdb
+
+    want = duckdb.sql(
+        "SELECT doc_id, length(text) AS L FROM "
+        "parquet_scan('/root/testdata/sf0.001/documents.parquet') "
+        "WHERE text IS NOT NULL"
+    ).df()
+    got = out.groupby("doc_id", as_index=False)["chunk_len"].sum()
+    m = got.merge(want, on="doc_id")
+    assert (m["chunk_len"] == m["L"]).all()
+    assert out["fp"].str.len().eq(32).all()
