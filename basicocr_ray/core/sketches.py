@@ -404,7 +404,9 @@ def cdc_chunk_lengths(
 
     L = len(text)
     if L == 0:
-        return []
+        # one zero-length chunk: matches the SQL twin's ends=[0]/starts=[0]
+        # algebra and the 'texts shorter than k are one chunk' contract
+        return [0]
     cuts = [
         i + k - 1
         for i in range(1, max(L - k + 1, 0) + 1)

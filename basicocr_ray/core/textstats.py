@@ -279,6 +279,16 @@ def md5_low64(s: str) -> int:
     return struct.unpack("<Q", hashlib.md5(s.encode()).digest()[8:])[0]
 
 
+def hashed_linear_score(tokens, weights) -> int:
+    """Hashed-feature linear-model inference kernel (the fastText-style
+    quality gate, q129 / spec `quality_gate`): tokens hash into
+    len(weights) buckets via the DuckDB-exact `md5_low64`, score =
+    Σ weights[bucket] as an exact int. Single-sourced so the oracle
+    query and the spec op can never drift."""
+    b = len(weights)
+    return int(sum(weights[md5_low64(tok) % b] for tok in tokens))
+
+
 _ROLL_BASE = 1000003
 _ROLL_MOD = (1 << 61) - 1
 

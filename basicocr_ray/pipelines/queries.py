@@ -5494,17 +5494,13 @@ def q128_bloom_semi_audit(sf_dir: str):
     )
 
     # exact verdict: bucketed semi-join of ONLY the bloom-passing rows
-    passed = flagged.map_batches(
-        lambda b: pa.table(
-            {
-                "c_custkey": b.filter(pc.equal(b["bp"], 1))["o_custkey"],
-                "o_orderstatus": b.filter(pc.equal(b["bp"], 1))[
-                    "o_orderstatus"
-                ],
-            }
-        ),
-        batch_format="pyarrow",
-    )
+    def keep_passed(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b["bp"], 1))
+        return pa.table(
+            {"c_custkey": f["o_custkey"], "o_orderstatus": f["o_orderstatus"]}
+        )
+
+    passed = flagged.map_batches(keep_passed, batch_format="pyarrow")
     exact = bucketed_hash_join(
         passed, build.map_batches(
             lambda b: pa.table({"c_custkey": b["c_custkey"]}).combine_chunks(),
@@ -5536,11 +5532,13 @@ def q129_quality_classifier(sf_dir: str):
     int64 so the oracle reconstructs them bit-for-bit). Output: per-doc
     score and the keep verdict (score > 0). A real model swaps the weight
     table; nothing else changes — this is A1's load-once scorer semantics
-    on the documents table."""
+    on the documents table. Scoring kernel single-sourced in
+    `core/textstats.py:hashed_linear_score` (shared with the
+    `quality_gate` spec op)."""
+    from basicocr_ray.core.textstats import hashed_linear_score
+
     B = 64
-    weights = np.array(
-        [_md5_low64(f"w:{b}") % 21 - 10 for b in range(B)], dtype=np.int64
-    )
+    weights = [_md5_low64(f"w:{b}") % 21 - 10 for b in range(B)]
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -5549,12 +5547,10 @@ def q129_quality_classifier(sf_dir: str):
         for did, t in zip(
             batch["doc_id"].to_pylist(), batch["text"].to_pylist()
         ):
-            toks = token_items(t) if t else []
-            s = int(
-                weights[[_md5_low64(tok) % B for tok in toks]].sum()
-            ) if toks else 0
             out_id.append(did)
-            out_s.append(s)
+            out_s.append(
+                hashed_linear_score(token_items(t) if t else [], weights)
+            )
         kept = [1 if s > 0 else 0 for s in out_s]
         return pa.table(
             {
@@ -5852,8 +5848,10 @@ def q135_priority_dedup(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
 
     def add_prio(batch: pa.Table) -> pa.Table:
+        # NULL source → priority of '' (oracle: coalesce(source, ''))
         prio = [
-            _md5_low64(s) % 100 for s in batch["source"].to_pylist()
+            _md5_low64(s if s is not None else "") % 100
+            for s in batch["source"].to_pylist()
         ]
         return pa.table(
             {
@@ -5941,19 +5939,29 @@ def q137_trailing_distinct(sf_dir: str):
             t, ["h", "user_id"], use_threads=False
         ).aggregate([])
 
-    pairs = ds.map_batches(local_pairs, batch_format="pyarrow")
+    # materialize: the pair relation is consumed twice (hour enumeration
+    # + fan-out) — without this the upstream dedup would execute twice
+    pairs = ds.map_batches(local_pairs, batch_format="pyarrow").materialize()
 
-    hours_df = pairs.groupby("h").aggregate(Sum("user_id")).to_pandas()
-    hours_ref = ray.put(set(int(h) for h in hours_df["h"]))
+    hours: set[int] = set()
+    for tbl in pairs.map_batches(
+        lambda b: pa.TableGroupBy(
+            pa.table({"h": b["h"]}), ["h"], use_threads=False
+        ).aggregate([]),
+        batch_format="pyarrow",
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        hours.update(int(h) for h in tbl["h"].to_pylist())
+    hours_arr = np.array(sorted(hours), dtype=np.int64)
+    hours_ref = ray.put(hours_arr)
 
     def fan_out(b: pa.Table) -> pa.Table:
-        hour_set = ray.get(hours_ref)
+        harr = ray.get(hours_ref)
         hs = b["h"].to_numpy(zero_copy_only=False)
         us = b["user_id"].to_numpy(zero_copy_only=False)
         out_h, out_u = [], []
         for k in range(3):
             th = hs + k * HOUR_US
-            keep = np.array([int(x) in hour_set for x in th])
+            keep = np.isin(th, harr)
             out_h.append(th[keep])
             out_u.append(us[keep])
         th = np.concatenate(out_h)
@@ -8082,7 +8090,8 @@ ORACLE_SQL = {
         -- per distinct text, tie to lowest doc_id, multiplicity kept
         WITH d AS (
           SELECT doc_id, md5(coalesce(text, '')) AS fp,
-                 CAST(md5_number_lower(source) % 100 AS BIGINT) AS prio
+                 CAST(md5_number_lower(coalesce(source, '')) % 100
+                      AS BIGINT) AS prio
           FROM documents
         ),
         w AS (

@@ -672,24 +672,20 @@ def _op_winnow(ds, params):
 
 def _op_quality_gate(ds, params):
     """Hashed-linear classifier gate (the q129 shape with caller-supplied
-    integer weights): tokens hash into len(weights) buckets via the
-    DuckDB-exact md5-low64, score = Σ weight[bucket], keep score >
-    ``threshold``. Score attached as ``score``."""
-    from basicocr_ray.core.textstats import md5_low64
+    integer weights; kernel `core.textstats.hashed_linear_score`): keep
+    rows with score > ``threshold``; score attached as ``score``."""
+    from basicocr_ray.core.textstats import hashed_linear_score
     from basicocr_ray.stages.wide import token_items
 
     weights = [int(x) for x in params["weights"]]
-    b_count = len(weights)
     col = params.get("column", "text")
     threshold = int(params.get("threshold", 0))
 
     def fn(batch: pa.Table) -> pa.Table:
-        scores = []
-        for t in batch[col].to_pylist():
-            toks = token_items(t) if t else []
-            scores.append(
-                sum(weights[md5_low64(tok) % b_count] for tok in toks)
-            )
+        scores = [
+            hashed_linear_score(token_items(t) if t else [], weights)
+            for t in batch[col].to_pylist()
+        ]
         out = batch.append_column("score", pa.array(scores, pa.int64()))
         return out.filter(
             pa.array([s > threshold for s in scores], pa.bool_())

@@ -309,7 +309,7 @@ def test_cdc_chunk_lengths_referee():
         t = "".join(rng.choice(list(alpha), rng.integers(0, 200)))
         lens = cdc_chunk_lengths(t, k=8, divisor=16)
         assert sum(lens) == len(t)
-        assert all(x > 0 for x in lens) or lens == []
+        assert all(x > 0 for x in lens) or lens == [0]
         # referee: recompute cuts directly
         cuts = [
             i + 7
@@ -317,7 +317,9 @@ def test_cdc_chunk_lengths_referee():
             if i + 7 < len(t)
             and md5_low64(t[i - 1 : i + 7]) % 16 == 0
         ]
-        assert len(lens) == len(cuts) + (1 if t else 0)
+        assert len(lens) == len(cuts) + 1
+    # empty text: one zero-length chunk (oracle ends=[0]/starts=[0])
+    assert cdc_chunk_lengths("", k=8, divisor=16) == [0]
 
     # edit locality: chunks strictly after the first post-edit boundary
     # are identical (the CDC property fixed-width chunking lacks)
