@@ -6102,6 +6102,307 @@ def q139_cdc_chunks(sf_dir: str):
     return ds.map_batches(chunks, batch_format="pyarrow")
 
 
+def q140_sorted_neighborhood(sf_dir: str):
+    """SORTED-NEIGHBORHOOD dedup blocking (Hernández & Stolfo 1995 —
+    the entity-resolution family LSH doesn't cover: sort by a blocking
+    key, compare only rows within a window): rank every doc by
+    (n_chars, doc_id) with the range-partition window machinery (no
+    global sort in one task), pair each rank with ranks +1/+2 in
+    rank-keyed coarse groups (rank rows carry (rn, id) only), fetch
+    texts for the survivors via TWO bucketed hash joins (text never
+    rides the rank shuffle — the verify_pairs_jaccard_join discipline),
+    and keep pairs with exact word-set Jaccard ≥ 1/2 as the integer
+    cross-multiplication 2·inter ≥ uni. The oracle replays rank,
+    window and list_intersect algebra exactly."""
+    from basicocr_ray.stages.joins import bucketed_hash_join
+    from basicocr_ray.stages.wide import (
+        coarse_group_reduce,
+        grouped_window_rank,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    ranked = grouped_window_rank(
+        docs.map_batches(
+            lambda b: pa.table(
+                {
+                    "g": pa.array([0] * b.num_rows, pa.int64()),
+                    "doc_id": b["doc_id"],
+                    "n_chars": b["n_chars"],
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        "g", "n_chars", "doc_id", 1,
+    ).map_batches(
+        lambda b: b.select(["doc_id", "rn"]), batch_format="pyarrow"
+    )
+
+    W = 2  # window: compare rank r with r+1 .. r+W
+
+    def fan_out(b: pa.Table) -> pa.Table:
+        rn = b["rn"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        anchors = np.concatenate([rn - d for d in range(W + 1)])
+        return pa.table(
+            {
+                "a": pa.array(anchors, pa.int64()),
+                "rn": pa.array(np.tile(rn, W + 1), pa.int64()),
+                "doc_id": pa.array(np.tile(ids, W + 1), pa.int64()),
+            }
+        )
+
+    def window_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for a, grp in df.groupby("a"):
+            anchor = grp[grp["rn"] == a]
+            if anchor.empty:
+                continue
+            aid = int(anchor["doc_id"].iloc[0])
+            for _, row in grp[grp["rn"] > a].iterrows():
+                out_a.append(aid)
+                out_b.append(int(row["doc_id"]))
+        return pd.DataFrame(
+            {"id_a": pd.array(out_a, dtype="int64"),
+             "id_b": pd.array(out_b, dtype="int64")}
+        )
+
+    cand = coarse_group_reduce(
+        ranked.map_batches(fan_out, batch_format="pyarrow"),
+        "a", window_pairs,
+    )
+
+    texts = docs.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"], "text": b["text"]}),
+        batch_format="pyarrow",
+    )
+
+    def rename(key, name):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table({key: b["doc_id"], name: b["text"]})
+
+        return fn
+
+    with_a = bucketed_hash_join(
+        cand,
+        texts.map_batches(rename("id_a", "text_a"), batch_format="pyarrow"),
+        key="id_a", left_columns=["id_b"], right_columns=["text_a"],
+    )
+    with_both = bucketed_hash_join(
+        with_a,
+        texts.map_batches(rename("id_b", "text_b"), batch_format="pyarrow"),
+        key="id_b", left_columns=["id_a", "text_a"],
+        right_columns=["text_b"],
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        out_a, out_b, out_i, out_u = [], [], [], []
+        for a, b_, ta, tb in zip(
+            batch["id_a"].to_pylist(), batch["id_b"].to_pylist(),
+            batch["text_a"].to_pylist(), batch["text_b"].to_pylist(),
+        ):
+            sa = set(token_items(ta)) if ta else set()
+            sb = set(token_items(tb)) if tb else set()
+            inter = len(sa & sb)
+            uni = len(sa) + len(sb) - inter
+            if uni > 0 and 2 * inter >= uni:
+                out_a.append(a)
+                out_b.append(b_)
+                out_i.append(inter)
+                out_u.append(uni)
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, pa.int64()),
+                "id_b": pa.array(out_b, pa.int64()),
+                "inter": pa.array(out_i, pa.int64()),
+                "uni": pa.array(out_u, pa.int64()),
+            }
+        )
+
+    return with_both.map_batches(verify, batch_format="pyarrow")
+
+
+def q141_snapshot_chunk_reuse(sf_dir: str):
+    """Cross-SNAPSHOT chunk-store savings — the measurement
+    content-defined chunking exists for (LBFS §3): wave 1 re-crawls
+    every doc, a third of them with a one-char prefix edit; both waves
+    chunk with the q139 CDC rule IN THE SAME TASK (no second corpus
+    scan) and only (fp, wave, id, len) rows ride the fp-keyed exchange,
+    where a wave-1 chunk is REUSED iff its fp already exists in wave 0.
+    Because CDC boundaries resynchronize after an edit, edited docs
+    still reuse most chunks — exactly what the per-flag
+    (total_chars, reused_chars) rollup shows, and what fixed-width
+    chunking would destroy. Oracle replays chunking, fps and the
+    membership test in full list algebra."""
+    from ray.data.aggregate import Sum
+
+    from basicocr_ray.core.sketches import cdc_chunk_lengths
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunk_rows(batch: pa.Table) -> pa.Table:
+        out_fp, out_w, out_id, out_ln = [], [], [], []
+        for did, t in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            if t is None:
+                continue
+            for wave, tw in ((0, t), (1, ("X" + t) if did % 3 == 0 else t)):
+                pos = 0
+                for ln in cdc_chunk_lengths(tw, k=8, divisor=64):
+                    out_fp.append(md5_hex(tw[pos : pos + ln]))
+                    out_w.append(wave)
+                    out_id.append(did)
+                    out_ln.append(ln)
+                    pos += ln
+        return pa.table(
+            {
+                "fp": pa.array(out_fp, pa.string()),
+                "wave": pa.array(out_w, pa.int64()),
+                "doc_id": pa.array(out_id, pa.int64()),
+                "ln": pa.array(out_ln, pa.int64()),
+            }
+        )
+
+    def mark_reused(df: pd.DataFrame) -> pd.DataFrame:
+        in_a = df.groupby("fp")["wave"].transform("min") == 0
+        b = df[df["wave"] == 1].copy()
+        b["edited"] = (b["doc_id"] % 3 == 0).astype("int64")
+        b["rl"] = b["ln"] * in_a[b.index].astype("int64")
+        g = b.groupby("edited", as_index=False).agg(
+            total_chars=("ln", "sum"), reused_chars=("rl", "sum")
+        )
+        g["total_chars"] = g["total_chars"].astype("int64")
+        g["reused_chars"] = g["reused_chars"].astype("int64")
+        return g[["edited", "total_chars", "reused_chars"]]
+
+    partial = coarse_group_reduce(
+        ds.map_batches(chunk_rows, batch_format="pyarrow"),
+        "fp", mark_reused,
+    )
+
+    agg = (
+        partial.groupby("edited")
+        .aggregate(
+            Sum("total_chars", alias_name="total_chars"),
+            Sum("reused_chars", alias_name="reused_chars"),
+        )
+        .to_pandas()
+    )
+
+    # doc counts per flag from a tiny second pass over ids only
+    def doc_partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df[df["text"].notna()]
+        df["edited"] = (df["doc_id"] % 3 == 0).astype("int64")
+        g = df.groupby("edited", as_index=False).agg(
+            n_docs=("doc_id", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    nd = (
+        ds.map_batches(doc_partial, batch_format="pyarrow")
+        .groupby("edited")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .to_pandas()
+    )
+    out = agg.merge(nd, on="edited")
+    for c in ("edited", "total_chars", "reused_chars", "n_docs"):
+        out[c] = out[c].astype("int64")
+    return out[["edited", "n_docs", "total_chars", "reused_chars"]]
+
+
+def q142_profile_columns(sf_dir: str):
+    """DATA-PROFILING pass (the schema-quality report every ingest runs
+    before trusting a new drop): per column — row count, null count,
+    EXACT distinct count, lexicographic min/max — over three orders
+    columns in ONE shape: (column, value) fan-out rows dedup per batch,
+    land in value-hash coarse groups (the q65 exact-distinct
+    discipline), and min/max/null ride per-batch partials. Strings and
+    doubles profile through the same relation by casting values to
+    their VARCHAR form only for min/max display (DuckDB CAST parity:
+    float VARCHAR via repr-short)."""
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    from basicocr_ray.stages.dedup import _coarse_salts
+
+    COLS = ["o_orderstatus", "o_orderpriority"]
+    ds = _read(sf_dir, "orders", columns=COLS)
+    salts = _coarse_salts(None)
+
+    def fan(b: pa.Table) -> pa.Table:
+        names, vals = [], []
+        for c in COLS:
+            col = b[c].to_pylist()
+            names.extend([c] * len(col))
+            vals.extend(col)
+        t = pa.table(
+            {
+                "col_name": pa.array(names, pa.string()),
+                "val": pa.array(vals, pa.string()),
+            }
+        )
+        return t
+
+    fanned = ds.map_batches(fan, batch_format="pyarrow")
+
+    def base_partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        g = df.groupby("col_name", as_index=False).agg(
+            n_rows=("val", "size"),
+            n_null=("val", lambda s: int(s.isna().sum())),
+            min_v=("val", "min"),
+            max_v=("val", "max"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    base = (
+        fanned.map_batches(base_partial, batch_format="pyarrow")
+        .groupby("col_name")
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("n_null", alias_name="n_null"),
+            Min("min_v", alias_name="min_v"),
+            Max("max_v", alias_name="max_v"),
+        )
+        .to_pandas()
+    )
+
+    def distinct_local(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            b.filter(pc.is_valid(b["val"])), ["col_name", "val"],
+            use_threads=False,
+        ).aggregate([])
+        h = pd.util.hash_array(
+            g["val"].combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        return g.append_column(
+            "cg", pa.array((h & (salts - 1)).astype(np.int32))
+        )
+
+    def distinct_counts(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["col_name", "val"])
+        out = d.groupby("col_name", as_index=False).size()
+        return out.rename(columns={"size": "n_distinct"})
+
+    dist = (
+        fanned.map_batches(distinct_local, batch_format="pyarrow")
+        .groupby("cg")
+        .map_groups(distinct_counts, batch_format="pandas")
+        .groupby("col_name")
+        .aggregate(Sum("n_distinct", alias_name="n_distinct"))
+        .to_pandas()
+    )
+
+    out = base.merge(dist, on="col_name")
+    for c in ("n_rows", "n_null", "n_distinct"):
+        out[c] = out[c].astype("int64")
+    return out[["col_name", "n_rows", "n_null", "n_distinct",
+                "min_v", "max_v"]]
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -6239,6 +6540,9 @@ QUERIES = {
     "q137_trailing_distinct": q137_trailing_distinct,
     "q138_group_mad": q138_group_mad,
     "q139_cdc_chunks": q139_cdc_chunks,
+    "q140_sorted_neighborhood": q140_sorted_neighborhood,
+    "q141_snapshot_chunk_reuse": q141_snapshot_chunk_reuse,
+    "q142_profile_columns": q142_profile_columns,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -8212,6 +8516,102 @@ ORACLE_SQL = {
                  'max'
                ) AS BIGINT) AS max_len
         FROM z
+    """,
+    "q140_sorted_neighborhood": f"""
+        -- SNM: rank by (n_chars, doc_id), window 2, exact word-set
+        -- Jaccard >= 1/2 as 2*inter >= uni
+        WITH r AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+          FROM documents
+        ),
+        cand AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM r a JOIN r b ON b.rn - a.rn IN (1, 2)
+        ),
+        toks AS (
+          SELECT doc_id,
+                 list_distinct(list_filter({_TOKS}, x -> x <> '')) AS s
+          FROM documents
+        ),
+        j AS (
+          SELECT c.id_a, c.id_b,
+                 CAST(len(list_intersect(x.s, y.s)) AS BIGINT) AS inter,
+                 CAST(len(x.s) + len(y.s)
+                      - len(list_intersect(x.s, y.s)) AS BIGINT) AS uni
+          FROM cand c
+          JOIN toks x ON x.doc_id = c.id_a
+          JOIN toks y ON y.doc_id = c.id_b
+        )
+        SELECT id_a, id_b, inter, uni FROM j
+        WHERE uni > 0 AND 2 * inter >= uni
+    """,
+    "q141_snapshot_chunk_reuse": """
+        -- two crawl waves CDC-chunked; a wave-1 chunk is REUSED iff its
+        -- md5 fp exists anywhere in wave 0
+        WITH base AS (
+          SELECT doc_id, text AS t FROM documents WHERE text IS NOT NULL
+        ),
+        waves AS (
+          SELECT doc_id, 0 AS wave, t FROM base
+          UNION ALL
+          SELECT doc_id, 1 AS wave,
+                 CASE WHEN doc_id % 3 = 0 THEN 'X' || t ELSE t END
+          FROM base
+        ),
+        c AS (
+          SELECT doc_id, wave, t, length(t) AS L,
+                 list_transform(
+                   list_filter(
+                     range(1, greatest(length(t) - 7, 0) + 1),
+                     i -> md5_number_lower(substr(t, i, 8)) % 64 = 0
+                          AND i + 7 < length(t)
+                   ),
+                   i -> i + 7
+                 ) AS cuts
+          FROM waves
+        ),
+        z AS (
+          SELECT doc_id, wave, t,
+                 list_concat([0], cuts) AS starts,
+                 list_concat(cuts, [L]) AS ends
+          FROM c
+        ),
+        ch AS (
+          SELECT doc_id, wave,
+                 unnest(list_transform(range(1, len(ends) + 1),
+                        j -> ends[j] - starts[j])) AS ln,
+                 unnest(list_transform(range(1, len(ends) + 1),
+                        j -> md5(substr(t, starts[j] + 1,
+                                        ends[j] - starts[j])))) AS fp
+          FROM z
+        ),
+        afps AS (SELECT DISTINCT fp FROM ch WHERE wave = 0),
+        b AS (
+          SELECT doc_id, ln,
+                 CASE WHEN fp IN (SELECT fp FROM afps)
+                      THEN 1 ELSE 0 END AS reused,
+                 CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS edited
+          FROM ch WHERE wave = 1
+        )
+        SELECT CAST(edited AS BIGINT) AS edited,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(sum(ln) AS BIGINT) AS total_chars,
+               CAST(sum(ln * reused) AS BIGINT) AS reused_chars
+        FROM b GROUP BY 1
+    """,
+    "q142_profile_columns": """
+        SELECT 'o_orderstatus' AS col_name, count(*) AS n_rows,
+               CAST(count(*) - count(o_orderstatus) AS BIGINT) AS n_null,
+               CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
+               min(o_orderstatus) AS min_v, max(o_orderstatus) AS max_v
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', count(*),
+               CAST(count(*) - count(o_orderpriority) AS BIGINT),
+               CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+               min(o_orderpriority), max(o_orderpriority)
+        FROM orders
     """,
     "q124_rare_feature_pairs": f"""
         WITH toks AS (
