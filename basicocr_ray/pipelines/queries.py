@@ -3917,11 +3917,17 @@ def q104_bpe_merges(sf_dir: str):
     identically (Python str.replace ≡ SQL replace, left-to-right
     non-overlapping), so the learned merge table hash-matches the
     5-round unrolled SQL twin exactly — integers end to end."""
+    return _learn_bpe_merges(sf_dir, steps=5)
+
+
+def _learn_bpe_merges(sf_dir: str, steps: int = 5) -> pd.DataFrame:
+    """q104's distributed BPE merge learning, factored so q143 can apply
+    the same merge table; → DataFrame(step, pair, cnt)."""
     from collections import Counter
 
     from basicocr_ray.stages.wide import coarse_group_reduce
 
-    STEPS = 5
+    STEPS = steps
     ds = _read(sf_dir, "documents", columns=["text"])
     words = count_terms(ds, "text", token_items, "token")
 
@@ -6403,6 +6409,217 @@ def q142_profile_columns(sf_dir: str):
                 "min_v", "max_v"]]
 
 
+def _apply_bpe_merges(token: str, merges: list[str]) -> int:
+    """Pieces a token splits into after applying ``merges`` in order —
+    the space-padded non-overlapping replace both engines implement
+    identically (q104's application kernel)."""
+    s = " ".join(token)
+    for pair in merges:
+        s = (" " + s + " ").replace(
+            f" {pair} ", f" {pair.replace(' ', '')} "
+        ).strip()
+    return len(s.split(" "))
+
+
+def q143_bpe_apply(sf_dir: str):
+    """BPE tokenizer APPLICATION — the fertility measurement (pieces per
+    word, per language) that decides whether a learned vocab is usable
+    for a multilingual corpus: the q104 merge table is learned first
+    (same distributed loop, one corpus scan), then merges apply to the
+    DISTINCT (lang, token) relation inside its coarse-group reduce —
+    vocab-sized work, never corpus-sized — and per-lang word/piece
+    totals come from a tiny final sum. The oracle re-learns the merges
+    with q104's unrolled CTEs AND re-applies them to a distinct-word
+    map, so the whole train→apply chain is hash-checked."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    merges = _learn_bpe_merges(sf_dir, steps=5)["pair"].tolist()
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def lt_partial(batch: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()
+        for lang, t in zip(
+            batch["lang"].to_pylist(), batch["text"].to_pylist()
+        ):
+            for tok in token_items(t) if t else []:
+                cnt[(lang, tok)] += 1
+        keys = list(cnt.keys())
+        return pa.table(
+            {
+                "lang": pa.array([k[0] for k in keys], pa.string()),
+                "token": pa.array([k[1] for k in keys], pa.string()),
+                "c": pa.array([cnt[k] for k in keys], pa.int64()),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "token"], as_index=False)["c"].sum()
+        pieces = g["token"].map(lambda t: _apply_bpe_merges(t, merges))
+        out = pd.DataFrame(
+            {
+                "lang": g["lang"],
+                "n_words": g["c"].astype("int64"),
+                "n_pieces": (g["c"] * pieces).astype("int64"),
+            }
+        )
+        return out.groupby("lang", as_index=False)[
+            ["n_words", "n_pieces"]
+        ].sum()
+
+    agg = (
+        coarse_group_reduce(
+            ds.map_batches(lt_partial, batch_format="pyarrow"),
+            ["lang", "token"], fold,
+        )
+        .groupby("lang")
+        .aggregate(
+            Sum("n_words", alias_name="n_words"),
+            Sum("n_pieces", alias_name="n_pieces"),
+        )
+        .to_pandas()
+    )
+    for c in ("n_words", "n_pieces"):
+        agg[c] = agg[c].astype("int64")
+    return agg
+
+
+def q144_ref_integrity(sf_dir: str):
+    """REFERENTIAL-INTEGRITY audit (the fk-orphan report every ingest
+    runs before trusting a drop): per declared fk edge, total rows and
+    rows whose key has NO match on the dim side — each edge one
+    bucketed LEFT ANTI join (single shuffle, left columns only) plus a
+    pruned single-column count. The deliberately-untrusted
+    events.user_id→customer edge shows a nonzero orphan count; the
+    TPC-H-consistent edges audit clean."""
+    from basicocr_ray.stages.joins import bucketed_hash_join
+
+    EDGES = [
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("events.user_id->customer", "events", "user_id",
+         "customer", "c_custkey"),
+    ]
+    rows = []
+    for name, fact, fkey, dim, dkey in EDGES:
+        fact_ds = _read(sf_dir, fact, columns=[fkey])
+        n_rows = fact_ds.count()
+        dim_ds = _read(sf_dir, dim, columns=[dkey]).map_batches(
+            lambda b, _f=fkey, _d=dkey: pa.table(
+                {_f: pc.cast(b[_d], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        orphans = bucketed_hash_join(
+            fact_ds, dim_ds, fkey, [], [], join_type="left anti"
+        ).count()
+        rows.append((name, n_rows, orphans))
+    return pd.DataFrame(
+        {
+            "relation": [r[0] for r in rows],
+            "n_rows": pd.array([r[1] for r in rows], dtype="int64"),
+            "n_orphans": pd.array([r[2] for r in rows], dtype="int64"),
+        }
+    )
+
+
+def q145_conversion_latency(sf_dir: str):
+    """Funnel CONVERSION LATENCY per signup cohort — q78's funnel with
+    the time dimension (the time-to-convert distribution every growth
+    dashboard tracks): per user, first signup ts and first purchase
+    strictly after it, computed in ONE user-hash coarse-group pass
+    (the q63 discipline); delays (int64 µs) land in a materialized
+    relation consumed twice — per-cohort counts via partial+final and
+    the EXACT median via the histogram-refinement quantile — so the
+    user exchange runs once."""
+    from ray.data.aggregate import Sum
+
+    from basicocr_ray.stages.dedup import _coarse_salts
+    from basicocr_ray.stages.wide import grouped_quantile_disc
+
+    import pyarrow.dataset as pads
+
+    DAY_US = 86_400_000_000
+    ds = _read(
+        sf_dir, "events", columns=["user_id", "event_type", "ts"],
+        filter=pads.field("event_type").isin(["signup", "purchase"]),
+    )
+    salts = _coarse_salts(None)
+
+    def add_cg(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_type": b["event_type"],
+                # timestamp[us] → exact int64 µs (no pandas dtype fuzz)
+                "ts_us": pc.cast(b["ts"], pa.int64()),
+                "cg": pc.cast(
+                    pc.bit_wise_and(
+                        pc.cast(b["user_id"], pa.int64()), salts - 1
+                    ),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        out_cohort, out_delay = [], []
+        for _, g in df.groupby("user_id"):
+            s = g[g["event_type"] == "signup"]["ts_us"]
+            if s.empty:
+                continue
+            ts0 = int(s.min())
+            p = g[(g["event_type"] == "purchase") & (g["ts_us"] > ts0)][
+                "ts_us"
+            ]
+            if p.empty:
+                continue
+            out_cohort.append(ts0 // DAY_US * DAY_US)
+            out_delay.append(int(p.min()) - ts0)
+        return pd.DataFrame(
+            {
+                "cohort_us": pd.array(out_cohort, dtype="int64"),
+                "delay_us": pd.array(out_delay, dtype="int64"),
+            }
+        )
+
+    delays = (
+        ds.map_batches(add_cg, batch_format="pyarrow")
+        .groupby("cg")
+        .map_groups(per_user, batch_format="pandas")
+        .materialize()
+    )
+
+    med = grouped_quantile_disc(
+        delays, "cohort_us", "delay_us", 1, 2, out_name="median_delay_us"
+    ).to_pandas()
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        g = df.groupby("cohort_us", as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n_conversions"}), preserve_index=False
+        )
+
+    counts = (
+        delays.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("cohort_us")
+        .aggregate(Sum("n_conversions", alias_name="n_conversions"))
+        .to_pandas()
+    )
+    out = counts.merge(med, on="cohort_us")
+    out["cohort"] = pd.to_datetime(out["cohort_us"], unit="us")
+    out["n_conversions"] = out["n_conversions"].astype("int64")
+    out["median_delay_us"] = out["median_delay_us"].astype("int64")
+    return out[["cohort", "n_conversions", "median_delay_us"]]
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -6543,6 +6760,9 @@ QUERIES = {
     "q140_sorted_neighborhood": q140_sorted_neighborhood,
     "q141_snapshot_chunk_reuse": q141_snapshot_chunk_reuse,
     "q142_profile_columns": q142_profile_columns,
+    "q143_bpe_apply": q143_bpe_apply,
+    "q144_ref_integrity": q144_ref_integrity,
+    "q145_conversion_latency": q145_conversion_latency,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -6590,6 +6810,62 @@ def _bpe_oracle_sql(steps: int = 5) -> str:
         for r in range(1, steps + 1)
     )
     parts.append(f" SELECT * FROM ({selects})")
+    return "".join(parts)
+
+
+def _bpe_apply_oracle_sql(steps: int = 5) -> str:
+    """Unrolled SQL twin of q143: learn `steps` merges with q104's CTEs
+    (weighted pair count over the corpus word-frequency table), apply
+    the same replaces to a DISTINCT word map, and roll per-lang
+    word/piece totals through a join of the token stream to the map."""
+    parts = [
+        f"""WITH lt AS (
+          SELECT lang, unnest(list_filter({_TOKS}, x -> x <> '')) AS token
+          FROM documents
+        ),
+        w0 AS (
+          SELECT trim(regexp_replace(token, '(.)', '\\1 ', 'g')) AS s,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+          WHERE token <> '' GROUP BY 1
+        ),
+        v0 AS (
+          SELECT DISTINCT token,
+                 trim(regexp_replace(token, '(.)', '\\1 ', 'g')) AS s
+          FROM lt
+        )"""
+    ]
+    for r in range(1, steps + 1):
+        prev = f"w{r - 1}"
+        parts.append(
+            f""", p{r} AS (
+          SELECT pr AS pair, CAST(sum(c) AS BIGINT) AS cnt FROM (
+            SELECT c, unnest(list_transform(
+              range(1, len(a)), i -> a[i] || ' ' || a[i+1]
+            )) AS pr
+            FROM (SELECT c, string_split(s, ' ') AS a FROM {prev})
+          ) GROUP BY 1
+        ), m{r} AS (
+          SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1
+        ), w{r} AS (
+          SELECT trim(replace(' ' || s || ' ',
+                 ' ' || (SELECT pair FROM m{r}) || ' ',
+                 ' ' || replace((SELECT pair FROM m{r}), ' ', '') || ' '
+          )) AS s, c FROM {prev}
+        ), v{r} AS (
+          SELECT token, trim(replace(' ' || s || ' ',
+                 ' ' || (SELECT pair FROM m{r}) || ' ',
+                 ' ' || replace((SELECT pair FROM m{r}), ' ', '') || ' '
+          )) AS s FROM v{r - 1}
+        )"""
+        )
+    parts.append(
+        f""" SELECT lt.lang, count(*) AS n_words,
+               CAST(sum(len(string_split(v{steps}.s, ' '))) AS BIGINT)
+                 AS n_pieces
+        FROM lt JOIN v{steps} ON lt.token = v{steps}.token
+        GROUP BY 1"""
+    )
     return "".join(parts)
 
 
@@ -7863,6 +8139,45 @@ ORACLE_SQL = {
         FROM documents GROUP BY lang
     """,
     "q104_bpe_merges": _bpe_oracle_sql(5),
+    "q143_bpe_apply": _bpe_apply_oracle_sql(5),
+    "q144_ref_integrity": """
+        SELECT 'orders.o_custkey->customer' AS relation,
+               count(*) AS n_rows,
+               CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_orphans
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        UNION ALL
+        SELECT 'lineitem.l_orderkey->orders', count(*),
+               CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        UNION ALL
+        SELECT 'events.user_id->customer', count(*),
+               CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    "q145_conversion_latency": """
+        WITH s AS (
+          SELECT user_id, min(ts) AS ts0 FROM events
+          WHERE event_type = 'signup' GROUP BY 1
+        ),
+        p AS (
+          SELECT e.user_id, min(e.ts) AS tp
+          FROM events e JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > s.ts0
+          GROUP BY 1
+        ),
+        d AS (
+          SELECT date_trunc('day', s.ts0) AS cohort,
+                 epoch_us(p.tp) - epoch_us(s.ts0) AS delay_us
+          FROM s JOIN p USING (user_id)
+        )
+        SELECT cohort, count(*) AS n_conversions,
+               CAST(quantile_disc(delay_us, 0.5) AS BIGINT)
+                 AS median_delay_us
+        FROM d GROUP BY 1
+    """,
     "q105_source_lang_entropy": """
         WITH c AS (
           SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2

@@ -354,3 +354,22 @@ def test_spec_op_cdc_chunk_roundtrip():
     m = got.merge(want, on="doc_id")
     assert (m["chunk_len"] == m["L"]).all()
     assert out["fp"].str.len().eq(32).all()
+
+
+def test_winnowing_shared_substring_guarantee():
+    """The winnowing THEOREM (Schleimer et al. §3): any substring shared
+    by two texts with length >= k + w - 1 contributes at least one
+    shared fingerprint — regardless of what surrounds it."""
+    from basicocr_ray.core.sketches import winnow_fingerprints
+
+    rng = np.random.default_rng(11)
+    alpha = list("abcdefghij ")
+    for trial in range(100):
+        common = "".join(rng.choice(alpha, 11 + rng.integers(0, 30)))
+        pre_a = "".join(rng.choice(alpha, rng.integers(0, 50)))
+        suf_a = "".join(rng.choice(alpha, rng.integers(0, 50)))
+        pre_b = "".join(rng.choice(alpha, rng.integers(0, 50)))
+        suf_b = "".join(rng.choice(alpha, rng.integers(0, 50)))
+        _, fa = winnow_fingerprints(pre_a + common + suf_a, k=8, w=4)
+        _, fb = winnow_fingerprints(pre_b + common + suf_b, k=8, w=4)
+        assert set(fa) & set(fb), f"trial {trial}: guarantee violated"
