@@ -5253,26 +5253,35 @@ def q125_crawl_budget(sf_dir: str):
         ds.groupby("source")
         .aggregate(Count(alias_name="n_docs"))
         .to_pandas()
-        .sort_values("source")
-        .reset_index(drop=True)
     )
-    B = 1000
-    total = int(counts["n_docs"].sum())
-    n = counts["n_docs"].astype("int64")
+    return _hamilton_quota(counts, "source", "n_docs", 1000)
+
+
+def _hamilton_quota(
+    counts: pd.DataFrame, key_col: str, n_col: str, budget: int
+) -> pd.DataFrame:
+    """Largest-remainder (Hamilton) apportionment, EXACT in integers:
+    base = B·n // total, the B − Σbase leftover slots go to the largest
+    remainders (ties → key asc), so Σ quota == B always. O(|keys|)
+    driver arithmetic on a bounded relation (shared by q125/q146)."""
+    counts = counts.sort_values(key_col).reset_index(drop=True)
+    B = budget
+    total = int(counts[n_col].sum())
+    n = counts[n_col].astype("int64")
     base = (B * n) // total
     rem = (B * n) % total
     extra = B - int(base.sum())
     order = sorted(
         range(len(counts)),
-        key=lambda i: (-int(rem.iloc[i]), counts["source"].iloc[i]),
+        key=lambda i: (-int(rem.iloc[i]), counts[key_col].iloc[i]),
     )
     quota = base.copy()
     for i in order[:extra]:
         quota.iloc[i] += 1
     return pd.DataFrame(
         {
-            "source": counts["source"],
-            "n_docs": n.astype("int64"),
+            key_col: counts[key_col],
+            n_col: n.astype("int64"),
             "quota": quota.astype("int64"),
         }
     )
@@ -6620,6 +6629,80 @@ def q145_conversion_latency(sf_dir: str):
     return out[["cohort", "n_conversions", "median_delay_us"]]
 
 
+def q146_crawl_plan(sf_dir: str):
+    """END-TO-END crawl PLANNING — the q88 composition discipline
+    applied to the crawl side, one hash-checked chain: messy raw URLs
+    (mixed-case scheme/host, tracking params) → REAL canonicalization
+    (`normalize_url`) → robots disallow-prefix gate on the canonical
+    host (broadcast rules, zero shuffle) → frontier DEDUP on the
+    canonical (host, path) key (q65 exact-distinct discipline — the
+    path spread i%400 makes collisions real) → per-host counts →
+    largest-remainder budget of B=500 (`_hamilton_quota`, shared with
+    q125). Every stage is the production kernel; the oracle replays
+    the chain analytically from the same doc_id arithmetic."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from basicocr_ray.core.textstats import normalize_url
+    from basicocr_ray.stages.dedup import _coarse_salts
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    rules = {
+        f"www.site{k}.example.com": (
+            ["/p/1"] if k % 3 == 0 else ["/p/2"] if k % 3 == 1 else []
+        )
+        for k in range(7)
+    }
+    rules_ref = ray.put(rules)
+    salts = _coarse_salts(None)
+
+    def canon_and_gate(b: pa.Table) -> pa.Table:
+        from urllib.parse import urlsplit
+
+        r = ray.get(rules_ref)
+        hosts, paths = [], []
+        for i in b["doc_id"].to_pylist():
+            scheme = "HTTPS" if i % 2 else "HTTP"
+            utm = "?utm_source=x" if i % 5 == 0 else ""
+            raw = f"{scheme}://WWW.Site{i % 7}.Example.COM/p/{i % 400}{utm}"
+            parts = urlsplit(normalize_url(raw))
+            host, path = parts.hostname, parts.path
+            if any(path.startswith(p) for p in r.get(host, ())):
+                continue  # robots-blocked
+            hosts.append(host)
+            paths.append(path)
+        t = pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "path": pa.array(paths, pa.string()),
+            }
+        )
+        # local frontier dedup, then coarse-group key on the path hash
+        g = pa.TableGroupBy(t, ["host", "path"], use_threads=False).aggregate([])
+        h = pd.util.hash_array(
+            g["path"].combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        return g.append_column(
+            "cg", pa.array((h & (salts - 1)).astype(np.int32))
+        )
+
+    def host_counts(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["host", "path"])
+        out = d.groupby("host", as_index=False).size()
+        return out.rename(columns={"size": "n_urls"})
+
+    counts = (
+        ds.map_batches(canon_and_gate, batch_format="pyarrow")
+        .groupby("cg")
+        .map_groups(host_counts, batch_format="pandas")
+        .groupby("host")
+        .aggregate(Sum("n_urls", alias_name="n_urls"))
+        .to_pandas()
+    )
+    counts["n_urls"] = counts["n_urls"].astype("int64")
+    return _hamilton_quota(counts, "host", "n_urls", 500)
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -6763,6 +6846,7 @@ QUERIES = {
     "q143_bpe_apply": q143_bpe_apply,
     "q144_ref_integrity": q144_ref_integrity,
     "q145_conversion_latency": q145_conversion_latency,
+    "q146_crawl_plan": q146_crawl_plan,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -8140,6 +8224,44 @@ ORACLE_SQL = {
     """,
     "q104_bpe_merges": _bpe_oracle_sql(5),
     "q143_bpe_apply": _bpe_apply_oracle_sql(5),
+    "q146_crawl_plan": """
+        -- canonicalize -> robots gate -> frontier dedup -> Hamilton
+        -- budget of 500, replayed analytically from the doc_id spread
+        WITH u AS (
+          SELECT doc_id, doc_id % 7 AS k,
+                 '/p/' || CAST(doc_id % 400 AS VARCHAR) AS path
+          FROM documents
+        ),
+        allowed AS (
+          SELECT k, path FROM u
+          WHERE NOT ((k % 3 = 0 AND path LIKE '/p/1%')
+                  OR (k % 3 = 1 AND path LIKE '/p/2%'))
+        ),
+        frontier AS (SELECT DISTINCT k, path FROM allowed),
+        c AS (
+          SELECT 'www.site' || CAST(k AS VARCHAR) || '.example.com'
+                   AS host,
+                 CAST(count(*) AS BIGINT) AS n_urls
+          FROM frontier GROUP BY 1
+        ),
+        t AS (SELECT CAST(sum(n_urls) AS BIGINT) AS total FROM c),
+        base AS (
+          SELECT host, n_urls,
+                 (500 * n_urls) // total AS q0,
+                 (500 * n_urls) % total AS rem
+          FROM c, t
+        ),
+        extra AS (SELECT CAST(500 - sum(q0) AS BIGINT) AS e FROM base),
+        ranked AS (
+          SELECT host, n_urls, q0,
+                 row_number() OVER (ORDER BY rem DESC, host) AS rk
+          FROM base
+        )
+        SELECT host, n_urls,
+               CAST(q0 + CASE WHEN rk <= (SELECT e FROM extra)
+                         THEN 1 ELSE 0 END AS BIGINT) AS quota
+        FROM ranked
+    """,
     "q144_ref_integrity": """
         SELECT 'orders.o_custkey->customer' AS relation,
                count(*) AS n_rows,
