@@ -6703,6 +6703,68 @@ def q146_crawl_plan(sf_dir: str):
     return _hamilton_quota(counts, "host", "n_urls", 500)
 
 
+def q147_link_graph(sf_dir: str):
+    """OUTLINK extraction → host LINK GRAPH — the web-native structure
+    pass the flagship's text extraction doesn't expose: every document
+    is wrapped into its real boilerplate HTML page (`wrap_single`, the
+    flagship fixture path) with two deterministic absolute outlinks
+    injected into the body; a compiled-regex kernel pulls
+    `href="http(s)://…"` targets from the markup (relative boilerplate
+    links are excluded by the absolute-URL filter — a deterministic
+    precision contract), hosts parse out, and the bounded (src_host,
+    dst_host) edge rollup is the input q103's PageRank consumes. The
+    oracle is the analytic link contract (recall and precision 1.0 by
+    construction — the q121/q127 discipline for kernels SQL can't
+    run)."""
+    import re
+
+    from ray.data.aggregate import Sum
+
+    from basicocr_ray.sources.docpages import wrap_single
+
+    HREF = re.compile(rb'href="(https?://[^"]+)"')
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def edges_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        from urllib.parse import urlsplit
+
+        cnt: Counter = Counter()
+        for i, t in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            page = wrap_single(t or "", i)
+            links = (
+                f'<p><a href="http://site{(3 * i + 1) % 7}.example.com'
+                f'/p/{i % 100}">more</a> '
+                f'<a href="https://site{(5 * i + 2) % 7}.example.com'
+                f'/q/{i % 50}">src</a></p>'
+            ).encode()
+            page = page.replace(b"</article>", links + b"</article>")
+            src = f"site{i % 7}"
+            for m in HREF.finditer(page):
+                host = urlsplit(m.group(1).decode()).hostname or ""
+                cnt[(src, host.split(".")[0])] += 1
+        keys = list(cnt.keys())
+        return pa.table(
+            {
+                "src_host": pa.array([k[0] for k in keys], pa.string()),
+                "dst_host": pa.array([k[1] for k in keys], pa.string()),
+                "n_links": pa.array([cnt[k] for k in keys], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(edges_partial, batch_format="pyarrow")
+        .groupby(["src_host", "dst_host"])  # bounded: ≤ 49 host pairs
+        .aggregate(Sum("n_links", alias_name="n_links"))
+        .to_pandas()
+    )
+    out["n_links"] = out["n_links"].astype("int64")
+    return out
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -6847,6 +6909,7 @@ QUERIES = {
     "q144_ref_integrity": q144_ref_integrity,
     "q145_conversion_latency": q145_conversion_latency,
     "q146_crawl_plan": q146_crawl_plan,
+    "q147_link_graph": q147_link_graph,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -8261,6 +8324,22 @@ ORACLE_SQL = {
                CAST(q0 + CASE WHEN rk <= (SELECT e FROM extra)
                          THEN 1 ELSE 0 END AS BIGINT) AS quota
         FROM ranked
+    """,
+    "q147_link_graph": """
+        -- analytic link contract: each doc emits exactly its two
+        -- injected absolute outlinks (boilerplate links are relative
+        -- and excluded by the absolute-URL filter)
+        WITH e AS (
+          SELECT 'site' || (doc_id % 7) AS src_host,
+                 'site' || ((3 * doc_id + 1) % 7) AS dst_host
+          FROM documents
+          UNION ALL
+          SELECT 'site' || (doc_id % 7),
+                 'site' || ((5 * doc_id + 2) % 7)
+          FROM documents
+        )
+        SELECT src_host, dst_host, count(*) AS n_links
+        FROM e GROUP BY 1, 2
     """,
     "q144_ref_integrity": """
         SELECT 'orders.o_custkey->customer' AS relation,
