@@ -6765,6 +6765,54 @@ def q147_link_graph(sf_dir: str):
     return out
 
 
+def q148_pii_scrub_net(sf_dir: str):
+    """PII scrub, NETWORK-identifier flavor (q52's email pass extended
+    to the other two identifiers every release-safety checklist names):
+    deterministic planted phone numbers (doc_id ≡ 1 mod 3) and IPv4
+    addresses (doc_id ≡ 2 mod 3), scrubbed with regexes chosen from the
+    Python-re ∩ DuckDB-RE2 common subset (explicit [0-9] classes — the
+    q85 engine-parity discipline), verified by exact counts, removed
+    bytes, and the md5 of the scrubbed text."""
+    import hashlib
+    import re as _re
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    phone_re = _re.compile(r"\+1555[0-9]{4}")
+    ip_re = _re.compile(r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}")
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        out_id, out_p, out_ip, out_rm, out_md5 = [], [], [], [], []
+        for did, t in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            t = t or ""
+            if did % 3 == 1:
+                t = f"{t} call +1555{did % 10000:04d}"
+            if did % 3 == 2:
+                t = (
+                    f"{t} from {did % 256}.{(did * 3) % 256}"
+                    f".{(did * 7) % 256}.{(did * 11) % 256}"
+                )
+            s1, n_phone = phone_re.subn("<PHONE>", t)
+            s2, n_ip = ip_re.subn("<IP>", s1)
+            out_id.append(did)
+            out_p.append(n_phone)
+            out_ip.append(n_ip)
+            out_rm.append(len(t) - len(s2))
+            out_md5.append(hashlib.md5(s2.encode()).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "n_phones": pa.array(out_p, pa.int64()),
+                "n_ips": pa.array(out_ip, pa.int64()),
+                "n_removed": pa.array(out_rm, pa.int64()),
+                "scrubbed_md5": pa.array(out_md5, pa.string()),
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -6910,6 +6958,7 @@ QUERIES = {
     "q145_conversion_latency": q145_conversion_latency,
     "q146_crawl_plan": q146_crawl_plan,
     "q147_link_graph": q147_link_graph,
+    "q148_pii_scrub_net": q148_pii_scrub_net,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -8340,6 +8389,45 @@ ORACLE_SQL = {
         )
         SELECT src_host, dst_host, count(*) AS n_links
         FROM e GROUP BY 1, 2
+    """,
+    "q148_pii_scrub_net": r"""
+        WITH planted AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 1
+                      THEN text || ' call +1555'
+                           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      WHEN doc_id % 3 = 2
+                      THEN text || ' from '
+                           || CAST(doc_id % 256 AS VARCHAR) || '.'
+                           || CAST((doc_id * 3) % 256 AS VARCHAR) || '.'
+                           || CAST((doc_id * 7) % 256 AS VARCHAR) || '.'
+                           || CAST((doc_id * 11) % 256 AS VARCHAR)
+                      ELSE text END AS t
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id, t,
+                 regexp_replace(t, '\+1555[0-9]{4}', '<PHONE>', 'g') AS s1
+          FROM planted
+        ),
+        s2 AS (
+          SELECT doc_id, t, s1,
+                 regexp_replace(
+                   s1,
+                   '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}',
+                   '<IP>', 'g'
+                 ) AS scrubbed
+          FROM s
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(
+                 t, '\+1555[0-9]{4}')) AS BIGINT) AS n_phones,
+               CAST(len(regexp_extract_all(
+                 s1, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'
+               )) AS BIGINT) AS n_ips,
+               CAST(length(t) - length(scrubbed) AS BIGINT) AS n_removed,
+               md5(scrubbed) AS scrubbed_md5
+        FROM s2
     """,
     "q144_ref_integrity": """
         SELECT 'orders.o_custkey->customer' AS relation,
