@@ -6135,7 +6135,12 @@ def q140_sorted_neighborhood(sf_dir: str):
         grouped_window_rank,
     )
 
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    # materialized once: this narrow projection is consumed three times
+    # (rank input + both text-join sides) — without this the parquet
+    # read would re-execute per consumer (the q145/q137 discipline)
+    docs = _read(
+        sf_dir, "documents", columns=["doc_id", "text", "n_chars"]
+    ).materialize()
 
     ranked = grouped_window_rank(
         docs.map_batches(
@@ -6306,10 +6311,18 @@ def q141_snapshot_chunk_reuse(sf_dir: str):
         .to_pandas()
     )
 
-    # doc counts per flag from a tiny second pass over ids only
+    # doc counts per flag: a second scan that reads ONLY doc_id (the
+    # text IS NOT NULL predicate pushes into the parquet read — text
+    # bytes never leave storage again)
+    import pyarrow.dataset as pads
+
+    ids = _read(
+        sf_dir, "documents", columns=["doc_id"],
+        filter=pads.field("text").is_valid(),
+    )
+
     def doc_partial(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
-        df = df[df["text"].notna()]
         df["edited"] = (df["doc_id"] % 3 == 0).astype("int64")
         g = df.groupby("edited", as_index=False).agg(
             n_docs=("doc_id", "size")
@@ -6317,7 +6330,7 @@ def q141_snapshot_chunk_reuse(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     nd = (
-        ds.map_batches(doc_partial, batch_format="pyarrow")
+        ids.map_batches(doc_partial, batch_format="pyarrow")
         .groupby("edited")
         .aggregate(Sum("n_docs", alias_name="n_docs"))
         .to_pandas()
@@ -6331,17 +6344,15 @@ def q141_snapshot_chunk_reuse(sf_dir: str):
 def q142_profile_columns(sf_dir: str):
     """DATA-PROFILING pass (the schema-quality report every ingest runs
     before trusting a new drop): per column — row count, null count,
-    EXACT distinct count, lexicographic min/max — over three orders
-    columns in ONE shape: (column, value) fan-out rows dedup per batch,
-    land in value-hash coarse groups (the q65 exact-distinct
-    discipline), and min/max/null ride per-batch partials. Strings and
-    doubles profile through the same relation by casting values to
-    their VARCHAR form only for min/max display (DuckDB CAST parity:
-    float VARCHAR via repr-short)."""
-    import ray
+    EXACT distinct count, lexicographic min/max — over two orders
+    string columns in ONE shape: (column, value) fan-out rows dedup per
+    batch, land in value-hash coarse groups (the q65 exact-distinct
+    discipline, kernel `stages/wide.py:local_distinct_cg`), and
+    min/max/null ride per-batch partials."""
     from ray.data.aggregate import Max, Min, Sum
 
     from basicocr_ray.stages.dedup import _coarse_salts
+    from basicocr_ray.stages.wide import local_distinct_cg
 
     COLS = ["o_orderstatus", "o_orderpriority"]
     ds = _read(sf_dir, "orders", columns=COLS)
@@ -6386,15 +6397,9 @@ def q142_profile_columns(sf_dir: str):
     )
 
     def distinct_local(b: pa.Table) -> pa.Table:
-        g = pa.TableGroupBy(
+        return local_distinct_cg(
             b.filter(pc.is_valid(b["val"])), ["col_name", "val"],
-            use_threads=False,
-        ).aggregate([])
-        h = pd.util.hash_array(
-            g["val"].combine_chunks().to_numpy(zero_copy_only=False)
-        )
-        return g.append_column(
-            "cg", pa.array((h & (salts - 1)).astype(np.int32))
+            "val", salts,
         )
 
     def distinct_counts(df: pd.DataFrame) -> pd.DataFrame:
@@ -6645,6 +6650,7 @@ def q146_crawl_plan(sf_dir: str):
 
     from basicocr_ray.core.textstats import normalize_url
     from basicocr_ray.stages.dedup import _coarse_salts
+    from basicocr_ray.stages.wide import local_distinct_cg
 
     ds = _read(sf_dir, "documents", columns=["doc_id"])
     rules = {
@@ -6678,13 +6684,8 @@ def q146_crawl_plan(sf_dir: str):
             }
         )
         # local frontier dedup, then coarse-group key on the path hash
-        g = pa.TableGroupBy(t, ["host", "path"], use_threads=False).aggregate([])
-        h = pd.util.hash_array(
-            g["path"].combine_chunks().to_numpy(zero_copy_only=False)
-        )
-        return g.append_column(
-            "cg", pa.array((h & (salts - 1)).astype(np.int32))
-        )
+        # (shared q65-discipline kernel)
+        return local_distinct_cg(t, ["host", "path"], "path", salts)
 
     def host_counts(df: pd.DataFrame) -> pd.DataFrame:
         d = df.drop_duplicates(["host", "path"])
@@ -6773,7 +6774,6 @@ def q148_pii_scrub_net(sf_dir: str):
     Python-re ∩ DuckDB-RE2 common subset (explicit [0-9] classes — the
     q85 engine-parity discipline), verified by exact counts, removed
     bytes, and the md5 of the scrubbed text."""
-    import hashlib
     import re as _re
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -6799,7 +6799,7 @@ def q148_pii_scrub_net(sf_dir: str):
             out_p.append(n_phone)
             out_ip.append(n_ip)
             out_rm.append(len(t) - len(s2))
-            out_md5.append(hashlib.md5(s2.encode()).hexdigest())
+            out_md5.append(md5_hex(s2))
         return pa.table(
             {
                 "doc_id": pa.array(out_id, pa.int64()),
@@ -8391,18 +8391,20 @@ ORACLE_SQL = {
         FROM e GROUP BY 1, 2
     """,
     "q148_pii_scrub_net": r"""
+        -- coalesce keeps NULL text in lockstep with the Ray side's
+        -- `t or ""` (the q119 NULL-lockstep convention)
         WITH planted AS (
           SELECT doc_id,
                  CASE WHEN doc_id % 3 = 1
-                      THEN text || ' call +1555'
+                      THEN coalesce(text, '') || ' call +1555'
                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
                       WHEN doc_id % 3 = 2
-                      THEN text || ' from '
+                      THEN coalesce(text, '') || ' from '
                            || CAST(doc_id % 256 AS VARCHAR) || '.'
                            || CAST((doc_id * 3) % 256 AS VARCHAR) || '.'
                            || CAST((doc_id * 7) % 256 AS VARCHAR) || '.'
                            || CAST((doc_id * 11) % 256 AS VARCHAR)
-                      ELSE text END AS t
+                      ELSE coalesce(text, '') END AS t
           FROM documents
         ),
         s AS (

@@ -696,3 +696,25 @@ def grouped_quantile_cont(
         .groupby(group_column)
         .map_groups(select, batch_format="pandas")
     )
+
+
+def local_distinct_cg(
+    batch: pa.Table, cols: list[str], hash_col: str, salts: int
+) -> pa.Table:
+    """Per-batch exact-distinct partial, string-key flavor (the q65
+    discipline shared by q142/q146): Arrow group-distinct on ``cols``,
+    then a cluster-sized coarse group of the pandas hash of
+    ``hash_col`` (same value → same group on every worker, so the
+    downstream in-group dedup is globally exact). q65's integer-user
+    path keys cg with a zero-copy bit_and instead — the int fast path
+    of the same shape."""
+    import numpy as np
+    import pandas as _pd
+
+    g = pa.TableGroupBy(batch, cols, use_threads=False).aggregate([])
+    h = _pd.util.hash_array(
+        g[hash_col].combine_chunks().to_numpy(zero_copy_only=False)
+    )
+    return g.append_column(
+        "cg", pa.array((h & (salts - 1)).astype(np.int32))
+    )
