@@ -373,3 +373,46 @@ def test_winnowing_shared_substring_guarantee():
         _, fa = winnow_fingerprints(pre_a + common + suf_a, k=8, w=4)
         _, fb = winnow_fingerprints(pre_b + common + suf_b, k=8, w=4)
         assert set(fa) & set(fb), f"trial {trial}: guarantee violated"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_new_dedup_ops_salt_invariant():
+    """Family convention: coarse-salt fan-out must not change results —
+    duplicate_spans and priority_dedup at S=2 vs S=64 are identical."""
+    import ray.data
+
+    from basicocr_ray.stages.dedup import duplicate_spans, priority_dedup
+
+    rng = np.random.default_rng(21)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = []
+    shared = " ".join(rng.choice(vocab, 9))
+    for i in range(40):
+        left = " ".join(rng.choice(vocab, rng.integers(0, 10)))
+        right = " ".join(rng.choice(vocab, rng.integers(0, 10)))
+        texts.append(f"{left} {shared} {right}" if i % 4 == 0
+                     else " ".join(rng.choice(vocab, 12)))
+    df = pd.DataFrame(
+        {"doc_id": np.arange(40, dtype=np.int64), "text": texts,
+         "prio": (np.arange(40) * 7 % 13).astype(np.int64)}
+    )
+
+    def canon(out):
+        return out.sort_values(list(out.columns)).reset_index(drop=True)
+
+    a = canon(duplicate_spans(
+        ray.data.from_pandas(df), "doc_id", "text", 5, num_salt=2
+    ).to_pandas())
+    b = canon(duplicate_spans(
+        ray.data.from_pandas(df), "doc_id", "text", 5, num_salt=64
+    ).to_pandas())
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) >= 10  # the planted shared span was found
+
+    c = canon(priority_dedup(
+        ray.data.from_pandas(df), "doc_id", "text", "prio", num_salt=2
+    ).to_pandas())
+    d = canon(priority_dedup(
+        ray.data.from_pandas(df), "doc_id", "text", "prio", num_salt=64
+    ).to_pandas())
+    pd.testing.assert_frame_equal(c, d)
