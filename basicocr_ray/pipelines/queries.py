@@ -6813,6 +6813,69 @@ def q148_pii_scrub_net(sf_dir: str):
     return ds.map_batches(scrub, batch_format="pyarrow")
 
 
+def q149_negative_samples(sf_dir: str):
+    """Deterministic NEGATIVE SAMPLING for contrastive training-pair
+    prep (the in-batch-negatives data layout, made partition/retry/
+    epoch-invariant): every doc gets k=2 pseudo-random negatives — the
+    docs sitting at rank (pos + j·173) mod N under the md5 global order
+    (`global_rank`: no global sort, O(S) driver state). The rank→doc
+    resolution is ONE bucketed int join of the shifted anchors against
+    the rank relation; accidental self-pairs are excluded on both
+    sides. The same shift on the same corpus always yields the same
+    pairs — the reproducibility contract sampled negatives need."""
+    from basicocr_ray.stages.joins import bucketed_hash_join
+    from basicocr_ray.stages.sample import global_rank
+
+    K, STRIDE = 2, 173
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    N = ds.count()
+
+    ranked = global_rank(ds, "doc_id", seed=7).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "pos": pc.cast(b["pos"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # consumed twice: anchors + join right side
+
+    def anchors(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        pos = b["pos"].to_numpy(zero_copy_only=False)
+        out_id, out_j, out_np = [], [], []
+        for j in range(1, K + 1):
+            out_id.append(ids)
+            out_j.append(np.full(len(ids), j, dtype=np.int64))
+            out_np.append((pos + j * STRIDE) % N)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "j": pa.array(np.concatenate(out_j), pa.int64()),
+                "np": pa.array(np.concatenate(out_np), pa.int64()),
+            }
+        )
+
+    right = ranked.map_batches(
+        lambda b: pa.table({"np": b["pos"], "neg_id": b["doc_id"]}),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_hash_join(
+        ranked.map_batches(anchors, batch_format="pyarrow"),
+        right, "np", ["doc_id", "j"], ["neg_id"],
+    )
+    return joined.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "j": b["j"],
+                "neg_id": b["neg_id"],
+            }
+        ).filter(pc.not_equal(b["doc_id"], b["neg_id"])),
+        batch_format="pyarrow",
+    )
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -6959,6 +7022,7 @@ QUERIES = {
     "q146_crawl_plan": q146_crawl_plan,
     "q147_link_graph": q147_link_graph,
     "q148_pii_scrub_net": q148_pii_scrub_net,
+    "q149_negative_samples": q149_negative_samples,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -7890,6 +7954,26 @@ ORACLE_SQL = {
                  ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id
                ) - 1 AS pos
         FROM documents
+    """,
+    "q149_negative_samples": """
+        -- k=2 negatives at rank (pos + j*173) mod N under the md5
+        -- global order; self-pairs excluded
+        WITH r AS (
+          SELECT doc_id,
+                 row_number() OVER (
+                   ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id
+                 ) - 1 AS pos
+          FROM documents
+        ),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents),
+        a AS (
+          SELECT r.doc_id, CAST(j.j AS BIGINT) AS j,
+                 (r.pos + j.j * 173) % total AS np
+          FROM r CROSS JOIN range(1, 3) j(j), n
+        )
+        SELECT a.doc_id, a.j, b.doc_id AS neg_id
+        FROM a JOIN r b ON b.pos = a.np
+        WHERE a.doc_id <> b.doc_id
     """,
     "q56_weighted_sample": """
         WITH keyed AS (
