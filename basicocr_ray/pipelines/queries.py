@@ -6876,6 +6876,83 @@ def q149_negative_samples(sf_dir: str):
     )
 
 
+def q150_thumbnail_dedup(sf_dir: str):
+    """END-TO-END image pipeline — q121's perceptual-dedup contract
+    pushed through the PRODUCTION resize stage (decode → box-resample →
+    re-encode → decode → aHash → dedup, three chained actor-pool
+    stages): 32×32 originals and their +1-brightness re-encoded clones
+    both thumbnail to 16×16 through `ImageResizer(mode="box")`, whose
+    integer round-half-up mean commutes with a uniform +1 shift
+    (⌊m+1+½⌋ = ⌊m+½⌋+1 — no clipping, pixels < 200), so the clone pair
+    survives the WHOLE chain and the 8×8 average hash pairs exactly
+    (i, i+10000) — recall and precision 1.0 by construction, which the
+    analytic oracle asserts. Hash strings ride the only exchange;
+    image bytes never do."""
+    from basicocr_ray.core.png import encode_png
+    from basicocr_ray.stages.multimodal import (
+        ImageFeatureExtractor,
+        ImageResizer,
+    )
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id"])
+
+    def payloads(batch: pa.Table) -> pa.Table:
+        ids, blobs = [], []
+        for i in batch["vec_id"].to_pylist():
+            rng = np.random.default_rng(int(i) + 5)
+            arr = rng.integers(0, 200, size=(32, 32)).astype(np.uint8)
+            ids.append(i)
+            blobs.append(encode_png(arr, level=6))
+            ids.append(i + 10000)
+            blobs.append(encode_png(arr + 1, level=9))
+        return pa.table(
+            {
+                "item_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(blobs, pa.large_binary()),
+            }
+        )
+
+    feats = (
+        ds.map_batches(payloads, batch_format="pyarrow")
+        .map_batches(
+            ImageResizer,
+            fn_constructor_kwargs={
+                "target_w": 16, "target_h": 16, "mode": "box",
+            },
+            batch_format="pyarrow", batch_size=128, concurrency=2,
+        )
+        .map_batches(
+            ImageFeatureExtractor, batch_format="pyarrow",
+            batch_size=256, concurrency=2,
+        )
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "item_id": b["item_id"],
+                    "ph": pc.cast(b["phash"], pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out1, out2 = [], []
+        for _, grp in df.groupby("ph"):
+            ids = sorted(grp["item_id"])
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out1.append(ids[i])
+                    out2.append(ids[j])
+        return pd.DataFrame(
+            {"id1": pd.array(out1, dtype="int64"),
+             "id2": pd.array(out2, dtype="int64")}
+        )
+
+    return coarse_group_reduce(feats, "ph", pairs)
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -7023,6 +7100,7 @@ QUERIES = {
     "q147_link_graph": q147_link_graph,
     "q148_pii_scrub_net": q148_pii_scrub_net,
     "q149_negative_samples": q149_negative_samples,
+    "q150_thumbnail_dedup": q150_thumbnail_dedup,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -7954,6 +8032,13 @@ ORACLE_SQL = {
                  ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id
                ) - 1 AS pos
         FROM documents
+    """,
+    "q150_thumbnail_dedup": """
+        -- analytic contract: every (i, i+10000) clone pair survives the
+        -- decode -> box-resize -> re-encode -> aHash chain, and ONLY
+        -- those pairs (round-half-up mean commutes with the +1 shift)
+        SELECT vec_id AS id1, CAST(vec_id + 10000 AS BIGINT) AS id2
+        FROM embeddings
     """,
     "q149_negative_samples": """
         -- k=2 negatives at rank (pos + j*173) mod N under the md5
