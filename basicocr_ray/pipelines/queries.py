@@ -6953,6 +6953,418 @@ def q150_thumbnail_dedup(sf_dir: str):
     return coarse_group_reduce(feats, "ph", pairs)
 
 
+def _bp_host(doc_id: int) -> str:
+    return f"site{doc_id % 7}"
+
+
+def _bp_paras(doc_id: int, text: str) -> list[str]:
+    """The planted page structure q151 strips: every doc carries its
+    host's footer paragraph; even docs also carry a promo banner. The
+    original text is (almost surely) unique per doc and must survive."""
+    host = _bp_host(doc_id)
+    paras = [
+        text,
+        f"host {host} footer navigation copyright terms privacy contact",
+    ]
+    if doc_id % 2 == 0:
+        paras.append(f"subscribe newsletter promo banner {host}")
+    return paras
+
+
+def q151_boilerplate_paras(sf_dir: str):
+    """Per-host BOILERPLATE PARAGRAPH removal — the CCNet-style dedup
+    pass every crawl corpus runs before training (footer/nav/cookie
+    banners repeat across a site's pages; body text doesn't): paragraphs
+    hash to md5, a (host, para_md5) document-frequency reduce finds
+    paragraphs present in a strict MAJORITY of the host's docs
+    (2·df > n_docs, exact integers — no float threshold), and a second
+    doc scan drops them and re-emits the cleaned text's md5.
+
+    Scale shape: the paragraph exchange carries (host, md5, doc_id) —
+    never text. The boilerplate relation is PROVABLY bounded: each
+    boilerplate paragraph has df > n_docs/2, and Σ df over a host's
+    paragraphs = its total paragraph instances ≤ n_docs·P̄, so a host
+    has < 2·P̄ boilerplate paragraphs — a broadcast-sized set at any
+    corpus size (the driver collect here is metadata, not data). Host
+    doc-counts are a ≤-hosts-sized rollup. Reference anchor: the strip
+    generalizes the AC stopword anti-membership (J3/D2,
+    contrib/acautomata) from tokens to host-scoped paragraphs."""
+    import ray
+
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def para_instances(batch: pa.Table) -> pa.Table:
+        out_h, out_m, out_d = [], [], []
+        for did, t in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            host = _bp_host(did)
+            for pm in {md5_hex(p) for p in _bp_paras(did, t or "")}:
+                out_h.append(host)
+                out_m.append(pm)
+                out_d.append(did)
+        return pa.table(
+            {
+                "host": pa.array(out_h, pa.string()),
+                "pm": pa.array(out_m, pa.string()),
+                "doc_id": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    # host doc counts: ≤ #hosts rows — a metadata-sized rollup
+    def host_partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        mods, cnts = np.unique(ids % 7, return_counts=True)
+        return pa.table(
+            {
+                "host": pa.array(
+                    [f"site{m}" for m in mods], pa.string()
+                ),
+                "n": pa.array(cnts, pa.int64()),
+            }
+        )
+
+    n_docs: dict[str, int] = {}
+    for row in collect_rows(
+        ds.map_batches(host_partial, batch_format="pyarrow")
+    ):
+        n_docs[row["host"]] = n_docs.get(row["host"], 0) + int(row["n"])
+
+    def df_final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["host", "pm"], as_index=False).agg(
+            df=("doc_id", "nunique")
+        )
+        nd = out["host"].map(n_docs).to_numpy()
+        return out[2 * out["df"].to_numpy() > nd][["host", "pm"]]
+
+    boiler_rows = collect_rows(
+        coarse_group_reduce(
+            ds.map_batches(para_instances, batch_format="pyarrow"),
+            ["host", "pm"],
+            df_final,
+        )
+    )  # < 2·P̄ rows per host by the df>n/2 bound — broadcastable always
+    boiler_ref = ray.put(
+        {(r["host"], r["pm"]) for r in boiler_rows}
+    )
+
+    def strip(batch: pa.Table) -> pa.Table:
+        boiler = ray.get(boiler_ref)
+        out_id, out_np, out_rm, out_md5 = [], [], [], []
+        for did, t in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            host = _bp_host(did)
+            paras = _bp_paras(did, t or "")
+            kept = [
+                p for p in paras if (host, md5_hex(p)) not in boiler
+            ]
+            out_id.append(did)
+            out_np.append(len(paras))
+            out_rm.append(len(paras) - len(kept))
+            out_md5.append(md5_hex("\n".join(kept)))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "n_paras": pa.array(out_np, pa.int64()),
+                "n_removed": pa.array(out_rm, pa.int64()),
+                "cleaned_md5": pa.array(out_md5, pa.string()),
+            }
+        )
+
+    return ds.map_batches(strip, batch_format="pyarrow")
+
+
+def q152_sparse_dot_topk(sf_dir: str):
+    """All-pairs SPARSE similarity top-k via an INVERTED-INDEX join —
+    the document-similarity candidate scorer behind clustering and
+    near-dup mining, with an integer contract (no float cosine): score
+    of a doc pair = Σ tf_a·tf_b over shared RARE word-bigram terms
+    (2 ≤ df ≤ 20), global top-20 pairs by (score DESC, a, b).
+
+    Scale shape: the postings exchange carries (term, doc_id, tf) —
+    term text never rides with documents; each term's postings co-locate
+    in ONE coarse group, so the global df test and the per-term pair
+    emission are exact in-group (the q124 discipline, generalized from
+    candidate generation to weighted scoring). The df ≤ 20 hot-list cap
+    bounds the pair fan-out to O(Σ min(df,20)·tf²) — the standard
+    inverted-index-similarity prune (stop terms contribute no
+    discrimination and quadratic pairs; at 100 TB the cap is the
+    difference between a linear and an all-pairs job). Pair partials
+    sum through a second coarse reduce; the top-k is a per-block local
+    prune + tiny global sort (T3/G5)."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    bigrams = make_ngram_items(2)
+
+    def postings(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        out_t, out_d, out_f = [], [], []
+        for did, t in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            for term, tf in Counter(bigrams(t or "")).items():
+                out_t.append(term)
+                out_d.append(did)
+                out_f.append(tf)
+        return pa.table(
+            {
+                "term": pa.array(out_t, pa.string()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "tf": pa.array(out_f, pa.int64()),
+            }
+        )
+
+    def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_w = [], [], []
+        for _, g in df.groupby("term", sort=False):
+            if not (2 <= len(g) <= 20):  # global df: the group holds
+                continue  # ALL of this term's postings
+            g = g.sort_values("doc_id", kind="mergesort")
+            ids = g["doc_id"].to_numpy()
+            tfs = g["tf"].to_numpy()
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+                    out_w.append(int(tfs[i]) * int(tfs[j]))
+        return pd.DataFrame(
+            {
+                "a": pd.array(out_a, dtype="int64"),
+                "b": pd.array(out_b, dtype="int64"),
+                "score": pd.array(out_w, dtype="int64"),
+            }
+        )
+
+    pair_parts = coarse_group_reduce(
+        ds.map_batches(postings, batch_format="pyarrow"),
+        "term",
+        pair_partials,
+    )
+
+    def score_final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["a", "b"], as_index=False)["score"].sum()
+        # local top-k prune: ties broken by (a, b), both in the sort
+        return out.sort_values(
+            ["score", "a", "b"], ascending=[False, True, True],
+            kind="mergesort",
+        ).head(20).astype({"score": "int64"})
+
+    scored = coarse_group_reduce(pair_parts, ["a", "b"], score_final)
+    out = (
+        scored.sort(["score", "a", "b"], descending=[True, False, False])
+        .limit(20)
+        .to_pandas()
+    )
+    return out.astype({"a": "int64", "b": "int64", "score": "int64"})
+
+
+def q153_doc_triangles(sf_dir: str):
+    """Distributed TRIANGLE COUNTING on a deterministic citation-style
+    doc graph (edges i—(i+1), i—(i+2), i—(3i+1) mod N) — the classic
+    two-join algorithm with DEGREE-ORDERED orientation (each edge points
+    from its lower (degree, id) endpoint), which bounds the wedge
+    fan-out to O(m^1.5) regardless of hub skew — the property id-ordered
+    orientation lacks (a celebrity node of degree d generates d² wedges
+    under id order; under degree order its edges mostly point INTO it).
+
+    Scale shape: edge dedup and the degree rollup are coarse-salted
+    reduces; degrees attach to edges via two bucketed hash joins (the
+    degree relation is node-sized — never broadcast); wedges form by a
+    bucketed self-join on the tail vertex with the (deg, id) filter and
+    closing-edge key computed in-bucket; closure is one more bucketed
+    join of candidate keys against the oriented edge set. Every
+    exchange carries int64 ids only. Output (orientation-invariant):
+    per-vertex triangle participation counts. Vertex ids must fit
+    31 bits (the u·2³² + v composite key; the fixture graph is ≤ 2²⁰)."""
+    from basicocr_ray.stages.joins import bucketed_hash_join
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    n_docs = ds.count()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        i = batch["doc_id"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        js = [
+            (i + 1) % n_docs, (i + 2) % n_docs, (3 * i + 1) % n_docs,
+        ]
+        ii = np.concatenate([i, i, i])
+        jj = np.concatenate(js)
+        keep = ii != jj
+        u = np.minimum(ii[keep], jj[keep])
+        v = np.maximum(ii[keep], jj[keep])
+        return pa.table(
+            {
+                "ek": pa.array(u * (1 << 32) + v, pa.int64()),
+                "u": pa.array(u, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+            }
+        )
+
+    def dedup_first(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates("ek")[["u", "v"]]
+
+    E = coarse_group_reduce(
+        ds.map_batches(edges, batch_format="pyarrow"), "ek", dedup_first
+    ).materialize()
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        vtx = pa.concat_arrays(
+            [
+                batch["u"].combine_chunks(),
+                batch["v"].combine_chunks(),
+            ]
+        )
+        vc = pc.value_counts(vtx)
+        return pa.table(
+            {"vtx": vc.field("values"), "deg": vc.field("counts")}
+        )
+
+    def deg_final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("vtx", as_index=False)["deg"].sum()
+        return out.astype({"deg": "int64"})
+
+    D = coarse_group_reduce(
+        E.map_batches(endpoints, batch_format="pyarrow"), "vtx", deg_final
+    )
+
+    # attach degrees: two bucketed joins (D is node-sized — no broadcast)
+    with_du = bucketed_hash_join(
+        E.map_batches(
+            lambda b: b.rename_columns(["vtx", "v"]),
+            batch_format="pyarrow",
+        ),
+        D.map_batches(
+            lambda df: df.rename(columns={"deg": "deg_u"}),
+            batch_format="pandas",
+        ),
+        key="vtx",
+        left_columns=["v"],
+        right_columns=["deg_u"],
+    )
+    with_both = bucketed_hash_join(
+        with_du.map_batches(
+            lambda b: pa.table(
+                {
+                    "vtx": b["v"],
+                    "u": b["vtx"],
+                    "deg_u": b["deg_u"],
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        D.map_batches(
+            lambda df: df.rename(columns={"deg": "deg_v"}),
+            batch_format="pandas",
+        ),
+        key="vtx",
+        left_columns=["u", "deg_u"],
+        right_columns=["deg_v"],
+    )
+
+    def orient(b: pa.Table) -> pa.Table:
+        u = b["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = b["vtx"].combine_chunks().to_numpy(zero_copy_only=False)
+        du = b["deg_u"].combine_chunks().to_numpy(zero_copy_only=False)
+        dv = b["deg_v"].combine_chunks().to_numpy(zero_copy_only=False)
+        # point from lower (deg, id) to higher
+        fwd = (du < dv) | ((du == dv) & (u < v))
+        x = np.where(fwd, u, v)
+        y = np.where(fwd, v, u)
+        dy = np.where(fwd, dv, du)
+        return pa.table(
+            {
+                "x": pa.array(x, pa.int64()),
+                "y": pa.array(y, pa.int64()),
+                "deg_y": pa.array(dy, pa.int64()),
+            }
+        )
+
+    Eo = with_both.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def wedge_pairs(b: pa.Table) -> pa.Table:
+        # joined rows: (x, y, deg_y, y2, deg_y2) — one row per ordered
+        # head pair; keep (deg,id)-ordered wedges, emit the closing key
+        y = b["y"].combine_chunks().to_numpy(zero_copy_only=False)
+        dy = b["deg_y"].combine_chunks().to_numpy(zero_copy_only=False)
+        y2 = b["y2"].combine_chunks().to_numpy(zero_copy_only=False)
+        dy2 = b["deg_y2"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = (dy < dy2) | ((dy == dy2) & (y < y2))
+        ck = y[keep] * (1 << 32) + y2[keep]
+        return pa.table(
+            {
+                "ck": pa.array(ck, pa.int64()),
+                "apex": pa.array(
+                    b["x"].combine_chunks().to_numpy(
+                        zero_copy_only=False
+                    )[keep],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    wedges = bucketed_hash_join(
+        Eo,
+        Eo.map_batches(
+            lambda b: pa.table(
+                {"x": b["x"], "y2": b["y"], "deg_y2": b["deg_y"]}
+            ),
+            batch_format="pyarrow",
+        ),
+        key="x",
+        left_columns=["y", "deg_y"],
+        right_columns=["y2", "deg_y2"],
+        bucket_post_fn=wedge_pairs,
+    )
+
+    closing = Eo.map_batches(
+        lambda b: pa.table(
+            {
+                "ck": pc.add(
+                    pc.multiply(b["x"], pa.scalar(1 << 32, pa.int64())),
+                    b["y"],
+                ),
+                "closed": pa.array(
+                    np.ones(b.num_rows, dtype=np.int8), pa.int8()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    tris = bucketed_hash_join(
+        wedges, closing, key="ck",
+        left_columns=["apex"], right_columns=["closed"],
+    )
+
+    def tri_vertices(b: pa.Table) -> pa.Table:
+        ck = b["ck"].combine_chunks().to_numpy(zero_copy_only=False)
+        apex = b["apex"].combine_chunks().to_numpy(zero_copy_only=False)
+        vtx = np.concatenate([apex, ck >> 32, ck & ((1 << 32) - 1)])
+        vc = pc.value_counts(pa.array(vtx, pa.int64()))
+        return pa.table(
+            {"vertex": vc.field("values"), "n": vc.field("counts")}
+        )
+
+    def vtx_final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("vertex", as_index=False)["n"].sum()
+        out = out.rename(columns={"n": "n_triangles"})
+        return out.astype({"n_triangles": "int64"})
+
+    return coarse_group_reduce(
+        tris.map_batches(tri_vertices, batch_format="pyarrow"),
+        "vertex",
+        vtx_final,
+    )
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -7101,6 +7513,9 @@ QUERIES = {
     "q148_pii_scrub_net": q148_pii_scrub_net,
     "q149_negative_samples": q149_negative_samples,
     "q150_thumbnail_dedup": q150_thumbnail_dedup,
+    "q151_boilerplate_paras": q151_boilerplate_paras,
+    "q152_sparse_dot_topk": q152_sparse_dot_topk,
+    "q153_doc_triangles": q153_doc_triangles,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -8039,6 +8454,114 @@ ORACLE_SQL = {
         -- those pairs (round-half-up mean commutes with the +1 shift)
         SELECT vec_id AS id1, CAST(vec_id + 10000 AS BIGINT) AS id2
         FROM embeddings
+    """,
+    "q151_boilerplate_paras": """
+        -- planted page structure: [text, host footer] (+ promo banner
+        -- on even doc_ids); boilerplate = paragraphs in a strict
+        -- majority of the host's docs (2*df > n_docs, exact integers)
+        WITH d AS (
+          SELECT doc_id, 'site' || (doc_id % 7) AS host,
+                 CASE WHEN doc_id % 2 = 0 THEN
+                   [coalesce(text, ''),
+                    'host site' || (doc_id % 7)
+                      || ' footer navigation copyright terms privacy'
+                      || ' contact',
+                    'subscribe newsletter promo banner site'
+                      || (doc_id % 7)]
+                 ELSE
+                   [coalesce(text, ''),
+                    'host site' || (doc_id % 7)
+                      || ' footer navigation copyright terms privacy'
+                      || ' contact']
+                 END AS paras
+          FROM documents
+        ),
+        p AS (
+          SELECT doc_id, host, unnest(paras) AS para,
+                 unnest(range(1, len(paras) + 1)) AS pos
+          FROM d
+        ),
+        hn AS (SELECT host, count(*) AS n_docs FROM d GROUP BY host),
+        fdf AS (
+          SELECT host, md5(para) AS pm,
+                 count(DISTINCT doc_id) AS df
+          FROM p GROUP BY 1, 2
+        ),
+        boiler AS (
+          SELECT fdf.host, fdf.pm
+          FROM fdf JOIN hn ON fdf.host = hn.host
+          WHERE 2 * fdf.df > hn.n_docs
+        ),
+        kept AS (
+          SELECT p.doc_id, p.para, p.pos
+          FROM p LEFT JOIN boiler b
+            ON p.host = b.host AND md5(p.para) = b.pm
+          WHERE b.pm IS NULL
+        )
+        SELECT d.doc_id,
+               CAST(len(d.paras) AS BIGINT) AS n_paras,
+               CAST(len(d.paras) - count(k.para) AS BIGINT) AS n_removed,
+               md5(coalesce(
+                 string_agg(k.para, chr(10) ORDER BY k.pos), ''
+               )) AS cleaned_md5
+        FROM d LEFT JOIN kept k ON d.doc_id = k.doc_id
+        GROUP BY d.doc_id, len(d.paras)
+    """,
+    "q152_sparse_dot_topk": """
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_split_to_array(lower(text), '\\s+') AS t
+          FROM documents
+        ),
+        bg AS (
+          SELECT doc_id, unnest(list_transform(
+            range(1, len(t)), i -> t[i] || ' ' || t[i+1]
+          )) AS term
+          FROM toks
+        ),
+        tf AS (
+          SELECT term, doc_id, count(*) AS tf
+          FROM bg GROUP BY 1, 2
+        ),
+        rare AS (
+          SELECT term FROM tf GROUP BY term
+          HAVING count(*) BETWEEN 2 AND 20
+        ),
+        pairs AS (
+          SELECT x.doc_id AS a, y.doc_id AS b,
+                 CAST(sum(x.tf * y.tf) AS BIGINT) AS score
+          FROM tf x
+          JOIN tf y ON x.term = y.term AND x.doc_id < y.doc_id
+          JOIN rare r ON x.term = r.term
+          GROUP BY 1, 2
+        )
+        SELECT a, b, score FROM pairs
+        ORDER BY score DESC, a, b LIMIT 20
+    """,
+    "q153_doc_triangles": """
+        -- same graph, id-ordered enumeration (the triangle SET is
+        -- orientation-invariant); per-vertex participation counts
+        WITH nn AS (SELECT count(*) AS cnt FROM documents),
+        e0 AS (
+          SELECT doc_id AS i, (doc_id + 1) % cnt AS j FROM documents, nn
+          UNION ALL
+          SELECT doc_id, (doc_id + 2) % cnt FROM documents, nn
+          UNION ALL
+          SELECT doc_id, (3 * doc_id + 1) % cnt FROM documents, nn
+        ),
+        e AS (
+          SELECT DISTINCT least(i, j) AS u, greatest(i, j) AS v
+          FROM e0 WHERE i <> j
+        ),
+        tri AS (
+          SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          FROM e e1
+          JOIN e e2 ON e2.u = e1.v
+          JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        )
+        SELECT vertex, count(*) AS n_triangles
+        FROM (SELECT unnest([a, b, c]) AS vertex FROM tri)
+        GROUP BY vertex
     """,
     "q149_negative_samples": """
         -- k=2 negatives at rank (pos + j*173) mod N under the md5
