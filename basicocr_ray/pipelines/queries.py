@@ -7365,6 +7365,213 @@ def q153_doc_triangles(sf_dir: str):
     )
 
 
+def q154_group_regression(sf_dir: str):
+    """Grouped OLS REGRESSION (value vs hour-of-day per event_type) via
+    ALGEBRAIC sufficient statistics — the q89 exact-moments discipline
+    extended to two variables: partials carry (n, Σx, Σy, Σx², Σxy, Σy²)
+    with y in integer cents and x the integer UTC hour, mergeable by
+    addition at any parallelism; slope / intercept / r² are each ONE
+    double division of exactly-representable big-int numerators and
+    denominators, reproduced verbatim in the SQL twin (HUGEINT there,
+    unbounded Python ints here) so the int→double roundings coincide.
+    The regr_slope/regr_intercept/regr_r2 family (training-data drift
+    dashboards: does quality trend with time-of-day?) with none of the
+    streaming-float nondeterminism a naive mean-centered pass has."""
+    from basicocr_ray.stages.dedup import _coarse_salts
+
+    salts = _coarse_salts(None)
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = (
+            df["ts"].to_numpy().astype("datetime64[us]").view("int64")
+            // 3_600_000_000
+        ) % 24
+        y = np.round(df["value"].to_numpy() * 100.0).astype("int64")
+        g = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "x": x,
+                "y": y,
+                "xx": x * x,
+                "xy": x * y,
+                "yy": y * y,
+            }
+        ).groupby("event_type", as_index=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxx=("xx", "sum"), sxy=("xy", "sum"), syy=("yy", "sum"),
+        )
+        h = pd.util.hash_array(g["event_type"].to_numpy())
+        g["cg"] = (h & (salts - 1)).astype("int32")
+        return g
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("event_type", as_index=False)[
+            ["n", "sx", "sy", "sxx", "sxy", "syy"]
+        ].sum()
+        slope, intercept, r2 = [], [], []
+        for n, sx, sy, sxx, sxy, syy in zip(
+            out["n"], out["sx"], out["sy"], out["sxx"], out["sxy"],
+            out["syy"],
+        ):
+            n, sx, sy = int(n), int(sx), int(sy)
+            dxx = n * int(sxx) - sx * sx
+            dxy = n * int(sxy) - sx * sy
+            dyy = n * int(syy) - sy * sy
+            # cents cancel in slope's x-units; scale back to value/hour
+            slope.append(float(dxy) / (float(dxx) * 100.0))
+            intercept.append(
+                float(sy * dxx - dxy * sx) / (float(n * dxx) * 100.0)
+            )
+            r2.append(
+                float(dxy * dxy) / float(dxx * dyy)
+                if dxx * dyy != 0 else None
+            )
+        out["slope"] = slope
+        out["intercept"] = intercept
+        out["r2"] = r2
+        return out[
+            ["event_type", "n", "slope", "intercept", "r2"]
+        ].astype({"n": "int64"})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("cg")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def q155_pareto_docs(sf_dir: str):
+    """Per-language PARETO SKYLINE of documents on (n_chars, distinct
+    tokens) — the multi-objective curation frontier ("longest AND most
+    lexically diverse"): a doc survives iff no same-lang doc is ≥ in
+    both metrics and > in one. Integer metrics only — no float
+    dominance ties.
+
+    Scale shape: skylines compose — skyline(∪ local skylines) =
+    skyline(all) (a global dominator either survives its local prune or
+    is itself dominated by a local survivor that transitively dominates)
+    — so each batch prunes to its local frontier FIRST and only
+    survivors reach the per-lang final (the classic distributed-skyline
+    two-phase). The sweep is vectorized: per n_chars level keep rows at
+    the level max of n_uniq, survive if that max beats the running max
+    over strictly-longer levels. Worst case (an anti-chain) the skyline
+    IS the data — at 100 TB the next refinement is range-partitioning
+    by n_chars with cross-partition max filtering; the local-prune
+    shape here already does the data reduction that matters."""
+    ds = _read(
+        sf_dir, "documents", columns=["doc_id", "lang", "text", "n_chars"]
+    )
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        uniq = [
+            len(set((t or "").lower().split()))
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "doc_id": batch["doc_id"],
+                "n_chars": pc.cast(batch["n_chars"], pa.int64()),
+                "n_uniq": pa.array(uniq, pa.int64()),
+            }
+        )
+
+    def skyline(df: pd.DataFrame) -> pd.DataFrame:
+        # max n_uniq per n_chars level, scanned from longest down
+        lvl = (
+            df.groupby("n_chars")["n_uniq"].max()
+            .sort_index(ascending=False)
+        )
+        prev_max = lvl.cummax().shift(1, fill_value=-1)
+        alive = lvl[lvl > prev_max]  # level max beats all longer docs
+        sel = df["n_chars"].map(alive).eq(df["n_uniq"])
+        return df[sel.fillna(False)]
+
+    def local_prune(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        return (
+            df.groupby("lang", group_keys=False)
+            .apply(skyline)
+            .reset_index(drop=True)
+        )
+
+    return (
+        ds.map_batches(metrics, batch_format="pyarrow")
+        .map_batches(local_prune, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(skyline, batch_format="pandas")
+    )
+
+
+def q156_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): EMBEDDING-level semantic dedup —
+    k-means clusters bound the pairwise-cosine work to O(Σ|cluster|²),
+    then within each cluster every vector with a LOWER-id neighbor at
+    cosine ≥ 0.9 drops (one representative per duplicate group
+    survives). Corpus = embeddings ∪ exact clones (vec_id+10000), so
+    recall/precision are analytic: clone pairs sit at cosine 1.0,
+    the corpus's max non-clone pair is 0.48 (measured) — the 0.9
+    threshold lies in a >0.4-wide gap, which is what makes a
+    float-cosine rule drivable against a SQL oracle (the q24/q150
+    threshold-in-gap discipline; both engines' last-ulp noise cannot
+    cross the gap).
+
+    Scale shape: centroids broadcast in the task closure (k×dim —
+    q92's no-shuffle assign); ONE shuffle co-locates each cluster
+    (ids + vectors, never text); the in-cluster prune is a vectorized
+    normalized-Gram argmax. k is the SemDeDup cost knob: clusters too
+    hot → raise k (or salt-subdivide and verify across, the q22/q123
+    pigeonhole discipline)."""
+    from basicocr_ray.stages.kmeans import _assign
+
+    ctab = pq.read_table(
+        _p(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    )
+    crows = ctab.filter(pc.less(ctab["vec_id"], 8)).sort_by("vec_id")
+    centroids = np.asarray(crows["embedding"].to_pylist(), dtype=np.float64)
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def clone(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": pc.add(batch["vec_id"], 10000),
+                "embedding": batch["embedding"],
+            }
+        )
+
+    both = ds.union(ds.map_batches(clone, batch_format="pyarrow"))
+
+    def assign_keep_vec(batch: pa.Table) -> pa.Table:
+        # kmeans_assign's tie-exact argmin, keeping the vector for the
+        # in-cluster prune (the cluster shuffle carries ids + vectors)
+        m = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        return batch.append_column(
+            "cluster", pa.array(_assign(m, centroids), pa.int32())
+        )
+
+    assigned = both.map_batches(assign_keep_vec, batch_format="pyarrow")
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("vec_id", kind="mergesort").reset_index(
+            drop=True
+        )
+        V = np.asarray(df["embedding"].to_list(), dtype=np.float64)
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        G = V @ V.T
+        # drop i iff any j < i (id order) has cos >= 0.9
+        close = np.tril(G >= 0.9, k=-1).any(axis=1)
+        out = df.loc[~close, ["vec_id", "cluster"]].copy()
+        out["cluster"] = out["cluster"].astype("int64")
+        return out
+
+    return assigned.groupby("cluster").map_groups(
+        prune, batch_format="pandas"
+    )
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -7516,6 +7723,9 @@ QUERIES = {
     "q151_boilerplate_paras": q151_boilerplate_paras,
     "q152_sparse_dot_topk": q152_sparse_dot_topk,
     "q153_doc_triangles": q153_doc_triangles,
+    "q154_group_regression": q154_group_regression,
+    "q155_pareto_docs": q155_pareto_docs,
+    "q156_semdedup": q156_semdedup,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -8562,6 +8772,91 @@ ORACLE_SQL = {
         SELECT vertex, count(*) AS n_triangles
         FROM (SELECT unnest([a, b, c]) AS vertex FROM tri)
         GROUP BY vertex
+    """,
+    "q154_group_regression": """
+        -- HUGEINT sufficient statistics, ONE double division per
+        -- coefficient, expression shapes identical to the Ray side
+        WITH c AS (
+          SELECT event_type,
+                 CAST(extract(hour FROM ts) AS HUGEINT) AS x,
+                 CAST(round(value * 100) AS HUGEINT) AS y
+          FROM events
+        ),
+        m AS (
+          SELECT event_type, count(*) AS n,
+                 sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+                 sum(x * y) AS sxy, sum(y * y) AS syy
+          FROM c GROUP BY event_type
+        ),
+        d AS (
+          SELECT event_type, n, sx, sy,
+                 n * sxx - sx * sx AS dxx,
+                 n * sxy - sx * sy AS dxy,
+                 n * syy - sy * sy AS dyy
+          FROM m
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               CAST(dxy AS DOUBLE)
+                 / (CAST(dxx AS DOUBLE) * 100.0) AS slope,
+               CAST(sy * dxx - dxy * sx AS DOUBLE)
+                 / (CAST(n * dxx AS DOUBLE) * 100.0) AS intercept,
+               CASE WHEN dxx * dyy = 0 THEN NULL
+                    ELSE CAST(dxy * dxy AS DOUBLE)
+                         / CAST(dxx * dyy AS DOUBLE) END AS r2
+        FROM d
+    """,
+    "q155_pareto_docs": """
+        WITH m AS (
+          SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+                 CAST(len(list_filter(
+                   list_distinct(
+                     regexp_split_to_array(lower(text), '\\s+')
+                   ), t -> t <> ''
+                 )) AS BIGINT) AS n_uniq
+          FROM documents
+        )
+        SELECT a.lang, a.doc_id, a.n_chars, a.n_uniq
+        FROM m a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM m b
+          WHERE b.lang = a.lang AND b.doc_id <> a.doc_id
+            AND b.n_chars >= a.n_chars AND b.n_uniq >= a.n_uniq
+            AND (b.n_chars > a.n_chars OR b.n_uniq > a.n_uniq)
+        )
+    """,
+    "q156_semdedup": """
+        -- q92's fixed-centroid assignment over corpus ∪ exact clones,
+        -- then the SemDeDup lower-id prune; threshold 0.9 sits in the
+        -- measured (0.48, 1.0) cosine gap so float noise cannot flip it
+        WITH all_v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings
+          UNION ALL
+          SELECT vec_id + 10000, CAST(embedding AS DOUBLE[])
+          FROM embeddings
+        ),
+        cen AS (
+          SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+          FROM embeddings WHERE vec_id < 8
+        ),
+        a AS (
+          SELECT all_v.vec_id, cid, v,
+                 row_number() OVER (
+                   PARTITION BY all_v.vec_id
+                   ORDER BY list_distance(v, cvec), cid
+                 ) AS rn
+          FROM all_v CROSS JOIN cen
+        ),
+        asg AS (
+          SELECT vec_id, cid AS cluster, v FROM a WHERE rn = 1
+        )
+        SELECT s.vec_id, CAST(s.cluster AS BIGINT) AS cluster
+        FROM asg s
+        WHERE NOT EXISTS (
+          SELECT 1 FROM asg t
+          WHERE t.cluster = s.cluster AND t.vec_id < s.vec_id
+            AND list_cosine_similarity(t.v, s.v) >= 0.9
+        )
     """,
     "q149_negative_samples": """
         -- k=2 negatives at rank (pos + j*173) mod N under the md5
