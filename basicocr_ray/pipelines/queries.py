@@ -7572,6 +7572,144 @@ def q156_semdedup(sf_dir: str):
     )
 
 
+def q157_event_pairs_window(sf_dir: str):
+    """STREAM-STREAM SELF-JOIN within a time bound — pairs of events by
+    the same user ≤ 60 min apart (the sessionless co-occurrence join
+    behind funnel mining and bot detection; Ray Data has no non-equi
+    self-join). The distributed shape is time-bucketing with BOUNDARY
+    REPLICATION: each event lands in its Δ-wide home bucket AND the next
+    one, so every qualifying pair co-occurs in exactly the LATER event's
+    home bucket — the only bucket that emits it (two replicas never
+    emit: the later event isn't home there). One composite
+    (user, bucket) exchange; within a group a sorted two-pointer sweep
+    emits pairs, ordered lexicographically by (ts, event_id) so
+    equal-timestamp pairs have a deterministic orientation. Replication
+    factor is exactly 2 regardless of data size — the stream-join
+    analogue of q44's interval replication."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    DELTA_US = 3_600_000_000  # 60 min
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        ts_us = df["ts"].to_numpy().astype("datetime64[us]").view("int64")
+        b = ts_us // DELTA_US
+        out = pd.DataFrame(
+            {
+                "user_id": np.concatenate(
+                    [df["user_id"].to_numpy()] * 2
+                ),
+                "bucket": np.concatenate([b, b + 1]),
+                "event_id": np.concatenate(
+                    [df["event_id"].to_numpy()] * 2
+                ),
+                "ts_us": np.concatenate([ts_us, ts_us]),
+            }
+        )
+        return out
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_u, out_1, out_2, out_g = [], [], [], []
+        for (uid, bkt), g in df.groupby(
+            ["user_id", "bucket"], sort=False
+        ):
+            g = g.sort_values(["ts_us", "event_id"], kind="mergesort")
+            ids = g["event_id"].to_numpy()
+            ts = g["ts_us"].to_numpy()
+            home = ts // DELTA_US == bkt
+            for j in range(1, len(ids)):
+                if not home[j]:
+                    continue  # emit only in the LATER event's home
+                i = j - 1
+                while i >= 0 and ts[j] - ts[i] <= DELTA_US:
+                    if ids[i] != ids[j]:
+                        out_u.append(uid)
+                        out_1.append(ids[i])
+                        out_2.append(ids[j])
+                        out_g.append(int(ts[j] - ts[i]))
+                    i -= 1
+        return pd.DataFrame(
+            {
+                "user_id": pd.array(out_u, dtype="int64"),
+                "id1": pd.array(out_1, dtype="int64"),
+                "id2": pd.array(out_2, dtype="int64"),
+                "gap_us": pd.array(out_g, dtype="int64"),
+            }
+        )
+
+    return coarse_group_reduce(
+        ds.map_batches(bucketize, batch_format="pandas"),
+        ["user_id", "bucket"],
+        pairs,
+    )
+
+
+def q158_large_orders(sf_dir: str):
+    """TPC-H Q18 shape (large-volume orders): the GROUP-THEN-JOIN
+    pattern — per-order quantity rollup through the coarse-salted
+    reduce, HAVING-style filter (total > 250), then ONE bucketed hash
+    join back to orders. The big side (lineitem) never joins raw: the
+    aggregate runs first and only qualifying order keys reach the join
+    — the aggregate-pushdown discipline that turns an
+    orders×lineitem join into a keys×orders join. Quantities are
+    integral doubles, so sums are exact in both engines and the BIGINT
+    cast is lossless."""
+    from basicocr_ray.stages.joins import bucketed_hash_join
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("l_orderkey", as_index=False)["l_quantity"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def qty_final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("l_orderkey", as_index=False)[
+            "l_quantity"
+        ].sum()
+        out = out[out["l_quantity"] > 250.0]
+        out["total_qty"] = out["l_quantity"].astype("int64")
+        return out[["l_orderkey", "total_qty"]]
+
+    big = coarse_group_reduce(
+        li.map_batches(qty_partial, batch_format="pyarrow"),
+        "l_orderkey",
+        qty_final,
+    )
+
+    orders = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).map_batches(
+        lambda b: b.rename_columns(
+            ["l_orderkey", "o_custkey", "o_totalprice"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = bucketed_hash_join(
+        big, orders, key="l_orderkey",
+        left_columns=["total_qty"],
+        right_columns=["o_custkey", "o_totalprice"],
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        # the pandas-block left side null-pads through float64; the
+        # inner join leaves no nulls, so the int64 casts are lossless
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(b["l_orderkey"], pa.int64()),
+                "total_qty": pc.cast(b["total_qty"], pa.int64()),
+                "o_custkey": pc.cast(b["o_custkey"], pa.int64()),
+                "o_totalprice": pc.cast(b["o_totalprice"], pa.float64()),
+            }
+        )
+
+    return joined.map_batches(narrow, batch_format="pyarrow")
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -7726,6 +7864,8 @@ QUERIES = {
     "q154_group_regression": q154_group_regression,
     "q155_pareto_docs": q155_pareto_docs,
     "q156_semdedup": q156_semdedup,
+    "q157_event_pairs_window": q157_event_pairs_window,
+    "q158_large_orders": q158_large_orders,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -8857,6 +8997,26 @@ ORACLE_SQL = {
           WHERE t.cluster = s.cluster AND t.vec_id < s.vec_id
             AND list_cosine_similarity(t.v, s.v) >= 0.9
         )
+    """,
+    "q157_event_pairs_window": """
+        SELECT a.user_id, a.event_id AS id1, b.event_id AS id2,
+               CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS gap_us
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND b.ts >= a.ts
+         AND epoch_us(b.ts) - epoch_us(a.ts) <= 3600000000
+         AND (b.ts > a.ts
+              OR (b.ts = a.ts AND b.event_id > a.event_id))
+    """,
+    "q158_large_orders": """
+        WITH big AS (
+          SELECT l_orderkey,
+                 CAST(sum(l_quantity) AS BIGINT) AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 250
+        )
+        SELECT b.l_orderkey, b.total_qty, o.o_custkey, o.o_totalprice
+        FROM big b JOIN orders o ON b.l_orderkey = o.o_orderkey
     """,
     "q149_negative_samples": """
         -- k=2 negatives at rank (pos + j*173) mod N under the md5
