@@ -7710,6 +7710,236 @@ def q158_large_orders(sf_dir: str):
     return joined.map_batches(narrow, batch_format="pyarrow")
 
 
+def q159_span_cut(sf_dir: str):
+    """SPAN-CUT REWRITE — the actionable half of Lee et al. 2022 exact
+    substring dedup (q134 measures the duplicated spans; this query CUTS
+    them and proves the rewritten text). Shape: the shared
+    `_dup_gram_positions` exchange yields maximal duplicated intervals
+    per doc (`dup_span_intervals`), intervals pack to ONE tiny edit-list
+    row per affected doc, and one doc-keyed bucketed LEFT join brings
+    the edit list to the text — the only exchange the text rides, and
+    the minimum any rewrite needs (edit instructions must meet the
+    bytes). Evidence per doc: token counts plus md5 of the
+    space-rejoined kept tokens — exact string proof of the cut, not just
+    a count."""
+    from basicocr_ray.stages.dedup import dup_span_intervals
+    from basicocr_ray.stages.joins import bucketed_hash_join
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    WIDTH = 5
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    spans = dup_span_intervals(docs, "doc_id", "text", width=WIDTH)
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        ids, packed = [], []
+        for did, g in df.groupby("doc_id"):
+            g = g.sort_values("a")
+            ids.append(did)
+            packed.append(
+                ";".join(
+                    f"{int(a)}:{int(b)}"
+                    for a, b in zip(g["a"], g["b"])
+                )
+            )
+        return pd.DataFrame(
+            {
+                "doc_id": pd.array(ids, dtype="int64"),
+                "edits": pd.array(packed, dtype="object"),
+            }
+        )
+
+    edit_lists = coarse_group_reduce(spans, "doc_id", pack)
+
+    joined = bucketed_hash_join(
+        docs, edit_lists, key="doc_id",
+        left_columns=["text"], right_columns=["edits"],
+        join_type="left outer",
+    )
+
+    def cut(b: pa.Table) -> pa.Table:
+        ids, nw, nc, md = [], [], [], []
+        for did, t, ed in zip(
+            b["doc_id"].to_pylist(), b["text"].to_pylist(),
+            b["edits"].to_pylist(),
+        ):
+            toks = token_items(t or "")
+            if ed:
+                keep = np.ones(len(toks), dtype=bool)
+                for seg in ed.split(";"):
+                    a, bb = seg.split(":")
+                    keep[int(a):int(bb)] = False
+                kept = [tok for tok, k in zip(toks, keep) if k]
+            else:
+                kept = toks
+            ids.append(did)
+            nw.append(len(toks))
+            nc.append(len(toks) - len(kept))
+            md.append(md5_hex(" ".join(kept)))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_words": pa.array(nw, pa.int64()),
+                "n_cut": pa.array(nc, pa.int64()),
+                "kept_md5": pa.array(md, pa.string()),
+            }
+        )
+
+    return joined.map_batches(cut, batch_format="pyarrow")
+
+
+def q160_token_budget_mix(sf_dir: str):
+    """MIXTURE CONSTRUCTION under a per-source token budget — the data-
+    mixing step that assembles a training corpus from weighted sources:
+    docs are taken per source in the deterministic md5 shuffle order
+    until each source's token budget (800) is exhausted (the crossing
+    doc is included: selected ⇔ the source's EXCLUSIVE running token
+    total before the doc is still under budget). Runs on the new
+    `grouped_prefix_sum` primitive — per-(source, rank-bucket) totals
+    reduce to O(G·S) driver metadata, buckets cumsum locally — so no
+    per-source global sort and no driver data path. Token counts ride
+    the exchange; text is dropped at the read."""
+    from basicocr_ray.stages.sample import grouped_prefix_sum
+
+    BUDGET = 800
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def count_tokens(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "source": pa.array(
+                    [s if s is not None else ""
+                     for s in b["source"].to_pylist()],
+                    pa.string(),
+                ),
+                "n_tokens": pa.array(
+                    [len(token_items(t or ""))
+                     for t in b["text"].to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    counted = ds.map_batches(count_tokens, batch_format="pyarrow")
+    pref = grouped_prefix_sum(
+        counted, "source", "doc_id", "n_tokens", seed=42,
+        out_column="prefix",
+    )
+
+    def under_budget(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less(b["prefix"], BUDGET))
+
+    return pref.map_batches(under_budget, batch_format="pyarrow")
+
+
+def q161_percent_rank_hist(sf_dir: str):
+    """PERCENT-RANK WITHOUT A PER-GROUP SORT — every doc's strict rank of
+    its character length within its language, computed the
+    histogram-rank way: (lang, n_chars) counts through the coarse-salted
+    reduce (the histogram is bounded by DISTINCT lengths, not rows),
+    per-lang exclusive cumulative counts over the sorted values
+    (n_smaller = rank()-1), then ONE bucketed hash join on a composite
+    (lang:value) key attaches (n_smaller, n_lang) back to the docs.
+    Integer evidence only — percent_rank = n_smaller/(n_lang-1) is left
+    to the consumer so the driver hash stays float-free. The shape that
+    replaces ``rank() OVER (PARTITION BY g ORDER BY v)`` when a group
+    exceeds one task."""
+    from basicocr_ray.stages.joins import bucketed_hash_join
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def measure(b: pa.Table) -> pa.Table:
+        langs = [
+            l if l is not None else "" for l in b["lang"].to_pylist()
+        ]
+        n = [len(t or "") for t in b["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "lang": pa.array(langs, pa.string()),
+                "v": pa.array(n, pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(measure, batch_format="pyarrow")
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        t = b.group_by(["lang", "v"]).aggregate([("v", "count")])
+        return t.rename_columns(["lang", "v", "cnt"])
+
+    def hist_final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["lang", "v"], as_index=False)["cnt"].sum()
+        return out.astype({"v": "int64", "cnt": "int64"})
+
+    hist = coarse_group_reduce(
+        rows.map_batches(hist_partial, batch_format="pyarrow"),
+        ["lang", "v"],
+        hist_final,
+    )
+
+    def ranks(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for lang, g in df.groupby("lang"):
+            g = g.sort_values("v")
+            cnt = g["cnt"].to_numpy(dtype=np.int64)
+            n_smaller = np.cumsum(cnt) - cnt
+            out.append(pd.DataFrame(
+                {
+                    "k": lang + ":" + g["v"].astype(str),
+                    "lang": lang,
+                    "n_chars": g["v"].astype("int64"),
+                    "n_smaller": n_smaller,
+                    "n_lang": int(cnt.sum()),
+                }
+            ))
+        return pd.concat(out) if out else pd.DataFrame(
+            {"k": pd.array([], dtype="object"),
+             "lang": pd.array([], dtype="object"),
+             "n_chars": pd.array([], dtype="int64"),
+             "n_smaller": pd.array([], dtype="int64"),
+             "n_lang": pd.array([], dtype="int64")}
+        )
+
+    rank_rel = coarse_group_reduce(hist, "lang", ranks)
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ks = [
+            f"{l}:{v}" for l, v in zip(
+                b["lang"].to_pylist(), b["v"].to_pylist()
+            )
+        ]
+        return pa.table(
+            {
+                "k": pa.array(ks, pa.string()),
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+            }
+        )
+
+    joined = bucketed_hash_join(
+        rows.map_batches(keyed, batch_format="pyarrow"),
+        rank_rel,
+        key="k",
+        left_columns=["doc_id"],
+        right_columns=["lang", "n_chars", "n_smaller", "n_lang"],
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "lang": pc.cast(b["lang"], pa.string()),
+                "n_chars": pc.cast(b["n_chars"], pa.int64()),
+                "n_smaller": pc.cast(b["n_smaller"], pa.int64()),
+                "n_lang": pc.cast(b["n_lang"], pa.int64()),
+            }
+        )
+
+    return joined.map_batches(narrow, batch_format="pyarrow")
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -7866,6 +8096,9 @@ QUERIES = {
     "q156_semdedup": q156_semdedup,
     "q157_event_pairs_window": q157_event_pairs_window,
     "q158_large_orders": q158_large_orders,
+    "q159_span_cut": q159_span_cut,
+    "q160_token_budget_mix": q160_token_budget_mix,
+    "q161_percent_rank_hist": q161_percent_rank_hist,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -9017,6 +9250,115 @@ ORACLE_SQL = {
         )
         SELECT b.l_orderkey, b.total_qty, o.o_custkey, o.o_totalprice
         FROM big b JOIN orders o ON b.l_orderkey = o.o_orderkey
+    """,
+    "q159_span_cut": r"""
+        -- q134's maximal duplicated spans, then CUT: md5 of the
+        -- space-rejoined kept tokens proves the rewrite byte-for-byte
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(
+                   lower(coalesce(text, '')), '\s+'), x -> x <> '') AS tk
+          FROM documents
+        ),
+        g0 AS (
+          SELECT doc_id,
+                 list_transform(
+                   range(1, greatest(len(tk) - 3, 1)),
+                   i -> md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                            || ' ' || tk[i+3] || ' ' || tk[i+4])
+                 ) AS fps
+          FROM toks WHERE len(tk) >= 5
+        ),
+        g AS (
+          SELECT doc_id, unnest(fps) AS fp,
+                 unnest(range(1, len(fps) + 1)) - 1 AS pos
+          FROM g0
+        ),
+        dup AS (
+          SELECT fp FROM g GROUP BY fp
+          HAVING count(DISTINCT doc_id) >= 2
+        ),
+        d AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (fp)),
+        isl AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos - lag(pos) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                      ) <= 5 THEN 0 ELSE 1 END AS brk
+          FROM d
+        ),
+        sp AS (
+          SELECT doc_id, pos,
+                 sum(brk) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                 ) AS sid
+          FROM isl
+        ),
+        spans AS (
+          SELECT doc_id, sid, min(pos) AS a, max(pos) + 5 AS b
+          FROM sp GROUP BY 1, 2
+        ),
+        pos AS (
+          SELECT doc_id, unnest(range(0, len(tk))) AS p FROM toks
+        ),
+        posw AS (
+          SELECT pos.doc_id, p, t.tk[p + 1] AS w
+          FROM pos JOIN toks t USING (doc_id)
+        ),
+        kept AS (
+          SELECT doc_id, p, w FROM posw
+          WHERE NOT EXISTS (
+            SELECT 1 FROM spans s
+            WHERE s.doc_id = posw.doc_id
+              AND posw.p >= s.a AND posw.p < s.b
+          )
+        )
+        SELECT t.doc_id,
+               CAST(len(t.tk) AS BIGINT) AS n_words,
+               CAST(len(t.tk) - count(k.p) AS BIGINT) AS n_cut,
+               md5(coalesce(string_agg(k.w, ' ' ORDER BY k.p), ''))
+                 AS kept_md5
+        FROM toks t LEFT JOIN kept k ON k.doc_id = t.doc_id
+        GROUP BY t.doc_id, len(t.tk)
+    """,
+    "q160_token_budget_mix": r"""
+        -- greedy per-source fill in the md5('42:'||id) order: keep while
+        -- the EXCLUSIVE running token total is under the 800 budget
+        WITH d AS (
+          SELECT doc_id, coalesce(source, '') AS source,
+                 len(list_filter(regexp_split_to_array(
+                   lower(coalesce(text, '')), '\s+'), x -> x <> ''))
+                   AS n_tokens,
+                 md5('42:' || CAST(doc_id AS VARCHAR)) AS r
+          FROM documents
+        ),
+        w AS (
+          SELECT doc_id, source, n_tokens,
+                 coalesce(sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY r, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS prefix
+          FROM d
+        )
+        SELECT doc_id, source,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(prefix AS BIGINT) AS prefix
+        FROM w WHERE prefix < 800
+    """,
+    "q161_percent_rank_hist": """
+        -- strict within-lang rank of character length + group size:
+        -- integer evidence for percent_rank = n_smaller / (n_lang - 1)
+        WITH d AS (
+          SELECT doc_id, coalesce(lang, '') AS lang,
+                 length(coalesce(text, '')) AS n_chars
+          FROM documents
+        )
+        SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(rank() OVER (
+                 PARTITION BY lang ORDER BY n_chars
+               ) - 1 AS BIGINT) AS n_smaller,
+               CAST(count(*) OVER (PARTITION BY lang) AS BIGINT)
+                 AS n_lang
+        FROM d
     """,
     "q149_negative_samples": """
         -- k=2 negatives at rank (pos + j*173) mod N under the md5

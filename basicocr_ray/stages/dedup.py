@@ -137,18 +137,13 @@ def priority_dedup(ds, id_column: str, text_column: str,
     )
 
 
-def duplicate_spans(ds, id_column: str = "doc_id",
-                    text_column: str = "text", width: int = 5,
-                    num_salt: int | None = None):
-    """Cross-document DUPLICATED-SPAN detection (Lee et al. 2022, span-
-    level exact substring dedup re-expressed for Ray Data): every
-    stride-1 word ``width``-gram emits (md5 fp, id, pos); the fp-keyed
+def _dup_gram_positions(ds, id_column: str, text_column: str,
+                        width: int, num_salt: int | None):
+    """Shared first exchange of the duplicated-span family → (id, pos)
+    rows of every stride-1 word ``width``-gram occurring in ≥ 2 distinct
+    documents. Every ``width``-gram emits (md5 fp, id, pos); the fp-keyed
     coarse-group exchange holds ALL occurrences of a gram, so the
-    ≥2-distinct-docs test is exact — and text never rides a shuffle.
-    Duplicated positions return to id-keyed coarse groups where
-    overlapping/adjacent gram intervals [pos, pos+width) merge into
-    MAXIMAL spans (gaps-and-islands). → (id, n_dup_spans, n_dup_words)
-    for each doc holding at least one cross-doc duplicated gram."""
+    ≥2-distinct-docs test is exact — and text never rides the shuffle."""
     from basicocr_ray.stages.wide import coarse_group_reduce, token_items
 
     def grams(batch: pa.Table) -> pa.Table:
@@ -176,10 +171,25 @@ def duplicate_spans(ds, id_column: str = "doc_id",
         out["pos"] = out["pos"].astype("int64")
         return out
 
-    dup = coarse_group_reduce(
+    return coarse_group_reduce(
         ds.map_batches(grams, batch_format="pyarrow"), "fp", dup_positions,
         num_salt=num_salt,
     )
+
+
+def duplicate_spans(ds, id_column: str = "doc_id",
+                    text_column: str = "text", width: int = 5,
+                    num_salt: int | None = None):
+    """Cross-document DUPLICATED-SPAN detection (Lee et al. 2022, span-
+    level exact substring dedup re-expressed for Ray Data): duplicated
+    gram positions (see `_dup_gram_positions`) return to id-keyed coarse
+    groups where overlapping/adjacent gram intervals [pos, pos+width)
+    merge into MAXIMAL spans (gaps-and-islands).
+    → (id, n_dup_spans, n_dup_words) for each doc holding at least one
+    cross-doc duplicated gram."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    dup = _dup_gram_positions(ds, id_column, text_column, width, num_salt)
 
     def spans(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -203,6 +213,41 @@ def duplicate_spans(ds, id_column: str = "doc_id",
         )
 
     return coarse_group_reduce(dup, id_column, spans, num_salt=num_salt)
+
+
+def dup_span_intervals(ds, id_column: str = "doc_id",
+                       text_column: str = "text", width: int = 5,
+                       num_salt: int | None = None):
+    """→ (id, a, b) rows: the MAXIMAL cross-document duplicated-span
+    token intervals [a, b) per doc (same gaps-and-islands merge as
+    `duplicate_spans`, but emitting the intervals themselves instead of
+    per-doc counts) — the edit list a span-cut rewrite consumes. Shares
+    `_dup_gram_positions`; intervals within a doc are disjoint."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    dup = _dup_gram_positions(ds, id_column, text_column, width, num_salt)
+
+    def intervals(df: pd.DataFrame) -> pd.DataFrame:
+        out_id, out_a, out_b = [], [], []
+        for did, grp in df.groupby(id_column):
+            ps = np.sort(grp["pos"].to_numpy())
+            brk = np.ones(len(ps), dtype=np.int64)
+            brk[1:] = (np.diff(ps) > width).astype(np.int64)
+            sid = np.cumsum(brk)
+            for s in range(1, int(sid[-1]) + 1):
+                sel = ps[sid == s]
+                out_id.append(did)
+                out_a.append(int(sel[0]))
+                out_b.append(int(sel[-1] + width))
+        return pd.DataFrame(
+            {
+                id_column: pd.array(out_id, dtype="int64"),
+                "a": pd.array(out_a, dtype="int64"),
+                "b": pd.array(out_b, dtype="int64"),
+            }
+        )
+
+    return coarse_group_reduce(dup, id_column, intervals, num_salt=num_salt)
 
 
 def incremental_exact_dedup(

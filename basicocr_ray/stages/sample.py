@@ -160,6 +160,63 @@ def global_prefix_sum(ds, id_column: str, value_column: str,
     return ranked.groupby("cg").map_groups(prefix, batch_format="pandas")
 
 
+def grouped_prefix_sum(ds, group_column: str, id_column: str,
+                       value_column: str, seed: int = 42,
+                       num_salt: int | None = None,
+                       out_column: str = "prefix"):
+    """Per-GROUP exclusive running sum of ``value_column`` under the
+    deterministic shuffle order — ``SUM(v) OVER (PARTITION BY g ORDER BY
+    md5(seed:id), id ROWS UNBOUNDED PRECEDING AND 1 PRECEDING)`` with no
+    per-group global sort.
+
+    The keyed generalization of `global_prefix_sum`: per-(group, bucket)
+    VALUE TOTALS reduce on the driver into an exclusive prefix over the
+    ≤ S rank-prefix buckets WITHIN each group — O(G·S) driver state, so
+    the group column must be metadata-scale (sources, langs, shards; for
+    high-cardinality groups use `coarse_group_reduce` with an in-group
+    cumsum instead). Each (group, bucket) task then sorts locally by the
+    full rank and takes a vectorized cumsum plus its offset — a single
+    group larger than one task stays spread over S buckets. The
+    primitive behind per-source token-budget mixture construction and
+    per-group balanced shard assignment."""
+    import numpy as np
+    import pandas as pd
+
+    ranked = _ranked(ds, id_column, seed, num_salt).materialize()
+
+    def partial_totals(batch: pa.Table) -> pa.Table:
+        t = batch.group_by([group_column, "cg"]).aggregate(
+            [(value_column, "sum")]
+        )
+        return t.rename_columns([group_column, "cg", "v"])
+
+    totals: dict[tuple, int] = {}
+    for row in collect_rows(ranked.map_batches(
+        partial_totals, batch_format="pyarrow"
+    )):  # ≤ blocks × G × S rows — metadata
+        k = (row[group_column], int(row["cg"]))
+        totals[k] = totals.get(k, 0) + int(row["v"])
+    offsets: dict[tuple, int] = {}
+    for g in {k[0] for k in totals}:
+        acc = 0
+        for cg in sorted(cg for gg, cg in totals if gg == g):
+            offsets[(g, cg)] = acc
+            acc += totals[(g, cg)]
+
+    def prefix(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["_rank", id_column], kind="mergesort")
+        base = offsets[
+            (df[group_column].iloc[0], int(df["cg"].iloc[0]))
+        ]
+        v = df[value_column].to_numpy(dtype=np.int64)
+        df[out_column] = base + np.cumsum(v) - v  # exclusive
+        return df.drop(columns=["_rank", "cg"])
+
+    return ranked.groupby([group_column, "cg"]).map_groups(
+        prefix, batch_format="pandas"
+    )
+
+
 def repeat_with_copy_idx(batch: pa.Table, n) -> pa.Table:
     """Repeat row i of ``batch`` n[i] times (int64 array, one entry per
     row) and append a 1-based ``copy_idx`` column (1..n[i] per source

@@ -727,3 +727,94 @@ def test_full_outer_join_matches_pandas():
     pd.testing.assert_frame_equal(
         got.astype("float64"), want.astype("float64")
     )
+
+
+def test_grouped_prefix_sum_matches_window_sql():
+    """grouped_prefix_sum == SUM OVER (PARTITION BY g ORDER BY
+    md5(seed:id), id) exclusive, invariant to partitioning and salts."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from basicocr_ray.stages.sample import grouped_prefix_sum
+
+    df = pd.DataFrame(
+        {
+            "id": list(range(300)),
+            "g": [f"s{i % 5}" for i in range(300)],
+            "v": [(i * 13) % 29 for i in range(300)],
+        }
+    )
+    want = duckdb.sql(
+        """
+        SELECT id, coalesce(sum(v) OVER (
+          PARTITION BY g
+          ORDER BY md5('9:' || CAST(id AS VARCHAR)), id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        FROM df ORDER BY id
+        """
+    ).df()
+    for nblocks, salts in [(1, 4), (7, 4), (7, 16)]:
+        ds = ray.data.from_pandas(df).repartition(nblocks)
+        got = (
+            grouped_prefix_sum(ds, "g", "id", "v", seed=9, num_salt=salts)
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        assert got["prefix"].astype("int64").tolist() == want[
+            "prefix"
+        ].astype("int64").tolist()
+
+
+def test_dup_span_intervals_matches_duplicate_spans():
+    """dup_span_intervals' (a, b) intervals reduce to exactly
+    duplicate_spans' per-doc (n_dup_spans, n_dup_words); intervals are
+    disjoint and sorted-mergeable."""
+    import pandas as pd
+    import ray.data
+
+    from basicocr_ray.stages.dedup import dup_span_intervals, duplicate_spans
+
+    common = "alpha beta gamma delta epsilon zeta"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                f"one {common} two",
+                f"three {common} four {common}",
+                "nothing shared here at all whatsoever today",
+                f"{common}",
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(docs)
+    iv = (
+        dup_span_intervals(ds, "doc_id", "text", width=5)
+        .to_pandas()
+        .sort_values(["doc_id", "a"])
+        .reset_index(drop=True)
+    )
+    # disjoint within doc
+    for _, g in iv.groupby("doc_id"):
+        prev_b = -1
+        for a, b in zip(g["a"], g["b"]):
+            assert a > prev_b and b > a
+            prev_b = b
+    agg = (
+        iv.assign(w=iv["b"] - iv["a"])
+        .groupby("doc_id")
+        .agg(n_dup_spans=("a", "size"), n_dup_words=("w", "sum"))
+        .reset_index()
+    )
+    want = (
+        duplicate_spans(ds, "doc_id", "text", width=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        agg.astype("int64"),
+        want.astype("int64"),
+        check_dtype=False,
+    )
