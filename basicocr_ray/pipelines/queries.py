@@ -7940,6 +7940,108 @@ def q161_percent_rank_hist(sf_dir: str):
     return joined.map_batches(narrow, batch_format="pyarrow")
 
 
+def q162_incremental_neardup(sf_dir: str):
+    """INCREMENTAL MinHash near-dup — the operational form of q22: a new
+    crawl wave dedups against a PERSISTED band index instead of
+    re-banding history. Wave 1 (doc_id < 250, filter pushed into the
+    parquet scan) ingests its band rows into a content-hash-named index;
+    wave 2 bands ONCE and its candidates come from (a) the usual salted
+    band buckets within the wave and (b) one bucketed hash join of its
+    band rows against the index — history's TEXT is never re-read, the
+    index carries num_bands small ints per ingested doc. Exact Jaccard
+    verify at 0.8 owns precision (the q22 discipline; hot buckets expand
+    fully for the exact-pair contract). Output = every near-dup pair
+    involving a wave-2 doc; the oracle is the brute-force cross-pair
+    restriction of q22's."""
+    import tempfile
+
+    import pyarrow.dataset as pads
+
+    from basicocr_ray.stages.dedup import (
+        incremental_minhash_candidates,
+        verify_pairs_jaccard_join,
+    )
+
+    SPLIT = 250
+    old = _read(
+        sf_dir, "documents", columns=["doc_id", "text"],
+        filter=pads.field("doc_id") < SPLIT,
+    )
+    new = _read(
+        sf_dir, "documents", columns=["doc_id", "text"],
+        filter=pads.field("doc_id") >= SPLIT,
+    )
+    idx = tempfile.mkdtemp(prefix="q162_bands_")
+    # wave 1: ingest history (within-wave-1 pairs are q22's business,
+    # not this query's — only the index side effect is consumed)
+    incremental_minhash_candidates(
+        old, idx, num_bands=32, hot_bucket_mode="full"
+    )
+    pairs, _ = incremental_minhash_candidates(
+        new, idx, num_bands=32, hot_bucket_mode="full"
+    )
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    verified = verify_pairs_jaccard_join(
+        pairs, ds, "doc_id", "text", threshold=0.8
+    )
+    return verified.select_columns(["id_a", "id_b"])
+
+
+def q163_incremental_exact(sf_dir: str):
+    """INCREMENTAL exact dedup across waves — each shard dedups against
+    everything ingested before it without rescanning old text
+    (`incremental_exact_dedup`: within-wave min-id first-occurrence →
+    single-shuffle ANTI-JOIN against the persisted fingerprint index →
+    survivors stream out of a semi-join; the index grows by fp rows
+    only). Wave 1 = the corpus; wave 2 is PLANTED from it (the q50
+    discipline): every doc re-keyed +10000 with text unchanged (exact
+    dup of history → dropped) except doc_id≡0 mod 3 which gets a ' v2'
+    suffix (novel → survives), plus +20000 clones of the mod-5 rows
+    (within-wave dups → min id wins). Evidence: surviving (doc_id,
+    fp=md5(text)) — the oracle predicts the exact survivor set."""
+    import tempfile
+
+    from basicocr_ray.stages.dedup import incremental_exact_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def second_wave(b: pa.Table) -> pa.Table:
+        out_id, out_t = [], []
+        for i, t in zip(
+            b["doc_id"].to_pylist(), b["text"].to_pylist()
+        ):
+            t = t if t is not None else ""
+            t2 = t + " v2" if i % 3 == 0 else t
+            out_id.append(i + 10000)
+            out_t.append(t2)
+            if i % 5 == 0:
+                out_id.append(i + 20000)
+                out_t.append(t2)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "text": pa.array(out_t, pa.string()),
+            }
+        )
+
+    idx = tempfile.mkdtemp(prefix="q163_fps_")
+    incremental_exact_dedup(ds, idx)  # wave 1: ingest the corpus
+    survivors, _ = incremental_exact_dedup(
+        ds.map_batches(second_wave, batch_format="pyarrow"), idx
+    )
+
+    def evidence(b: pa.Table) -> pa.Table:
+        fps = [md5_hex(t or "") for t in b["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "fp": pa.array(fps, pa.string()),
+            }
+        )
+
+    return survivors.map_batches(evidence, batch_format="pyarrow")
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -8099,6 +8201,8 @@ QUERIES = {
     "q159_span_cut": q159_span_cut,
     "q160_token_budget_mix": q160_token_budget_mix,
     "q161_percent_rank_hist": q161_percent_rank_hist,
+    "q162_incremental_neardup": q162_incremental_neardup,
+    "q163_incremental_exact": q163_incremental_exact,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -9359,6 +9463,47 @@ ORACLE_SQL = {
                CAST(count(*) OVER (PARTITION BY lang) AS BIGINT)
                  AS n_lang
         FROM d
+    """,
+    "q162_incremental_neardup": """
+        -- q22's brute-force Jaccard restricted to pairs involving a
+        -- wave-2 doc (id_a < id_b and wave-2 ids are the upper range,
+        -- so "at least one new" == id_b >= 250)
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(len(lower(text)) - 4),
+                   i -> substr(lower(text), CAST(i AS BIGINT) + 1, 5))) AS g
+          FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE b.doc_id >= 250
+          AND (len(list_intersect(a.g, b.g))::DOUBLE
+               / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))) >= 0.8
+    """,
+    "q163_incremental_exact": """
+        -- wave-2 survivors: first within-wave occurrence of each fp
+        -- that history (wave 1 = the corpus) has never seen
+        WITH oldd AS (
+          SELECT DISTINCT md5(coalesce(text, '')) AS fp FROM documents
+        ),
+        neww AS (
+          SELECT doc_id + 10000 AS doc_id,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN coalesce(text, '') || ' v2'
+                      ELSE coalesce(text, '') END AS t
+          FROM documents
+          UNION ALL
+          SELECT doc_id + 20000,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN coalesce(text, '') || ' v2'
+                      ELSE coalesce(text, '') END
+          FROM documents WHERE doc_id % 5 = 0
+        ),
+        nf AS (SELECT doc_id, md5(t) AS fp FROM neww)
+        SELECT n.doc_id, n.fp FROM nf n
+        WHERE NOT EXISTS (SELECT 1 FROM oldd o WHERE o.fp = n.fp)
+          AND n.doc_id = (SELECT min(m.doc_id) FROM nf m
+                          WHERE m.fp = n.fp)
     """,
     "q149_negative_samples": """
         -- k=2 negatives at rank (pos + j*173) mod N under the md5
