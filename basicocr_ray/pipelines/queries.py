@@ -7972,19 +7972,28 @@ def q162_incremental_neardup(sf_dir: str):
         filter=pads.field("doc_id") >= SPLIT,
     )
     idx = tempfile.mkdtemp(prefix="q162_bands_")
-    # wave 1: ingest history (within-wave-1 pairs are q22's business,
-    # not this query's — only the index side effect is consumed)
-    incremental_minhash_candidates(
-        old, idx, num_bands=32, hot_bucket_mode="full"
-    )
-    pairs, _ = incremental_minhash_candidates(
-        new, idx, num_bands=32, hot_bucket_mode="full"
-    )
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    verified = verify_pairs_jaccard_join(
-        pairs, ds, "doc_id", "text", threshold=0.8
-    )
-    return verified.select_columns(["id_a", "id_b"])
+    try:
+        # wave 1: ingest history (within-wave-1 pairs are q22's
+        # business, not this query's — only the index side effect is
+        # consumed). Wave 2 is terminal here → commit=False.
+        incremental_minhash_candidates(
+            old, idx, num_bands=32, hot_bucket_mode="full"
+        )
+        pairs, _ = incremental_minhash_candidates(
+            new, idx, num_bands=32, hot_bucket_mode="full",
+            commit=False,
+        )
+        ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+        verified = verify_pairs_jaccard_join(
+            pairs, ds, "doc_id", "text", threshold=0.8
+        )
+        # materialize (output-sized) before dropping the scratch index
+        # the lazy cross-join still reads from
+        return verified.select_columns(["id_a", "id_b"]).materialize()
+    finally:
+        import shutil
+
+        shutil.rmtree(idx, ignore_errors=True)
 
 
 def q163_incremental_exact(sf_dir: str):
@@ -8025,21 +8034,31 @@ def q163_incremental_exact(sf_dir: str):
         )
 
     idx = tempfile.mkdtemp(prefix="q163_fps_")
-    incremental_exact_dedup(ds, idx)  # wave 1: ingest the corpus
-    survivors, _ = incremental_exact_dedup(
-        ds.map_batches(second_wave, batch_format="pyarrow"), idx
-    )
-
-    def evidence(b: pa.Table) -> pa.Table:
-        fps = [md5_hex(t or "") for t in b["text"].to_pylist()]
-        return pa.table(
-            {
-                "doc_id": pc.cast(b["doc_id"], pa.int64()),
-                "fp": pa.array(fps, pa.string()),
-            }
+    try:
+        incremental_exact_dedup(ds, idx)  # wave 1: ingest the corpus
+        survivors, _ = incremental_exact_dedup(
+            ds.map_batches(second_wave, batch_format="pyarrow"), idx,
+            commit=False,  # terminal wave: nothing dedups against it
         )
 
-    return survivors.map_batches(evidence, batch_format="pyarrow")
+        def evidence(b: pa.Table) -> pa.Table:
+            fps = [md5_hex(t or "") for t in b["text"].to_pylist()]
+            return pa.table(
+                {
+                    "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                    "fp": pa.array(fps, pa.string()),
+                }
+            )
+
+        # materialize (output-sized) before dropping the scratch index
+        # the lazy anti-join still reads from
+        return survivors.map_batches(
+            evidence, batch_format="pyarrow"
+        ).materialize()
+    finally:
+        import shutil
+
+        shutil.rmtree(idx, ignore_errors=True)
 
 
 # ===========================================================================

@@ -177,6 +177,21 @@ def _dup_gram_positions(ds, id_column: str, text_column: str,
     )
 
 
+def _merge_islands(ps: "np.ndarray", width: int) -> list[tuple[int, int]]:
+    """Gaps-and-islands merge of SORTED gram start positions: intervals
+    [pos, pos+width) that overlap or touch (gap ≤ width) coalesce into
+    maximal [a, b) spans — THE merge rule of the span family, in one
+    place (duplicate_spans counts these; dup_span_intervals emits them)."""
+    brk = np.ones(len(ps), dtype=np.int64)
+    brk[1:] = (np.diff(ps) > width).astype(np.int64)
+    sid = np.cumsum(brk)
+    out = []
+    for s in range(1, int(sid[-1]) + 1):
+        sel = ps[sid == s]
+        out.append((int(sel[0]), int(sel[-1] + width)))
+    return out
+
+
 def duplicate_spans(ds, id_column: str = "doc_id",
                     text_column: str = "text", width: int = 5,
                     num_salt: int | None = None):
@@ -184,7 +199,7 @@ def duplicate_spans(ds, id_column: str = "doc_id",
     level exact substring dedup re-expressed for Ray Data): duplicated
     gram positions (see `_dup_gram_positions`) return to id-keyed coarse
     groups where overlapping/adjacent gram intervals [pos, pos+width)
-    merge into MAXIMAL spans (gaps-and-islands).
+    merge into MAXIMAL spans (`_merge_islands`).
     → (id, n_dup_spans, n_dup_words) for each doc holding at least one
     cross-doc duplicated gram."""
     from basicocr_ray.stages.wide import coarse_group_reduce
@@ -194,16 +209,10 @@ def duplicate_spans(ds, id_column: str = "doc_id",
     def spans(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for did, grp in df.groupby(id_column):
-            ps = np.sort(grp["pos"].to_numpy())
-            brk = np.ones(len(ps), dtype=np.int64)
-            brk[1:] = (np.diff(ps) > width).astype(np.int64)
-            sid = np.cumsum(brk)
-            n_spans = int(sid[-1])
-            covered = 0
-            for s in range(1, n_spans + 1):
-                sel = ps[sid == s]
-                covered += int(sel[-1] + width - sel[0])
-            rows.append((did, n_spans, covered))
+            iv = _merge_islands(np.sort(grp["pos"].to_numpy()), width)
+            rows.append(
+                (did, len(iv), sum(b - a for a, b in iv))
+            )
         return pd.DataFrame(
             {
                 id_column: pd.array([r[0] for r in rows], dtype="int64"),
@@ -230,15 +239,12 @@ def dup_span_intervals(ds, id_column: str = "doc_id",
     def intervals(df: pd.DataFrame) -> pd.DataFrame:
         out_id, out_a, out_b = [], [], []
         for did, grp in df.groupby(id_column):
-            ps = np.sort(grp["pos"].to_numpy())
-            brk = np.ones(len(ps), dtype=np.int64)
-            brk[1:] = (np.diff(ps) > width).astype(np.int64)
-            sid = np.cumsum(brk)
-            for s in range(1, int(sid[-1]) + 1):
-                sel = ps[sid == s]
+            for a, b in _merge_islands(
+                np.sort(grp["pos"].to_numpy()), width
+            ):
                 out_id.append(did)
-                out_a.append(int(sel[0]))
-                out_b.append(int(sel[-1] + width))
+                out_a.append(a)
+                out_b.append(b)
         return pd.DataFrame(
             {
                 id_column: pd.array(out_id, dtype="int64"),
@@ -256,6 +262,7 @@ def incremental_exact_dedup(
     id_column: str = "doc_id",
     text_column: str = "text",
     num_salt: int | None = None,
+    commit: bool = True,
 ):
     """Dedup a NEW wave of documents against a PERSISTED fingerprint
     index, then extend the index — the operational shape of a growing
@@ -285,7 +292,9 @@ def incremental_exact_dedup(
     differently-batched retry are harmless: anti-join semantics ignore
     right-side multiplicity.
 
-    Returns ``(survivors_ds, n_new)``."""
+    Returns ``(survivors_ds, n_new)``. ``commit=False`` skips extending
+    the index (n_new still counts the wave's novel fps) — for a terminal
+    wave no later wave will dedup against."""
     import hashlib
     import os
 
@@ -354,9 +363,12 @@ def incremental_exact_dedup(
         return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
 
     winners = winners.materialize()  # (id, fp) — metadata, not payload
-    n_new = winners.map_batches(
-        write_fps, batch_format="pyarrow"
-    ).sum("n")
+    if commit:
+        n_new = winners.map_batches(
+            write_fps, batch_format="pyarrow"
+        ).sum("n")
+    else:
+        n_new = winners.count()
 
     from basicocr_ray.stages.joins import _probed
 
@@ -646,6 +658,7 @@ def incremental_minhash_candidates(
     max_bucket_size: int = 500,
     num_salt: int | None = None,
     hot_bucket_mode: str = "star",
+    commit: bool = True,
 ):
     """Near-dup candidates of a NEW wave against a PERSISTED band index
     (the incremental sibling of :func:`minhash_candidate_pairs`): each
@@ -666,7 +679,9 @@ def incremental_minhash_candidates(
     and the downstream exact verify owns precision.
 
     Returns ``(pairs_ds, n_band_rows_added)`` where pairs are distinct
-    (id_a < id_b) over both candidate classes."""
+    (id_a < id_b) over both candidate classes. ``commit=False`` skips
+    the index append (n_band_rows_added = 0) — for a terminal wave whose
+    rows no later wave will dedup against."""
     import hashlib
     import os
 
@@ -805,6 +820,8 @@ def incremental_minhash_candidates(
         os.replace(path + ".tmp", path)
         return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
 
+    if not commit:
+        return _dedupe_pairs(pairs, num_groups=num_salt), 0
     n_added = band_rows.map_batches(
         write_rows, batch_format="pyarrow"
     ).sum("n")

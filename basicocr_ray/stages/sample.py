@@ -197,11 +197,12 @@ def grouped_prefix_sum(ds, group_column: str, id_column: str,
         k = (row[group_column], int(row["cg"]))
         totals[k] = totals.get(k, 0) + int(row["v"])
     offsets: dict[tuple, int] = {}
-    for g in {k[0] for k in totals}:
-        acc = 0
-        for cg in sorted(cg for gg, cg in totals if gg == g):
-            offsets[(g, cg)] = acc
-            acc += totals[(g, cg)]
+    acc, cur = 0, object()
+    for (g, cg) in sorted(totals):  # one O(G·S log) pass, not G rescans
+        if g != cur:
+            cur, acc = g, 0
+        offsets[(g, cg)] = acc
+        acc += totals[(g, cg)]
 
     def prefix(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["_rank", id_column], kind="mergesort")
