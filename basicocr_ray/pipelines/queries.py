@@ -7721,71 +7721,25 @@ def q159_span_cut(sf_dir: str):
     the minimum any rewrite needs (edit instructions must meet the
     bytes). Evidence per doc: token counts plus md5 of the
     space-rejoined kept tokens — exact string proof of the cut, not just
-    a count."""
-    from basicocr_ray.stages.dedup import dup_span_intervals
-    from basicocr_ray.stages.joins import bucketed_hash_join
-    from basicocr_ray.stages.wide import coarse_group_reduce
-
-    WIDTH = 5
+    a count. Kernel single-sourced in `stages/dedup.py:span_cut_rewrite`
+    (shared with the `span_cut` spec op)."""
+    from basicocr_ray.stages.dedup import span_cut_rewrite
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    spans = dup_span_intervals(docs, "doc_id", "text", width=WIDTH)
+    rewritten = span_cut_rewrite(docs, "doc_id", "text", width=5)
 
-    def pack(df: pd.DataFrame) -> pd.DataFrame:
-        ids, packed = [], []
-        for did, g in df.groupby("doc_id"):
-            g = g.sort_values("a")
-            ids.append(did)
-            packed.append(
-                ";".join(
-                    f"{int(a)}:{int(b)}"
-                    for a, b in zip(g["a"], g["b"])
-                )
-            )
-        return pd.DataFrame(
-            {
-                "doc_id": pd.array(ids, dtype="int64"),
-                "edits": pd.array(packed, dtype="object"),
-            }
-        )
-
-    edit_lists = coarse_group_reduce(spans, "doc_id", pack)
-
-    joined = bucketed_hash_join(
-        docs, edit_lists, key="doc_id",
-        left_columns=["text"], right_columns=["edits"],
-        join_type="left outer",
-    )
-
-    def cut(b: pa.Table) -> pa.Table:
-        ids, nw, nc, md = [], [], [], []
-        for did, t, ed in zip(
-            b["doc_id"].to_pylist(), b["text"].to_pylist(),
-            b["edits"].to_pylist(),
-        ):
-            toks = token_items(t or "")
-            if ed:
-                keep = np.ones(len(toks), dtype=bool)
-                for seg in ed.split(";"):
-                    a, bb = seg.split(":")
-                    keep[int(a):int(bb)] = False
-                kept = [tok for tok, k in zip(toks, keep) if k]
-            else:
-                kept = toks
-            ids.append(did)
-            nw.append(len(toks))
-            nc.append(len(toks) - len(kept))
-            md.append(md5_hex(" ".join(kept)))
+    def evidence(b: pa.Table) -> pa.Table:
+        md = [md5_hex(t or "") for t in b["cut_text"].to_pylist()]
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "n_words": pa.array(nw, pa.int64()),
-                "n_cut": pa.array(nc, pa.int64()),
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "n_words": pc.cast(b["n_words"], pa.int64()),
+                "n_cut": pc.cast(b["n_cut"], pa.int64()),
                 "kept_md5": pa.array(md, pa.string()),
             }
         )
 
-    return joined.map_batches(cut, batch_format="pyarrow")
+    return rewritten.map_batches(evidence, batch_format="pyarrow")
 
 
 def q160_token_budget_mix(sf_dir: str):

@@ -641,6 +641,46 @@ def _op_duplicate_spans(ds, params):
     )
 
 
+def _op_span_cut(ds, params):
+    """Rewrite docs with cross-document duplicated spans removed (the
+    actionable Lee et al. cut; `stages.dedup.span_cut_rewrite`).
+    → (id, cut_text, n_words, n_cut) for every doc."""
+    from basicocr_ray.stages.dedup import span_cut_rewrite
+
+    return span_cut_rewrite(
+        ds,
+        id_column=params.get("id_column", "doc_id"),
+        text_column=params.get("text_column", "text"),
+        width=int(params.get("width", 5)),
+        out_column=params.get("out_column", "cut_text"),
+    )
+
+
+def _op_token_budget(ds, params):
+    """Per-group greedy budget fill in the deterministic md5 order
+    (`stages.sample.grouped_prefix_sum`): keep rows while the group's
+    EXCLUSIVE running sum of ``value_column`` is under ``budget`` (the
+    crossing row is included). The mixture-construction step."""
+    import pyarrow.compute as _pc
+
+    from basicocr_ray.stages.sample import grouped_prefix_sum
+
+    budget = int(params["budget"])
+    pref = grouped_prefix_sum(
+        ds,
+        params.get("group_column", "source"),
+        params.get("id_column", "doc_id"),
+        params["value_column"],
+        seed=int(params.get("seed", 42)),
+        out_column="prefix",
+    )
+
+    def under(b):
+        return b.filter(_pc.less(b["prefix"], budget))
+
+    return pref.map_batches(under, batch_format="pyarrow")
+
+
 def _op_winnow(ds, params):
     """Winnowing fingerprints (Schleimer et al. 2003;
     `core.sketches.winnow_fingerprints`): one (id, fp) row per selected
@@ -738,6 +778,8 @@ OP_REGISTRY: dict[str, Callable] = {
     "cdc_chunk": _op_cdc_chunk,
     "priority_dedup": _op_priority_dedup,
     "duplicate_spans": _op_duplicate_spans,
+    "span_cut": _op_span_cut,
+    "token_budget": _op_token_budget,
     "winnow": _op_winnow,
     "quality_gate": _op_quality_gate,
     "pack": _op_pack,

@@ -256,6 +256,85 @@ def dup_span_intervals(ds, id_column: str = "doc_id",
     return coarse_group_reduce(dup, id_column, intervals, num_salt=num_salt)
 
 
+def span_cut_rewrite(ds, id_column: str = "doc_id",
+                     text_column: str = "text", width: int = 5,
+                     out_column: str = "cut_text",
+                     num_salt: int | None = None):
+    """The ACTIONABLE half of Lee et al. span dedup: REWRITE every doc
+    with its cross-document duplicated spans removed. Maximal intervals
+    (`dup_span_intervals`) pack to ONE tiny edit-list row per affected
+    doc; one id-keyed bucketed LEFT join brings the edits to the text —
+    the only exchange the text rides, and the minimum any rewrite needs
+    (edit instructions must meet the bytes). Kept tokens re-join with a
+    single space (tokenization is `token_items`, the oracle-lockstep
+    whitespace split). → (id, out_column, n_words, n_cut) for EVERY doc
+    (unaffected docs pass through with n_cut = 0)."""
+    from basicocr_ray.stages.joins import bucketed_hash_join
+    from basicocr_ray.stages.wide import coarse_group_reduce, token_items
+
+    spans = dup_span_intervals(
+        ds, id_column, text_column, width=width, num_salt=num_salt
+    )
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        ids, packed = [], []
+        for did, g in df.groupby(id_column):
+            g = g.sort_values("a")
+            ids.append(did)
+            packed.append(
+                ";".join(
+                    f"{int(a)}:{int(b)}"
+                    for a, b in zip(g["a"], g["b"])
+                )
+            )
+        return pd.DataFrame(
+            {
+                id_column: pd.array(ids, dtype="int64"),
+                "edits": pd.array(packed, dtype="object"),
+            }
+        )
+
+    edit_lists = coarse_group_reduce(
+        spans, id_column, pack, num_salt=num_salt
+    )
+
+    joined = bucketed_hash_join(
+        ds, edit_lists, key=id_column,
+        left_columns=[text_column], right_columns=["edits"],
+        join_type="left outer",
+    )
+
+    def cut(b: pa.Table) -> pa.Table:
+        ids, out_t, nw, nc = [], [], [], []
+        for did, t, ed in zip(
+            b[id_column].to_pylist(), b[text_column].to_pylist(),
+            b["edits"].to_pylist(),
+        ):
+            toks = token_items(t or "")
+            if ed:
+                keep = np.ones(len(toks), dtype=bool)
+                for seg in ed.split(";"):
+                    a, bb = seg.split(":")
+                    keep[int(a):int(bb)] = False
+                kept = [tok for tok, k in zip(toks, keep) if k]
+            else:
+                kept = toks
+            ids.append(did)
+            out_t.append(" ".join(kept))
+            nw.append(len(toks))
+            nc.append(len(toks) - len(kept))
+        return pa.table(
+            {
+                id_column: pa.array(ids, pa.int64()),
+                out_column: pa.array(out_t, pa.string()),
+                "n_words": pa.array(nw, pa.int64()),
+                "n_cut": pa.array(nc, pa.int64()),
+            }
+        )
+
+    return joined.map_batches(cut, batch_format="pyarrow")
+
+
 def incremental_exact_dedup(
     new_ds,
     index_dir: str,

@@ -818,3 +818,132 @@ def test_dup_span_intervals_matches_duplicate_spans():
         want.astype("int64"),
         check_dtype=False,
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_q157_boundary_replication_edges(tmp_path):
+    """The Δ-bucket boundary-replication self-join at its edge cases:
+    gap exactly Δ, events pinned on bucket boundaries, equal-timestamp
+    orientation, and pairs whose members straddle a bucket edge — all
+    must match the brute-force SQL twin exactly and emit each pair
+    once."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from basicocr_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    D = 3_600_000_000  # Δ in µs
+    base = 1_600_000_000_000_000  # multiple of nothing special
+    # craft: same-user events at bucket boundary, ±1, exactly Δ apart,
+    # equal timestamps, and a second user interleaved
+    ts_us = [
+        base, base + 1, base + D, base + D + 1,   # boundary cluster
+        base + 2 * D, base + 2 * D,               # equal-ts pair
+        base + 5 * D,                             # isolated
+    ]
+    rows = {
+        "event_id": list(range(1, 8)),
+        "user_id": [1, 1, 1, 1, 1, 1, 1],
+        "ts": pa.array(ts_us, pa.timestamp("us")),
+        "event_type": ["x"] * 7,
+        "value": [0.0] * 7,
+        "props": ["{}"] * 7,
+    }
+    # user 2: a pair straddling a bucket edge with gap exactly Δ
+    rows2 = {
+        "event_id": [101, 102, 103],
+        "user_id": [2, 2, 2],
+        "ts": pa.array(
+            [base + D - 1, base + 2 * D - 1, base + 2 * D], pa.timestamp("us")
+        ),
+        "event_type": ["x"] * 3,
+        "value": [0.0] * 3,
+        "props": ["{}"] * 3,
+    }
+    t = pa.concat_tables(
+        [pa.table(rows), pa.table(rows2)]
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+
+    got = (
+        QUERIES["q157_event_pairs_window"](str(tmp_path))
+        .to_pandas()
+        .sort_values(["user_id", "id1", "id2"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"parquet_scan('{tmp_path}/events.parquet')"
+    )
+    want = (
+        con.sql(ORACLE_SQL["q157_event_pairs_window"])
+        .df()
+        .sort_values(["user_id", "id1", "id2"])
+        .reset_index(drop=True)
+    )
+    # each qualifying pair exactly once, values identical
+    assert got[["user_id", "id1", "id2", "gap_us"]].astype("int64").values.tolist() == \
+        want[["user_id", "id1", "id2", "gap_us"]].astype("int64").values.tolist()
+    assert not got.duplicated(["user_id", "id1", "id2"]).any()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_spec_span_cut_and_token_budget():
+    """Spec surface: `span_cut` rewrites text with duplicated spans
+    removed (consistent with the duplicate_spans measurement) and
+    `token_budget` realizes the q160 greedy-fill semantics."""
+    import duckdb
+
+    from basicocr_ray.pipelines.spec import run_spec
+
+    sf = "/root/testdata/sf0.001"
+
+    cutr = run_spec(
+        {
+            "input": {"table": "documents", "columns": ["doc_id", "text"]},
+            "steps": [{"op": "span_cut", "width": 5}],
+        },
+        sf,
+    ).to_pandas()
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM parquet_scan('{sf}/documents.parquet')"
+    ).fetchone()[0]
+    assert len(cutr) == n_docs
+    # every affected doc lost exactly its measured duplicated words
+    meas = run_spec(
+        {
+            "input": {"table": "documents", "columns": ["doc_id", "text"]},
+            "steps": [{"op": "duplicate_spans", "width": 5}],
+        },
+        sf,
+    ).to_pandas().set_index("doc_id")["n_dup_words"].to_dict()
+    got = cutr.set_index("doc_id")["n_cut"].to_dict()
+    for did, n in meas.items():
+        assert got[did] == n
+    assert all(v == 0 for k, v in got.items() if k not in meas)
+
+    tb = run_spec(
+        {
+            "input": {"table": "documents",
+                      "columns": ["doc_id", "source", "n_chars"]},
+            "steps": [
+                {"op": "token_budget", "group_column": "source",
+                 "value_column": "n_chars", "budget": 3000},
+            ],
+        },
+        sf,
+    ).to_pandas()
+    want = duckdb.sql(
+        f"""
+        WITH w AS (
+          SELECT doc_id, coalesce(sum(n_chars) OVER (
+            PARTITION BY source
+            ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+          FROM parquet_scan('{sf}/documents.parquet')
+        ) SELECT doc_id FROM w WHERE p < 3000
+        """
+    ).df()["doc_id"].sort_values().tolist()
+    assert tb["doc_id"].sort_values().tolist() == want
