@@ -2,7 +2,8 @@
 `queries()` entry and its `oracle_sql()` twin over the same sf dir, compare
 row count + column names + order-insensitive values.
 
-Usage: python scripts/check_queries.py [sf_dir] [only_query_prefix]
+Usage: python scripts/check_queries.py [sf_dir] [query_prefix ...]
+(any number of prefixes; no prefix = the full registry)
 """
 
 from __future__ import annotations
@@ -70,7 +71,7 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    prefix = sys.argv[2] if len(sys.argv) > 2 else ""
+    prefixes = sys.argv[2:]
 
     import ray
 
@@ -94,7 +95,7 @@ def main() -> int:
 
     failures = 0
     for name, fn in QUERIES.items():
-        if prefix and not name.startswith(prefix):
+        if prefixes and not any(name.startswith(p) for p in prefixes):
             continue
         t0 = time.time()
         try:
