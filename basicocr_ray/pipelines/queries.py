@@ -8015,6 +8015,122 @@ def q163_incremental_exact(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def q164_audio_fp_match(sf_dir: str):
+    """AUDIO CLIP-TO-SOURCE MATCHING — Shazam-style constellation
+    fingerprints (Wang 2003) over REAL WAV PCM, end to end: every
+    embeddings row becomes a deterministic frequency-hopping tone
+    (`make_tone_wav`, genuine 16-bit PCM); rows ≡ 0 mod 4 also emit a
+    1-second CLIP cut at sample 4096 (re-encoded — quantization
+    commutes with slicing, so clip frames are byte-identical to the
+    source's) under id+10000. `AudioFingerprinter` actor pools turn
+    both corpora into (id, t, fhash) landmark rows — audio never rides
+    a shuffle, only int64 landmarks do. ONE bucketed hash join on fhash
+    meets clips with sources; per (clip, source) the coarse reduce
+    scores the maximal count of time-ALIGNED matches (one dominant
+    t_src−t_clip offset identifies a true sub-clip) and keeps score ≥ 7.
+    Analytic contract: exactly the planted (v+10000, v) pairs — measured
+    over all 500 sources, true-pair score is 11 vs ≤ 3 for non-pairs, so
+    the threshold sits mid-gap (the q24/q150 discipline)."""
+    from basicocr_ray.stages.joins import bucketed_hash_join
+    from basicocr_ray.stages.multimodal import (
+        AudioFingerprinter,
+        make_tone_wav,
+    )
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    START, CLIP_N, THRESH = 4096, 8000, 7
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id"])
+
+    def tone_payloads(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_pylist()
+        return pa.table(
+            {
+                "item_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(
+                    [make_tone_wav(i) for i in ids], pa.large_binary()
+                ),
+            }
+        )
+
+    def clip_payloads(batch: pa.Table) -> pa.Table:
+        from basicocr_ray.core.wav import decode_wav, encode_wav
+
+        out_id, out_p = [], []
+        for i in batch["vec_id"].to_pylist():
+            if i % 4 != 0:
+                continue
+            rate, x = decode_wav(make_tone_wav(i))
+            out_id.append(i + 10000)
+            out_p.append(encode_wav(rate, x[START:START + CLIP_N]))
+        return pa.table(
+            {
+                "item_id": pa.array(out_id, pa.int64()),
+                "payload": pa.array(out_p, pa.large_binary()),
+            }
+        )
+
+    def fp(payloads, id_out):
+        rows = payloads.map_batches(
+            AudioFingerprinter,
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=2,
+        )
+        return rows.map_batches(
+            lambda b: pa.table(
+                {
+                    "fhash": b["fhash"],
+                    id_out: b["item_id"],
+                    f"t_{id_out}": b["t"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    src_fp = fp(
+        ds.map_batches(tone_payloads, batch_format="pyarrow"), "orig_id"
+    )
+    clip_fp = fp(
+        ds.map_batches(clip_payloads, batch_format="pyarrow"), "clip_id"
+    )
+
+    joined = bucketed_hash_join(
+        clip_fp, src_fp, key="fhash",
+        left_columns=["clip_id", "t_clip_id"],
+        right_columns=["orig_id", "t_orig_id"],
+    )
+
+    def offsets(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "clip_id": pc.cast(b["clip_id"], pa.int64()),
+                "orig_id": pc.cast(b["orig_id"], pa.int64()),
+                "off": pc.subtract(
+                    pc.cast(b["t_orig_id"], pa.int64()),
+                    pc.cast(b["t_clip_id"], pa.int64()),
+                ),
+            }
+        )
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["clip_id", "orig_id", "off"])
+            .size()
+            .groupby(["clip_id", "orig_id"])
+            .max()
+            .reset_index(name="best")
+        )
+        g = g[g["best"] >= THRESH]
+        return g[["clip_id", "orig_id"]].astype("int64")
+
+    return coarse_group_reduce(
+        joined.map_batches(offsets, batch_format="pyarrow"),
+        ["clip_id", "orig_id"],
+        score,
+    )
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -8176,6 +8292,7 @@ QUERIES = {
     "q161_percent_rank_hist": q161_percent_rank_hist,
     "q162_incremental_neardup": q162_incremental_neardup,
     "q163_incremental_exact": q163_incremental_exact,
+    "q164_audio_fp_match": q164_audio_fp_match,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -9452,6 +9569,15 @@ ORACLE_SQL = {
         WHERE b.doc_id >= 250
           AND (len(list_intersect(a.g, b.g))::DOUBLE
                / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))) >= 0.8
+    """,
+    "q164_audio_fp_match": """
+        -- analytic contract: every planted 1-second clip (v+10000, cut
+        -- from v's tone at sample 4096) matches its source and ONLY it
+        -- (measured aligned-match score over all 500 sources: 11 for
+        -- true pairs, <=3 else; threshold 7 sits mid-gap)
+        SELECT CAST(vec_id + 10000 AS BIGINT) AS clip_id,
+               vec_id AS orig_id
+        FROM embeddings WHERE vec_id % 4 = 0
     """,
     "q163_incremental_exact": """
         -- wave-2 survivors: first within-wave occurrence of each fp

@@ -521,3 +521,91 @@ class AudioSilenceSegmenter:
                 "error": pa.array(errs, pa.string()),
             }
         )
+
+
+def make_tone_wav(item_id: int, rate: int = 8000, seconds: float = 2.0,
+                  n_slots: int = 10) -> bytes:
+    """Deterministic REAL WAV: a frequency-hopping tone — ``n_slots``
+    equal time slots, slot frequency 400 + (md5(id:slot) % 440)·8 Hz
+    (8 Hz grid ≥ the 1024-point FFT's 7.8 Hz bin width, so distinct grid
+    values land in distinct peak bins; top of grid 3912 Hz < the 4 kHz
+    Nyquist limit — a 60-value coarse grid produced landmark collisions
+    between unrelated sources at 500-doc corpus scale). The audio
+    analogue of `make_image_payload`, but producing genuine PCM the full
+    decode/FFT path runs on — the fingerprint fixture for clip-to-source
+    matching."""
+    import hashlib
+
+    from basicocr_ray.core.wav import encode_wav
+
+    n = int(rate * seconds)
+    t = np.arange(n) / rate
+    x = np.zeros(n)
+    sl = n // n_slots
+    for s in range(n_slots):
+        h = int.from_bytes(
+            hashlib.md5(f"{item_id}:{s}".encode()).digest()[:4], "little"
+        )
+        f = 400 + (h % 440) * 8
+        seg = slice(s * sl, (s + 1) * sl)
+        x[seg] = np.sin(2 * np.pi * f * t[seg])
+    return encode_wav(rate, 0.8 * x)
+
+
+class AudioFingerprinter:
+    """Actor-pool stage: WAV payload → CONSTELLATION fingerprints (the
+    Shazam-style landmark scheme, Wang 2003, rebuilt from the public
+    algorithm): per FFT frame take the peak spectral bin, pair each
+    frame's peak with the peak ``fan`` frames ahead, and hash the pair —
+    (id, t, fhash) rows, one per landmark. Matching is then pure
+    relational work: join clip hashes against corpus hashes and score
+    (clip, source) pairs by their maximal count of time-ALIGNED matches
+    (a true sub-clip yields one dominant t_source − t_clip offset).
+    FFT/argmax are bit-deterministic for identical PCM, so fingerprints
+    are partition/retry-invariant. Setup cost lives in __init__ (actor
+    pool), per-batch work is numpy-vectorized over frames."""
+
+    def __init__(self, payload_column: str = "payload",
+                 id_column: str = "item_id", frame: int = 1024,
+                 hop: int = 512, fan: int = 3, min_bin: int = 4):
+        self.payload_column = payload_column
+        self.id_column = id_column
+        self.frame = frame
+        self.hop = hop
+        self.fan = fan
+        self.min_bin = min_bin
+
+    def _landmarks(self, data: bytes) -> list[tuple[int, int]]:
+        from basicocr_ray.core.wav import decode_wav
+
+        _, x = decode_wav(data)
+        nfr = (len(x) - self.frame) // self.hop + 1
+        if nfr <= self.fan:
+            return []
+        # all frames in one strided view → one vectorized rfft
+        idx = (
+            np.arange(nfr)[:, None] * self.hop
+            + np.arange(self.frame)[None, :]
+        )
+        mag = np.abs(np.fft.rfft(x[idx], axis=1))
+        peaks = np.argmax(mag[:, self.min_bin:], axis=1) + self.min_bin
+        hashes = (peaks[:-self.fan] << 16) | peaks[self.fan:]
+        return list(zip(range(nfr - self.fan), hashes.tolist()))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ts, hs = [], [], []
+        for iid, data in zip(
+            batch[self.id_column].to_pylist(),
+            batch[self.payload_column].to_pylist(),
+        ):
+            for t, h in self._landmarks(data if data is not None else b""):
+                ids.append(iid)
+                ts.append(t)
+                hs.append(h)
+        return pa.table(
+            {
+                self.id_column: pa.array(ids, pa.int64()),
+                "t": pa.array(ts, pa.int64()),
+                "fhash": pa.array(hs, pa.int64()),
+            }
+        )

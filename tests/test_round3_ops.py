@@ -947,3 +947,51 @@ def test_spec_span_cut_and_token_budget():
         """
     ).df()["doc_id"].sort_values().tolist()
     assert tb["doc_id"].sort_values().tolist() == want
+
+
+def test_audio_fingerprinter_landmarks_and_alignment():
+    """AudioFingerprinter's vectorized strided-FFT path matches a naive
+    per-frame reference, and a true sub-clip (cut on the hop grid)
+    aligns at ONE offset with every landmark matching."""
+    import numpy as np
+    import pyarrow as pa
+
+    from basicocr_ray.core.wav import decode_wav, encode_wav
+    from basicocr_ray.stages.multimodal import (
+        AudioFingerprinter,
+        make_tone_wav,
+    )
+
+    fpr = AudioFingerprinter()
+    data = make_tone_wav(7)
+    got = fpr._landmarks(data)
+
+    _, x = decode_wav(data)
+    nfr = (len(x) - fpr.frame) // fpr.hop + 1
+    peaks = []
+    for i in range(nfr):
+        fr = x[i * fpr.hop: i * fpr.hop + fpr.frame]
+        mag = np.abs(np.fft.rfft(fr))
+        peaks.append(int(np.argmax(mag[fpr.min_bin:]) + fpr.min_bin))
+    want = [
+        (i, (peaks[i] << 16) | peaks[i + fpr.fan])
+        for i in range(nfr - fpr.fan)
+    ]
+    assert got == want
+
+    # clip cut at a hop multiple: every clip landmark matches the source
+    # at offset start//hop exactly
+    start, n = 4096, 8000
+    clip = fpr._landmarks(encode_wav(8000, x[start:start + n]))
+    src = dict(got)
+    off = start // fpr.hop
+    assert len(clip) > 0
+    assert all(src.get(t + off) == h for t, h in clip)
+
+    # batch path emits one row per landmark with the caller's id
+    out = fpr(pa.table({
+        "item_id": pa.array([7], pa.int64()),
+        "payload": pa.array([data], pa.large_binary()),
+    }))
+    assert out.num_rows == len(want)
+    assert out["fhash"].to_pylist() == [h for _, h in want]
