@@ -8131,6 +8131,63 @@ def q164_audio_fp_match(sf_dir: str):
     )
 
 
+def q165_migration_checksum(sf_dir: str):
+    """MIGRATION-AUDIT corpus checksum — the verification primitive an
+    engine swap (this whole project) runs on both systems to prove the
+    data came through bit-for-bit: per lang, row count plus an
+    ORDER-INSENSITIVE content digest (XOR of per-row md5-low-63 over a
+    canonical ``id:text`` serialization — XOR is commutative/associative
+    and BIGINT-exact, so the reduce is partition/retry/order-invariant
+    by construction and never overflows either engine). Per-batch
+    partials carry ONE row per (batch, lang); the coarse reduce XORs
+    partials — bytes never ride the shuffle, a corpus of any size moves
+    G rows per batch."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    MASK = (1 << 63) - 1
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        acc: dict[str, list[int]] = {}
+        for did, lang, t in zip(
+            b["doc_id"].to_pylist(), b["lang"].to_pylist(),
+            b["text"].to_pylist(),
+        ):
+            lang = lang if lang is not None else ""
+            h = _md5_low64(f"{did}:{t if t is not None else ''}") & MASK
+            s = acc.setdefault(lang, [0, 0])
+            s[0] += 1
+            s[1] ^= h
+        langs = sorted(acc)
+        return pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "n": pa.array([acc[g][0] for g in langs], pa.int64()),
+                "chk": pa.array([acc[g][1] for g in langs], pa.int64()),
+            }
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lang, g in df.groupby("lang"):
+            chk = 0
+            for v in g["chk"]:
+                chk ^= int(v)
+            rows.append((lang, int(g["n"].sum()), chk))
+        return pd.DataFrame(
+            {
+                "lang": pd.array([r[0] for r in rows], dtype="object"),
+                "n": pd.array([r[1] for r in rows], dtype="int64"),
+                "chk": pd.array([r[2] for r in rows], dtype="int64"),
+            }
+        )
+
+    return coarse_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"), "lang", final
+    )
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -8293,6 +8350,7 @@ QUERIES = {
     "q162_incremental_neardup": q162_incremental_neardup,
     "q163_incremental_exact": q163_incremental_exact,
     "q164_audio_fp_match": q164_audio_fp_match,
+    "q165_migration_checksum": q165_migration_checksum,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -9578,6 +9636,17 @@ ORACLE_SQL = {
         SELECT CAST(vec_id + 10000 AS BIGINT) AS clip_id,
                vec_id AS orig_id
         FROM embeddings WHERE vec_id % 4 = 0
+    """,
+    "q165_migration_checksum": """
+        -- order-insensitive per-lang content digest: XOR of per-row
+        -- md5-low-63 over the canonical id:text serialization
+        SELECT coalesce(lang, '') AS lang,
+               count(*) AS n,
+               bit_xor(CAST(
+                 md5_number_lower(CAST(doc_id AS VARCHAR) || ':'
+                                  || coalesce(text, ''))
+                 & 9223372036854775807 AS BIGINT)) AS chk
+        FROM documents GROUP BY 1
     """,
     "q163_incremental_exact": """
         -- wave-2 survivors: first within-wave occurrence of each fp
