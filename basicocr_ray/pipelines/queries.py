@@ -8188,6 +8188,256 @@ def q165_migration_checksum(sf_dir: str):
     )
 
 
+def q166_rrf_fusion(sf_dir: str):
+    """HYBRID RETRIEVAL with Reciprocal-Rank Fusion — the modern
+    dense+sparse retrieval stack end to end: for every query doc (id ≡ 0
+    mod 10), (a) a DENSE ranking — cosine top-5 against the broadcast
+    query matrix (`ray.put` once, numpy matmul per batch, per-batch
+    local top-5 → tiny per-query final; the q15 float-order discipline),
+    (b) a SPARSE ranking — rare-bigram inverted-index dot scores (the
+    q152 postings shape restricted to query→candidate pairs, integer
+    scores), and (c) RRF fusion: score = Σ 1/(60+r) over the lists the
+    candidate appears in — at most TWO terms added in a fixed order, so
+    the float comparison is engine-identical — with the final top-3 per
+    query by (rrf DESC, cand). Output is all-integer (ranks; 0 = absent
+    from that list), so the driver hash is float-free."""
+    import ray
+
+    from basicocr_ray.stages.joins import bucketed_hash_join
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    TOPK, OUT_K, K_RRF = 5, 3, 60
+
+    # query matrix: the query SET is an input (bounded by definition) —
+    # read once on the driver, broadcast via ray.put
+    qtab = pq.read_table(
+        _p(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    )
+    qm = pc.equal(
+        pc.subtract(
+            qtab["vec_id"],
+            pc.multiply(pc.divide(qtab["vec_id"], 10), 10),
+        ),
+        0,
+    )
+    qsel = qtab.filter(qm)
+    qids = np.asarray(qsel["vec_id"].to_pylist(), dtype=np.int64)
+    Q = np.asarray(qsel["embedding"].to_pylist(), dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qref = ray.put((qids, Qn))
+
+    # ---- dense top-5 per query ----
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def dense_partial(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        ids_np, Qn_b = _ray.get(qref)
+        cids = np.asarray(b["vec_id"].to_pylist(), dtype=np.int64)
+        V = np.asarray(b["embedding"].to_pylist(), dtype=np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        sims = Vn @ Qn_b.T  # (n_cand × n_query)
+        out_q, out_c, out_s = [], [], []
+        for j, qid in enumerate(ids_np):
+            col = sims[:, j]
+            ok = cids != qid
+            order = np.lexsort((cids[ok], -col[ok]))[:TOPK]
+            sel_c = cids[ok][order]
+            sel_s = col[ok][order]
+            out_q.extend([int(qid)] * len(sel_c))
+            out_c.extend(sel_c.tolist())
+            out_s.extend(sel_s.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "cand_id": pa.array(out_c, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def dense_final(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for qid, g in df.groupby("query_id"):
+            g = g.sort_values(
+                ["sim", "cand_id"], ascending=[False, True],
+                kind="mergesort",
+            ).head(TOPK)
+            for r, cid in enumerate(g["cand_id"], 1):
+                out.append((qid, int(cid), r))
+        return pd.DataFrame(
+            {
+                "query_id": pd.array([o[0] for o in out], dtype="int64"),
+                "cand_id": pd.array([o[1] for o in out], dtype="int64"),
+                "rd": pd.array([o[2] for o in out], dtype="int64"),
+            }
+        )
+
+    d5 = coarse_group_reduce(
+        ds.map_batches(dense_partial, batch_format="pyarrow"),
+        "query_id",
+        dense_final,
+    )
+
+    # ---- sparse top-5 per query (q152 postings, query→cand pairs) ----
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    bigrams = make_ngram_items(2)
+
+    def postings(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        out_t, out_d, out_f = [], [], []
+        for did, t in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            for term, tfv in Counter(bigrams(t or "")).items():
+                out_t.append(term)
+                out_d.append(did)
+                out_f.append(tfv)
+        return pa.table(
+            {
+                "term": pa.array(out_t, pa.string()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "tf": pa.array(out_f, pa.int64()),
+            }
+        )
+
+    def qc_partials(df: pd.DataFrame) -> pd.DataFrame:
+        out_q, out_c, out_w = [], [], []
+        for _, g in df.groupby("term", sort=False):
+            if not (2 <= len(g) <= 20):  # global df in-group
+                continue
+            ids = g["doc_id"].to_numpy()
+            tfs = g["tf"].to_numpy()
+            qm = ids % 10 == 0
+            for qi in np.flatnonzero(qm):
+                for ci in range(len(ids)):
+                    if ids[ci] == ids[qi]:
+                        continue
+                    out_q.append(int(ids[qi]))
+                    out_c.append(int(ids[ci]))
+                    out_w.append(int(tfs[qi]) * int(tfs[ci]))
+        return pd.DataFrame(
+            {
+                "query_id": pd.array(out_q, dtype="int64"),
+                "cand_id": pd.array(out_c, dtype="int64"),
+                "score": pd.array(out_w, dtype="int64"),
+            }
+        )
+
+    spairs = coarse_group_reduce(
+        docs.map_batches(postings, batch_format="pyarrow"),
+        "term",
+        qc_partials,
+    )
+
+    def sum_scores(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(
+            ["query_id", "cand_id"], as_index=False
+        )["score"].sum()
+        return out.astype("int64")
+
+    s_scores = coarse_group_reduce(
+        spairs, ["query_id", "cand_id"], sum_scores
+    )
+
+    def sparse_final(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for qid, g in df.groupby("query_id"):
+            g = g.sort_values(
+                ["score", "cand_id"], ascending=[False, True],
+                kind="mergesort",
+            ).head(TOPK)
+            for r, cid in enumerate(g["cand_id"], 1):
+                out.append((qid, int(cid), r))
+        return pd.DataFrame(
+            {
+                "query_id": pd.array([o[0] for o in out], dtype="int64"),
+                "cand_id": pd.array([o[1] for o in out], dtype="int64"),
+                "rs": pd.array([o[2] for o in out], dtype="int64"),
+            }
+        )
+
+    s5 = coarse_group_reduce(s_scores, "query_id", sparse_final)
+
+    # ---- fusion: full outer on (query, cand), RRF, top-3 per query ----
+    def keyed(cols_keep):
+        def fn(b: pa.Table) -> pa.Table:
+            ks = [
+                f"{q}:{c}" for q, c in zip(
+                    b["query_id"].to_pylist(), b["cand_id"].to_pylist()
+                )
+            ]
+            out = {"k": pa.array(ks, pa.string())}
+            for name, src in cols_keep.items():
+                out[name] = pc.cast(b[src], pa.int64())
+            return pa.table(out)
+
+        return fn
+
+    d_k = d5.map_batches(
+        keyed({"query_id": "query_id", "cand_id": "cand_id", "rd": "rd"}),
+        batch_format="pyarrow",
+    )
+    s_k = s5.map_batches(
+        keyed({"qid_s": "query_id", "cid_s": "cand_id", "rs": "rs"}),
+        batch_format="pyarrow",
+    )
+    fused = bucketed_hash_join(
+        d_k, s_k, key="k",
+        left_columns=["query_id", "cand_id", "rd"],
+        right_columns=["qid_s", "cid_s", "rs"],
+        join_type="full outer",
+    )
+
+    def rrf(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        qid = df["query_id"].fillna(df["qid_s"]).astype("int64")
+        cid = df["cand_id"].fillna(df["cid_s"]).astype("int64")
+        rd = df["rd"].fillna(0).astype("int64")
+        rs = df["rs"].fillna(0).astype("int64")
+        score = np.where(
+            rd.to_numpy() > 0, 1.0 / (K_RRF + rd.to_numpy()), 0.0
+        ) + np.where(
+            rs.to_numpy() > 0, 1.0 / (K_RRF + rs.to_numpy()), 0.0
+        )
+        return pa.table(
+            {
+                "query_id": pa.array(qid.to_numpy(), pa.int64()),
+                "cand_id": pa.array(cid.to_numpy(), pa.int64()),
+                "r_dense": pa.array(rd.to_numpy(), pa.int64()),
+                "r_sparse": pa.array(rs.to_numpy(), pa.int64()),
+                "rrf": pa.array(score, pa.float64()),
+            }
+        )
+
+    def top3(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for qid, g in df.groupby("query_id"):
+            g = g.sort_values(
+                ["rrf", "cand_id"], ascending=[False, True],
+                kind="mergesort",
+            ).head(OUT_K)
+            for r, row in enumerate(g.itertuples(index=False), 1):
+                out.append(
+                    (qid, row.cand_id, r, row.r_dense, row.r_sparse)
+                )
+        return pd.DataFrame(
+            {
+                "query_id": pd.array([o[0] for o in out], dtype="int64"),
+                "cand_id": pd.array([o[1] for o in out], dtype="int64"),
+                "fused_rank": pd.array(
+                    [o[2] for o in out], dtype="int64"
+                ),
+                "r_dense": pd.array([o[3] for o in out], dtype="int64"),
+                "r_sparse": pd.array([o[4] for o in out], dtype="int64"),
+            }
+        )
+
+    return coarse_group_reduce(
+        fused.map_batches(rrf, batch_format="pyarrow"), "query_id", top3
+    )
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -8351,6 +8601,7 @@ QUERIES = {
     "q163_incremental_exact": q163_incremental_exact,
     "q164_audio_fp_match": q164_audio_fp_match,
     "q165_migration_checksum": q165_migration_checksum,
+    "q166_rrf_fusion": q166_rrf_fusion,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -9647,6 +9898,88 @@ ORACLE_SQL = {
                                   || coalesce(text, ''))
                  & 9223372036854775807 AS BIGINT)) AS chk
         FROM documents GROUP BY 1
+    """,
+    "q166_rrf_fusion": r"""
+        -- hybrid retrieval: dense cosine top-5 + sparse rare-bigram
+        -- top-5 fused by RRF (k=60; at most two fixed-order additions,
+        -- so the float comparison is engine-identical); integer output
+        WITH dsim AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+                 list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])) AS sim
+          FROM embeddings a, embeddings b
+          WHERE a.vec_id % 10 = 0 AND b.vec_id <> a.vec_id
+        ),
+        d5 AS (
+          SELECT query_id, cand_id, r FROM (
+            SELECT query_id, cand_id,
+                   row_number() OVER (
+                     PARTITION BY query_id ORDER BY sim DESC, cand_id
+                   ) AS r
+            FROM dsim) WHERE r <= 5
+        ),
+        toks AS (
+          SELECT doc_id,
+                 regexp_split_to_array(lower(text), '\s+') AS t
+          FROM documents
+        ),
+        bg AS (
+          SELECT doc_id, unnest(list_transform(
+            range(1, len(t)), i -> t[i] || ' ' || t[i+1]
+          )) AS term
+          FROM toks
+        ),
+        tf AS (
+          SELECT term, doc_id, count(*) AS tf
+          FROM bg GROUP BY 1, 2
+        ),
+        rare AS (
+          SELECT term FROM tf GROUP BY term
+          HAVING count(*) BETWEEN 2 AND 20
+        ),
+        sp AS (
+          SELECT x.doc_id AS query_id, y.doc_id AS cand_id,
+                 CAST(sum(x.tf * y.tf) AS BIGINT) AS score
+          FROM tf x
+          JOIN tf y ON x.term = y.term AND y.doc_id <> x.doc_id
+          JOIN rare r ON x.term = r.term
+          WHERE x.doc_id % 10 = 0
+          GROUP BY 1, 2
+        ),
+        s5 AS (
+          SELECT query_id, cand_id, r FROM (
+            SELECT query_id, cand_id,
+                   row_number() OVER (
+                     PARTITION BY query_id ORDER BY score DESC, cand_id
+                   ) AS r
+            FROM sp) WHERE r <= 5
+        ),
+        u AS (
+          SELECT coalesce(d.query_id, s.query_id) AS query_id,
+                 coalesce(d.cand_id, s.cand_id) AS cand_id,
+                 coalesce(d.r, 0) AS r_dense,
+                 coalesce(s.r, 0) AS r_sparse
+          FROM d5 d FULL OUTER JOIN s5 s
+            ON d.query_id = s.query_id AND d.cand_id = s.cand_id
+        ),
+        f AS (
+          SELECT query_id, cand_id, r_dense, r_sparse,
+                 (CASE WHEN r_dense > 0
+                       THEN 1.0 / (60 + r_dense) ELSE 0.0 END)
+                 + (CASE WHEN r_sparse > 0
+                         THEN 1.0 / (60 + r_sparse) ELSE 0.0 END) AS rrf
+          FROM u
+        )
+        SELECT query_id, cand_id,
+               CAST(fr AS BIGINT) AS fused_rank,
+               CAST(r_dense AS BIGINT) AS r_dense,
+               CAST(r_sparse AS BIGINT) AS r_sparse
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY rrf DESC, cand_id
+          ) AS fr FROM f
+        ) WHERE fr <= 3
     """,
     "q163_incremental_exact": """
         -- wave-2 survivors: first within-wave occurrence of each fp
