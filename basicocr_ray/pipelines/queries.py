@@ -8438,6 +8438,213 @@ def q166_rrf_fusion(sf_dir: str):
     )
 
 
+def q167_margin_mining(sf_dir: str):
+    """MARGIN-based neighbor mining — the CCMatrix/LASER bitext-mining
+    criterion (Artetxe & Schwenk 2019) re-expressed for Ray Data: for
+    every source vector (label = 0) and each of its cosine top-4
+    candidates among the rest of the corpus, score
+    margin = cos(a,b) / ((avgk(a) + avgk(b)) / 2) where avgk(·) is the
+    mean of the vector's top-4 cosines against the OTHER side — the
+    ratio-margin that suppresses hub vectors a raw-cosine cut cannot.
+    Shapes: the source side is the bounded query set (read once,
+    `ray.put` broadcast); ONE matmul pass over candidate batches yields
+    both directions — per-candidate avgk(b) is EXACT locally (the whole
+    source matrix is visible in every batch) while per-source top-4
+    rows reduce through coarse groups; the tiny candidate relation then
+    meets the per-candidate averages in a bucketed hash join (at corpus
+    scale the b-avg relation is fact-sized — it never touches the
+    driver). All sums over the 4 top values run in descending order on
+    the Ray side; round-6 absorbs the unordered-avg ulp on the SQL side
+    (q15/q166 float discipline)."""
+    import ray
+
+    from basicocr_ray.stages.joins import bucketed_hash_join
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    K = 4
+
+    qtab = pq.read_table(
+        _p(sf_dir, "embeddings"), columns=["vec_id", "embedding", "label"]
+    )
+    qsel = qtab.filter(pc.equal(qtab["label"], 0))
+    qids = np.asarray(qsel["vec_id"].to_pylist(), dtype=np.int64)
+    Q = np.asarray(qsel["embedding"].to_pylist(), dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qref = ray.put((qids, Qn))
+
+    ds = _read(
+        sf_dir, "embeddings", columns=["vec_id", "embedding", "label"]
+    )
+
+    def _cand_sims(b: pa.Table):
+        """(cand_ids, sims cand×src, src_ids) for the label≠0 rows."""
+        import ray as _ray
+
+        ids_np, Qn_b = _ray.get(qref)
+        keep = pc.not_equal(b["label"], 0)
+        b = b.filter(keep)
+        cids = np.asarray(b["vec_id"].to_pylist(), dtype=np.int64)
+        if len(cids) == 0:
+            return cids, np.zeros((0, len(ids_np))), ids_np
+        V = np.asarray(b["embedding"].to_pylist(), dtype=np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        return cids, Vn @ Qn_b.T, ids_np
+
+    def _desc_mean(v: np.ndarray) -> float:
+        """Sum in descending order (deterministic), then /len."""
+        acc = 0.0
+        for x in sorted(v.tolist(), reverse=True):
+            acc += x
+        return acc / len(v)
+
+    # per-candidate avgk(b): exact within one batch (full source side
+    # is present), one row per candidate — no reduce needed
+    def b_avg(b: pa.Table) -> pa.Table:
+        cids, sims, _ = _cand_sims(b)
+        out_ab = [
+            _desc_mean(np.sort(row)[-K:]) for row in sims
+        ]
+        return pa.table(
+            {
+                "cand_id": pa.array(cids, pa.int64()),
+                "ab": pa.array(out_ab, pa.float64()),
+            }
+        )
+
+    bavg = ds.map_batches(b_avg, batch_format="pyarrow")
+
+    # per-source batch-local top-4 → coarse-group final top-4 + avgk(a)
+    def a_partial(b: pa.Table) -> pa.Table:
+        cids, sims, ids_np = _cand_sims(b)
+        out_a, out_c, out_s = [], [], []
+        for j, aid in enumerate(ids_np):
+            col = sims[:, j] if len(cids) else np.zeros(0)
+            order = np.lexsort((cids, -col))[:K]
+            out_a.extend([int(aid)] * len(order))
+            out_c.extend(cids[order].tolist())
+            out_s.extend(col[order].tolist())
+        return pa.table(
+            {
+                "src_id": pa.array(out_a, pa.int64()),
+                "cand_id": pa.array(out_c, pa.int64()),
+                "s": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def a_final(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for aid, g in df.groupby("src_id"):
+            g = g.sort_values(
+                ["s", "cand_id"], ascending=[False, True],
+                kind="mergesort",
+            ).head(K)
+            aa = _desc_mean(g["s"].to_numpy())
+            for row in g.itertuples(index=False):
+                out.append((aid, row.cand_id, row.s, aa))
+        return pd.DataFrame(
+            {
+                "src_id": pd.array([o[0] for o in out], dtype="int64"),
+                "cand_id": pd.array([o[1] for o in out], dtype="int64"),
+                "s": pd.array([o[2] for o in out], dtype="float64"),
+                "aa": pd.array([o[3] for o in out], dtype="float64"),
+            }
+        )
+
+    cands = coarse_group_reduce(
+        ds.map_batches(a_partial, batch_format="pyarrow"),
+        "src_id",
+        a_final,
+    )
+
+    joined = bucketed_hash_join(
+        cands, bavg, key="cand_id",
+        left_columns=["src_id", "s", "aa"], right_columns=["ab"],
+    )
+
+    def margin(b: pa.Table) -> pa.Table:
+        s = b["s"].to_numpy(zero_copy_only=False)
+        aa = b["aa"].to_numpy(zero_copy_only=False)
+        ab = b["ab"].to_numpy(zero_copy_only=False)
+        m = [
+            _round_half_up(float(v), 6)
+            for v in s / ((aa + ab) / 2.0)
+        ]
+        return pa.table(
+            {
+                "src_id": b["src_id"],
+                "cand_id": b["cand_id"],
+                "margin": pa.array(m, pa.float64()),
+            }
+        )
+
+    return joined.map_batches(margin, batch_format="pyarrow")
+
+
+def q168_zorder_cells(sf_dir: str):
+    """Z-ORDER (Morton) clustering keys — the multi-dimensional layout
+    key behind Delta/Iceberg `OPTIMIZE ZORDER BY`: interleaving the bits
+    of two dimensions (user bucket × hour bucket, 8 bits each) gives a
+    1-D sort key under which rows close in BOTH dimensions land in the
+    same file, so min/max zone maps prune 2-D predicates. The query
+    computes the 16-bit Morton code per event VECTORIZED (numpy shifts,
+    no Python loop over rows), rolls up per 64-code z-cell (count +
+    min/max code — exactly the zone-map a writer would persist), with
+    per-batch partial aggregation so the shuffle carries ≤1024 rows per
+    batch. All-integer output."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        epoch_us = (
+            df["ts"].astype("datetime64[ns]").astype("int64") // 1_000
+        )
+        x = (df["user_id"].astype("int64") % 256).to_numpy()
+        y = ((epoch_us // 3_600_000_000) % 256).to_numpy()
+        z = np.zeros(len(x), dtype=np.int64)
+        for i in range(8):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        g = pd.DataFrame({"zcell": z // 64, "zv": z}).groupby(
+            "zcell", as_index=False
+        ).agg(
+            n_rows=("zv", "size"),
+            z_min=("zv", "min"),
+            z_max=("zv", "max"),
+        )
+        return g
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("zcell")
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Min("z_min", alias_name="z_min"),
+            Max("z_max", alias_name="z_max"),
+        )
+    )
+    df = agg.to_pandas()
+    for c in ("zcell", "n_rows", "z_min", "z_max"):
+        df[c] = df[c].astype("int64")
+    return df
+
+
+def q169_shingle_containment(sf_dir: str):
+    """Asymmetric CONTAINMENT near-dup (Broder 1997): ordered doc pairs
+    where ≥ 50% of the source doc's distinct word 5-gram shingles also
+    appear in the superset doc — the quote/subset relation symmetric
+    Jaccard (q22) misses. Kernel in `stages/dedup.py:shingle_containment`
+    (distinct-shingle exchange → exact ordered pair counts → per-source
+    shingle counts → one bucketed join; text never rides a shuffle)."""
+    from basicocr_ray.stages.dedup import shingle_containment
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return shingle_containment(
+        ds, id_column="doc_id", text_column="text", width=5,
+        threshold=0.5,
+    )
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -8602,6 +8809,9 @@ QUERIES = {
     "q164_audio_fp_match": q164_audio_fp_match,
     "q165_migration_checksum": q165_migration_checksum,
     "q166_rrf_fusion": q166_rrf_fusion,
+    "q167_margin_mining": q167_margin_mining,
+    "q168_zorder_cells": q168_zorder_cells,
+    "q169_shingle_containment": q169_shingle_containment,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -8612,6 +8822,13 @@ QUERIES = {
 }
 
 _TOKS = r"regexp_split_to_array(lower(text), '\s+')"
+
+# 16-bit Morton interleave of two 8-bit ints x, y (x on even bits)
+_MORTON16 = " + ".join(
+    f"((x >> {i}) & 1) * {1 << (2 * i)} + "
+    f"((y >> {i}) & 1) * {1 << (2 * i + 1)}"
+    for i in range(8)
+)
 
 
 def _bpe_oracle_sql(steps: int = 5) -> str:
@@ -9980,6 +10197,97 @@ ORACLE_SQL = {
             PARTITION BY query_id ORDER BY rrf DESC, cand_id
           ) AS fr FROM f
         ) WHERE fr <= 3
+    """,
+    "q167_margin_mining": """
+        -- CCMatrix-style ratio margin: source side = label 0; per
+        -- (source, top-4 candidate) margin = cos / mean of top-4
+        -- cosines of each endpoint against the other side
+        WITH a AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE label = 0
+        ),
+        b AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE label <> 0
+        ),
+        sims AS (
+          SELECT a.vec_id AS sa, b.vec_id AS sb,
+                 list_cosine_similarity(a.e, b.e) AS s
+          FROM a, b
+        ),
+        atop AS (
+          SELECT sa, sb, s,
+                 row_number() OVER (
+                   PARTITION BY sa ORDER BY s DESC, sb
+                 ) AS rn
+          FROM sims
+        ),
+        aavg AS (
+          SELECT sa, avg(s) AS aa FROM atop WHERE rn <= 4 GROUP BY sa
+        ),
+        btop AS (
+          SELECT sb, s,
+                 row_number() OVER (
+                   PARTITION BY sb ORDER BY s DESC, sa
+                 ) AS rn
+          FROM sims
+        ),
+        bavg AS (
+          SELECT sb, avg(s) AS ab FROM btop WHERE rn <= 4 GROUP BY sb
+        )
+        SELECT t.sa AS src_id, t.sb AS cand_id,
+               round(t.s / ((aavg.aa + bavg.ab) / 2), 6) AS margin
+        FROM atop t
+        JOIN aavg USING (sa)
+        JOIN bavg ON t.sb = bavg.sb
+        WHERE t.rn <= 4
+    """,
+    "q168_zorder_cells": f"""
+        -- 16-bit Morton code over (user_id % 256, epoch-hour % 256),
+        -- zone-map rollup per 64-code z-cell
+        WITH xy AS (
+          SELECT CAST(user_id % 256 AS BIGINT) AS x,
+                 CAST((epoch_us(ts) // 3600000000) % 256 AS BIGINT) AS y
+          FROM events
+        ),
+        z AS (SELECT ({_MORTON16}) AS zv FROM xy)
+        SELECT CAST(zv // 64 AS BIGINT) AS zcell,
+               count(*) AS n_rows,
+               CAST(min(zv) AS BIGINT) AS z_min,
+               CAST(max(zv) AS BIGINT) AS z_max
+        FROM z GROUP BY 1
+    """,
+    "q169_shingle_containment": f"""
+        -- ordered-pair shingle containment over distinct word 5-gram
+        -- md5 sets; keep pairs with |S(a) ∩ S(b)| / |S(a)| >= 0.5
+        WITH toks AS (
+          SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS tk
+          FROM documents
+        ),
+        g0 AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   range(1, greatest(len(tk) - 3, 1)),
+                   i -> md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                            || ' ' || tk[i+3] || ' ' || tk[i+4])
+                 )) AS fp
+          FROM toks WHERE len(tk) >= 5
+        ),
+        g AS (SELECT DISTINCT doc_id, fp FROM g0),
+        nsh AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        pairs AS (
+          SELECT ga.doc_id AS src_id, gb.doc_id AS sup_id,
+                 count(*) AS n_inter
+          FROM g ga JOIN g gb USING (fp)
+          WHERE ga.doc_id <> gb.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT p.src_id, p.sup_id,
+               CAST(p.n_inter AS BIGINT) AS n_inter,
+               CAST(nsh.n AS BIGINT) AS n_src,
+               round(p.n_inter::DOUBLE / nsh.n, 6) AS containment
+        FROM pairs p JOIN nsh ON p.src_id = nsh.doc_id
+        WHERE p.n_inter::DOUBLE / nsh.n >= 0.5
     """,
     "q163_incremental_exact": """
         -- wave-2 survivors: first within-wave occurrence of each fp

@@ -256,6 +256,124 @@ def dup_span_intervals(ds, id_column: str = "doc_id",
     return coarse_group_reduce(dup, id_column, intervals, num_salt=num_salt)
 
 
+def shingle_containment(ds, id_column: str = "doc_id",
+                        text_column: str = "text", width: int = 5,
+                        threshold: float = 0.5,
+                        num_salt: int | None = None):
+    """ASYMMETRIC near-duplicate detection by shingle CONTAINMENT
+    (Broder 1997's second resemblance measure): C(a→b) =
+    |S(a) ∩ S(b)| / |S(a)| over distinct word ``width``-gram md5 sets —
+    the quote/subset detector Jaccard misses (a short doc fully embedded
+    in a long one has low Jaccard but containment 1.0).
+
+    Shapes: per-doc DISTINCT shingle fps emit (fp, id) — text never
+    rides a shuffle; the fp-keyed coarse exchange holds all holders of
+    a gram, so per-group ORDERED pair partial counts are exact and a
+    second (src, sup)-keyed coarse sum gives |S(a) ∩ S(b)|; per-doc
+    shingle counts reduce id-keyed; one bucketed hash join meets the
+    two. Hot shingles (df ≫, boilerplate) fan out O(df²) — strip
+    boilerplate first (`boilerplate_paras`) on corpora that have it;
+    the pair exchange carries ids only either way.
+
+    → (src_id, sup_id, n_inter, n_src, containment) for ordered pairs
+    with containment ≥ ``threshold``; containment is round-6 of an
+    exact int/int division (engine-identical IEEE)."""
+    from basicocr_ray.stages.joins import bucketed_hash_join
+    from basicocr_ray.stages.wide import coarse_group_reduce, token_items
+
+    def grams(batch: pa.Table) -> pa.Table:
+        out_fp, out_id = [], []
+        for did, t in zip(
+            batch[id_column].to_pylist(), batch[text_column].to_pylist()
+        ):
+            toks = token_items(t) if t else []
+            seen = set()
+            for pos in range(len(toks) - width + 1):
+                seen.add(md5_hex(" ".join(toks[pos : pos + width])))
+            out_fp.extend(seen)
+            out_id.extend([did] * len(seen))
+        return pa.table(
+            {
+                "fp": pa.array(out_fp, pa.string()),
+                "src_id": pa.array(out_id, pa.int64()),
+            }
+        )
+
+    shingles = ds.map_batches(grams, batch_format="pyarrow")
+
+    def count_src(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("src_id", as_index=False).size()
+        g = g.rename(columns={"size": "n_src"})
+        return g.astype({"src_id": "int64", "n_src": "int64"})
+
+    nsrc = coarse_group_reduce(shingles, "src_id", count_src,
+                               num_salt=num_salt)
+
+    def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in df.groupby("fp", sort=False):
+            ids = g["src_id"].to_numpy()
+            if len(ids) < 2:
+                continue
+            for i in range(len(ids)):
+                for j in range(len(ids)):
+                    if ids[i] != ids[j]:
+                        out_a.append(int(ids[i]))
+                        out_b.append(int(ids[j]))
+        p = pd.DataFrame(
+            {
+                "src_id": pd.array(out_a, dtype="int64"),
+                "sup_id": pd.array(out_b, dtype="int64"),
+            }
+        )
+        g = p.groupby(["src_id", "sup_id"], as_index=False).size()
+        g = g.rename(columns={"size": "n_inter"})
+        return g.astype(
+            {"src_id": "int64", "sup_id": "int64", "n_inter": "int64"}
+        )
+
+    partial_pairs = coarse_group_reduce(
+        shingles, "fp", pair_partials, num_salt=num_salt
+    )
+
+    def sum_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["src_id", "sup_id"], as_index=False)[
+            "n_inter"
+        ].sum()
+        return g.astype(
+            {"src_id": "int64", "sup_id": "int64", "n_inter": "int64"}
+        )
+
+    pairs = coarse_group_reduce(
+        partial_pairs, ["src_id", "sup_id"], sum_pairs, num_salt=num_salt
+    )
+
+    joined = bucketed_hash_join(
+        pairs, nsrc, key="src_id",
+        left_columns=["sup_id", "n_inter"], right_columns=["n_src"],
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        ni = b["n_inter"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ns = b["n_src"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c = ni / ns
+        keep = c >= threshold
+        cr = [
+            float(np.floor(v * 1e6 + 0.5) / 1e6) for v in c[keep]
+        ]
+        return pa.table(
+            {
+                "src_id": b["src_id"].filter(pa.array(keep)),
+                "sup_id": b["sup_id"].filter(pa.array(keep)),
+                "n_inter": b["n_inter"].filter(pa.array(keep)),
+                "n_src": b["n_src"].filter(pa.array(keep)),
+                "containment": pa.array(cr, pa.float64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def span_cut_rewrite(ds, id_column: str = "doc_id",
                      text_column: str = "text", width: int = 5,
                      out_column: str = "cut_text",
