@@ -8645,6 +8645,125 @@ def q169_shingle_containment(sf_dir: str):
     )
 
 
+def q170_interval_coverage(sf_dir: str):
+    """INTERVAL-UNION coverage per user — the classic sweep-line merge
+    (ad/session exposure accounting, GTFS service spans): each event
+    opens an interval [ts, ts + dur) with dur = (event_id % 3600) + 60
+    seconds (deterministic per row so both engines build identical
+    intervals); overlapping intervals merge into islands; output per
+    user the island count and the total covered microseconds (exact
+    BIGINT — timestamp math never touches floats). Shape: rows shuffle
+    ONCE into coarse groups of the user hash; inside a group the merge
+    is one vectorized pandas pass (sort → per-user running cummax of
+    interval ends → island ids by cumsum — q18's no-per-key-Python-call
+    discipline), so a user's intervals never centralize beyond their
+    coarse group."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def coverage(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        s = g["ts"].astype("datetime64[us]").astype("int64")
+        e = s + ((g["event_id"] % 3600) + 60) * 1_000_000
+        prev_max = (
+            e.groupby(g["user_id"]).cummax().groupby(g["user_id"]).shift(1)
+        )
+        new_island = prev_max.isna() | (s > prev_max)
+        island = new_island.cumsum()
+        isl = pd.DataFrame(
+            {"user_id": g["user_id"], "island": island, "s": s, "e": e}
+        ).groupby(["user_id", "island"], as_index=False).agg(
+            s0=("s", "min"), e1=("e", "max")
+        )
+        out = isl.assign(cov=isl["e1"] - isl["s0"]).groupby(
+            "user_id", as_index=False
+        ).agg(n_islands=("cov", "size"), covered_us=("cov", "sum"))
+        return out.astype(
+            {"user_id": "int64", "n_islands": "int64", "covered_us": "int64"}
+        )
+
+    return coarse_group_reduce(ds, "user_id", coverage)
+
+
+def q171_edit2_fuzzy_pairs(sf_dir: str):
+    """Edit-distance-≤2 fuzzy vocabulary self-join — q68's FastSS
+    deletion-neighborhood join generalized to depth 2 (`stages.simjoin.
+    editk_vocab_join`): every pair of distinct corpus tokens with exact
+    Levenshtein distance 1 or 2, with the distance in the output. The
+    vocab is length-bounded (4..16 chars) on BOTH sides — the variant
+    explode is O(L²) per token at depth 2, so the bound is the
+    scale-safety contract, mirrored in the oracle's WHERE."""
+    from basicocr_ray.stages.simjoin import editk_vocab_join
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def local_vocab(b: pa.Table) -> pa.Table:
+        s: set = set()
+        for t in b["text"].to_pylist():
+            if t:
+                s.update(
+                    w for w in token_items(t) if 4 <= len(w) <= 16
+                )
+        return pa.table({"token": pa.array(sorted(s), pa.string())})
+
+    vocab = ds.map_batches(local_vocab, batch_format="pyarrow")
+    return editk_vocab_join(vocab, max_d=2)
+
+
+def q172_decay_leaderboard(sf_dir: str):
+    """Trending-users leaderboard with EXPONENTIAL TIME DECAY — the feed
+    -ranking primitive — made hash-exact by dyadic weights: each event
+    contributes 2^(48 − min(age_hours, 48)) where age is whole hours
+    behind the corpus max timestamp, so every weight is an INTEGER
+    (1 … 2⁴⁸) and the per-user score is an exact BIGINT sum no float
+    accumulation order can perturb. Two passes: a tiny scalar max(ts)
+    (driver-held scalar, the q28 shape), then per-batch partial (user,
+    n, score) sums → coarse user-hash reduce → per-batch local top-20 →
+    tiny global sort; rows never shuffle, only per-user partials."""
+    from basicocr_ray.stages.wide import coarse_group_reduce, top_k
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    max_ts = ds.max("ts")
+    max_us = int(
+        np.datetime64(pd.Timestamp(max_ts), "us").astype("int64")
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = pc.cast(
+            pc.cast(b["ts"], pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        age_h = (max_us - ts_us) // 3_600_000_000
+        w = np.int64(1) << (48 - np.minimum(age_h, 48))
+        df = pd.DataFrame(
+            {"user_id": b["user_id"].to_numpy(zero_copy_only=False), "w": w}
+        )
+        out = df.groupby("user_id", as_index=False).agg(
+            n_events=("w", "size"), score=("w", "sum")
+        )
+        return pa.Table.from_pandas(
+            out.astype(
+                {"user_id": "int64", "n_events": "int64", "score": "int64"}
+            ),
+            preserve_index=False,
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("user_id", as_index=False).agg(
+            n_events=("n_events", "sum"), score=("score", "sum")
+        )
+        return out.astype(
+            {"user_id": "int64", "n_events": "int64", "score": "int64"}
+        )
+
+    per_user = coarse_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"), "user_id", final
+    )
+    return top_k(per_user, 20, "score", "user_id")
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -8812,6 +8931,9 @@ QUERIES = {
     "q167_margin_mining": q167_margin_mining,
     "q168_zorder_cells": q168_zorder_cells,
     "q169_shingle_containment": q169_shingle_containment,
+    "q170_interval_coverage": q170_interval_coverage,
+    "q171_edit2_fuzzy_pairs": q171_edit2_fuzzy_pairs,
+    "q172_decay_leaderboard": q172_decay_leaderboard,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -10104,6 +10226,67 @@ ORACLE_SQL = {
         SELECT CAST(vec_id + 10000 AS BIGINT) AS clip_id,
                vec_id AS orig_id
         FROM embeddings WHERE vec_id % 4 = 0
+    """,
+    "q170_interval_coverage": """
+        -- sweep-line interval union: running max of interval ends per
+        -- user marks island starts; covered time is exact integer us
+        WITH iv AS (
+          SELECT user_id, event_id, epoch_us(ts) AS s,
+                 epoch_us(ts) + ((event_id % 3600) + 60) * 1000000 AS e
+          FROM events
+        ),
+        ord AS (
+          SELECT *, max(e) OVER (
+                   PARTITION BY user_id ORDER BY s, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ) AS prev_max
+          FROM iv
+        ),
+        isl AS (
+          SELECT *, sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                             THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY s, event_id
+                 ) AS island
+          FROM ord
+        ),
+        m AS (
+          SELECT user_id, island, min(s) AS s0, max(e) AS e1
+          FROM isl GROUP BY 1, 2
+        )
+        SELECT user_id, count(*) AS n_islands,
+               CAST(sum(e1 - s0) AS BIGINT) AS covered_us
+        FROM m GROUP BY 1
+    """,
+    "q171_edit2_fuzzy_pairs": """
+        -- brute-force Levenshtein over the length-bounded vocab; the
+        -- 4..16 length bound is the Ray side's variant-explode contract
+        WITH vocab AS (
+          SELECT DISTINCT tok FROM (
+            SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+            FROM documents WHERE text IS NOT NULL
+          ) WHERE length(tok) BETWEEN 4 AND 16
+        )
+        SELECT a.tok AS tok_a, b.tok AS tok_b,
+               CAST(levenshtein(a.tok, b.tok) AS BIGINT) AS dist
+        FROM vocab a JOIN vocab b ON a.tok < b.tok
+        WHERE levenshtein(a.tok, b.tok) <= 2
+    """,
+    "q172_decay_leaderboard": """
+        -- dyadic decay: weight = 2^(48 - min(age_hours, 48)) is an exact
+        -- BIGINT, so the per-user score is order-invariant in any engine
+        WITH m AS (SELECT max(epoch_us(ts)) AS mt FROM events),
+        w AS (
+          SELECT user_id,
+                 (CAST(1 AS BIGINT) << CAST(
+                    48 - least((mt - epoch_us(ts)) // 3600000000, 48)
+                  AS INT)) AS wgt
+          FROM events, m
+        )
+        SELECT user_id, count(*) AS n_events,
+               CAST(sum(wgt) AS BIGINT) AS score
+        FROM w GROUP BY 1
+        ORDER BY score DESC, user_id
+        LIMIT 20
     """,
     "q165_migration_checksum": """
         -- order-insensitive per-lang content digest: XOR of per-row

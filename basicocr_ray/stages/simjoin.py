@@ -409,3 +409,148 @@ def edit1_vocab_join(vocab_ds, token_column: str = "token",
             batch_size=65536,
         )
     )
+
+
+def _lev_dist_le(a: str, b: str, k: int):
+    """Exact Levenshtein distance if ≤ k, else None. Full DP with a
+    row-minimum early exit — candidate tokens are short (the callers
+    bound token length), so the O(|a|·|b|) table is a few hundred cells;
+    the early exit prunes the common all-different case after ~k rows."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return None
+    if a == b:
+        return 0
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        ca = a[i - 1]
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (ca != b[j - 1]),
+            )
+        if min(cur) > k:
+            return None
+        prev = cur
+    return prev[lb] if prev[lb] <= k else None
+
+
+def _deletes_upto(tok: str, depth: int) -> set:
+    """All strings reachable from ``tok`` by deleting ≤ ``depth`` chars
+    (FastSS / SymSpell deletion neighborhood), ``tok`` itself included."""
+    frontier = {tok}
+    out = {tok}
+    for _ in range(depth):
+        nxt = set()
+        for t in frontier:
+            for i in range(len(t)):
+                v = t[:i] + t[i + 1 :]
+                if v not in out:
+                    nxt.add(v)
+        out |= nxt
+        frontier = nxt
+    return out
+
+
+def editk_vocab_join(vocab_ds, token_column: str = "token", max_d: int = 2,
+                     num_salt: int | None = None):
+    """Fuzzy vocabulary SELF-JOIN at edit distance ≤ ``max_d`` →
+    (tok_a, tok_b, dist), tok_a < tok_b, dist the EXACT Levenshtein
+    distance (1..max_d). The distance-k generalization of
+    `edit1_vocab_join`: candidates come from the depth-``max_d``
+    deletion neighborhood (FastSS, Bocek et al. 2007: lev(a, b) ≤ k ⇒
+    Dels≤k(a) ∩ Dels≤k(b) ≠ ∅ — every edit is simulated by a deletion on
+    one or both sides), then every candidate passes the exact banded-DP
+    verify, so false candidates (the converse is false) never surface.
+
+    Scale shape: the variant explode is ≤ (1 + L + C(L,2) + …)× the
+    vocab — callers should bound token length (the explode is
+    polynomial in L of degree max_d). Candidates coarse-group by
+    variant hash; pairs dedup + verify in coarse groups of the pair
+    hash; nothing centralizes. Duplicate vocab rows (per-batch local
+    vocabularies) collapse inside the candidate groups."""
+    import numpy as np
+
+    salts = _coarse_salts(num_salt)
+
+    def variants(b: pa.Table) -> pa.Table:
+        va, vt = [], []
+        for t in b[token_column].to_pylist():
+            if not t:
+                continue
+            for v in _deletes_upto(t, max_d):
+                va.append(v)
+                vt.append(t)
+        return pa.table(
+            {
+                "variant": pa.array(va, pa.string()),
+                "tok": pa.array(vt, pa.string()),
+            }
+        )
+
+    def add_var_cg(b: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            b["variant"].combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        return b.append_column(
+            "cg", pa.array((h & (salts - 1)).astype(np.int32))
+        )
+
+    def pairs_in_group(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in df.groupby("variant"):
+            toks = sorted(set(g["tok"]))
+            for i in range(len(toks)):
+                for j in range(i + 1, len(toks)):
+                    out_a.append(toks[i])
+                    out_b.append(toks[j])
+        return pd.DataFrame({"tok_a": out_a, "tok_b": out_b}).astype("str")
+
+    pair_schema = pa.schema([("tok_a", pa.string()), ("tok_b", pa.string())])
+    cand = (
+        vocab_ds.map_batches(variants, batch_format="pyarrow")
+        .map_batches(add_var_cg, batch_format="pyarrow")
+        .groupby("cg")
+        .map_groups(pairs_in_group, batch_format="pandas")
+        .map_batches(
+            _stabilizer(pair_schema), batch_format="pyarrow",
+            batch_size=65536,
+        )
+    )
+
+    def add_pair_cg(b: pa.Table) -> pa.Table:
+        joined = pc.binary_join_element_wise(b["tok_a"], b["tok_b"], "\x1f")
+        h = pd.util.hash_array(
+            joined.combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        return b.append_column(
+            "cg", pa.array((h & (salts - 1)).astype(np.int32))
+        )
+
+    def dedup_verify(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["tok_a", "tok_b"]].drop_duplicates()
+        dists = [
+            _lev_dist_le(a, b, max_d)
+            for a, b in zip(df["tok_a"], df["tok_b"])
+        ]
+        keep = np.asarray([d is not None for d in dists], dtype=bool)
+        out = df[keep].copy()
+        out["dist"] = pd.array(
+            [d for d in dists if d is not None], dtype="int64"
+        )
+        return out
+
+    out_schema = pa.schema(
+        [("tok_a", pa.string()), ("tok_b", pa.string()), ("dist", pa.int64())]
+    )
+    return (
+        cand.map_batches(add_pair_cg, batch_format="pyarrow")
+        .groupby("cg")
+        .map_groups(dedup_verify, batch_format="pandas")
+        .map_batches(
+            _stabilizer(out_schema), batch_format="pyarrow",
+            batch_size=65536,
+        )
+    )
