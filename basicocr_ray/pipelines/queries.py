@@ -8764,6 +8764,262 @@ def q172_decay_leaderboard(sf_dir: str):
     return top_k(per_user, 20, "score", "user_id")
 
 
+def q173_kmv_sketch_ops(sf_dir: str):
+    """KMV/THETA-SKETCH SET OPERATIONS (Beyer et al. 2007 / the Theta
+    sketch) with fully auditable integer evidence — the distinct-count
+    sketch family's answer to set algebra that HLL can't do: populations
+    A = click users, B = view users; each sketch is the k = 64 SMALLEST
+    md5-low-63 hashes of the distinct user ids. θ_X = the k-th minimum;
+    the union sketch is the k smallest of A ∪ B (⊆ the two k-min sets —
+    the per-batch partial k-mins compose exactly because every global
+    k-min lives in some batch's local k-min); n_common counts union-
+    sketch members present in BOTH sides (the Jaccard numerator — valid
+    because h ≤ θ_U and h ∈ X ⇒ h is in X's k-min set). Exact distinct
+    audits (|A|, |B|, |A∩B|) ride along via a presence-bitmask reduce.
+    Output is LONG FORM (metric, value BIGINT) — no float ever hashes.
+    Shuffles carry ≤ 2·64 sketch rows per batch + per-group count
+    partials; user ids never move after the batch boundary."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    K = 64
+    MASK = (1 << 63) - 1
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def sketch_partial(b: pa.Table) -> pa.Table:
+        pops: dict[str, set] = {"a": set(), "b": set()}
+        for et, uid in zip(
+            b["event_type"].to_pylist(), b["user_id"].to_pylist()
+        ):
+            if et == "click":
+                pops["a"].add(uid)
+            elif et == "view":
+                pops["b"].add(uid)
+        out_p, out_h = [], []
+        for p, uids in pops.items():
+            hs = sorted(_md5_low64(str(u)) & MASK for u in uids)[:K]
+            out_p.extend([p] * len(hs))
+            out_h.extend(hs)
+        return pa.table(
+            {
+                "pop": pa.array(out_p, pa.string()),
+                "h": pa.array(out_h, pa.int64()),
+            }
+        )
+
+    def sketch_final(df: pd.DataFrame) -> pd.DataFrame:
+        ka = sorted(set(df[df["pop"] == "a"]["h"]))[:K]
+        kb = sorted(set(df[df["pop"] == "b"]["h"]))[:K]
+        ku = sorted(set(ka) | set(kb))[:K]
+        sa, sb = set(ka), set(kb)
+        n_common = sum(1 for h in ku if h in sa and h in sb)
+        rows = [
+            ("theta_a", ka[-1] if ka else 0),
+            ("theta_b", kb[-1] if kb else 0),
+            ("theta_union", ku[-1] if ku else 0),
+            ("n_common", n_common),
+        ]
+        return pd.DataFrame(
+            {
+                "metric": pd.array([r[0] for r in rows], dtype="object"),
+                "value": pd.array([r[1] for r in rows], dtype="int64"),
+            }
+        )
+
+    # the into-final relation is bounded: ≤ 2·64 rows per input batch
+    sketch = (
+        ds.map_batches(sketch_partial, batch_format="pyarrow")
+        .map_batches(
+            lambda b: b.append_column(
+                "cg", pa.array(np.zeros(len(b), dtype=np.int32))
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("cg")
+        .map_groups(
+            lambda df: sketch_final(df.drop(columns=["cg"])),
+            batch_format="pandas",
+        )
+    )
+
+    # exact audits: distinct (user, pop) presence bitmask → counts
+    def presence_partial(b: pa.Table) -> pa.Table:
+        seen: dict[int, int] = {}
+        for et, uid in zip(
+            b["event_type"].to_pylist(), b["user_id"].to_pylist()
+        ):
+            if et == "click":
+                seen[uid] = seen.get(uid, 0) | 1
+            elif et == "view":
+                seen[uid] = seen.get(uid, 0) | 2
+        items = sorted(seen.items())
+        return pa.table(
+            {
+                "user_id": pa.array([u for u, _ in items], pa.int64()),
+                "mask": pa.array([m for _, m in items], pa.int64()),
+            }
+        )
+
+    def presence_counts(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.groupby("user_id")["mask"].agg(
+            lambda s: int(np.bitwise_or.reduce(s.to_numpy()))
+        )
+        rows = [
+            ("exact_a", int((m.to_numpy() & 1 > 0).sum())),
+            ("exact_b", int((m.to_numpy() & 2 > 0).sum())),
+            ("exact_inter", int((m.to_numpy() == 3).sum())),
+        ]
+        return pd.DataFrame(
+            {
+                "metric": pd.array([r[0] for r in rows], dtype="object"),
+                "value": pd.array([r[1] for r in rows], dtype="int64"),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    audits = (
+        coarse_group_reduce(
+            ds.map_batches(presence_partial, batch_format="pyarrow"),
+            "user_id",
+            presence_counts,
+        )
+        .groupby("metric")  # bounded: 3 keys
+        .aggregate(Sum("value", alias_name="value"))
+    )
+    return sketch.union(audits)
+
+
+def q174_grouped_covariance(sf_dir: str):
+    """GROUPED FEATURE COVARIANCE over the embedding table (the PCA /
+    whitening / Mahalanobis prep step every embedding pipeline runs) —
+    made hash-exact by integer quantization: x_i := floor(1e6 · dim_i)
+    is an exact BIGINT in both engines (float32 → float64 is exact, one
+    double multiply + floor round identically), and the per-label
+    moment sums n, Σx_i, Σx_i·x_j (i ≤ j ≤ 3) are exact int64 — the
+    covariance matrix is a driver-side O(k·d²) epilogue the evidence
+    fully determines. Shape: ONE numpy pass per batch builds per-label
+    partial moment rows (Q^T Q per label — the k-means/covariance
+    canonical partial), a coarse label-hash reduce sums them; embedding
+    vectors never ride a shuffle."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    D = 4
+    ds = _read(sf_dir, "embeddings", columns=["embedding", "label"])
+    pair_idx = [(i, j) for i in range(D) for j in range(i, D)]
+
+    def partial(b: pa.Table) -> pa.Table:
+        labels = np.asarray(b["label"].to_pylist(), dtype=np.int64)
+        V = np.asarray(
+            [e[:D] for e in b["embedding"].to_pylist()], dtype=np.float64
+        )
+        Q = np.floor(V * 1e6).astype(np.int64)
+        rows: list[list[int]] = []
+        for lb in np.unique(labels):
+            m = labels == lb
+            Qm = Q[m]
+            C = Qm.T @ Qm
+            row = [int(lb), int(m.sum())]
+            row += [int(s) for s in Qm.sum(axis=0)]
+            row += [int(C[i, j]) for i, j in pair_idx]
+            rows.append(row)
+        names = (
+            ["label", "n"]
+            + [f"s{i}" for i in range(D)]
+            + [f"c{i}{j}" for i, j in pair_idx]
+        )
+        return pa.table(
+            {
+                nm: pa.array([r[k] for r in rows], pa.int64())
+                for k, nm in enumerate(names)
+            }
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("label", as_index=False).sum()
+        return out.astype({c: "int64" for c in out.columns})
+
+    return coarse_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"), "label", final
+    )
+
+
+def q175_neyman_sample(sf_dir: str):
+    """NEYMAN-ALLOCATED stratified sampling (optimal allocation, Neyman
+    1934): n = 100 sample seats split across language strata
+    ∝ N_h·σ_h, then drawn deterministically. Every step is integer- or
+    IEEE-exact in both engines: N_h·σ_h = √(N_h·Σx² − (Σx)²) of the
+    n_chars moments (the radicand is an exact BIGINT < 2⁵³, so the
+    DOUBLE √ is the same correctly-rounded value everywhere; +1
+    regularizer keeps a zero-variance stratum allocatable), seats by
+    LARGEST-REMAINDER apportionment (integer quotient/remainder,
+    remainder-desc/lang-asc tie ladder), rows by the house md5 bottom-k
+    within each stratum (`stages.sample.stratified_bottomk_alloc`).
+    The stratum-moment relation is strata-sized — reading it on the
+    driver is bounded by definition; corpus rows never centralize."""
+    from basicocr_ray.stages.sample import stratified_bottomk_alloc
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    N_TOTAL = 100
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def moments_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "lang": b["lang"].to_pylist(),
+                "x": np.asarray(b["n_chars"].to_pylist(), dtype=np.int64),
+            }
+        )
+        df["xx"] = df["x"] * df["x"]
+        out = df.groupby("lang", as_index=False).agg(
+            nh=("x", "size"), sx=("x", "sum"), sxx=("xx", "sum")
+        )
+        return pa.Table.from_pandas(
+            out.astype({"nh": "int64", "sx": "int64", "sxx": "int64"}),
+            preserve_index=False,
+        )
+
+    def moments_final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("lang", as_index=False).sum()
+        return out.astype({"nh": "int64", "sx": "int64", "sxx": "int64"})
+
+    mom = coarse_group_reduce(
+        ds.map_batches(moments_partial, batch_format="pyarrow"),
+        "lang",
+        moments_final,
+    ).to_pandas()  # strata-sized: bounded by the number of languages
+
+    mom = mom.sort_values("lang").reset_index(drop=True)
+    rad = (mom["nh"] * mom["sxx"] - mom["sx"] * mom["sx"]).astype("int64")
+    wh = np.floor(np.sqrt(rad.to_numpy().astype(np.float64))).astype(
+        np.int64
+    ) + 1
+    W = int(wh.sum())
+    k0 = (N_TOTAL * wh) // W
+    rem = (N_TOTAL * wh) % W
+    leftover = N_TOTAL - int(k0.sum())
+    order = (
+        pd.DataFrame({"lang": mom["lang"], "rem": rem})
+        .sort_values(["rem", "lang"], ascending=[False, True],
+                     kind="mergesort")
+        .index
+    )
+    kh = k0.copy()
+    for pos in order[:leftover]:
+        kh[pos] += 1
+    alloc = {
+        str(lang): int(k)
+        for lang, k in zip(mom["lang"], kh)
+    }
+
+    sampled = stratified_bottomk_alloc(ds, "lang", "doc_id", alloc)
+
+    def attach_kh(b: pa.Table) -> pa.Table:
+        ks = [alloc.get(v, 0) for v in b["lang"].to_pylist()]
+        return b.append_column("kh", pa.array(ks, pa.int64()))
+
+    return sampled.map_batches(attach_kh, batch_format="pyarrow")
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -8934,6 +9190,9 @@ QUERIES = {
     "q170_interval_coverage": q170_interval_coverage,
     "q171_edit2_fuzzy_pairs": q171_edit2_fuzzy_pairs,
     "q172_decay_leaderboard": q172_decay_leaderboard,
+    "q173_kmv_sketch_ops": q173_kmv_sketch_ops,
+    "q174_grouped_covariance": q174_grouped_covariance,
+    "q175_neyman_sample": q175_neyman_sample,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -10226,6 +10485,111 @@ ORACLE_SQL = {
         SELECT CAST(vec_id + 10000 AS BIGINT) AS clip_id,
                vec_id AS orig_id
         FROM embeddings WHERE vec_id % 4 = 0
+    """,
+    "q173_kmv_sketch_ops": """
+        -- KMV/theta sketches rebuilt exactly: k=64 smallest md5-low-63
+        -- of the distinct user hashes per population, union = k smallest
+        -- of the merged hash set, n_common = union members in both
+        WITH a AS (SELECT DISTINCT user_id FROM events
+                   WHERE event_type = 'click'),
+        b AS (SELECT DISTINCT user_id FROM events
+              WHERE event_type = 'view'),
+        ha AS (SELECT CAST(md5_number_lower(CAST(user_id AS VARCHAR))
+                           & 9223372036854775807 AS BIGINT) AS h FROM a),
+        hb AS (SELECT CAST(md5_number_lower(CAST(user_id AS VARCHAR))
+                           & 9223372036854775807 AS BIGINT) AS h FROM b),
+        ka AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+        kb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+        ku AS (SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb)
+               ORDER BY h LIMIT 64)
+        SELECT 'theta_a' AS metric, max(h) AS value FROM ka
+        UNION ALL SELECT 'theta_b', max(h) FROM kb
+        UNION ALL SELECT 'theta_union', max(h) FROM ku
+        UNION ALL SELECT 'n_common', count(*) FROM ku
+          WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)
+        UNION ALL SELECT 'exact_a', count(*) FROM a
+        UNION ALL SELECT 'exact_b', count(*) FROM b
+        UNION ALL SELECT 'exact_inter', count(*) FROM
+          (SELECT user_id FROM a INTERSECT SELECT user_id FROM b)
+    """,
+    "q174_grouped_covariance": """
+        -- integer-quantized moment sums: x_i = floor(1e6 * dim_i) is an
+        -- exact BIGINT in both engines, so every sum is order-invariant
+        WITH q AS (
+          SELECT CAST(label AS BIGINT) AS label,
+                 CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000)
+                      AS BIGINT) AS x0,
+                 CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000000)
+                      AS BIGINT) AS x1,
+                 CAST(floor(CAST(embedding[3] AS DOUBLE) * 1000000)
+                      AS BIGINT) AS x2,
+                 CAST(floor(CAST(embedding[4] AS DOUBLE) * 1000000)
+                      AS BIGINT) AS x3
+          FROM embeddings
+        )
+        SELECT label, count(*) AS n,
+               CAST(sum(x0) AS BIGINT) AS s0,
+               CAST(sum(x1) AS BIGINT) AS s1,
+               CAST(sum(x2) AS BIGINT) AS s2,
+               CAST(sum(x3) AS BIGINT) AS s3,
+               CAST(sum(x0*x0) AS BIGINT) AS c00,
+               CAST(sum(x0*x1) AS BIGINT) AS c01,
+               CAST(sum(x0*x2) AS BIGINT) AS c02,
+               CAST(sum(x0*x3) AS BIGINT) AS c03,
+               CAST(sum(x1*x1) AS BIGINT) AS c11,
+               CAST(sum(x1*x2) AS BIGINT) AS c12,
+               CAST(sum(x1*x3) AS BIGINT) AS c13,
+               CAST(sum(x2*x2) AS BIGINT) AS c22,
+               CAST(sum(x2*x3) AS BIGINT) AS c23,
+               CAST(sum(x3*x3) AS BIGINT) AS c33
+        FROM q GROUP BY 1
+    """,
+    "q175_neyman_sample": """
+        -- Neyman allocation: wh = floor(sqrt(Nh*Sxx - Sx^2)) + 1 (the
+        -- radicand is an exact BIGINT < 2^53, the DOUBLE sqrt is the
+        -- same correctly-rounded value in any IEEE engine), seats by
+        -- largest remainder, rows by the house md5 bottom-k per stratum
+        WITH st AS (
+          SELECT lang, count(*) AS nh,
+                 CAST(sum(n_chars) AS BIGINT) AS sx,
+                 CAST(sum(CAST(n_chars AS BIGINT)
+                          * CAST(n_chars AS BIGINT)) AS BIGINT) AS sxx
+          FROM documents GROUP BY 1
+        ),
+        w AS (
+          SELECT lang,
+                 CAST(floor(sqrt(CAST(nh * sxx - sx * sx AS DOUBLE)))
+                      AS BIGINT) + 1 AS wh
+          FROM st
+        ),
+        tot AS (SELECT CAST(sum(wh) AS BIGINT) AS tw FROM w),
+        base AS (
+          SELECT lang, wh, (100 * wh) // tw AS k0, (100 * wh) % tw AS rem
+          FROM w, tot
+        ),
+        lo AS (SELECT 100 - CAST(sum(k0) AS BIGINT) AS leftover FROM base),
+        rk AS (
+          SELECT lang, k0,
+                 row_number() OVER (ORDER BY rem DESC, lang) AS rr
+          FROM base
+        ),
+        alloc AS (
+          SELECT lang,
+                 CAST(k0 + CASE WHEN rr <= (SELECT leftover FROM lo)
+                                THEN 1 ELSE 0 END AS BIGINT) AS kh
+          FROM rk
+        ),
+        ranked AS (
+          SELECT lang, doc_id,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ) AS rn
+          FROM documents
+        )
+        SELECT r.lang, r.doc_id, a.kh
+        FROM ranked r JOIN alloc a USING (lang)
+        WHERE r.rn <= a.kh
     """,
     "q170_interval_coverage": """
         -- sweep-line interval union: running max of interval ends per

@@ -418,3 +418,59 @@ def hash_split(
         )
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def stratified_bottomk_alloc(ds, group_column: str, id_column: str,
+                             alloc: dict):
+    """`stratified_bottomk` with a PER-GROUP quota: ``alloc`` maps group
+    value → k (e.g. a Neyman allocation computed from per-stratum
+    moments). The quota table is strata-sized (bounded by definition —
+    strata are languages/sources, not rows), so it broadcasts inside the
+    closure; groups absent from ``alloc`` contribute nothing. Same
+    md5-rank determinism and SQL twin as the fixed-k variant (row_number
+    ... <= k_h via a join against the allocation relation)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from basicocr_ray.core.textstats import md5_hex
+    from basicocr_ray.stages.dedup import _coarse_salts
+
+    salts = _coarse_salts(None)
+
+    def rank(batch: pa.Table) -> pa.Table:
+        ids = batch[id_column].to_pylist()
+        ranks = [md5_hex(str(i)) for i in ids]
+        cgs = [
+            int(md5_hex(str(g))[:8], 16) & (salts - 1)
+            for g in batch[group_column].to_pylist()
+        ]
+        return pa.table(
+            {
+                group_column: batch[group_column],
+                id_column: pc.cast(batch[id_column], pa.int64()),
+                "_rank": pa.array(ranks, pa.string()),
+                "cg": pa.array(cgs, pa.int32()),
+            }
+        )
+
+    def head_per_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            [group_column, "_rank", id_column], kind="mergesort"
+        )
+        parts = []
+        for g, sub in df.groupby(group_column):
+            k = int(alloc.get(g, 0))
+            if k > 0:
+                parts.append(sub.head(k)[[group_column, id_column]])
+        if not parts:
+            return pd.DataFrame(
+                {group_column: pd.array([], dtype="object"),
+                 id_column: pd.array([], dtype="int64")}
+            )
+        return pd.concat(parts, ignore_index=True)
+
+    return (
+        ds.map_batches(rank, batch_format="pyarrow")
+        .groupby("cg")
+        .map_groups(head_per_group, batch_format="pandas")
+    )
