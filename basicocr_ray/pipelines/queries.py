@@ -9020,6 +9020,185 @@ def q175_neyman_sample(sf_dir: str):
     return sampled.map_batches(attach_kh, batch_format="pyarrow")
 
 
+def q176_phrase_positions(sf_dir: str):
+    """POSITIONAL PHRASE SEARCH — the positional-postings operation a
+    token-level inverted index (q118) can't answer: find every
+    (doc_id, token_position) occurrence of the corpus's most frequent
+    word trigram (ties: trigram asc). Two scans: (1) the distributed
+    trigram count (count_terms partials) pruned to a global top-1 — a
+    bounded driver scalar, the phrase IS the query; (2) a per-batch
+    vectorized position scan (numpy equality over three shifted token
+    arrays — no per-row phrase matching in Python). Output positions
+    are 0-based."""
+    from basicocr_ray.stages.wide import count_terms, make_ngram_items, top_k
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    tri = count_terms(ds, "text", make_ngram_items(3), "tri")
+    top = top_k(tri, 1, "cnt", "tri").take(1)
+    phrase = top[0]["tri"]
+    w0, w1, w2 = phrase.split(" ")
+
+    def positions(b: pa.Table) -> pa.Table:
+        out_d, out_p = [], []
+        for did, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            if not t:
+                continue
+            toks = np.asarray(t.lower().split(), dtype=object)
+            if len(toks) < 3:
+                continue
+            hit = (
+                (toks[:-2] == w0) & (toks[1:-1] == w1) & (toks[2:] == w2)
+            )
+            for p in np.flatnonzero(hit):
+                out_d.append(did)
+                out_p.append(int(p))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "pos": pa.array(out_p, pa.int64()),
+                "phrase": pa.array([phrase] * len(out_d), pa.string()),
+            }
+        )
+
+    return ds.map_batches(positions, batch_format="pyarrow")
+
+
+def q177_locf_gapfill(sf_dir: str):
+    """HOURLY GAP-FILL with last-observation-carried-forward — the
+    time-series regularization every metrics store runs: per user, one
+    row per hour from the first to the last observed hour; missing
+    hours inherit the most recent value (LOCF). Per (user, hour) the
+    observation is the LAST event by (ts, event_id). The whole fill is
+    vectorized inside coarse user-hash groups: the per-user grid is
+    built by np.repeat/arange from the span table (no per-user Python
+    loop) and filled by ONE pd.merge_asof — memory rides with a
+    group's hour span, never the corpus. `filled` marks interpolated
+    rows. Values are CARRIED floats (never recomputed), so the driver
+    hash is float-safe."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    HOUR_US = 3_600_000_000
+    ds = _read(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "value"]
+    )
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        ts_us = g["ts"].astype("datetime64[us]").astype("int64")
+        g = g.assign(h_us=ts_us - ts_us % HOUR_US)
+        # last observation per (user, hour)
+        obs = g.groupby(["user_id", "h_us"], as_index=False).tail(1)[
+            ["user_id", "h_us", "value"]
+        ]
+        span = obs.groupby("user_id", as_index=False).agg(
+            h0=("h_us", "min"), h1=("h_us", "max")
+        )
+        n_h = ((span["h1"] - span["h0"]) // HOUR_US + 1).to_numpy()
+        grid_user = np.repeat(span["user_id"].to_numpy(), n_h)
+        starts = np.repeat(span["h0"].to_numpy(), n_h)
+        seg_off = np.arange(n_h.sum()) - np.repeat(
+            np.concatenate(([0], np.cumsum(n_h)[:-1])), n_h
+        )
+        grid = pd.DataFrame(
+            {"user_id": grid_user, "h_us": starts + seg_off * HOUR_US}
+        )
+        obs = obs.sort_values(["h_us", "user_id"], kind="mergesort")
+        grid = grid.sort_values(["h_us", "user_id"], kind="mergesort")
+        filled = pd.merge_asof(
+            grid, obs, on="h_us", by="user_id", direction="backward"
+        )
+        exact = grid.merge(
+            obs[["user_id", "h_us"]], on=["user_id", "h_us"],
+            how="left", indicator=True,
+        )["_merge"].eq("left_only")
+        out = pd.DataFrame(
+            {
+                "user_id": filled["user_id"].astype("int64"),
+                "h": pd.to_datetime(filled["h_us"], unit="us"),
+                "value": filled["value"].astype("float64"),
+                "filled": exact.to_numpy().astype("int64"),
+            }
+        )
+        return out.sort_values(
+            ["user_id", "h"], kind="mergesort"
+        ).reset_index(drop=True)
+
+    return coarse_group_reduce(ds, "user_id", fill)
+
+
+def q178_anchor_text_index(sf_dir: str):
+    """ANCHOR-TEXT aggregation per target host — the web-graph signal
+    (anchors describe the TARGET page) behind classic ranking and
+    anchor-corpus pretraining sets: documents are wrapped into their
+    real boilerplate HTML (the q147 fixture path) with two
+    deterministic outlinks whose anchor TEXT is the doc's first two
+    tokens; a compiled-regex kernel extracts (href, anchor_text) pairs
+    from the markup, anchors tokenize, and per (dst_host, token)
+    counts roll up to the top-3 anchor tokens per host (count desc,
+    token asc). The oracle rebuilds anchors analytically from the same
+    doc_id arithmetic + token slice (the q147 analytic-contract
+    discipline), so the HTML round-trip is hash-checked."""
+    import re
+
+    from basicocr_ray.stages.wide import coarse_group_reduce
+    from basicocr_ray.sources.docpages import wrap_single
+
+    A_TAG = re.compile(rb'<a href="(https?://[^"]+)">([^<]*)</a>')
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def anchors_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        from urllib.parse import urlsplit
+
+        cnt: Counter = Counter()
+        for i, t in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = (t or "").lower().split()[:2]
+            if not toks:
+                continue
+            anchor = " ".join(toks)
+            page = wrap_single(t or "", i)
+            links = (
+                f'<p><a href="http://site{(3 * i + 1) % 7}.example.com'
+                f'/p/{i % 100}">{anchor}</a> '
+                f'<a href="https://site{(5 * i + 2) % 7}.example.com'
+                f'/q/{i % 50}">{anchor}</a></p>'
+            ).encode()
+            page = page.replace(b"</article>", links + b"</article>")
+            for m in A_TAG.finditer(page):
+                host = urlsplit(m.group(1).decode()).hostname or ""
+                for tok in m.group(2).decode().split():
+                    cnt[(host.split(".")[0], tok)] += 1
+        keys = list(cnt.keys())
+        return pa.table(
+            {
+                "dst_host": pa.array([k[0] for k in keys], pa.string()),
+                "token": pa.array([k[1] for k in keys], pa.string()),
+                "cnt": pa.array([cnt[k] for k in keys], pa.int64()),
+            }
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby(["dst_host", "token"], as_index=False)["cnt"].sum()
+        agg = agg.sort_values(
+            ["dst_host", "cnt", "token"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        out = agg.groupby("dst_host").head(3)
+        return out.astype({"cnt": "int64"}).reset_index(drop=True)
+
+    return coarse_group_reduce(
+        ds.map_batches(anchors_partial, batch_format="pyarrow"),
+        "dst_host",
+        final,
+    )
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -9193,6 +9372,9 @@ QUERIES = {
     "q173_kmv_sketch_ops": q173_kmv_sketch_ops,
     "q174_grouped_covariance": q174_grouped_covariance,
     "q175_neyman_sample": q175_neyman_sample,
+    "q176_phrase_positions": q176_phrase_positions,
+    "q177_locf_gapfill": q177_locf_gapfill,
+    "q178_anchor_text_index": q178_anchor_text_index,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -10485,6 +10667,95 @@ ORACLE_SQL = {
         SELECT CAST(vec_id + 10000 AS BIGINT) AS clip_id,
                vec_id AS orig_id
         FROM embeddings WHERE vec_id % 4 = 0
+    """,
+    "q176_phrase_positions": f"""
+        -- positional postings: every (doc, 0-based token position) of
+        -- the corpus top-1 trigram (ties: trigram asc)
+        WITH base AS (
+          SELECT doc_id, {_TOKS} AS toks
+          FROM documents WHERE text IS NOT NULL
+        ),
+        tri AS (
+          SELECT doc_id, unnest(list_transform(
+            range(1, len(toks) - 1),
+            i -> {{'pos': i,
+                   'tg': toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]}}
+          ), recursive := true)
+          FROM base
+        ),
+        top AS (
+          SELECT tg FROM tri GROUP BY tg
+          ORDER BY count(*) DESC, tg LIMIT 1
+        )
+        SELECT t.doc_id, CAST(t.pos - 1 AS BIGINT) AS pos, t.tg AS phrase
+        FROM tri t JOIN top ON t.tg = top.tg
+    """,
+    "q177_locf_gapfill": """
+        -- hourly grid per user (first..last observed hour), missing
+        -- hours carry the last observation forward; values are CARRIED
+        -- floats, never recomputed
+        WITH b AS (
+          SELECT user_id, value,
+                 epoch_us(ts) - epoch_us(ts) % 3600000000 AS h_us,
+                 row_number() OVER (
+                   PARTITION BY user_id,
+                                epoch_us(ts) - epoch_us(ts) % 3600000000
+                   ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events
+        ),
+        obs AS (SELECT user_id, h_us, value FROM b WHERE rn = 1),
+        span AS (
+          SELECT user_id, min(h_us) AS h0, max(h_us) AS h1
+          FROM obs GROUP BY 1
+        ),
+        grid AS (
+          SELECT user_id, unnest(range(h0, h1 + 1, 3600000000)) AS h_us
+          FROM span
+        ),
+        j AS (
+          SELECT g.user_id, g.h_us, o.value,
+                 CASE WHEN o.h_us IS NULL THEN 1 ELSE 0 END AS filled
+          FROM grid g LEFT JOIN obs o
+            ON g.user_id = o.user_id AND g.h_us = o.h_us
+        )
+        SELECT user_id, make_timestamp(h_us) AS h,
+               last_value(value IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY h_us
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS value,
+               CAST(filled AS BIGINT) AS filled
+        FROM j
+    """,
+    "q178_anchor_text_index": """
+        -- analytic anchor contract: anchor text = the doc's first two
+        -- tokens, targets from the q147 doc_id arithmetic; top-3 anchor
+        -- tokens per destination host (count desc, token asc)
+        WITH d AS (
+          SELECT doc_id, list_slice(list_filter(
+                   regexp_split_to_array(lower(text), '\\s+'),
+                   x -> x <> ''), 1, 2) AS ts2
+          FROM documents WHERE text IS NOT NULL
+        ),
+        a AS (SELECT doc_id, ts2 FROM d WHERE len(ts2) >= 1),
+        anchors AS (
+          SELECT 'site' || CAST((3 * doc_id + 1) % 7 AS VARCHAR)
+                   AS dst_host, ts2 FROM a
+          UNION ALL
+          SELECT 'site' || CAST((5 * doc_id + 2) % 7 AS VARCHAR), ts2
+          FROM a
+        ),
+        tok AS (SELECT dst_host, unnest(ts2) AS token FROM anchors),
+        cnt AS (
+          SELECT dst_host, token, count(*) AS cnt
+          FROM tok GROUP BY 1, 2
+        ),
+        rk AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY dst_host ORDER BY cnt DESC, token) AS rn
+          FROM cnt
+        )
+        SELECT dst_host, token, CAST(cnt AS BIGINT) AS cnt
+        FROM rk WHERE rn <= 3
     """,
     "q173_kmv_sketch_ops": """
         -- KMV/theta sketches rebuilt exactly: k=64 smallest md5-low-63
