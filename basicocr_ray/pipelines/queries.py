@@ -9199,6 +9199,172 @@ def q178_anchor_text_index(sf_dir: str):
     )
 
 
+def q179_merkle_bucket_diff(sf_dir: str):
+    """MERKLE-STYLE RANGE-DIGEST snapshot diff — the rsync/anti-entropy
+    primitive that finds WHICH id-range buckets changed between two
+    corpus snapshots without moving any row data: old = documents,
+    new = a deterministic successor snapshot (doc_id ≡ 0 mod 101
+    deleted, else ≡ 0 mod 97 rewritten with a ' v2' suffix). Per
+    64-id bucket and side: row count + the q165 order-insensitive
+    digest (XOR of md5-low-63 over id:text — commutative, so the
+    reduce is partition/retry-invariant). BOTH sides are derived in
+    the SAME batch pass (the new snapshot is a function of the old
+    row), partials carry one row per (batch, bucket), and only
+    buckets whose (n, chk) differ are emitted — the sync worklist."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    MASK = (1 << 63) - 1
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        acc: dict[int, list[int]] = {}
+        for did, t in zip(
+            b["doc_id"].to_pylist(), b["text"].to_pylist()
+        ):
+            t = t if t is not None else ""
+            bucket = did // 64
+            s = acc.setdefault(bucket, [0, 0, 0, 0])
+            s[0] += 1
+            s[1] ^= _md5_low64(f"{did}:{t}") & MASK
+            if did % 101 == 0:
+                continue  # deleted in the new snapshot
+            t_new = t + " v2" if did % 97 == 0 else t
+            s[2] += 1
+            s[3] ^= _md5_low64(f"{did}:{t_new}") & MASK
+        ks = sorted(acc)
+        return pa.table(
+            {
+                "bucket": pa.array(ks, pa.int64()),
+                "n_old": pa.array([acc[k][0] for k in ks], pa.int64()),
+                "chk_old": pa.array([acc[k][1] for k in ks], pa.int64()),
+                "n_new": pa.array([acc[k][2] for k in ks], pa.int64()),
+                "chk_new": pa.array([acc[k][3] for k in ks], pa.int64()),
+            }
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for bucket, g in df.groupby("bucket"):
+            chk_o = chk_n = 0
+            for v in g["chk_old"]:
+                chk_o ^= int(v)
+            for v in g["chk_new"]:
+                chk_n ^= int(v)
+            n_o, n_n = int(g["n_old"].sum()), int(g["n_new"].sum())
+            if n_o != n_n or chk_o != chk_n:
+                rows.append((int(bucket), n_o, n_n, chk_o, chk_n))
+        return pd.DataFrame(
+            {
+                "bucket": pd.array([r[0] for r in rows], dtype="int64"),
+                "n_old": pd.array([r[1] for r in rows], dtype="int64"),
+                "n_new": pd.array([r[2] for r in rows], dtype="int64"),
+                "chk_old": pd.array([r[3] for r in rows], dtype="int64"),
+                "chk_new": pd.array([r[4] for r in rows], dtype="int64"),
+            }
+        )
+
+    return coarse_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"), "bucket", final
+    )
+
+
+def q180_compaction_plan(sf_dir: str):
+    """SMALL-FILE COMPACTION PLANNER (the Iceberg/Delta OPTIMIZE file-
+    grouping step): parts are 16-doc id ranges per language with bytes
+    = Σ n_chars; within each language, parts in id order are packed by
+    the streaming NEXT-FIT rule bin = exclusive-prefix-bytes //
+    65536 — one window expression, deterministic, and the rule a
+    single pass over a sorted manifest can execute at any scale (FFD
+    would need sequential bin state). Output one row per (lang, bin):
+    part count, total bytes, covered part range. Shape: per-batch
+    (lang, part) partials → exact coarse reduce on the composite key →
+    the parts MANIFEST (metadata-sized, corpus/16 rows) re-groups by
+    lang for the vectorized cumsum plan."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    TARGET = 65536
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "lang": b["lang"].to_pylist(),
+                "part": np.asarray(
+                    b["doc_id"].to_pylist(), dtype=np.int64
+                ) // 16,
+                "bytes": np.asarray(
+                    b["n_chars"].to_pylist(), dtype=np.int64
+                ),
+            }
+        )
+        out = df.groupby(["lang", "part"], as_index=False).agg(
+            bytes=("bytes", "sum"), files=("bytes", "size")
+        )
+        return pa.Table.from_pandas(
+            out.astype({"part": "int64", "bytes": "int64", "files": "int64"}),
+            preserve_index=False,
+        )
+
+    def merge_parts(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["lang", "part"], as_index=False).agg(
+            bytes=("bytes", "sum"), files=("files", "sum")
+        )
+        return out.astype({"part": "int64", "bytes": "int64", "files": "int64"})
+
+    parts = coarse_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "part"],
+        merge_parts,
+    )
+
+    def plan(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["lang", "part"], kind="mergesort").reset_index(
+            drop=True
+        )
+        csum = g.groupby("lang")["bytes"].cumsum() - g["bytes"]
+        g = g.assign(bin=(csum // TARGET).astype("int64"))
+        out = g.groupby(["lang", "bin"], as_index=False).agg(
+            n_parts=("part", "size"),
+            tot_bytes=("bytes", "sum"),
+            part_lo=("part", "min"),
+            part_hi=("part", "max"),
+        )
+        return out.astype(
+            {
+                "bin": "int64", "n_parts": "int64", "tot_bytes": "int64",
+                "part_lo": "int64", "part_hi": "int64",
+            }
+        )
+
+    return coarse_group_reduce(parts, "lang", plan)
+
+
+def q181_skipgram_pairs(sf_dir: str):
+    """SKIP-GRAM window co-occurrence counts (the word2vec/GloVe corpus
+    statistic; q95's adjacent bigrams are its w=1 slice): unordered
+    token pairs within window distance ≤ 3, pair key = 'min max' under
+    binary collation (Python str and DuckDB VARCHAR compare identically
+    on codepoints), global top-100 by (count desc, pair asc). The pair
+    explode is 3 shifted-array zips per batch feeding the house
+    count_terms partial+final reduce — open-vocabulary safe, rows never
+    shuffle."""
+    from basicocr_ray.stages.wide import count_terms, top_k
+
+    W = 3
+
+    def skipgram_items(text: str) -> list:
+        toks = text.lower().split()
+        out = []
+        for d in range(1, W + 1):
+            for a, b in zip(toks[:-d], toks[d:]):
+                out.append(a + " " + b if a <= b else b + " " + a)
+        return out
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    pairs = count_terms(ds, "text", skipgram_items, "pair")
+    return top_k(pairs, 100, "cnt", "pair")
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -9375,6 +9541,9 @@ QUERIES = {
     "q176_phrase_positions": q176_phrase_positions,
     "q177_locf_gapfill": q177_locf_gapfill,
     "q178_anchor_text_index": q178_anchor_text_index,
+    "q179_merkle_bucket_diff": q179_merkle_bucket_diff,
+    "q180_compaction_plan": q180_compaction_plan,
+    "q181_skipgram_pairs": q181_skipgram_pairs,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -10667,6 +10836,89 @@ ORACLE_SQL = {
         SELECT CAST(vec_id + 10000 AS BIGINT) AS clip_id,
                vec_id AS orig_id
         FROM embeddings WHERE vec_id % 4 = 0
+    """,
+    "q179_merkle_bucket_diff": """
+        -- range-digest diff: the new snapshot is a function of the old
+        -- row (mod-101 deletes, mod-97 ' v2' rewrites); only buckets
+        -- whose (count, XOR digest) changed are emitted
+        WITH old AS (
+          SELECT doc_id, coalesce(text, '') AS text FROM documents
+        ),
+        new AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 97 = 0 THEN text || ' v2'
+                      ELSE text END AS text
+          FROM old WHERE doc_id % 101 <> 0
+        ),
+        o AS (
+          SELECT doc_id // 64 AS bucket, count(*) AS n_old,
+                 bit_xor(CAST(
+                   md5_number_lower(CAST(doc_id AS VARCHAR) || ':' || text)
+                   & 9223372036854775807 AS BIGINT)) AS chk_old
+          FROM old GROUP BY 1
+        ),
+        n AS (
+          SELECT doc_id // 64 AS bucket, count(*) AS n_new,
+                 bit_xor(CAST(
+                   md5_number_lower(CAST(doc_id AS VARCHAR) || ':' || text)
+                   & 9223372036854775807 AS BIGINT)) AS chk_new
+          FROM new GROUP BY 1
+        )
+        SELECT o.bucket, o.n_old,
+               coalesce(n.n_new, 0) AS n_new,
+               o.chk_old, coalesce(n.chk_new, 0) AS chk_new
+        FROM o LEFT JOIN n USING (bucket)
+        WHERE o.n_old <> coalesce(n.n_new, 0)
+           OR o.chk_old <> coalesce(n.chk_new, 0)
+    """,
+    "q180_compaction_plan": """
+        -- streaming next-fit packing: bin = exclusive-prefix-bytes //
+        -- 65536 within each language's id-ordered parts manifest
+        WITH parts AS (
+          SELECT lang, doc_id // 16 AS part,
+                 CAST(sum(n_chars) AS BIGINT) AS bytes
+          FROM documents GROUP BY 1, 2
+        ),
+        binned AS (
+          SELECT lang, part, bytes,
+                 coalesce(sum(bytes) OVER (
+                   PARTITION BY lang ORDER BY part
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) // 65536 AS bin
+          FROM parts
+        )
+        SELECT lang, CAST(bin AS BIGINT) AS bin, count(*) AS n_parts,
+               CAST(sum(bytes) AS BIGINT) AS tot_bytes,
+               min(part) AS part_lo, max(part) AS part_hi
+        FROM binned GROUP BY 1, 2
+    """,
+    "q181_skipgram_pairs": f"""
+        -- unordered within-window (d <= 3) token pairs under binary
+        -- collation; top-100 by (count desc, pair asc)
+        WITH base AS (
+          SELECT {_TOKS} AS toks FROM documents WHERE text IS NOT NULL
+        ),
+        p AS (
+          SELECT unnest(list_transform(range(1, len(toks)),
+            i -> CASE WHEN toks[i] <= toks[i+1]
+                      THEN toks[i] || ' ' || toks[i+1]
+                      ELSE toks[i+1] || ' ' || toks[i] END)) AS pair
+          FROM base
+          UNION ALL
+          SELECT unnest(list_transform(range(1, len(toks) - 1),
+            i -> CASE WHEN toks[i] <= toks[i+2]
+                      THEN toks[i] || ' ' || toks[i+2]
+                      ELSE toks[i+2] || ' ' || toks[i] END))
+          FROM base
+          UNION ALL
+          SELECT unnest(list_transform(range(1, len(toks) - 2),
+            i -> CASE WHEN toks[i] <= toks[i+3]
+                      THEN toks[i] || ' ' || toks[i+3]
+                      ELSE toks[i+3] || ' ' || toks[i] END))
+          FROM base
+        )
+        SELECT pair, count(*) AS cnt FROM p
+        GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 100
     """,
     "q176_phrase_positions": f"""
         -- positional postings: every (doc, 0-based token position) of
