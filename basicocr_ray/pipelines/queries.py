@@ -9365,6 +9365,208 @@ def q181_skipgram_pairs(sf_dir: str):
     return top_k(pairs, 100, "cnt", "pair")
 
 
+def q182_quant_recall(sf_dir: str):
+    """SCALAR-QUANTIZATION RECALL AUDIT — the evaluation every vector
+    store runs before shipping int8 embeddings: per query (vec_id ≡ 0
+    mod 10), the top-10 by exact float cosine (the q15/q166 float-order
+    discipline) vs the top-10 by QUANTIZED integer dot (q = floor(1e3·x)
+    per dim — exact int64 both engines; dots ≤ 64·(10³)² ≪ 2⁵³ so even
+    a double-valued SQL dot is the exact integer), and n_hits = overlap
+    of the two sets. Output (query_id, n_hits) is all-integer. ONE
+    matmul pass per batch computes BOTH scores; per-batch local top-10s
+    → tiny per-query finals; vectors never ride a shuffle."""
+    import ray
+
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    TOPK = 10
+    qtab = pq.read_table(
+        _p(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    )
+    qm = pc.equal(
+        pc.subtract(
+            qtab["vec_id"],
+            pc.multiply(pc.divide(qtab["vec_id"], 10), 10),
+        ),
+        0,
+    )
+    qsel = qtab.filter(qm)
+    qids = np.asarray(qsel["vec_id"].to_pylist(), dtype=np.int64)
+    Q = np.asarray(qsel["embedding"].to_pylist(), dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    Qq = np.floor(Q * 1e3).astype(np.int64)
+    qref = ray.put((qids, Qn, Qq))
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        ids_np, Qn_b, Qq_b = _ray.get(qref)
+        cids = np.asarray(b["vec_id"].to_pylist(), dtype=np.int64)
+        V = np.asarray(b["embedding"].to_pylist(), dtype=np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        Vq = np.floor(V * 1e3).astype(np.int64)
+        sims = Vn @ Qn_b.T           # float cosine
+        dots = Vq @ Qq_b.T           # exact integer quantized dot
+        out_q, e_cand, e_sim, q_cand, q_dot = [], [], [], [], []
+        for j, qid in enumerate(ids_np):
+            ok = cids != qid
+            eo = np.lexsort((cids[ok], -sims[ok, j]))[:TOPK]
+            qo = np.lexsort((cids[ok], -dots[ok, j]))[:TOPK]
+            k = max(len(eo), len(qo))
+            for i in range(k):
+                out_q.append(int(qid))
+                e_cand.append(int(cids[ok][eo[i]]) if i < len(eo) else -1)
+                e_sim.append(float(sims[ok, j][eo[i]]) if i < len(eo)
+                             else 0.0)
+                q_cand.append(int(cids[ok][qo[i]]) if i < len(qo) else -1)
+                q_dot.append(int(dots[ok, j][qo[i]]) if i < len(qo) else 0)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "e_cand": pa.array(e_cand, pa.int64()),
+                "e_sim": pa.array(e_sim, pa.float64()),
+                "q_cand": pa.array(q_cand, pa.int64()),
+                "q_dot": pa.array(q_dot, pa.int64()),
+            }
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for qid, g in df.groupby("query_id"):
+            ge = g[g["e_cand"] >= 0].sort_values(
+                ["e_sim", "e_cand"], ascending=[False, True],
+                kind="mergesort",
+            ).drop_duplicates("e_cand").head(TOPK)
+            gq = g[g["q_cand"] >= 0].sort_values(
+                ["q_dot", "q_cand"], ascending=[False, True],
+                kind="mergesort",
+            ).drop_duplicates("q_cand").head(TOPK)
+            hits = len(set(ge["e_cand"]) & set(gq["q_cand"]))
+            rows.append((int(qid), hits))
+        return pd.DataFrame(
+            {
+                "query_id": pd.array([r[0] for r in rows], dtype="int64"),
+                "n_hits": pd.array([r[1] for r in rows], dtype="int64"),
+            }
+        )
+
+    return coarse_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"), "query_id", final
+    )
+
+
+def q183_feature_hash_collisions(sf_dir: str):
+    """FEATURE-HASHING collision audit (the hashing-trick sanity check
+    before training on hashed n-grams): the distinct unigram ∪ bigram
+    feature space — fastText's word+wordNgrams features — hashes into
+    B = 64 buckets via md5-low-64 mod B; output the occupancy
+    HISTOGRAM — (k distinct features in a bucket, number of such
+    buckets) — the whole birthday-collision picture in ≤ a few dozen
+    integer rows. Shape: count_terms gives the distinct feature set
+    (its counts discarded — the keys are the point), bucket ids are a
+    vectorized hash pass, the per-bucket distinct count is a bounded
+    64-key aggregate, the histogram a second bounded aggregate."""
+    from ray.data.aggregate import Count
+
+    from basicocr_ray.stages.wide import count_terms, make_ngram_items
+
+    B = 64
+
+    def features(text: str) -> list:
+        toks = token_items(text)
+        return toks + make_ngram_items(2)(text)
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    vocab = count_terms(ds, "text", features, "token")
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    [
+                        _md5_low64(t) % B
+                        for t in b["token"].to_pylist()
+                    ],
+                    pa.int64(),
+                )
+            }
+        )
+
+    per_bucket = (
+        vocab.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")  # bounded: ≤ 64 keys
+        .aggregate(Count(alias_name="k"))
+    )
+    hist = (
+        per_bucket.map_batches(
+            lambda b: pa.table(
+                {"k": pc.cast(b["k"], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("k")  # bounded: ≤ max occupancy
+        .aggregate(Count(alias_name="n_buckets"))
+    )
+    return hist.map_batches(
+        lambda b: pa.table(
+            {
+                "k": pc.cast(b["k"], pa.int64()),
+                "n_buckets": pc.cast(b["n_buckets"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q184_calibration_bins(sf_dir: str):
+    """CLASSIFIER CALIBRATION BINS — the reliability-diagram evidence
+    (per-bin n, positives, score mass) behind ECE, over the q129
+    hashed-linear quality scores with lang = 'en' as the deterministic
+    reference label: scores clamp to [-1024, 1023] and shift NONNEGATIVE
+    before the width-16 binning because DuckDB's ``//`` truncates toward
+    zero while Python floors — on a nonnegative dividend they agree (the
+    q180 discipline). All-integer output: (bin, n, n_pos, sum_score)."""
+    from basicocr_ray.core.textstats import hashed_linear_score
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    B = 64
+    weights = [_md5_low64(f"w:{b}") % 21 - 10 for b in range(B)]
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        acc: dict[int, list[int]] = {}
+        for t, lang in zip(
+            batch["text"].to_pylist(), batch["lang"].to_pylist()
+        ):
+            s = hashed_linear_score(token_items(t) if t else [], weights)
+            sc = min(max(s, -1024), 1023)
+            bin_id = (sc + 1024) // 16
+            a = acc.setdefault(bin_id, [0, 0, 0])
+            a[0] += 1
+            a[1] += 1 if lang == "en" else 0
+            a[2] += s
+        ks = sorted(acc)
+        return pa.table(
+            {
+                "bin": pa.array(ks, pa.int64()),
+                "n": pa.array([acc[k][0] for k in ks], pa.int64()),
+                "n_pos": pa.array([acc[k][1] for k in ks], pa.int64()),
+                "sum_score": pa.array([acc[k][2] for k in ks], pa.int64()),
+            }
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("bin", as_index=False).sum()
+        return out.astype({c: "int64" for c in out.columns})
+
+    return coarse_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"), "bin", final
+    )
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -9544,6 +9746,9 @@ QUERIES = {
     "q179_merkle_bucket_diff": q179_merkle_bucket_diff,
     "q180_compaction_plan": q180_compaction_plan,
     "q181_skipgram_pairs": q181_skipgram_pairs,
+    "q182_quant_recall": q182_quant_recall,
+    "q183_feature_hash_collisions": q183_feature_hash_collisions,
+    "q184_calibration_bins": q184_calibration_bins,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -10836,6 +11041,110 @@ ORACLE_SQL = {
         SELECT CAST(vec_id + 10000 AS BIGINT) AS clip_id,
                vec_id AS orig_id
         FROM embeddings WHERE vec_id % 4 = 0
+    """,
+    "q182_quant_recall": """
+        -- exact-cosine top-10 vs int-quantized-dot top-10 per query;
+        -- the quantized dot is integer-valued (floor(1e3·x) per dim)
+        -- so even a double-valued SQL dot is exact
+        WITH dsim AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+                 list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])) AS sim
+          FROM embeddings a, embeddings b
+          WHERE a.vec_id % 10 = 0 AND b.vec_id <> a.vec_id
+        ),
+        e10 AS (
+          SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, cand_id) AS rn
+            FROM dsim
+          ) WHERE rn <= 10
+        ),
+        qv AS (
+          SELECT vec_id, list_transform(
+                   embedding, x -> floor(CAST(x AS DOUBLE) * 1000)) AS q
+          FROM embeddings
+        ),
+        qsim AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+                 CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot
+          FROM qv a JOIN qv b
+            ON a.vec_id % 10 = 0 AND b.vec_id <> a.vec_id
+        ),
+        q10 AS (
+          SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY dot DESC, cand_id) AS rn
+            FROM qsim
+          ) WHERE rn <= 10
+        ),
+        queries AS (
+          SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 10 = 0
+        ),
+        hits AS (
+          SELECT e10.query_id, count(*) AS c
+          FROM e10 JOIN q10 USING (query_id, cand_id) GROUP BY 1
+        )
+        SELECT q.query_id, CAST(coalesce(h.c, 0) AS BIGINT) AS n_hits
+        FROM queries q LEFT JOIN hits h USING (query_id)
+    """,
+    "q183_feature_hash_collisions": """
+        -- hashing-trick occupancy histogram over the distinct
+        -- unigram ∪ bigram feature space: bucket = md5-low-64 mod 64
+        WITH base AS (
+          SELECT regexp_split_to_array(lower(text), '\\s+') AS toks
+          FROM documents WHERE text IS NOT NULL
+        ),
+        vocab AS (
+          SELECT DISTINCT tok FROM (
+            SELECT unnest(toks) AS tok FROM base
+            UNION ALL
+            SELECT unnest(list_transform(range(1, len(toks)),
+                     i -> toks[i] || ' ' || toks[i+1])) FROM base
+          ) WHERE tok <> ''
+        ),
+        pb AS (
+          SELECT CAST(md5_number_lower(tok) % 64 AS BIGINT) AS bucket,
+                 count(*) AS k
+          FROM vocab GROUP BY 1
+        )
+        SELECT k, count(*) AS n_buckets FROM pb GROUP BY 1
+    """,
+    "q184_calibration_bins": f"""
+        -- reliability-diagram evidence over the q129 integer scores;
+        -- clamp+shift keeps the width-16 binning division nonnegative
+        -- (DuckDB // truncates, Python floors — they agree on >= 0)
+        WITH w AS (
+          SELECT b.b AS b,
+                 CAST(md5_number_lower(
+                   'w:' || CAST(b.b AS VARCHAR)
+                 ) % 21 AS BIGINT) - 10 AS w
+          FROM range(64) b(b)
+        ),
+        toks AS (
+          SELECT doc_id,
+                 unnest(list_filter({_TOKS}, x -> x <> '')) AS token
+          FROM documents
+        ),
+        s AS (
+          SELECT t.doc_id, CAST(sum(w.w) AS BIGINT) AS score
+          FROM toks t
+          JOIN w ON w.b = CAST(md5_number_lower(t.token) % 64 AS BIGINT)
+          GROUP BY 1
+        ),
+        d AS (
+          SELECT d.doc_id, coalesce(s.score, 0) AS score,
+                 CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+          FROM documents d LEFT JOIN s USING (doc_id)
+        )
+        SELECT (least(greatest(score, -1024), 1023) + 1024) // 16 AS bin,
+               count(*) AS n,
+               CAST(sum(pos) AS BIGINT) AS n_pos,
+               CAST(sum(score) AS BIGINT) AS sum_score
+        FROM d GROUP BY 1
     """,
     "q179_merkle_bucket_diff": """
         -- range-digest diff: the new snapshot is a function of the old
