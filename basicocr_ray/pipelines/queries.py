@@ -9567,6 +9567,211 @@ def q184_calibration_bins(sf_dir: str):
     )
 
 
+def q185_range_splits(sf_dir: str):
+    """WEIGHTED RANGE-PARTITION PLANNING — the boundary computation
+    behind every balanced sort/repartition: split the id-ordered corpus
+    into 8 ranges of ~equal n_chars WEIGHT (not row count). Rule: a row
+    belongs to part = exclusive-prefix-weight // ceil(W/8) — contiguous
+    by construction, deterministic, one window expression. Distributed
+    shape (the `grouped_prefix_sum` discipline specialized to the id
+    order): per-id-range-bucket (doc_id // 64 — a MONOTONE function of
+    the order key, the range-partitioner assumption) weight totals are
+    a metadata relation; the driver folds them into exclusive bucket
+    offsets + the global W; each bucket task then assigns parts with a
+    local cumsum and emits per-part partials; a bounded reduce merges.
+    Output per part: n_docs, tot_weight, covered id range."""
+    from basicocr_ray.core.collect import collect_rows
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    S = 8
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def add_rb(b: pa.Table) -> pa.Table:
+        rb = pc.cast(
+            pc.divide(pc.cast(b["doc_id"], pa.int64()), 64), pa.int64()
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "wt": pc.cast(b["n_chars"], pa.int64()),
+                "rb": rb,
+            }
+        )
+
+    body = ds.map_batches(add_rb, batch_format="pyarrow").materialize()
+
+    def bucket_totals(b: pa.Table) -> pa.Table:
+        t = b.group_by("rb").aggregate([("wt", "sum")])
+        return t.rename_columns(["rb", "v"])
+
+    totals: dict[int, int] = {}
+    for row in collect_rows(
+        body.map_batches(bucket_totals, batch_format="pyarrow")
+    ):  # metadata: ≤ blocks × #buckets rows
+        totals[int(row["rb"])] = totals.get(int(row["rb"]), 0) + int(row["v"])
+    W = sum(totals.values())
+    target = (W + S - 1) // S
+    offsets: dict[int, int] = {}
+    acc = 0
+    for rb in sorted(totals):
+        offsets[rb] = acc
+        acc += totals[rb]
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id", kind="mergesort")
+        w = df["wt"].to_numpy(dtype=np.int64)
+        pre = offsets[int(df["rb"].iloc[0])] + np.cumsum(w) - w
+        df = df.assign(part=(pre // target).astype("int64"))
+        out = df.groupby("part", as_index=False).agg(
+            n_docs=("doc_id", "size"),
+            tot_weight=("wt", "sum"),
+            id_lo=("doc_id", "min"),
+            id_hi=("doc_id", "max"),
+        )
+        return out.astype({c: "int64" for c in out.columns})
+
+    partials = body.groupby("rb").map_groups(assign, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("part", as_index=False).agg(
+            n_docs=("n_docs", "sum"),
+            tot_weight=("tot_weight", "sum"),
+            id_lo=("id_lo", "min"),
+            id_hi=("id_hi", "max"),
+        )
+        return out.astype({c: "int64" for c in out.columns})
+
+    return coarse_group_reduce(partials, "part", merge)
+
+
+def q186_classifier_agreement(sf_dir: str):
+    """TWO-CLASSIFIER AGREEMENT (the inter-rater / model-upgrade audit
+    that precedes any classifier swap — the integer evidence behind
+    Cohen's κ): classifier A = the q129 hashed-linear scorer (weight
+    seed 'w:'), classifier B = the same architecture with independent
+    weights (seed 'v:'); per language, the full confusion matrix of
+    keep verdicts (n00, n01, n10, n11). ONE pass scores both models
+    (the weight tables broadcast in the closure); partials carry four
+    counters per (batch, lang)."""
+    from basicocr_ray.core.textstats import hashed_linear_score
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    B = 64
+    w_a = [_md5_low64(f"w:{b}") % 21 - 10 for b in range(B)]
+    w_b = [_md5_low64(f"v:{b}") % 21 - 10 for b in range(B)]
+
+    ds = _read(sf_dir, "documents", columns=["text", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        acc: dict[str, list[int]] = {}
+        for t, lang in zip(
+            batch["text"].to_pylist(), batch["lang"].to_pylist()
+        ):
+            toks = token_items(t) if t else []
+            ka = 1 if hashed_linear_score(toks, w_a) > 0 else 0
+            kb = 1 if hashed_linear_score(toks, w_b) > 0 else 0
+            lang = lang if lang is not None else ""
+            a = acc.setdefault(lang, [0, 0, 0, 0])
+            a[2 * ka + kb] += 1
+        ks = sorted(acc)
+        return pa.table(
+            {
+                "lang": pa.array(ks, pa.string()),
+                "n00": pa.array([acc[k][0] for k in ks], pa.int64()),
+                "n01": pa.array([acc[k][1] for k in ks], pa.int64()),
+                "n10": pa.array([acc[k][2] for k in ks], pa.int64()),
+                "n11": pa.array([acc[k][3] for k in ks], pa.int64()),
+            }
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("lang", as_index=False).sum()
+        for c in ("n00", "n01", "n10", "n11"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return coarse_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"), "lang", final
+    )
+
+
+def q187_auc_evidence(sf_dir: str):
+    """AUC AS A RANK-SUM STATISTIC with exact integer evidence — the
+    Mann-Whitney U identity ties AUC to pure counting, so the driver
+    hash needs no float: with label = (lang = 'en') and the q129
+    integer scores, 2U = Σ_s [2·n_pos(s)·(negatives strictly below s)
+    + n_pos(s)·n_neg(s)] (the n_pos·n_neg term is the tie ½-credit,
+    doubled to stay integer); AUC = u2 / (2·n_pos·n_neg) is a derived
+    epilogue. Shape: per-batch (score, n_pos, n_neg) partials → exact
+    coarse reduce on the score VALUE (the distinct-score relation is
+    bounded by the score range, not the corpus) → one ordered scan of
+    that metadata relation."""
+    from basicocr_ray.core.textstats import hashed_linear_score
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    B = 64
+    weights = [_md5_low64(f"w:{b}") % 21 - 10 for b in range(B)]
+
+    ds = _read(sf_dir, "documents", columns=["text", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        acc: dict[int, list[int]] = {}
+        for t, lang in zip(
+            batch["text"].to_pylist(), batch["lang"].to_pylist()
+        ):
+            s = hashed_linear_score(token_items(t) if t else [], weights)
+            a = acc.setdefault(s, [0, 0])
+            if lang == "en":
+                a[0] += 1
+            else:
+                a[1] += 1
+        ks = sorted(acc)
+        return pa.table(
+            {
+                "score": pa.array(ks, pa.int64()),
+                "np_": pa.array([acc[k][0] for k in ks], pa.int64()),
+                "nn_": pa.array([acc[k][1] for k in ks], pa.int64()),
+            }
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("score", as_index=False).sum()
+        return out.astype({"score": "int64", "np_": "int64", "nn_": "int64"})
+
+    per_score = coarse_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"), "score", merge
+    )
+
+    def u_stat(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values("score", kind="mergesort").reset_index(drop=True)
+        npos = g["np_"].to_numpy(dtype=np.int64)
+        nneg = g["nn_"].to_numpy(dtype=np.int64)
+        cneg = np.cumsum(nneg) - nneg  # negatives strictly below
+        u2 = int((2 * npos * cneg + npos * nneg).sum())
+        return pd.DataFrame(
+            {
+                "n_pos": pd.array([int(npos.sum())], dtype="int64"),
+                "n_neg": pd.array([int(nneg.sum())], dtype="int64"),
+                "u2": pd.array([u2], dtype="int64"),
+            }
+        )
+
+    # the per-score relation is metadata-sized: one constant-key group
+    return (
+        per_score.map_batches(
+            lambda b: b.append_column(
+                "cg", pa.array(np.zeros(len(b), dtype=np.int32))
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("cg")
+        .map_groups(
+            lambda df: u_stat(df.drop(columns=["cg"])),
+            batch_format="pandas",
+        )
+    )
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -9749,6 +9954,9 @@ QUERIES = {
     "q182_quant_recall": q182_quant_recall,
     "q183_feature_hash_collisions": q183_feature_hash_collisions,
     "q184_calibration_bins": q184_calibration_bins,
+    "q185_range_splits": q185_range_splits,
+    "q186_classifier_agreement": q186_classifier_agreement,
+    "q187_auc_evidence": q187_auc_evidence,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -11041,6 +11249,123 @@ ORACLE_SQL = {
         SELECT CAST(vec_id + 10000 AS BIGINT) AS clip_id,
                vec_id AS orig_id
         FROM embeddings WHERE vec_id % 4 = 0
+    """,
+    "q185_range_splits": """
+        -- balanced weighted range partitioner: part = exclusive prefix
+        -- weight // ceil(W/8) in id order — contiguous by construction
+        WITH w AS (
+          SELECT doc_id, CAST(n_chars AS BIGINT) AS wt FROM documents
+        ),
+        t AS (SELECT CAST(sum(wt) AS BIGINT) AS tot FROM w),
+        p AS (
+          SELECT doc_id, wt,
+                 coalesce(sum(wt) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS pre
+          FROM w
+        ),
+        parts AS (
+          SELECT doc_id, wt,
+                 pre // (SELECT (tot + 7) // 8 FROM t) AS part
+          FROM p
+        )
+        SELECT CAST(part AS BIGINT) AS part, count(*) AS n_docs,
+               CAST(sum(wt) AS BIGINT) AS tot_weight,
+               min(doc_id) AS id_lo, max(doc_id) AS id_hi
+        FROM parts GROUP BY 1
+    """,
+    "q186_classifier_agreement": f"""
+        -- per-lang confusion matrix of two hashed-linear keep verdicts
+        -- (weight seeds 'w:' and 'v:')
+        WITH wa AS (
+          SELECT b.b AS b, CAST(md5_number_lower(
+            'w:' || CAST(b.b AS VARCHAR)) % 21 AS BIGINT) - 10 AS w
+          FROM range(64) b(b)
+        ),
+        wb AS (
+          SELECT b.b AS b, CAST(md5_number_lower(
+            'v:' || CAST(b.b AS VARCHAR)) % 21 AS BIGINT) - 10 AS w
+          FROM range(64) b(b)
+        ),
+        toks AS (
+          SELECT doc_id,
+                 unnest(list_filter({_TOKS}, x -> x <> '')) AS token
+          FROM documents
+        ),
+        sa AS (
+          SELECT t.doc_id, CAST(sum(wa.w) AS BIGINT) AS score
+          FROM toks t JOIN wa
+            ON wa.b = CAST(md5_number_lower(t.token) % 64 AS BIGINT)
+          GROUP BY 1
+        ),
+        sb AS (
+          SELECT t.doc_id, CAST(sum(wb.w) AS BIGINT) AS score
+          FROM toks t JOIN wb
+            ON wb.b = CAST(md5_number_lower(t.token) % 64 AS BIGINT)
+          GROUP BY 1
+        ),
+        d AS (
+          SELECT coalesce(d.lang, '') AS lang,
+                 CASE WHEN coalesce(sa.score, 0) > 0 THEN 1 ELSE 0 END
+                   AS ka,
+                 CASE WHEN coalesce(sb.score, 0) > 0 THEN 1 ELSE 0 END
+                   AS kb
+          FROM documents d
+          LEFT JOIN sa USING (doc_id) LEFT JOIN sb USING (doc_id)
+        )
+        SELECT lang,
+          CAST(sum(CASE WHEN ka = 0 AND kb = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n00,
+          CAST(sum(CASE WHEN ka = 0 AND kb = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n01,
+          CAST(sum(CASE WHEN ka = 1 AND kb = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n10,
+          CAST(sum(CASE WHEN ka = 1 AND kb = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n11
+        FROM d GROUP BY 1
+    """,
+    "q187_auc_evidence": f"""
+        -- Mann-Whitney: 2U = sum over score values of
+        -- 2·n_pos(s)·cum_neg(<s) + n_pos(s)·n_neg(s); all integers
+        WITH w AS (
+          SELECT b.b AS b, CAST(md5_number_lower(
+            'w:' || CAST(b.b AS VARCHAR)) % 21 AS BIGINT) - 10 AS w
+          FROM range(64) b(b)
+        ),
+        toks AS (
+          SELECT doc_id,
+                 unnest(list_filter({_TOKS}, x -> x <> '')) AS token
+          FROM documents
+        ),
+        s AS (
+          SELECT t.doc_id, CAST(sum(w.w) AS BIGINT) AS score
+          FROM toks t JOIN w
+            ON w.b = CAST(md5_number_lower(t.token) % 64 AS BIGINT)
+          GROUP BY 1
+        ),
+        d AS (
+          SELECT coalesce(s.score, 0) AS score,
+                 CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+          FROM documents d LEFT JOIN s USING (doc_id)
+        ),
+        g AS (
+          SELECT score, CAST(sum(pos) AS BIGINT) AS np_,
+                 CAST(sum(1 - pos) AS BIGINT) AS nn_
+          FROM d GROUP BY 1
+        ),
+        o AS (
+          SELECT score, np_, nn_,
+                 coalesce(sum(nn_) OVER (
+                   ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS cneg
+          FROM g
+        )
+        SELECT CAST(sum(np_) AS BIGINT) AS n_pos,
+               CAST(sum(nn_) AS BIGINT) AS n_neg,
+               CAST(sum(2 * np_ * cneg + np_ * nn_) AS BIGINT) AS u2
+        FROM o
     """,
     "q182_quant_recall": """
         -- exact-cosine top-10 vs int-quantized-dot top-10 per query;
