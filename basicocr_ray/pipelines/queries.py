@@ -9772,6 +9772,223 @@ def q187_auc_evidence(sf_dir: str):
     )
 
 
+def q188_longest_streak(sf_dir: str):
+    """LONGEST CONSECUTIVE-DAY STREAK per user — the gaps-and-islands
+    engagement metric every activity dashboard ships: distinct active
+    days per user; a streak is a maximal run of day-distance-1 rows;
+    output (user_id, n_active_days, longest_streak). Vectorized inside
+    coarse user-hash groups: distinct (user, day) → island id = day −
+    per-user rank (constant within a run — the classic identity) → one
+    groupby size/max; no per-user Python loop. Day arithmetic is exact
+    integer days-since-epoch."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    DAY_US = 86_400_000_000
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = pc.cast(
+            pc.cast(b["ts"], pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+                "day": ts_us // DAY_US,
+            }
+        ).drop_duplicates()
+        return pa.Table.from_pandas(
+            df.astype({"user_id": "int64", "day": "int64"}),
+            preserve_index=False,
+        )
+
+    def streaks(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates().sort_values(
+            ["user_id", "day"], kind="mergesort"
+        ).reset_index(drop=True)
+        rk = g.groupby("user_id").cumcount()
+        g = g.assign(island=g["day"] - rk)
+        runs = g.groupby(["user_id", "island"], as_index=False).agg(
+            run=("day", "size")
+        )
+        out = runs.groupby("user_id", as_index=False).agg(
+            longest_streak=("run", "max")
+        )
+        days = g.groupby("user_id", as_index=False).agg(
+            n_active_days=("day", "size")
+        )
+        out = days.merge(out, on="user_id")
+        return out.astype(
+            {
+                "user_id": "int64", "n_active_days": "int64",
+                "longest_streak": "int64",
+            }
+        )
+
+    return coarse_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"), "user_id", streaks
+    )
+
+
+def q189_lang_overlap_matrix(sf_dir: str):
+    """CROSS-SPLIT CONTAMINATION MATRIX — exact pairwise overlap of the
+    unigram ∪ bigram feature sets between languages (the audit run
+    between train/eval splits before training; q75's decontamination is
+    its targeted cousin): for every lang pair (a < b), |F_a ∩ F_b| plus
+    each side's |F|. Shape: per-batch distinct (feature, lang) rows →
+    coarse groups of the FEATURE hash, where each feature's lang set
+    emits one row per lang pair (C(k,2) per feature — bounded by the
+    lang count, not the corpus) and one per lang for the sizes; a
+    bounded pair-keyed Sum finishes. Features never meet except
+    through their own hash group — no cross-product of vocabularies."""
+    from ray.data.aggregate import Sum
+
+    from basicocr_ray.stages.wide import coarse_group_reduce, make_ngram_items
+
+    ds = _read(sf_dir, "documents", columns=["text", "lang"])
+
+    def feat_partial(b: pa.Table) -> pa.Table:
+        seen: set = set()
+        for t, lang in zip(
+            b["text"].to_pylist(), b["lang"].to_pylist()
+        ):
+            if not t or lang is None:
+                continue
+            toks = token_items(t)
+            for f in toks:
+                seen.add((f, lang))
+            for f in make_ngram_items(2)(t):
+                seen.add((f, lang))
+        rows = sorted(seen)
+        return pa.table(
+            {
+                "feature": pa.array([r[0] for r in rows], pa.string()),
+                "lang": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+
+    def pair_counts(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_n = [], [], []
+        for _, g in df.drop_duplicates().groupby("feature"):
+            langs = sorted(set(g["lang"]))
+            for la in langs:
+                out_a.append(la)
+                out_b.append(la)  # diagonal carries |F_lang|
+                out_n.append(1)
+            for i in range(len(langs)):
+                for j in range(i + 1, len(langs)):
+                    out_a.append(langs[i])
+                    out_b.append(langs[j])
+                    out_n.append(1)
+        return pd.DataFrame(
+            {
+                "lang_a": pd.array(out_a, dtype="object"),
+                "lang_b": pd.array(out_b, dtype="object"),
+                "n": pd.array(out_n, dtype="int64"),
+            }
+        )
+
+    pairs = coarse_group_reduce(
+        ds.map_batches(feat_partial, batch_format="pyarrow"),
+        "feature",
+        pair_counts,
+    )
+    out = (
+        pairs.groupby(["lang_a", "lang_b"])  # bounded: ≤ L + C(L,2) keys
+        .aggregate(Sum("n", alias_name="n_common"))
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "lang_a": b["lang_a"],
+                "lang_b": b["lang_b"],
+                "n_common": pc.cast(b["n_common"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q190_reshard_churn(sf_dir: str):
+    """RESHARDING CHURN AUDIT — why consistent hashing exists, as data:
+    growing 16 → 17 shards moves ~15/16 of all keys under naive
+    ``hash % n`` but only ~1/17 under a consistent-hash ring (17 nodes
+    × 8 vnodes, ring points md5-low-63 of 'node:i:v', a key goes to
+    the first ring point ≥ its hash, wrapping to the ring minimum).
+    Output one row: n_total, n_moved_mod, n_moved_ring. The ring is
+    constant-sized and broadcast in the closure; per-batch assignment
+    is one vectorized np.searchsorted; only three counters shuffle."""
+    MASK = (1 << 63) - 1
+
+    def ring(nodes: int):
+        pts = []
+        for i in range(nodes):
+            for v in range(8):
+                pts.append((_md5_low64(f"node:{i}:{v}") & MASK, i))
+        pts.sort()
+        return (
+            np.asarray([p[0] for p in pts], dtype=np.uint64),
+            np.asarray([p[1] for p in pts], dtype=np.int64),
+        )
+
+    r16_p, r16_n = ring(16)
+    r17_p, r17_n = ring(17)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = np.asarray(
+            [
+                _md5_low64(str(d)) & MASK
+                for d in b["doc_id"].to_pylist()
+            ],
+            dtype=np.uint64,
+        )
+        moved_mod = int(((h % 16) != (h % 17)).sum())
+
+        def owner(pts, nodes):
+            idx = np.searchsorted(pts, h, side="left")
+            idx[idx == len(pts)] = 0  # wrap to the ring minimum
+            return nodes[idx]
+
+        moved_ring = int(
+            (owner(r16_p, r16_n) != owner(r17_p, r17_n)).sum()
+        )
+        return pa.table(
+            {
+                "n_total": pa.array([len(h)], pa.int64()),
+                "n_moved_mod": pa.array([moved_mod], pa.int64()),
+                "n_moved_ring": pa.array([moved_ring], pa.int64()),
+            }
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_total": pd.array([int(df["n_total"].sum())],
+                                    dtype="int64"),
+                "n_moved_mod": pd.array(
+                    [int(df["n_moved_mod"].sum())], dtype="int64"),
+                "n_moved_ring": pd.array(
+                    [int(df["n_moved_ring"].sum())], dtype="int64"),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return (
+        partials.map_batches(
+            lambda b: b.append_column(
+                "cg", pa.array(np.zeros(len(b), dtype=np.int32))
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("cg")
+        .map_groups(
+            lambda df: final(df.drop(columns=["cg"])),
+            batch_format="pandas",
+        )
+    )
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -9957,6 +10174,9 @@ QUERIES = {
     "q185_range_splits": q185_range_splits,
     "q186_classifier_agreement": q186_classifier_agreement,
     "q187_auc_evidence": q187_auc_evidence,
+    "q188_longest_streak": q188_longest_streak,
+    "q189_lang_overlap_matrix": q189_lang_overlap_matrix,
+    "q190_reshard_churn": q190_reshard_churn,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -11249,6 +11469,84 @@ ORACLE_SQL = {
         SELECT CAST(vec_id + 10000 AS BIGINT) AS clip_id,
                vec_id AS orig_id
         FROM embeddings WHERE vec_id % 4 = 0
+    """,
+    "q188_longest_streak": """
+        -- gaps-and-islands: island = day - rank is constant within a
+        -- consecutive-day run
+        WITH d AS (
+          SELECT DISTINCT user_id,
+                 epoch_us(ts) // 86400000000 AS day
+          FROM events
+        ),
+        r AS (
+          SELECT user_id, day,
+                 row_number() OVER (
+                   PARTITION BY user_id ORDER BY day) - 1 AS rk
+          FROM d
+        ),
+        runs AS (
+          SELECT user_id, day - rk AS island, count(*) AS run
+          FROM r GROUP BY 1, 2
+        )
+        SELECT user_id, CAST(sum(run) AS BIGINT) AS n_active_days,
+               CAST(max(run) AS BIGINT) AS longest_streak
+        FROM runs GROUP BY 1
+    """,
+    "q189_lang_overlap_matrix": f"""
+        -- exact pairwise overlap of unigram ∪ bigram feature sets;
+        -- the diagonal (a = b) carries each side's |F|
+        WITH base AS (
+          SELECT lang, {_TOKS} AS toks
+          FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+        ),
+        f AS (
+          SELECT DISTINCT lang, tok FROM (
+            SELECT lang, unnest(toks) AS tok FROM base
+            UNION ALL
+            SELECT lang, unnest(list_transform(range(1, len(toks)),
+                     i -> toks[i] || ' ' || toks[i+1])) FROM base
+          ) WHERE tok <> ''
+        )
+        SELECT a.lang AS lang_a, b.lang AS lang_b,
+               count(*) AS n_common
+        FROM f a JOIN f b ON a.tok = b.tok AND a.lang <= b.lang
+        GROUP BY 1, 2
+    """,
+    "q190_reshard_churn": """
+        -- 16→17 shards: naive mod moves ~15/16 of keys, the vnode ring
+        -- moves ~1/17; ring16 is ring17 minus node 16's points
+        WITH ring17 AS (
+          SELECT t.i AS node,
+                 CAST(md5_number_lower(
+                   'node:' || CAST(t.i AS VARCHAR) || ':'
+                           || CAST(u.v AS VARCHAR))
+                   & 9223372036854775807 AS BIGINT) AS p
+          FROM range(17) t(i), range(8) u(v)
+        ),
+        ring16 AS (SELECT node, p FROM ring17 WHERE node < 16),
+        k AS (
+          SELECT CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
+                      & 9223372036854775807 AS BIGINT) AS h
+          FROM documents
+        ),
+        o AS (
+          SELECT h,
+            coalesce((SELECT r.node FROM ring16 r WHERE r.p >= k.h
+                      ORDER BY r.p, r.node LIMIT 1),
+                     (SELECT r.node FROM ring16 r
+                      ORDER BY r.p, r.node LIMIT 1)) AS o16,
+            coalesce((SELECT r.node FROM ring17 r WHERE r.p >= k.h
+                      ORDER BY r.p, r.node LIMIT 1),
+                     (SELECT r.node FROM ring17 r
+                      ORDER BY r.p, r.node LIMIT 1)) AS o17
+          FROM k
+        )
+        SELECT count(*) AS n_total,
+               CAST(sum(CASE WHEN h % 16 <> h % 17 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_moved_mod,
+               CAST(sum(CASE WHEN o16 <> o17 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_moved_ring
+        FROM o
     """,
     "q185_range_splits": """
         -- balanced weighted range partitioner: part = exclusive prefix
