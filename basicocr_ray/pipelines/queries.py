@@ -9989,6 +9989,170 @@ def q190_reshard_churn(sf_dir: str):
     )
 
 
+def q191_weighted_draws(sf_dir: str):
+    """WEIGHTED SAMPLING WITH REPLACEMENT as a distributed INVERSE-CDF
+    lookup (q56's A-ES bottom-k is the without-replacement sibling):
+    100 deterministic draws u_t = md5-low-63('draw:t') mod W land in
+    the id-ordered cumulative-weight line; draw t selects the row whose
+    [prefix, prefix + w) interval contains u_t. Shape (the q185
+    discipline): per-id-bucket weight totals → driver exclusive bucket
+    offsets (metadata) → each draw routes to exactly ONE bucket by a
+    driver-side searchsorted over the bucket starts → the bucket task
+    resolves its draws with a local cumsum + searchsorted. No
+    corpus-sized relation ever centralizes; the draw list is
+    query-sized by definition."""
+    from basicocr_ray.core.collect import collect_rows
+
+    T = 100
+    MASK = (1 << 63) - 1
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def add_rb(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "wt": pc.cast(b["n_chars"], pa.int64()),
+                "rb": pc.cast(
+                    pc.divide(pc.cast(b["doc_id"], pa.int64()), 64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    body = ds.map_batches(add_rb, batch_format="pyarrow").materialize()
+
+    def bucket_totals(b: pa.Table) -> pa.Table:
+        t = b.group_by("rb").aggregate([("wt", "sum")])
+        return t.rename_columns(["rb", "v"])
+
+    totals: dict[int, int] = {}
+    for row in collect_rows(
+        body.map_batches(bucket_totals, batch_format="pyarrow")
+    ):
+        totals[int(row["rb"])] = totals.get(int(row["rb"]), 0) + int(row["v"])
+    rbs = sorted(totals)
+    starts = np.cumsum([0] + [totals[rb] for rb in rbs[:-1]])
+    offsets = dict(zip(rbs, (int(s) for s in starts)))
+    W = sum(totals.values())
+
+    draws = [
+        (t, (_md5_low64(f"draw:{t}") & MASK) % W) for t in range(T)
+    ]
+    per_bucket: dict[int, list] = {}
+    for t, u in draws:
+        i = int(np.searchsorted(starts, u, side="right")) - 1
+        per_bucket.setdefault(rbs[i], []).append((t, u))
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        rb = int(df["rb"].iloc[0])
+        mine = per_bucket.get(rb, [])
+        if not mine:
+            return pd.DataFrame(
+                {
+                    "draw_id": pd.array([], dtype="int64"),
+                    "doc_id": pd.array([], dtype="int64"),
+                    "u": pd.array([], dtype="int64"),
+                }
+            )
+        df = df.sort_values("doc_id", kind="mergesort")
+        w = df["wt"].to_numpy(dtype=np.int64)
+        pre = offsets[rb] + np.cumsum(w) - w
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        out_t, out_d, out_u = [], [], []
+        for t, u in mine:
+            i = int(np.searchsorted(pre, u, side="right")) - 1
+            out_t.append(t)
+            out_d.append(int(ids[i]))
+            out_u.append(u)
+        return pd.DataFrame(
+            {
+                "draw_id": pd.array(out_t, dtype="int64"),
+                "doc_id": pd.array(out_d, dtype="int64"),
+                "u": pd.array(out_u, dtype="int64"),
+            }
+        )
+
+    return body.groupby("rb").map_groups(resolve, batch_format="pandas")
+
+
+def q192_twap_evidence(sf_dir: str):
+    """TIME-WEIGHTED AVERAGE evidence (the TWAP/billing integral) with
+    exact integers: per user, Σ floor(1000·value)·Δseconds where Δ is
+    the whole-second gap to the NEXT event (last event contributes 0) —
+    quantized value × integer gap keeps every product and the per-user
+    sum inside int64 in both engines. One sort + vectorized shift per
+    coarse user group; output (user_id, n_events, span_s, qv_dt)."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "value"]
+    )
+
+    def twap(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        ts_us = g["ts"].astype("datetime64[us]").astype("int64")
+        nxt = ts_us.groupby(g["user_id"]).shift(-1)
+        dt_s = ((nxt - ts_us) // 1_000_000).fillna(0).astype("int64")
+        qv = np.floor(g["value"].to_numpy(dtype=np.float64) * 1000).astype(
+            np.int64
+        )
+        g = g.assign(dt_s=dt_s, term=qv * dt_s, ts_us=ts_us)
+        out = g.groupby("user_id", as_index=False).agg(
+            n_events=("event_id", "size"),
+            span_s=("dt_s", "sum"),
+            qv_dt=("term", "sum"),
+        )
+        return out.astype(
+            {
+                "user_id": "int64", "n_events": "int64",
+                "span_s": "int64", "qv_dt": "int64",
+            }
+        )
+
+    return coarse_group_reduce(ds, "user_id", twap)
+
+
+def q193_burst_rate(sf_dir: str):
+    """PEAK BURST RATE per user — the rate-limiter audit: the maximum
+    number of events inside ANY trailing 60-second window, under SQL
+    RANGE-frame semantics (a window anchored at each event's timestamp
+    includes ALL rows with equal ts — peers — not just earlier ones).
+    Vectorized inside coarse user groups: per user, counts =
+    searchsorted(ts, ts, 'right') − searchsorted(ts, ts − 60 s,
+    'left') — two array passes, no per-event loop."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    WIN_US = 60_000_000
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def burst(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["user_id", "ts"], kind="mergesort").reset_index(
+            drop=True
+        )
+        ts_us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        users = g["user_id"].to_numpy()
+        rows = []
+        for u in pd.unique(users):
+            m = users == u
+            t = ts_us[m]
+            counts = (
+                np.searchsorted(t, t, side="right")
+                - np.searchsorted(t, t - WIN_US, side="left")
+            )
+            rows.append((int(u), len(t), int(counts.max())))
+        return pd.DataFrame(
+            {
+                "user_id": pd.array([r[0] for r in rows], dtype="int64"),
+                "n_events": pd.array([r[1] for r in rows], dtype="int64"),
+                "max_burst": pd.array([r[2] for r in rows], dtype="int64"),
+            }
+        )
+
+    return coarse_group_reduce(ds, "user_id", burst)
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -10177,6 +10341,9 @@ QUERIES = {
     "q188_longest_streak": q188_longest_streak,
     "q189_lang_overlap_matrix": q189_lang_overlap_matrix,
     "q190_reshard_churn": q190_reshard_churn,
+    "q191_weighted_draws": q191_weighted_draws,
+    "q192_twap_evidence": q192_twap_evidence,
+    "q193_burst_rate": q193_burst_rate,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -11469,6 +11636,68 @@ ORACLE_SQL = {
         SELECT CAST(vec_id + 10000 AS BIGINT) AS clip_id,
                vec_id AS orig_id
         FROM embeddings WHERE vec_id % 4 = 0
+    """,
+    "q191_weighted_draws": """
+        -- inverse-CDF with-replacement draws: u_t = md5('draw:t') mod
+        -- W picks the row whose cumulative-weight interval contains it
+        WITH w AS (
+          SELECT doc_id, CAST(n_chars AS BIGINT) AS wt FROM documents
+        ),
+        t AS (SELECT CAST(sum(wt) AS BIGINT) AS tot FROM w),
+        p AS (
+          SELECT doc_id, wt,
+                 coalesce(sum(wt) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS pre
+          FROM w
+        ),
+        draws AS (
+          SELECT d.t AS draw_id,
+                 CAST(md5_number_lower('draw:' || CAST(d.t AS VARCHAR))
+                      & 9223372036854775807 AS BIGINT)
+                   % (SELECT tot FROM t) AS u
+          FROM range(100) d(t)
+        )
+        SELECT draws.draw_id, p.doc_id, draws.u
+        FROM draws JOIN p
+          ON draws.u >= p.pre AND draws.u < p.pre + p.wt
+    """,
+    "q192_twap_evidence": """
+        -- quantized TWAP integral: floor(1000·value) × whole-second
+        -- gap to the next event; last event contributes 0
+        WITH o AS (
+          SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+                 lead(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+          FROM events
+        ),
+        g AS (
+          SELECT user_id,
+                 coalesce((nxt - ts_us) // 1000000, 0) AS dt_s,
+                 CAST(floor(value * 1000) AS BIGINT) AS qv
+          FROM o
+        )
+        SELECT user_id, count(*) AS n_events,
+               CAST(sum(dt_s) AS BIGINT) AS span_s,
+               CAST(sum(qv * dt_s) AS BIGINT) AS qv_dt
+        FROM g GROUP BY 1
+    """,
+    "q193_burst_rate": """
+        -- RANGE frame: every event's trailing 60 s window, peers
+        -- (equal ts) included; max per user
+        WITH c AS (
+          SELECT user_id,
+                 count(*) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 60 SECONDS PRECEDING
+                         AND CURRENT ROW
+                 ) AS burst
+          FROM events
+        )
+        SELECT user_id, count(*) AS n_events,
+               CAST(max(burst) AS BIGINT) AS max_burst
+        FROM c GROUP BY 1
     """,
     "q188_longest_streak": """
         -- gaps-and-islands: island = day - rank is constant within a
