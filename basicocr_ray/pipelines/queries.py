@@ -10153,6 +10153,327 @@ def q193_burst_rate(sf_dir: str):
     return coarse_group_reduce(ds, "user_id", burst)
 
 
+def q194_benford_audit(sf_dir: str):
+    """BENFORD FIRST-DIGIT AUDIT — the fraud/data-quality forensic over
+    event values, engine-exact by integer digit extraction: iv =
+    floor(100·value) (one double multiply + floor, exact both engines;
+    zero values drop), first digit by repeated integer division — NO
+    log10, whose last-bit rounding differs across libms exactly at the
+    decade boundaries an audit cares about. Output per (event_type,
+    digit): count. Partials carry ≤ |types|·9 rows per batch."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_pylist()
+        v = np.asarray(b["value"].to_pylist(), dtype=np.float64)
+        iv = np.floor(v * 100).astype(np.int64)
+        acc: dict[tuple, int] = {}
+        for t, x in zip(et, iv):
+            if x <= 0:
+                continue
+            while x >= 10:
+                x //= 10
+            k = (t, int(x))
+            acc[k] = acc.get(k, 0) + 1
+        ks = sorted(acc)
+        return pa.table(
+            {
+                "event_type": pa.array([k[0] for k in ks], pa.string()),
+                "digit": pa.array([k[1] for k in ks], pa.int64()),
+                "n": pa.array([acc[k] for k in ks], pa.int64()),
+            }
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["event_type", "digit"], as_index=False)["n"].sum()
+        return out.astype({"digit": "int64", "n": "int64"})
+
+    return coarse_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "digit"],
+        final,
+    )
+
+
+def q195_k_anonymity(sf_dir: str):
+    """K-ANONYMITY AUDIT — the privacy gate before any data release:
+    quasi-identifier = (lang, source, n_chars // 100 length band);
+    output the equivalence-class size histogram (k → number of classes
+    of that size). The release rule 'suppress classes with k < K' reads
+    straight off the result; min k is the headline number. Two bounded
+    reduces: per-QI counts in coarse composite-hash groups, then the
+    size histogram."""
+    from ray.data.aggregate import Count
+
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "lang": b["lang"].to_pylist(),
+                "source": b["source"].to_pylist(),
+                "band": np.asarray(
+                    b["n_chars"].to_pylist(), dtype=np.int64
+                ) // 100,
+            }
+        )
+        out = df.groupby(
+            ["lang", "source", "band"], as_index=False
+        ).size().rename(columns={"size": "n"})
+        return pa.Table.from_pandas(
+            out.astype({"band": "int64", "n": "int64"}),
+            preserve_index=False,
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(
+            ["lang", "source", "band"], as_index=False
+        )["n"].sum()
+        return out.astype({"band": "int64", "n": "int64"})
+
+    classes = coarse_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "source", "band"],
+        merge,
+    )
+    hist = (
+        classes.map_batches(
+            lambda b: pa.table({"k": pc.cast(b["n"], pa.int64())}),
+            batch_format="pyarrow",
+        )
+        .groupby("k")  # bounded: ≤ max class size
+        .aggregate(Count(alias_name="n_classes"))
+    )
+    return hist.map_batches(
+        lambda b: pa.table(
+            {
+                "k": pc.cast(b["k"], pa.int64()),
+                "n_classes": pc.cast(b["n_classes"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q196_join_size_exact(sf_dir: str):
+    """EXACT JOIN-CARDINALITY computation WITHOUT the join — the
+    optimizer statistic |orders ⋈ lineitem| = Σ_k cnt_o(k)·cnt_l(k):
+    per-key counts reduce independently on each side (rows never meet),
+    the two COUNT relations — key + int64 each — meet in one bucketed
+    hash join whose per-bucket product-sums collapse to three scalars.
+    The shuffle carries counts, not rows: estimating a 10⁹-row join
+    costs two count scans + a key-sized exchange."""
+    from basicocr_ray.stages.joins import bucketed_hash_join
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey"])
+    lineitem = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+
+    def count_side(ds, key, out):
+        def partial(b: pa.Table) -> pa.Table:
+            t = b.group_by(key).aggregate([([], "count_all")])
+            return pa.table(
+                {
+                    "k": pc.cast(t[key], pa.int64()),
+                    out: pc.cast(t["count_all"], pa.int64()),
+                }
+            )
+
+        def merge(df: pd.DataFrame) -> pd.DataFrame:
+            m = df.groupby("k", as_index=False)[out].sum()
+            return m.astype({"k": "int64", out: "int64"})
+
+        return coarse_group_reduce(
+            ds.map_batches(partial, batch_format="pyarrow"), "k", merge
+        )
+
+    co = count_side(orders, "o_orderkey", "n_o")
+    cl = count_side(lineitem, "l_orderkey", "n_l")
+
+    joined = bucketed_hash_join(
+        co, cl, key="k", left_columns=["n_o"], right_columns=["n_l"]
+    )
+
+    def partial_sums(b: pa.Table) -> pa.Table:
+        n_o = b["n_o"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_l = b["n_l"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n_keys": pa.array([len(n_o)], pa.int64()),
+                "join_rows": pa.array([int((n_o * n_l).sum())], pa.int64()),
+                "max_key_fanout": pa.array(
+                    [int((n_o * n_l).max()) if len(n_o) else 0], pa.int64()
+                ),
+            }
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_keys": pd.array([int(df["n_keys"].sum())], dtype="int64"),
+                "join_rows": pd.array(
+                    [int(df["join_rows"].sum())], dtype="int64"),
+                "max_key_fanout": pd.array(
+                    [int(df["max_key_fanout"].max())], dtype="int64"),
+            }
+        )
+
+    partials = joined.map_batches(partial_sums, batch_format="pyarrow")
+    return (
+        partials.map_batches(
+            lambda b: b.append_column(
+                "cg", pa.array(np.zeros(len(b), dtype=np.int32))
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("cg")
+        .map_groups(
+            lambda df: final(df.drop(columns=["cg"])),
+            batch_format="pandas",
+        )
+    )
+
+
+def q197_gini_evidence(sf_dir: str):
+    """GINI MEAN DIFFERENCE per language with exact integers — the
+    inequality statistic behind corpus-balance dashboards: Σ_{i<j}
+    |x_i − x_j| over doc lengths via the sorted-order identity
+    Σ_i (2i − n − 1)·x_(i) (1-based i; tie-order-invariant because
+    tied values contribute zero differences) — O(n log n), no pairwise
+    loop, every term int64. The Gini coefficient itself is
+    gini_num / (n·sum_x), a derived epilogue. One vectorized sort +
+    cumcount per coarse language group."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def gini(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(
+            ["lang", "n_chars", "doc_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        x = g["n_chars"].to_numpy(dtype=np.int64)
+        i1 = g.groupby("lang").cumcount().to_numpy() + 1  # 1-based
+        n_per = g.groupby("lang")["n_chars"].transform("size").to_numpy()
+        g = g.assign(term=(2 * i1 - n_per - 1) * x)
+        out = g.groupby("lang", as_index=False).agg(
+            n=("n_chars", "size"),
+            sum_x=("n_chars", "sum"),
+            gini_num=("term", "sum"),
+        )
+        return out.astype(
+            {"n": "int64", "sum_x": "int64", "gini_num": "int64"}
+        )
+
+    return coarse_group_reduce(ds, "lang", gini)
+
+
+def q198_attribution(sf_dir: str):
+    """LAST-TOUCH ATTRIBUTION — the marketing-analytics join: every
+    purchase attributes to the user's LATEST click at-or-before it
+    within a 7-day lookback (ties: highest event_id), else −1. One
+    pd.merge_asof per coarse user group (tolerance = the lookback,
+    backward; equal-ts rows sorted by event_id so the asof pick matches
+    the SQL DESC-DESC row_number pick) — the q06 as-of discipline with
+    a type-filtered self-join and an explicit unattributed contract.
+    Output (purchase_id, click_id, gap_s), gap in whole seconds, −1
+    when unattributed."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    LOOKBACK = pd.Timedelta(days=7)
+    ds = _read(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+
+    def attribute(df: pd.DataFrame) -> pd.DataFrame:
+        clicks = df[df["event_type"] == "click"][
+            ["user_id", "ts", "event_id"]
+        ].sort_values(["ts", "event_id"], kind="mergesort")
+        purch = df[df["event_type"] == "purchase"][
+            ["user_id", "ts", "event_id"]
+        ].sort_values(["ts", "event_id"], kind="mergesort")
+        if len(purch) == 0:
+            return pd.DataFrame(
+                {
+                    "purchase_id": pd.array([], dtype="int64"),
+                    "click_id": pd.array([], dtype="int64"),
+                    "gap_s": pd.array([], dtype="int64"),
+                }
+            )
+        clicks = clicks.rename(
+            columns={"event_id": "click_id", "ts": "click_ts"}
+        )
+        m = pd.merge_asof(
+            purch,
+            clicks,
+            left_on="ts",
+            right_on="click_ts",
+            by="user_id",
+            direction="backward",
+            tolerance=LOOKBACK,
+        )
+        miss = m["click_ts"].isna()
+        p_us = m["ts"].astype("datetime64[us]").astype("int64")
+        c_us = (
+            m["click_ts"].fillna(pd.Timestamp(0))
+            .astype("datetime64[us]").astype("int64")
+        )
+        gap_s = ((p_us - c_us) // 1_000_000).mask(miss, -1).astype("int64")
+        return pd.DataFrame(
+            {
+                "purchase_id": m["event_id"].astype("int64"),
+                "click_id": m["click_id"].fillna(-1).astype("int64"),
+                "gap_s": gap_s,
+            }
+        )
+
+    return coarse_group_reduce(ds, "user_id", attribute)
+
+
+def q199_kwic_contexts(sf_dir: str):
+    """KWIC (KeyWord In Context) concordance — the corpus-linguistics
+    view every annotation UI renders: for the corpus's most frequent
+    token (tie: token asc), every occurrence with two tokens of left
+    and right context. The keyword is a bounded top-1 scalar (the q176
+    discipline); the context scan is one shifted-array pass per batch;
+    context strings are built from the SAME token arrays both engines
+    tokenize, so the driver hash checks the string assembly too."""
+    from basicocr_ray.stages.wide import count_terms, top_k
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    tok_counts = count_terms(ds, "text", token_items, "token")
+    top = top_k(tok_counts, 1, "cnt", "token").take(1)
+    kw = top[0]["token"]
+
+    def contexts(b: pa.Table) -> pa.Table:
+        out_d, out_p, out_l, out_r = [], [], [], []
+        for did, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            if not t:
+                continue
+            toks = t.lower().split()
+            arr = np.asarray(toks, dtype=object)
+            for p in np.flatnonzero(arr == kw):
+                p = int(p)
+                out_d.append(did)
+                out_p.append(p)
+                out_l.append(" ".join(toks[max(0, p - 2):p]))
+                out_r.append(" ".join(toks[p + 1:p + 3]))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "pos": pa.array(out_p, pa.int64()),
+                "left_ctx": pa.array(out_l, pa.string()),
+                "right_ctx": pa.array(out_r, pa.string()),
+            }
+        )
+
+    return ds.map_batches(contexts, batch_format="pyarrow")
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -10344,6 +10665,12 @@ QUERIES = {
     "q191_weighted_draws": q191_weighted_draws,
     "q192_twap_evidence": q192_twap_evidence,
     "q193_burst_rate": q193_burst_rate,
+    "q194_benford_audit": q194_benford_audit,
+    "q195_k_anonymity": q195_k_anonymity,
+    "q196_join_size_exact": q196_join_size_exact,
+    "q197_gini_evidence": q197_gini_evidence,
+    "q198_attribution": q198_attribution,
+    "q199_kwic_contexts": q199_kwic_contexts,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -11636,6 +11963,126 @@ ORACLE_SQL = {
         SELECT CAST(vec_id + 10000 AS BIGINT) AS clip_id,
                vec_id AS orig_id
         FROM embeddings WHERE vec_id % 4 = 0
+    """,
+    "q197_gini_evidence": """
+        -- sorted-order identity: sum over i of (2i - n - 1) * x_(i)
+        -- equals the sum of all pairwise absolute differences
+        WITH r AS (
+          SELECT lang, n_chars,
+                 row_number() OVER (
+                   PARTITION BY lang ORDER BY n_chars, doc_id) AS i,
+                 count(*) OVER (PARTITION BY lang) AS n
+          FROM documents
+        )
+        SELECT lang, CAST(max(n) AS BIGINT) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS sum_x,
+               CAST(sum((2 * i - n - 1) * n_chars) AS BIGINT) AS gini_num
+        FROM r GROUP BY lang
+    """,
+    "q198_attribution": """
+        -- last-touch: latest click at-or-before each purchase within
+        -- 7 days (ties: highest event_id); -1 when unattributed
+        WITH c AS (
+          SELECT user_id, ts, event_id FROM events
+          WHERE event_type = 'click'
+        ),
+        p AS (
+          SELECT user_id, ts, event_id FROM events
+          WHERE event_type = 'purchase'
+        ),
+        j AS (
+          SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+                 (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_s,
+                 row_number() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY c.ts DESC, c.event_id DESC) AS rn
+          FROM p JOIN c
+            ON c.user_id = p.user_id AND c.ts <= p.ts
+           AND epoch_us(p.ts) - epoch_us(c.ts) <= 604800000000
+        )
+        SELECT p.event_id AS purchase_id,
+               CAST(coalesce(j.click_id, -1) AS BIGINT) AS click_id,
+               CAST(coalesce(j.gap_s, -1) AS BIGINT) AS gap_s
+        FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+          ON p.event_id = j.purchase_id
+    """,
+    "q199_kwic_contexts": f"""
+        -- concordance of the corpus top-1 token with 2-token contexts
+        WITH base AS (
+          SELECT doc_id, {_TOKS} AS toks
+          FROM documents WHERE text IS NOT NULL
+        ),
+        tok AS (
+          SELECT tok FROM (
+            SELECT unnest(toks) AS tok FROM base
+          ) WHERE tok <> ''
+          GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 1
+        ),
+        pos AS (
+          SELECT doc_id, toks,
+                 unnest(list_transform(range(1, len(toks) + 1), i -> i))
+                   AS i
+          FROM base
+        ),
+        hits AS (
+          SELECT doc_id, toks, i FROM pos, tok WHERE toks[i] = tok.tok
+        )
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+               coalesce(array_to_string(
+                 list_slice(toks, greatest(1, i - 2), i - 1), ' '), '')
+                 AS left_ctx,
+               coalesce(array_to_string(
+                 list_slice(toks, i + 1, least(len(toks), i + 2)), ' '), '')
+                 AS right_ctx
+        FROM hits
+    """,
+    "q194_benford_audit": """
+        -- first digit by repeated integer division over floor(100·v)
+        -- (no log10 — its last-bit rounding differs across libms)
+        WITH iv AS (
+          SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS x
+          FROM events
+          WHERE CAST(floor(value * 100) AS BIGINT) > 0
+        ),
+        d AS (
+          SELECT event_type,
+            CASE WHEN x >= 100000000 THEN x // 100000000
+                 WHEN x >= 10000000 THEN x // 10000000
+                 WHEN x >= 1000000 THEN x // 1000000
+                 WHEN x >= 100000 THEN x // 100000
+                 WHEN x >= 10000 THEN x // 10000
+                 WHEN x >= 1000 THEN x // 1000
+                 WHEN x >= 100 THEN x // 100
+                 WHEN x >= 10 THEN x // 10
+                 ELSE x END AS digit
+          FROM iv
+        )
+        SELECT event_type, CAST(digit AS BIGINT) AS digit,
+               count(*) AS n
+        FROM d GROUP BY 1, 2
+    """,
+    "q195_k_anonymity": """
+        -- equivalence-class size histogram over the quasi-identifier
+        -- (lang, source, n_chars length band)
+        WITH c AS (
+          SELECT lang, source, n_chars // 100 AS band, count(*) AS n
+          FROM documents GROUP BY 1, 2, 3
+        )
+        SELECT n AS k, count(*) AS n_classes FROM c GROUP BY 1
+    """,
+    "q196_join_size_exact": """
+        -- |orders ⋈ lineitem| = Σ cnt_o(k)·cnt_l(k), no join rows built
+        WITH co AS (
+          SELECT o_orderkey AS k, count(*) AS n_o FROM orders GROUP BY 1
+        ),
+        cl AS (
+          SELECT l_orderkey AS k, count(*) AS n_l FROM lineitem GROUP BY 1
+        ),
+        j AS (SELECT co.k, n_o, n_l FROM co JOIN cl USING (k))
+        SELECT count(*) AS n_keys,
+               CAST(sum(n_o * n_l) AS BIGINT) AS join_rows,
+               CAST(max(n_o * n_l) AS BIGINT) AS max_key_fanout
+        FROM j
     """,
     "q191_weighted_draws": """
         -- inverse-CDF with-replacement draws: u_t = md5('draw:t') mod
