@@ -10474,6 +10474,122 @@ def q199_kwic_contexts(sf_dir: str):
     return ds.map_batches(contexts, batch_format="pyarrow")
 
 
+def q200_release_funnel(sf_dir: str):
+    """END-TO-END CORPUS RELEASE FUNNEL — the whole curation pipeline as
+    ONE hash-checked query: quality gate (q129's hashed-linear scorer,
+    keep score > −180 — a mid-distribution bar, so the funnel is
+    non-degenerate on this vocabulary) → exact dedup (min doc_id per text) → per-language
+    release cap (md5 bottom-20, the q46 discipline) → signed manifest
+    (the q165 XOR digest). Output one row per (stage, lang): stage ∈
+    input/quality/dedup/release with counts, and the release rows carry
+    the content digest. The whole chain moves METADATA only: each row's
+    text fingerprint, content digest and char count are computed ONCE
+    in the first batch pass, so dedup, sampling and the manifest all
+    run on (id, lang, fp, digest, n_chars) tuples — text never rides a
+    shuffle, exactly how a 100 TB release would run."""
+    from basicocr_ray.core.textstats import hashed_linear_score, md5_hex
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    B = 64
+    MASK = (1 << 63) - 1
+    weights = [_md5_low64(f"w:{b}") % 21 - 10 for b in range(B)]
+    CAP = 20
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def enrich(b: pa.Table) -> pa.Table:
+        ids, langs, fps, digs, ncs, keeps = [], [], [], [], [], []
+        for did, t, lang in zip(
+            b["doc_id"].to_pylist(), b["text"].to_pylist(),
+            b["lang"].to_pylist(),
+        ):
+            t = t if t is not None else ""
+            ids.append(did)
+            langs.append(lang if lang is not None else "")
+            fps.append(_md5_low64(t) & MASK)
+            digs.append(_md5_low64(f"{did}:{t}") & MASK)
+            ncs.append(len(t))
+            s = hashed_linear_score(token_items(t) if t else [], weights)
+            keeps.append(1 if s > -180 else 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lang": pa.array(langs, pa.string()),
+                "fp": pa.array(fps, pa.int64()),
+                "digest": pa.array(digs, pa.int64()),
+                "n_chars": pa.array(ncs, pa.int64()),
+                "keep": pa.array(keeps, pa.int64()),
+            }
+        )
+
+    meta = ds.map_batches(enrich, batch_format="pyarrow").materialize()
+
+    def lang_counts(src, stage):
+        def partial(b: pa.Table) -> pa.Table:
+            t = b.group_by("lang").aggregate([([], "count_all")])
+            return pa.table(
+                {
+                    "lang": t["lang"],
+                    "n_docs": pc.cast(t["count_all"], pa.int64()),
+                }
+            )
+
+        def merge(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.groupby("lang", as_index=False)["n_docs"].sum()
+            out.insert(0, "stage", stage)
+            out["chk"] = 0
+            return out.astype({"n_docs": "int64", "chk": "int64"})
+
+        return coarse_group_reduce(
+            src.map_batches(partial, batch_format="pyarrow"), "lang", merge
+        )
+
+    quality = meta.filter(expr="keep == 1")
+
+    # exact dedup: min doc_id per text fingerprint (metadata-only rows)
+    def dedup_group(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["fp", "doc_id"], kind="mergesort")
+        return g.groupby("fp", as_index=False).head(1)
+
+    deduped = coarse_group_reduce(quality, "fp", dedup_group)
+
+    # per-lang release cap: md5(doc_id) bottom-20 (the q46/q47 rank)
+    def cap_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            _rank=[md5_hex(str(i)) for i in df["doc_id"]]
+        ).sort_values(["lang", "_rank", "doc_id"], kind="mergesort")
+        return df.groupby("lang", as_index=False).head(CAP).drop(
+            columns=["_rank"]
+        )
+
+    release = coarse_group_reduce(deduped, "lang", cap_group)
+
+    def manifest(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lang, g in df.groupby("lang"):
+            chk = 0
+            for v in g["digest"]:
+                chk ^= int(v)
+            rows.append(("release", lang, len(g), chk))
+        return pd.DataFrame(
+            {
+                "stage": pd.array([r[0] for r in rows], dtype="object"),
+                "lang": pd.array([r[1] for r in rows], dtype="object"),
+                "n_docs": pd.array([r[2] for r in rows], dtype="int64"),
+                "chk": pd.array([r[3] for r in rows], dtype="int64"),
+            }
+        )
+
+    manifest_ds = coarse_group_reduce(release, "lang", manifest)
+
+    return (
+        lang_counts(meta, "input")
+        .union(lang_counts(quality, "quality"))
+        .union(lang_counts(deduped, "dedup"))
+        .union(manifest_ds)
+    )
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -10671,6 +10787,7 @@ QUERIES = {
     "q197_gini_evidence": q197_gini_evidence,
     "q198_attribution": q198_attribution,
     "q199_kwic_contexts": q199_kwic_contexts,
+    "q200_release_funnel": q200_release_funnel,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -11963,6 +12080,61 @@ ORACLE_SQL = {
         SELECT CAST(vec_id + 10000 AS BIGINT) AS clip_id,
                vec_id AS orig_id
         FROM embeddings WHERE vec_id % 4 = 0
+    """,
+    "q200_release_funnel": f"""
+        -- the whole curation chain, stage by stage: quality gate →
+        -- exact dedup (min id per text fp, the SAME masked md5 the Ray
+        -- side computes) → per-lang md5 bottom-20 cap → XOR manifest
+        WITH w AS (
+          SELECT b.b AS b, CAST(md5_number_lower(
+            'w:' || CAST(b.b AS VARCHAR)) % 21 AS BIGINT) - 10 AS w
+          FROM range(64) b(b)
+        ),
+        toks AS (
+          SELECT doc_id,
+                 unnest(list_filter({_TOKS}, x -> x <> '')) AS token
+          FROM documents
+        ),
+        s AS (
+          SELECT t.doc_id, CAST(sum(w.w) AS BIGINT) AS score
+          FROM toks t JOIN w
+            ON w.b = CAST(md5_number_lower(t.token) % 64 AS BIGINT)
+          GROUP BY 1
+        ),
+        enriched AS (
+          SELECT d.doc_id, coalesce(d.lang, '') AS lang,
+                 CAST(md5_number_lower(coalesce(d.text, ''))
+                      & 9223372036854775807 AS BIGINT) AS fp,
+                 CAST(md5_number_lower(CAST(d.doc_id AS VARCHAR) || ':'
+                        || coalesce(d.text, ''))
+                      & 9223372036854775807 AS BIGINT) AS digest,
+                 coalesce(s.score, 0) AS score
+          FROM documents d LEFT JOIN s USING (doc_id)
+        ),
+        quality AS (SELECT * FROM enriched WHERE score > -180),
+        dedup AS (
+          SELECT * FROM quality
+          QUALIFY row_number() OVER (
+            PARTITION BY fp ORDER BY doc_id) = 1
+        ),
+        release AS (
+          SELECT * FROM dedup
+          QUALIFY row_number() OVER (
+            PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20
+        )
+        SELECT 'input' AS stage, lang, count(*) AS n_docs,
+               CAST(0 AS BIGINT) AS chk
+        FROM enriched GROUP BY 2
+        UNION ALL
+        SELECT 'quality', lang, count(*), CAST(0 AS BIGINT)
+        FROM quality GROUP BY 2
+        UNION ALL
+        SELECT 'dedup', lang, count(*), CAST(0 AS BIGINT)
+        FROM dedup GROUP BY 2
+        UNION ALL
+        SELECT 'release', lang, count(*), CAST(bit_xor(digest) AS BIGINT)
+        FROM release GROUP BY 2
     """,
     "q197_gini_evidence": """
         -- sorted-order identity: sum over i of (2i - n - 1) * x_(i)
