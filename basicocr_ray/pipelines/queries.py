@@ -10590,6 +10590,164 @@ def q200_release_funnel(sf_dir: str):
     )
 
 
+def q201_ohlc_candles(sf_dir: str):
+    """OHLC CANDLES — the metrics/finance downsample: per (event_type,
+    4-hour bucket): open = first value by (ts, event_id), high, low,
+    close = last. Values are CARRIED floats (never recomputed), so the
+    driver hash is float-safe; open/close ties resolve by the unique
+    event_id. One vectorized sort + groupby first/last/min/max per
+    coarse (type, bucket) group; partials are per-batch candles (each
+    carrying its extreme rows' order keys) so a bucket spanning many
+    batches folds exactly."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    BUCKET_US = 4 * 3_600_000_000
+    ds = _read(
+        sf_dir, "events", columns=["event_id", "ts", "event_type", "value"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = pc.cast(
+            pc.cast(b["ts"], pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_pylist(),
+                "bucket": ts_us - ts_us % BUCKET_US,
+                "ts_us": ts_us,
+                "event_id": b["event_id"].to_numpy(zero_copy_only=False),
+                "value": b["value"].to_numpy(zero_copy_only=False),
+            }
+        ).sort_values(
+            ["event_type", "bucket", "ts_us", "event_id"], kind="mergesort"
+        )
+        g = df.groupby(["event_type", "bucket"], as_index=False)
+        out = g.agg(
+            o_ts=("ts_us", "first"), o_id=("event_id", "first"),
+            open=("value", "first"), high=("value", "max"),
+            low=("value", "min"), close=("value", "last"),
+            c_ts=("ts_us", "last"), c_id=("event_id", "last"),
+            n=("value", "size"),
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (et, bucket), g in df.groupby(["event_type", "bucket"]):
+            go = g.sort_values(["o_ts", "o_id"], kind="mergesort").iloc[0]
+            gc = g.sort_values(["c_ts", "c_id"], kind="mergesort").iloc[-1]
+            rows.append(
+                (
+                    et, int(bucket), float(go["open"]),
+                    float(g["high"].max()), float(g["low"].min()),
+                    float(gc["close"]), int(g["n"].sum()),
+                )
+            )
+        return pd.DataFrame(
+            {
+                "event_type": pd.array([r[0] for r in rows], dtype="object"),
+                "bucket": pd.array([r[1] for r in rows], dtype="int64"),
+                "open": pd.array([r[2] for r in rows], dtype="float64"),
+                "high": pd.array([r[3] for r in rows], dtype="float64"),
+                "low": pd.array([r[4] for r in rows], dtype="float64"),
+                "close": pd.array([r[5] for r in rows], dtype="float64"),
+                "n": pd.array([r[6] for r in rows], dtype="int64"),
+            }
+        )
+
+    return coarse_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "bucket"],
+        final,
+    )
+
+
+def q202_politeness_schedule(sf_dir: str):
+    """CRAWL POLITENESS SCHEDULING — the sequential-looking recurrence
+    t_i = max(arrival_i, t_{i-1} + gap) made embarrassingly parallel by
+    the unrolled identity t_i = gap·i + running_max(arrival_j − gap·j)
+    — a prefix MAX, not a sequential chain, so each host's schedule is
+    one vectorized cummax inside its coarse group (and a window
+    expression in SQL). Hosts = user_id mod 32, gap = 2 s, arrivals =
+    event timestamps; output (event_id, host, fetch_us, delay_s) with
+    every quantity exact integer microseconds."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    GAP_US = 2_000_000
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def add_host(b: pa.Table) -> pa.Table:
+        ts_us = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "host": pc.cast(
+                    pc.bit_wise_and(
+                        pc.cast(b["user_id"], pa.int64()), 31
+                    ),
+                    pa.int64(),
+                ),
+                "arr": ts_us,
+            }
+        )
+
+    hosted = ds.map_batches(add_host, batch_format="pyarrow")
+
+    def schedule(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(
+            ["host", "arr", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        i0 = g.groupby("host").cumcount()  # 0-based position in host
+        adj = g["arr"] - GAP_US * i0
+        fetch = GAP_US * i0 + adj.groupby(g["host"]).cummax()
+        out = pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64"),
+                "host": g["host"].astype("int64"),
+                "fetch_us": fetch.astype("int64"),
+                "delay_s": ((fetch - g["arr"]) // 1_000_000).astype("int64"),
+            }
+        )
+        return out.reset_index(drop=True)
+
+    return coarse_group_reduce(hosted, "host", schedule)
+
+
+def q203_smoothed_series(sf_dir: str):
+    """DYADIC-KERNEL SMOOTHING — the [1, 2, 1] moving average over each
+    user's value series with EXACT float semantics: multiplying a
+    double by 2 is exact, and both engines evaluate the same
+    left-to-right three-term sum (prev + 2·cur) + next, so the smoothed
+    values hash bit-for-bit with no integer quantization. Boundary rows
+    (no prev/next) substitute the current value — the reflect-pad
+    convention. One sort + shift per coarse user group."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "value"]
+    )
+
+    def smooth(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        v = g["value"].astype("float64")
+        prev = v.groupby(g["user_id"]).shift(1)
+        nxt = v.groupby(g["user_id"]).shift(-1)
+        prev = prev.fillna(v)
+        nxt = nxt.fillna(v)
+        sm = (prev.to_numpy() + 2.0 * v.to_numpy()) + nxt.to_numpy()
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64"),
+                "user_id": g["user_id"].astype("int64"),
+                "smooth4": sm,  # 4× the average — exact; ÷4 is derived
+            }
+        )
+
+    return coarse_group_reduce(ds, "user_id", smooth)
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -10788,6 +10946,9 @@ QUERIES = {
     "q198_attribution": q198_attribution,
     "q199_kwic_contexts": q199_kwic_contexts,
     "q200_release_funnel": q200_release_funnel,
+    "q201_ohlc_candles": q201_ohlc_candles,
+    "q202_politeness_schedule": q202_politeness_schedule,
+    "q203_smoothed_series": q203_smoothed_series,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -12080,6 +12241,69 @@ ORACLE_SQL = {
         SELECT CAST(vec_id + 10000 AS BIGINT) AS clip_id,
                vec_id AS orig_id
         FROM embeddings WHERE vec_id % 4 = 0
+    """,
+    "q201_ohlc_candles": """
+        -- per (type, 4 h bucket): open/close by (ts, event_id) order,
+        -- high/low; values carried, never recomputed
+        WITH e AS (
+          SELECT event_type, event_id, value, epoch_us(ts) AS ts_us,
+                 epoch_us(ts) - epoch_us(ts) % 14400000000 AS bucket
+          FROM events
+        ),
+        r AS (
+          SELECT *,
+                 row_number() OVER (PARTITION BY event_type, bucket
+                   ORDER BY ts_us, event_id) AS rn_a,
+                 row_number() OVER (PARTITION BY event_type, bucket
+                   ORDER BY ts_us DESC, event_id DESC) AS rn_d
+          FROM e
+        )
+        SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+               max(CASE WHEN rn_a = 1 THEN value END) AS open,
+               max(value) AS high, min(value) AS low,
+               max(CASE WHEN rn_d = 1 THEN value END) AS close,
+               count(*) AS n
+        FROM r GROUP BY 1, 2
+    """,
+    "q202_politeness_schedule": """
+        -- t_i = max(arrival_i, t_{i-1} + gap) unrolled to the window
+        -- identity t_i = gap*i + running_max(arrival_j - gap*j)
+        WITH e AS (
+          SELECT event_id, user_id % 32 AS host, epoch_us(ts) AS arr
+          FROM events
+        ),
+        r AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY host ORDER BY arr, event_id) - 1 AS i0
+          FROM e
+        ),
+        f AS (
+          SELECT event_id, host, arr,
+                 2000000 * i0 + max(arr - 2000000 * i0) OVER (
+                   PARTITION BY host ORDER BY arr, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS fetch_us
+          FROM r
+        )
+        SELECT event_id, CAST(host AS BIGINT) AS host,
+               CAST(fetch_us AS BIGINT) AS fetch_us,
+               CAST((fetch_us - arr) // 1000000 AS BIGINT) AS delay_s
+        FROM f
+    """,
+    "q203_smoothed_series": """
+        -- [1,2,1] kernel with exact float semantics: 2·x is exact and
+        -- both engines evaluate (prev + 2x) + next in the same order
+        WITH r AS (
+          SELECT event_id, user_id, value,
+                 lag(value) OVER w AS prev,
+                 lead(value) OVER w AS nxt
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT event_id, user_id,
+               (coalesce(prev, value) + 2 * value)
+                 + coalesce(nxt, value) AS smooth4
+        FROM r
     """,
     "q200_release_funnel": f"""
         -- the whole curation chain, stage by stage: quality gate →
