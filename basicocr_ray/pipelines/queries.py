@@ -10748,6 +10748,249 @@ def q203_smoothed_series(sf_dir: str):
     return coarse_group_reduce(ds, "user_id", smooth)
 
 
+def q204_roaring_plan(sf_dir: str):
+    """BITMAP-INDEX CONTAINER PLANNING (the Roaring decision, scaled to
+    256-value containers): per (event_type, event_id >> 8 container),
+    the distinct-value count decides array vs bitmap encoding (n ≥ 48 →
+    bitmap, 32 bytes; else sorted array, 2n bytes) — the index-build
+    cost model as data. Per-batch distinct (type, container) partials →
+    exact coarse reduce; output (event_type, container, n, ctype,
+    bytes), all integers."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    THRESH = 48
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_pylist(),
+                "container": np.asarray(
+                    b["event_id"].to_pylist(), dtype=np.int64
+                ) >> 8,
+            }
+        )
+        out = df.groupby(
+            ["event_type", "container"], as_index=False
+        ).size().rename(columns={"size": "n"})
+        return pa.Table.from_pandas(
+            out.astype({"container": "int64", "n": "int64"}),
+            preserve_index=False,
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(
+            ["event_type", "container"], as_index=False
+        )["n"].sum()
+        out["ctype"] = (out["n"] >= THRESH).astype("int64")
+        out["bytes"] = np.where(out["ctype"] == 1, 32, 2 * out["n"])
+        return out.astype(
+            {"container": "int64", "n": "int64", "bytes": "int64"}
+        )
+
+    return coarse_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "container"],
+        final,
+    )
+
+
+def q205_peak_concurrency(sf_dir: str):
+    """PEAK CONCURRENCY — the sweep-line stabbing maximum (capacity
+    planning over sessions): with the q170 interval rule, c(t) =
+    #{intervals with s ≤ t < e} evaluated at distinct start times;
+    output the maximum and the EARLIEST time it is reached. The
+    endpoint deltas pre-aggregate per (hour-bucket, timestamp) — the
+    per-timestamp grouping makes the profile deterministic under any
+    intra-batch order — then the q185 ordered-bucket discipline turns
+    the global running sum into metadata offsets + per-bucket local
+    scans; the final max-reduce sees one candidate row per bucket."""
+    from basicocr_ray.core.collect import collect_rows
+
+    HOUR_US = 3_600_000_000
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"])
+
+    def deltas(b: pa.Table) -> pa.Table:
+        ts_us = pc.cast(
+            pc.cast(b["ts"], pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        dur = (
+            np.asarray(b["event_id"].to_pylist(), dtype=np.int64) % 3600
+            + 60
+        ) * 1_000_000
+        acc: dict[int, list] = {}
+        for s, e in zip(ts_us, ts_us + dur):
+            a = acc.setdefault(int(s), [0, 0])
+            a[0] += 1
+            a[1] = 1  # a start lives at this timestamp
+            b2 = acc.setdefault(int(e), [0, 0])
+            b2[0] -= 1
+        ks = sorted(acc)
+        return pa.table(
+            {
+                "t": pa.array(ks, pa.int64()),
+                "d": pa.array([acc[k][0] for k in ks], pa.int64()),
+                "is_start": pa.array([acc[k][1] for k in ks], pa.int64()),
+                "rb": pa.array([k // HOUR_US for k in ks], pa.int64()),
+            }
+        )
+
+    body = ds.map_batches(deltas, batch_format="pyarrow").materialize()
+
+    def bucket_totals(b: pa.Table) -> pa.Table:
+        t = b.group_by("rb").aggregate([("d", "sum")])
+        return t.rename_columns(["rb", "v"])
+
+    totals: dict[int, int] = {}
+    for row in collect_rows(
+        body.map_batches(bucket_totals, batch_format="pyarrow")
+    ):
+        totals[int(row["rb"])] = totals.get(int(row["rb"]), 0) + int(row["v"])
+    offsets: dict[int, int] = {}
+    acc = 0
+    for rb in sorted(totals):
+        offsets[rb] = acc
+        acc += totals[rb]
+
+    def local_max(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby("t", as_index=False)
+            .agg(d=("d", "sum"), is_start=("is_start", "max"))
+            .sort_values("t", kind="mergesort")
+        )
+        run = offsets[int(df["rb"].iloc[0])] + g["d"].cumsum()
+        m = g.assign(c=run)
+        m = m[m["is_start"] == 1]  # maxima occur at start times
+        if len(m) == 0:
+            return pd.DataFrame(
+                {
+                    "max_concurrency": pd.array([], dtype="int64"),
+                    "at_us": pd.array([], dtype="int64"),
+                }
+            )
+        best = int(m["c"].max())
+        at = int(m[m["c"] == best]["t"].min())
+        return pd.DataFrame(
+            {
+                "max_concurrency": pd.array([best], dtype="int64"),
+                "at_us": pd.array([at], dtype="int64"),
+            }
+        )
+
+    cands = body.groupby("rb").map_groups(local_max, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        best = int(df["max_concurrency"].max())
+        at = int(df[df["max_concurrency"] == best]["at_us"].min())
+        return pd.DataFrame(
+            {
+                "max_concurrency": pd.array([best], dtype="int64"),
+                "at_us": pd.array([at], dtype="int64"),
+            }
+        )
+
+    return (
+        cands.map_batches(
+            lambda b: b.append_column(
+                "cg", pa.array(np.zeros(len(b), dtype=np.int32))
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("cg")
+        .map_groups(
+            lambda df: final(df.drop(columns=["cg"])),
+            batch_format="pandas",
+        )
+    )
+
+
+def q206_coverage_k90(sf_dir: str):
+    """VOCABULARY 90 %-COVERAGE POINT per language — the tokenizer-
+    sizing statistic (how many types cover 90 % of tokens): k90 = the
+    minimal k with 10·(top-k mass) ≥ 9·total. The open-vocabulary part
+    stays distributed — per-(lang, token) counts — and only the
+    COUNT-OF-COUNTS relation (lang, cnt, n_tokens), bounded by the
+    number of DISTINCT count values, reaches the per-lang ordered scan;
+    within the boundary count group the exact token remainder is
+    j = ⌈(9T − 10m) / (10c)⌉, all integers."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "documents", columns=["text", "lang"])
+
+    def tok_partial(b: pa.Table) -> pa.Table:
+        acc: dict[tuple, int] = {}
+        for t, lang in zip(
+            b["text"].to_pylist(), b["lang"].to_pylist()
+        ):
+            if not t or lang is None:
+                continue
+            for tok in token_items(t):
+                k = (lang, tok)
+                acc[k] = acc.get(k, 0) + 1
+        ks = sorted(acc)
+        return pa.table(
+            {
+                "lang": pa.array([k[0] for k in ks], pa.string()),
+                "token": pa.array([k[1] for k in ks], pa.string()),
+                "cnt": pa.array([acc[k] for k in ks], pa.int64()),
+            }
+        )
+
+    def tok_merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["lang", "token"], as_index=False)["cnt"].sum()
+        return out.astype({"cnt": "int64"})
+
+    counts = coarse_group_reduce(
+        ds.map_batches(tok_partial, batch_format="pyarrow"),
+        ["lang", "token"],
+        tok_merge,
+    )
+
+    def cc_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"lang": b["lang"].to_pylist(), "cnt": b["cnt"].to_pylist()}
+        )
+        out = df.groupby(["lang", "cnt"], as_index=False).size().rename(
+            columns={"size": "ntok"}
+        )
+        return pa.Table.from_pandas(
+            out.astype({"cnt": "int64", "ntok": "int64"}),
+            preserve_index=False,
+        )
+
+    cc = counts.map_batches(cc_partial, batch_format="pyarrow")
+
+    def k90(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        agg = df.groupby(["lang", "cnt"], as_index=False)["ntok"].sum()
+        for lang, g in agg.groupby("lang"):
+            g = g.sort_values("cnt", ascending=False)
+            T = int((g["cnt"] * g["ntok"]).sum())
+            vocab = int(g["ntok"].sum())
+            m = k = 0
+            k_90 = vocab
+            for _, r in g.iterrows():
+                c, n = int(r["cnt"]), int(r["ntok"])
+                if 10 * (m + c * n) >= 9 * T:
+                    j = (9 * T - 10 * m + 10 * c - 1) // (10 * c)
+                    k_90 = k + j
+                    break
+                m += c * n
+                k += n
+            rows.append((lang, vocab, T, k_90))
+        return pd.DataFrame(
+            {
+                "lang": pd.array([r[0] for r in rows], dtype="object"),
+                "vocab": pd.array([r[1] for r in rows], dtype="int64"),
+                "total_tokens": pd.array(
+                    [r[2] for r in rows], dtype="int64"),
+                "k90": pd.array([r[3] for r in rows], dtype="int64"),
+            }
+        )
+
+    return coarse_group_reduce(cc, "lang", k90)
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -10949,6 +11192,9 @@ QUERIES = {
     "q201_ohlc_candles": q201_ohlc_candles,
     "q202_politeness_schedule": q202_politeness_schedule,
     "q203_smoothed_series": q203_smoothed_series,
+    "q204_roaring_plan": q204_roaring_plan,
+    "q205_peak_concurrency": q205_peak_concurrency,
+    "q206_coverage_k90": q206_coverage_k90,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -12241,6 +12487,85 @@ ORACLE_SQL = {
         SELECT CAST(vec_id + 10000 AS BIGINT) AS clip_id,
                vec_id AS orig_id
         FROM embeddings WHERE vec_id % 4 = 0
+    """,
+    "q204_roaring_plan": """
+        -- Roaring decision at 256-value containers: n >= 48 → bitmap
+        -- (32 bytes) else sorted array (2n bytes)
+        WITH c AS (
+          SELECT event_type, event_id // 256 AS container,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, CAST(container AS BIGINT) AS container, n,
+               CAST(CASE WHEN n >= 48 THEN 1 ELSE 0 END AS BIGINT)
+                 AS ctype,
+               CAST(CASE WHEN n >= 48 THEN 32 ELSE 2 * n END AS BIGINT)
+                 AS bytes
+        FROM c
+    """,
+    "q205_peak_concurrency": """
+        -- c(t) = starts≤t − ends≤t at distinct timestamps (half-open
+        -- intervals); the max occurs at a start; earliest wins
+        WITH iv AS (
+          SELECT epoch_us(ts) AS s,
+                 epoch_us(ts) + ((event_id % 3600) + 60) * 1000000 AS e
+          FROM events
+        ),
+        pts AS (
+          SELECT t, sum(d) AS d, max(is_start) AS is_start FROM (
+            SELECT s AS t, 1 AS d, 1 AS is_start FROM iv
+            UNION ALL SELECT e, -1, 0 FROM iv
+          ) GROUP BY t
+        ),
+        run AS (
+          SELECT t, is_start,
+                 sum(d) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS c
+          FROM pts
+        ),
+        st AS (SELECT t, c FROM run WHERE is_start = 1),
+        mx AS (SELECT max(c) AS mc FROM st)
+        SELECT CAST(mx.mc AS BIGINT) AS max_concurrency,
+               CAST(min(st.t) AS BIGINT) AS at_us
+        FROM st, mx WHERE st.c = mx.mc GROUP BY mx.mc
+    """,
+    "q206_coverage_k90": f"""
+        -- k90 via the count-of-counts relation: boundary group gets
+        -- j = ceil((9T - 10m) / (10c)) tokens, all integers
+        WITH toks AS (
+          SELECT lang,
+                 unnest(list_filter({_TOKS}, x -> x <> '')) AS token
+          FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+        ),
+        tc AS (SELECT lang, token, count(*) AS cnt FROM toks GROUP BY 1, 2),
+        cc AS (SELECT lang, cnt, count(*) AS ntok FROM tc GROUP BY 1, 2),
+        w AS (
+          SELECT lang, cnt, ntok,
+                 coalesce(sum(cnt * ntok) OVER (
+                   PARTITION BY lang ORDER BY cnt DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS m_before,
+                 coalesce(sum(ntok) OVER (
+                   PARTITION BY lang ORDER BY cnt DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS k_before,
+                 sum(cnt * ntok) OVER (PARTITION BY lang) AS t_mass,
+                 sum(ntok) OVER (PARTITION BY lang) AS vocab
+          FROM cc
+        ),
+        sel AS (
+          SELECT lang, vocab, t_mass,
+                 k_before + (9 * t_mass - 10 * m_before + 10 * cnt - 1)
+                   // (10 * cnt) AS k90
+          FROM w
+          WHERE 10 * m_before < 9 * t_mass
+            AND 10 * (m_before + cnt * ntok) >= 9 * t_mass
+        )
+        SELECT lang, CAST(vocab AS BIGINT) AS vocab,
+               CAST(t_mass AS BIGINT) AS total_tokens,
+               CAST(k90 AS BIGINT) AS k90
+        FROM sel
     """,
     "q201_ohlc_candles": """
         -- per (type, 4 h bucket): open/close by (ts, event_id) order,
