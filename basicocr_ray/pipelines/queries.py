@@ -10991,6 +10991,191 @@ def q206_coverage_k90(sf_dir: str):
     return coarse_group_reduce(cc, "lang", k90)
 
 
+def q207_pruning_audit(sf_dir: str):
+    """ZONE-MAP PRUNING AUDIT — how much a min/max-statistics scan
+    planner would actually skip (the q168 zone maps put to work): with
+    256-row groups (event_id // 256) and the predicate value ≥ 500, a
+    group is PRUNED when its max < 500; output one row: group count,
+    pruned count, rows the scan would read (surviving groups' rows),
+    and the exact match count — the planner's selectivity ledger.
+    Per-group (min, max, n, n_match) partials fold exactly in coarse
+    groups; the final is four scalars."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "grp": np.asarray(
+                    b["event_id"].to_pylist(), dtype=np.int64
+                ) // 256,
+                "v": np.asarray(b["value"].to_pylist(), dtype=np.float64),
+            }
+        )
+        out = df.groupby("grp", as_index=False).agg(
+            vmin=("v", "min"), vmax=("v", "max"), n=("v", "size"),
+        )
+        out["n_match"] = df.assign(m=(df["v"] >= 500.0)).groupby(
+            "grp"
+        )["m"].sum().to_numpy().astype("int64")
+        return pa.Table.from_pandas(
+            out.astype({"grp": "int64", "n": "int64", "n_match": "int64"}),
+            preserve_index=False,
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("grp", as_index=False).agg(
+            vmin=("vmin", "min"), vmax=("vmax", "max"),
+            n=("n", "sum"), n_match=("n_match", "sum"),
+        )
+        return out.astype({"n": "int64", "n_match": "int64"})
+
+    groups = coarse_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"), "grp", merge
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        pruned = df["vmax"] < 500.0
+        return pd.DataFrame(
+            {
+                "n_groups": pd.array([len(df)], dtype="int64"),
+                "n_pruned": pd.array([int(pruned.sum())], dtype="int64"),
+                "rows_scanned": pd.array(
+                    [int(df[~pruned]["n"].sum())], dtype="int64"),
+                "rows_matched": pd.array(
+                    [int(df["n_match"].sum())], dtype="int64"),
+            }
+        )
+
+    return (
+        groups.map_batches(
+            lambda b: b.append_column(
+                "cg", pa.array(np.zeros(len(b), dtype=np.int32))
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("cg")
+        .map_groups(
+            lambda df: final(df.drop(columns=["cg"])),
+            batch_format="pandas",
+        )
+    )
+
+
+def q208_term_lattice(sf_dir: str):
+    """BOOLEAN-QUERY SUPPORT LATTICE — the Apriori/itemset layer a
+    search planner consults: for the corpus's 3 most frequent tokens
+    (ties: token asc), count documents per containment mask (bit i set
+    ⇔ doc contains token i) — all 8 AND-combinations in one pass. The
+    top-3 is a bounded scalar; the mask scan is one per-batch set
+    probe; the count reduce is an 8-key aggregate."""
+    from basicocr_ray.stages.wide import coarse_group_reduce, count_terms
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    tok_counts = count_terms(ds, "text", token_items, "token")
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["cnt", "token"], ascending=[False, True], kind="mergesort"
+        ).head(3)
+
+    top3 = (
+        tok_counts.map_batches(prune, batch_format="pandas")
+        .sort(["cnt", "token"], descending=[True, False])
+        .limit(3)
+        .take(3)
+    )
+    targets = [r["token"] for r in top3]
+
+    def mask_partial(b: pa.Table) -> pa.Table:
+        acc: dict[int, int] = {}
+        for t in b["text"].to_pylist():
+            toks = set(token_items(t)) if t else set()
+            m = sum(1 << i for i, w in enumerate(targets) if w in toks)
+            acc[m] = acc.get(m, 0) + 1
+        ks = sorted(acc)
+        return pa.table(
+            {
+                "mask": pa.array(ks, pa.int64()),
+                "n_docs": pa.array([acc[k] for k in ks], pa.int64()),
+            }
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("mask", as_index=False)["n_docs"].sum()
+        return out.astype({"mask": "int64", "n_docs": "int64"})
+
+    return coarse_group_reduce(
+        ds.map_batches(mask_partial, batch_format="pyarrow"), "mask", merge
+    )
+
+
+def q209_user_growth(sf_dir: str):
+    """USER GROWTH ACCOUNTING — the cumulative-distinct curve every
+    product dashboard opens with: each user's FIRST-SEEN day (a min
+    reduce over metadata pairs), new-user counts per day, and the
+    running cumulative. The per-day relation is calendar-sized, so the
+    cumulative is one tiny ordered scan — the distinct-count curve
+    with no day-over-day re-distinct."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    DAY_US = 86_400_000_000
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = pc.cast(
+            pc.cast(b["ts"], pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+                "day": ts_us // DAY_US,
+            }
+        )
+        out = df.groupby("user_id", as_index=False)["day"].min()
+        return pa.Table.from_pandas(
+            out.astype({"user_id": "int64", "day": "int64"}),
+            preserve_index=False,
+        )
+
+    def first_seen(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("user_id", as_index=False)["day"].min()
+        cnt = out.groupby("day", as_index=False).agg(
+            new_users=("user_id", "size")
+        )
+        return cnt.astype({"day": "int64", "new_users": "int64"})
+
+    per_day = coarse_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "user_id",
+        first_seen,
+    )
+
+    def cum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("day", as_index=False)["new_users"].sum()
+        g = g.sort_values("day", kind="mergesort").reset_index(drop=True)
+        g["cum_users"] = g["new_users"].cumsum()
+        return g.astype(
+            {"day": "int64", "new_users": "int64", "cum_users": "int64"}
+        )
+
+    return (
+        per_day.map_batches(
+            lambda b: b.append_column(
+                "cg", pa.array(np.zeros(len(b), dtype=np.int32))
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("cg")
+        .map_groups(
+            lambda df: cum(df.drop(columns=["cg"])),
+            batch_format="pandas",
+        )
+    )
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -11195,6 +11380,9 @@ QUERIES = {
     "q204_roaring_plan": q204_roaring_plan,
     "q205_peak_concurrency": q205_peak_concurrency,
     "q206_coverage_k90": q206_coverage_k90,
+    "q207_pruning_audit": q207_pruning_audit,
+    "q208_term_lattice": q208_term_lattice,
+    "q209_user_growth": q209_user_growth,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -12487,6 +12675,64 @@ ORACLE_SQL = {
         SELECT CAST(vec_id + 10000 AS BIGINT) AS clip_id,
                vec_id AS orig_id
         FROM embeddings WHERE vec_id % 4 = 0
+    """,
+    "q207_pruning_audit": """
+        -- scan-planner ledger: a 256-row group prunes when max < 500
+        WITH g AS (
+          SELECT event_id // 256 AS grp, min(value) AS vmin,
+                 max(value) AS vmax, count(*) AS n,
+                 sum(CASE WHEN value >= 500.0 THEN 1 ELSE 0 END) AS nm
+          FROM events GROUP BY 1
+        )
+        SELECT count(*) AS n_groups,
+               CAST(sum(CASE WHEN vmax < 500.0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pruned,
+               CAST(sum(CASE WHEN vmax < 500.0 THEN 0 ELSE n END)
+                    AS BIGINT) AS rows_scanned,
+               CAST(sum(nm) AS BIGINT) AS rows_matched
+        FROM g
+    """,
+    "q208_term_lattice": """
+        -- containment mask over the top-3 tokens; all 8 AND-combos
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+          FROM documents WHERE text IS NOT NULL
+        ),
+        top3 AS (
+          SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok) - 1 AS i
+          FROM (
+            SELECT tok, count(*) AS cnt FROM toks WHERE tok <> ''
+            GROUP BY tok ORDER BY cnt DESC, tok LIMIT 3
+          )
+        ),
+        dt AS (SELECT DISTINCT doc_id, tok FROM toks WHERE tok <> ''),
+        m AS (
+          SELECT d.doc_id,
+                 CAST(coalesce(sum(CASE WHEN t.i IS NOT NULL
+                                        THEN 1 << t.i END), 0)
+                      AS BIGINT) AS mask
+          FROM documents d
+          LEFT JOIN dt ON dt.doc_id = d.doc_id
+          LEFT JOIN top3 t ON t.tok = dt.tok
+          GROUP BY d.doc_id
+        )
+        SELECT mask, count(*) AS n_docs FROM m GROUP BY 1
+    """,
+    "q209_user_growth": """
+        -- first-seen day per user → per-day new users → running total
+        WITH fs AS (
+          SELECT user_id,
+                 min(epoch_us(ts) // 86400000000) AS day
+          FROM events GROUP BY 1
+        ),
+        nd AS (SELECT day, count(*) AS new_users FROM fs GROUP BY 1)
+        SELECT CAST(day AS BIGINT) AS day, new_users,
+               CAST(sum(new_users) OVER (
+                 ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_users
+        FROM nd
     """,
     "q204_roaring_plan": """
         -- Roaring decision at 256-value containers: n >= 48 → bitmap
