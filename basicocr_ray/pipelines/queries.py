@@ -11176,6 +11176,239 @@ def q209_user_growth(sf_dir: str):
     )
 
 
+def q210_ordered_funnel(sf_dir: str):
+    """STRICT-ORDER FUNNEL (click → view → purchase, ≤ 1 day per hop) —
+    the conversion metric q78's stage counter can't express because
+    order matters: a view qualifies only with a strictly-preceding
+    click inside the window, a purchase only with a strictly-preceding
+    QUALIFIED view. The existence tests reduce to running maxima (the
+    latest preceding stage event is the closest, so 'latest ≥ t − 1d' ⟺
+    'exists in window'), giving two vectorized cummax+shift passes per
+    coarse user group — no per-event scan back. Row order on timestamp
+    ties is (ts, event_id), mirrored in the oracle's lexicographic
+    EXISTS. Output per purchasing user: n_purchases, n_qualified."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    DAY_US = 86_400_000_000
+    NEG = -(1 << 62)
+    ds = _read(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+
+    def funnel(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        t = g["ts"].astype("datetime64[us]").astype("int64")
+        et = g["event_type"]
+        click_t = t.where(et == "click", NEG)
+        prev_click = (
+            click_t.groupby(g["user_id"]).cummax()
+            .groupby(g["user_id"]).shift(1, fill_value=NEG)
+        )
+        qual_view = (et == "view") & (prev_click >= t - DAY_US)
+        qv_t = t.where(qual_view, NEG)
+        prev_qview = (
+            qv_t.groupby(g["user_id"]).cummax()
+            .groupby(g["user_id"]).shift(1, fill_value=NEG)
+        )
+        qual_purch = (et == "purchase") & (prev_qview >= t - DAY_US)
+        out = pd.DataFrame(
+            {
+                "user_id": g["user_id"],
+                "is_p": (et == "purchase").astype("int64"),
+                "is_q": qual_purch.astype("int64"),
+            }
+        ).groupby("user_id", as_index=False).sum()
+        out = out[out["is_p"] > 0].rename(
+            columns={"is_p": "n_purchases", "is_q": "n_qualified"}
+        )
+        return out.astype(
+            {
+                "user_id": "int64", "n_purchases": "int64",
+                "n_qualified": "int64",
+            }
+        ).reset_index(drop=True)
+
+    return coarse_group_reduce(ds, "user_id", funnel)
+
+
+def q211_datasheet(sf_dir: str):
+    """PER-SOURCE DATASHEET — the 'nutrition label' a corpus release
+    ships (Datasheets for Datasets, Gebru et al. 2018, reduced to its
+    computable core): per source, docs, exact char mass, English share
+    numerator, and DISTINCT text count (the within-source dup signal).
+    The distinct count dedups (source, fp) pairs in coarse groups of
+    the fingerprint hash — text never moves, an open corpus stays
+    bounded; the other aggregates fold as per-batch partials."""
+    from basicocr_ray.stages.joins import bucketed_hash_join
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    MASK = (1 << 63) - 1
+    ds = _read(sf_dir, "documents", columns=["text", "lang", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        acc: dict[str, list[int]] = {}
+        for t, lang, src in zip(
+            b["text"].to_pylist(), b["lang"].to_pylist(),
+            b["source"].to_pylist(),
+        ):
+            src = src if src is not None else ""
+            t = t if t is not None else ""
+            a = acc.setdefault(src, [0, 0, 0])
+            a[0] += 1
+            a[1] += len(t)
+            a[2] += 1 if lang == "en" else 0
+        ks = sorted(acc)
+        base = pa.table(
+            {
+                "source": pa.array(ks, pa.string()),
+                "n_docs": pa.array([acc[k][0] for k in ks], pa.int64()),
+                "sum_chars": pa.array([acc[k][1] for k in ks], pa.int64()),
+                "n_en": pa.array([acc[k][2] for k in ks], pa.int64()),
+            }
+        )
+        return base
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("source", as_index=False).sum()
+        return out.astype(
+            {"n_docs": "int64", "sum_chars": "int64", "n_en": "int64"}
+        )
+
+    stats = coarse_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"), "source", merge
+    )
+
+    def fp_partial(b: pa.Table) -> pa.Table:
+        pairs = set()
+        for t, src in zip(
+            b["text"].to_pylist(), b["source"].to_pylist()
+        ):
+            pairs.add(
+                (
+                    src if src is not None else "",
+                    _md5_low64(t if t is not None else "") & MASK,
+                )
+            )
+        rows = sorted(pairs)
+        return pa.table(
+            {
+                "source": pa.array([r[0] for r in rows], pa.string()),
+                "fp": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        )
+
+    def uniq_count(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.drop_duplicates()
+            .groupby("source", as_index=False)
+            .agg(n_uniq=("fp", "size"))
+        )
+        return out.astype({"n_uniq": "int64"})
+
+    uniq = (
+        coarse_group_reduce(
+            ds.map_batches(fp_partial, batch_format="pyarrow"),
+            ["source", "fp"],
+            uniq_count,
+        )
+    )
+
+    def uniq_merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("source", as_index=False)["n_uniq"].sum()
+        return out.astype({"n_uniq": "int64"})
+
+    uniq_total = coarse_group_reduce(uniq, "source", uniq_merge)
+
+    return bucketed_hash_join(
+        stats, uniq_total, key="source",
+        left_columns=["n_docs", "sum_chars", "n_en"],
+        right_columns=["n_uniq"],
+    )
+
+
+def q212_incremental_rollup(sf_dir: str):
+    """INCREMENTAL VIEW MAINTENANCE for an aggregate — the streaming
+    upkeep pattern (the q162/q163 incremental discipline applied to a
+    ROLLUP instead of an index): wave 1 (the events table) materializes
+    a per-(type, hour) rollup to a persisted store; wave 2 (planted:
+    every event re-keyed +100000 and shifted +36 h) folds ONTO the
+    stored rollup by reading the ROLLUP (aggregate-sized), never
+    rescanning wave-1 rows. Value mass is exact integer cents
+    (floor(100·v)). The oracle computes both waves together — the
+    merged view must equal the from-scratch one."""
+    import tempfile
+
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    HOUR_US = 3_600_000_000
+    SHIFT_US = 36 * HOUR_US
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "event_type",
+                                          "value"])
+
+    def rollup_partial(shift_us: int):
+        def partial(b: pa.Table) -> pa.Table:
+            ts_us = pc.cast(
+                pc.cast(b["ts"], pa.timestamp("us")), pa.int64()
+            ).to_numpy(zero_copy_only=False) + shift_us
+            df = pd.DataFrame(
+                {
+                    "event_type": b["event_type"].to_pylist(),
+                    "hour_us": ts_us - ts_us % HOUR_US,
+                    "cents": np.floor(
+                        np.asarray(b["value"].to_pylist(),
+                                   dtype=np.float64) * 100
+                    ).astype(np.int64),
+                }
+            )
+            out = df.groupby(
+                ["event_type", "hour_us"], as_index=False
+            ).agg(n=("cents", "size"), sum_cents=("cents", "sum"))
+            return pa.Table.from_pandas(
+                out.astype(
+                    {"hour_us": "int64", "n": "int64", "sum_cents": "int64"}
+                ),
+                preserve_index=False,
+            )
+
+        return partial
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(
+            ["event_type", "hour_us"], as_index=False
+        ).agg(n=("n", "sum"), sum_cents=("sum_cents", "sum"))
+        return out.astype(
+            {"hour_us": "int64", "n": "int64", "sum_cents": "int64"}
+        )
+
+    store = tempfile.mkdtemp(prefix="q212_rollup_")
+    # wave 1: materialize the rollup to the store
+    coarse_group_reduce(
+        ds.map_batches(rollup_partial(0), batch_format="pyarrow"),
+        ["event_type", "hour_us"],
+        merge,
+    ).write_parquet(store)
+
+    # wave 2: delta rollup + fold onto the STORED rollup (aggregate-
+    # sized read — wave-1 rows are never rescanned)
+    import ray.data
+
+    stored = ray.data.read_parquet(store)
+    delta = ds.map_batches(
+        rollup_partial(SHIFT_US), batch_format="pyarrow"
+    )
+    merged = coarse_group_reduce(
+        stored.union(delta), ["event_type", "hour_us"], merge
+    )
+    out = merged.to_pandas()
+    import shutil
+
+    shutil.rmtree(store, ignore_errors=True)
+    return out
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -11383,6 +11616,9 @@ QUERIES = {
     "q207_pruning_audit": q207_pruning_audit,
     "q208_term_lattice": q208_term_lattice,
     "q209_user_growth": q209_user_growth,
+    "q210_ordered_funnel": q210_ordered_funnel,
+    "q211_datasheet": q211_datasheet,
+    "q212_incremental_rollup": q212_incremental_rollup,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -12675,6 +12911,72 @@ ORACLE_SQL = {
         SELECT CAST(vec_id + 10000 AS BIGINT) AS clip_id,
                vec_id AS orig_id
         FROM embeddings WHERE vec_id % 4 = 0
+    """,
+    "q210_ordered_funnel": """
+        -- strict-order funnel with (ts, event_id) lexicographic
+        -- precedence on ties, 1-day windows per hop
+        WITH e AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+          FROM events
+        ),
+        v AS (
+          SELECT v.user_id, v.event_id, v.t FROM e v
+          WHERE v.event_type = 'view'
+            AND EXISTS (
+              SELECT 1 FROM e c
+              WHERE c.user_id = v.user_id AND c.event_type = 'click'
+                AND (c.t < v.t OR (c.t = v.t AND c.event_id < v.event_id))
+                AND v.t - c.t <= 86400000000
+            )
+        ),
+        p AS (
+          SELECT p.user_id, p.event_id FROM e p
+          WHERE p.event_type = 'purchase'
+            AND EXISTS (
+              SELECT 1 FROM v
+              WHERE v.user_id = p.user_id
+                AND (v.t < p.t OR (v.t = p.t AND v.event_id < p.event_id))
+                AND p.t - v.t <= 86400000000
+            )
+        )
+        SELECT u.user_id, u.n_purchases,
+               CAST(coalesce(q.nq, 0) AS BIGINT) AS n_qualified
+        FROM (
+          SELECT user_id, count(*) AS n_purchases FROM e
+          WHERE event_type = 'purchase' GROUP BY 1
+        ) u
+        LEFT JOIN (
+          SELECT user_id, count(*) AS nq FROM p GROUP BY 1
+        ) q USING (user_id)
+    """,
+    "q211_datasheet": """
+        -- per-source nutrition label; distinct texts via the same
+        -- masked md5 fingerprint the Ray side exchanges
+        SELECT coalesce(source, '') AS source, count(*) AS n_docs,
+               CAST(sum(length(coalesce(text, ''))) AS BIGINT)
+                 AS sum_chars,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_en,
+               CAST(count(DISTINCT
+                 md5_number_lower(coalesce(text, ''))
+                 & 9223372036854775807) AS BIGINT) AS n_uniq
+        FROM documents GROUP BY 1
+    """,
+    "q212_incremental_rollup": """
+        -- from-scratch twin over both waves (wave 2 = +100000 ids,
+        -- +36 h); the Ray side folds wave 2 onto the STORED rollup
+        WITH both_waves AS (
+          SELECT event_type, epoch_us(ts) AS t_us, value FROM events
+          UNION ALL
+          SELECT event_type, epoch_us(ts) + 129600000000, value
+          FROM events
+        )
+        SELECT event_type,
+               CAST(t_us - t_us % 3600000000 AS BIGINT) AS hour_us,
+               count(*) AS n,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM both_waves GROUP BY 1, 2
     """,
     "q207_pruning_audit": """
         -- scan-planner ledger: a 256-row group prunes when max < 500
