@@ -11409,6 +11409,135 @@ def q212_incremental_rollup(sf_dir: str):
     return out
 
 
+def q213_cusum_drift(sf_dir: str):
+    """CUSUM CHANGE-POINT EVIDENCE per user — the drift detector's
+    clamped recurrence S_i = max(0, S_{i-1} + (x_i − ref)) unrolled to
+    S_i = P_i − min(0, P_1..P_i) over the prefix sums P (the q202
+    trick: a sequential clamp is a running MIN in disguise), so the
+    whole scan is one cumsum + one cummin per coarse user group, and a
+    window expression in SQL. Values are exact integer cents against
+    ref = 28000; output per user the peak CUSUM, the event where it is
+    first reached (earliest by (ts, event_id)), and the final value."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    REF = 28000
+    ds = _read(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "value"]
+    )
+
+    def cusum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        d = np.floor(
+            g["value"].to_numpy(dtype=np.float64) * 100
+        ).astype(np.int64) - REF
+        p = pd.Series(d).groupby(g["user_id"]).cumsum()
+        run_min = p.groupby(g["user_id"]).cummin().clip(upper=0)
+        s = p - run_min
+        g = g.assign(cusum=s.astype("int64"))
+        rows = []
+        for u, sub in g.groupby("user_id"):
+            peak = int(sub["cusum"].max())
+            first = sub[sub["cusum"] == peak].iloc[0]
+            rows.append(
+                (int(u), peak, int(first["event_id"]),
+                 int(sub["cusum"].iloc[-1]))
+            )
+        return pd.DataFrame(
+            {
+                "user_id": pd.array([r[0] for r in rows], dtype="int64"),
+                "peak": pd.array([r[1] for r in rows], dtype="int64"),
+                "at_event": pd.array([r[2] for r in rows], dtype="int64"),
+                "final": pd.array([r[3] for r in rows], dtype="int64"),
+            }
+        )
+
+    return coarse_group_reduce(ds, "user_id", cusum)
+
+
+def q214_sequence_disorder(sf_dir: str):
+    """SEQUENCE DISORDER (Kendall-tau distance between arrival order
+    and value order) per user — the out-of-orderness audit a streaming
+    ingest runs: inversions = #{i < j : x_i > x_j} over cents in
+    (ts, event_id) order, ties uncounted, plus the pair denominator.
+    The per-user count is one vectorized O(n²) comparison inside the
+    coarse group — exact and branch-free; a user's event count bounds
+    the quadratic term (the docstring contract; switch to a merge
+    count if per-key sequences grow unbounded)."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "value"]
+    )
+
+    def disorder(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        g = g.assign(
+            cents=np.floor(
+                g["value"].to_numpy(dtype=np.float64) * 100
+            ).astype(np.int64)
+        )
+        rows = []
+        for u, sub in g.groupby("user_id"):
+            x = sub["cents"].to_numpy()
+            n = len(x)
+            inv = int(np.triu(x[:, None] > x[None, :], k=1).sum())
+            rows.append((int(u), n, inv, n * (n - 1) // 2))
+        return pd.DataFrame(
+            {
+                "user_id": pd.array([r[0] for r in rows], dtype="int64"),
+                "n_events": pd.array([r[1] for r in rows], dtype="int64"),
+                "inversions": pd.array([r[2] for r in rows], dtype="int64"),
+                "n_pairs": pd.array([r[3] for r in rows], dtype="int64"),
+            }
+        )
+
+    return coarse_group_reduce(ds, "user_id", disorder)
+
+
+def q215_autocorr_evidence(sf_dir: str):
+    """LAG-1 AUTOCORRELATION EVIDENCE per event type — the seasonality
+    screen's moment sums with exact integers: over cents in
+    (ts, event_id) order, n, Σc, Σc², and the adjacent-product sum
+    Σ c_i·c_{i+1} (the correlation itself is a derived float epilogue).
+    The adjacent products need each type's order only LOCALLY — one
+    sort + shift-multiply per coarse type group; batch partials are not
+    possible for the cross-boundary product, so the group IS the unit
+    (types are bounded)."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(
+        sf_dir, "events", columns=["event_id", "ts", "event_type", "value"]
+    )
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(
+            ["event_type", "ts", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        c = np.floor(
+            g["value"].to_numpy(dtype=np.float64) * 100
+        ).astype(np.int64)
+        g = g.assign(c=c)
+        nxt = g.groupby("event_type")["c"].shift(-1)
+        g = g.assign(
+            lag_term=(g["c"] * nxt).fillna(0).astype("int64")
+        )
+        out = g.groupby("event_type", as_index=False).agg(
+            n=("c", "size"),
+            s1=("c", "sum"),
+            s2_part=("c", lambda s: int((s.to_numpy() ** 2).sum())),
+            lag_sum=("lag_term", "sum"),
+        ).rename(columns={"s2_part": "s2"})
+        return out.astype(
+            {"n": "int64", "s1": "int64", "s2": "int64", "lag_sum": "int64"}
+        )
+
+    return coarse_group_reduce(ds, "event_type", moments)
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -11619,6 +11748,9 @@ QUERIES = {
     "q210_ordered_funnel": q210_ordered_funnel,
     "q211_datasheet": q211_datasheet,
     "q212_incremental_rollup": q212_incremental_rollup,
+    "q213_cusum_drift": q213_cusum_drift,
+    "q214_sequence_disorder": q214_sequence_disorder,
+    "q215_autocorr_evidence": q215_autocorr_evidence,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -12911,6 +13043,82 @@ ORACLE_SQL = {
         SELECT CAST(vec_id + 10000 AS BIGINT) AS clip_id,
                vec_id AS orig_id
         FROM embeddings WHERE vec_id % 4 = 0
+    """,
+    "q213_cusum_drift": """
+        -- clamped CUSUM unrolled: S_i = P_i - least(0, min(P_1..P_i))
+        WITH o AS (
+          SELECT user_id, event_id, epoch_us(ts) AS t,
+                 CAST(floor(value * 100) AS BIGINT) - 28000 AS d
+          FROM events
+        ),
+        r AS (
+          SELECT *, sum(d) OVER w AS p FROM o
+          WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        s AS (
+          SELECT user_id, event_id, t,
+                 p - least(0, min(p) OVER w) AS cusum
+          FROM r
+          WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        sel AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY cusum DESC, t, event_id) AS rn,
+                 row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY t DESC, event_id DESC) AS rl
+          FROM s
+        )
+        SELECT a.user_id, CAST(a.cusum AS BIGINT) AS peak,
+               a.event_id AS at_event,
+               CAST(b.cusum AS BIGINT) AS final
+        FROM (SELECT * FROM sel WHERE rn = 1) a
+        JOIN (SELECT * FROM sel WHERE rl = 1) b USING (user_id)
+    """,
+    "q214_sequence_disorder": """
+        -- Kendall-tau distance between arrival order and value order;
+        -- ties uncounted
+        WITH r AS (
+          SELECT user_id,
+                 CAST(floor(value * 100) AS BIGINT) AS c,
+                 row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events
+        ),
+        inv AS (
+          SELECT a.user_id, count(*) AS inversions
+          FROM r a JOIN r b
+            ON a.user_id = b.user_id AND a.rn < b.rn AND a.c > b.c
+          GROUP BY 1
+        ),
+        base AS (
+          SELECT user_id, count(*) AS n_events FROM r GROUP BY 1
+        )
+        SELECT base.user_id, base.n_events,
+               CAST(coalesce(inv.inversions, 0) AS BIGINT) AS inversions,
+               CAST(base.n_events * (base.n_events - 1) // 2 AS BIGINT)
+                 AS n_pairs
+        FROM base LEFT JOIN inv USING (user_id)
+    """,
+    "q215_autocorr_evidence": """
+        -- integer moment sums + adjacent-product sum in (ts, event_id)
+        -- order per type
+        WITH r AS (
+          SELECT event_type,
+                 CAST(floor(value * 100) AS BIGINT) AS c,
+                 lead(CAST(floor(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+                 ) AS nxt
+          FROM events
+        )
+        SELECT event_type, count(*) AS n,
+               CAST(sum(c) AS BIGINT) AS s1,
+               CAST(sum(c * c) AS BIGINT) AS s2,
+               CAST(sum(coalesce(c * nxt, 0)) AS BIGINT) AS lag_sum
+        FROM r GROUP BY 1
     """,
     "q210_ordered_funnel": """
         -- strict-order funnel with (ts, event_id) lexicographic
