@@ -11538,6 +11538,241 @@ def q215_autocorr_evidence(sf_dir: str):
     return coarse_group_reduce(ds, "event_type", moments)
 
 
+def q216_weighted_jaccard(sf_dir: str):
+    """WEIGHTED JACCARD between source corpora — multiset similarity
+    J_w = Σ min(c_a, c_b) / Σ max(c_a, c_b) over token counts, with the
+    max side NEVER enumerated: Σmax = T_a + T_b − Σmin, so only the
+    MIN mass (co-present tokens) and the per-source token totals move.
+    Shape: per-(token, source) counts reduce exactly; each token's
+    per-source count vector meets ONLY in its own hash group and emits
+    C(k,2) pair-min rows (k ≤ #sources); a bounded pair-keyed Sum and
+    a tiny totals join finish. Output (source_a, source_b, sum_min,
+    t_a, t_b) for co-present pairs; the ratio is a derived epilogue."""
+    from ray.data.aggregate import Sum
+
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "documents", columns=["text", "source"])
+
+    def tok_partial(b: pa.Table) -> pa.Table:
+        acc: dict[tuple, int] = {}
+        for t, src in zip(
+            b["text"].to_pylist(), b["source"].to_pylist()
+        ):
+            if not t or src is None:
+                continue
+            for tok in token_items(t):
+                k = (tok, src)
+                acc[k] = acc.get(k, 0) + 1
+        ks = sorted(acc)
+        return pa.table(
+            {
+                "token": pa.array([k[0] for k in ks], pa.string()),
+                "source": pa.array([k[1] for k in ks], pa.string()),
+                "cnt": pa.array([acc[k] for k in ks], pa.int64()),
+            }
+        )
+
+    def tok_merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["token", "source"], as_index=False)["cnt"].sum()
+        return out.astype({"cnt": "int64"})
+
+    counts = coarse_group_reduce(
+        ds.map_batches(tok_partial, batch_format="pyarrow"),
+        ["token", "source"],
+        tok_merge,
+    ).materialize()
+
+    def pair_mins(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby(["token", "source"], as_index=False)["cnt"].sum()
+        out_a, out_b, out_m = [], [], []
+        for _, g in agg.groupby("token"):
+            items = sorted(zip(g["source"], g["cnt"]))
+            for i in range(len(items)):
+                for j in range(i + 1, len(items)):
+                    out_a.append(items[i][0])
+                    out_b.append(items[j][0])
+                    out_m.append(min(items[i][1], items[j][1]))
+        return pd.DataFrame(
+            {
+                "source_a": pd.array(out_a, dtype="object"),
+                "source_b": pd.array(out_b, dtype="object"),
+                "m": pd.array(out_m, dtype="int64"),
+            }
+        )
+
+    mins = (
+        coarse_group_reduce(counts, "token", pair_mins)
+        .groupby(["source_a", "source_b"])  # bounded: C(#sources, 2)
+        .aggregate(Sum("m", alias_name="sum_min"))
+    )
+
+    totals = counts.map_batches(
+        lambda b: pa.table(
+            {
+                "source": b["source"],
+                "t": pc.cast(b["cnt"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).groupby("source").aggregate(Sum("t", alias_name="t"))
+    tot = {
+        r["source"]: int(r["t"])
+        for r in totals.take_all()  # source-sized: bounded by definition
+    }
+
+    def attach(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source_a": b["source_a"],
+                "source_b": b["source_b"],
+                "sum_min": pc.cast(b["sum_min"], pa.int64()),
+                "t_a": pa.array(
+                    [tot[s] for s in b["source_a"].to_pylist()], pa.int64()
+                ),
+                "t_b": pa.array(
+                    [tot[s] for s in b["source_b"].to_pylist()], pa.int64()
+                ),
+            }
+        )
+
+    return mins.map_batches(attach, batch_format="pyarrow")
+
+
+def q217_graph_reciprocity(sf_dir: str):
+    """HOST-GRAPH RECIPROCITY + degree-product evidence — the
+    web-graph shape metrics after q103 (PageRank), q153 (triangles),
+    q42 (components): from the q147 REAL-HTML outlink extraction,
+    the distinct ordered edge set yields (a) reciprocity — how many
+    ordered edges have their reverse — and (b) the assortativity
+    numerator Σ outdeg(u)·indeg(v) over edges (the mixing evidence).
+    The edge relation is host-bounded, so after the distinct-edge
+    reduce everything is one tiny pass; the HTML scan is the only
+    corpus-scale stage."""
+    import re
+
+    from basicocr_ray.sources.docpages import wrap_single
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    HREF = re.compile(rb'href="(https?://[^"]+)"')
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def edges_partial(batch: pa.Table) -> pa.Table:
+        from urllib.parse import urlsplit
+
+        seen = set()
+        for i, t in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            page = wrap_single(t or "", i)
+            links = (
+                f'<p><a href="http://site{(3 * i + 1) % 7}.example.com'
+                f'/p/{i % 100}">more</a> '
+                f'<a href="https://site{(5 * i + 2) % 7}.example.com'
+                f'/q/{i % 50}">src</a></p>'
+            ).encode()
+            page = page.replace(b"</article>", links + b"</article>")
+            src = f"site{i % 7}"
+            for m in HREF.finditer(page):
+                host = urlsplit(m.group(1).decode()).hostname or ""
+                seen.add((src, host.split(".")[0]))
+        rows = sorted(seen)
+        return pa.table(
+            {
+                "src": pa.array([r[0] for r in rows], pa.string()),
+                "dst": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+
+    def metrics(df: pd.DataFrame) -> pd.DataFrame:
+        e = df.drop_duplicates()
+        eset = set(zip(e["src"], e["dst"]))
+        outdeg: dict = {}
+        indeg: dict = {}
+        for u, v in eset:
+            outdeg[u] = outdeg.get(u, 0) + 1
+            indeg[v] = indeg.get(v, 0) + 1
+        n_recip = sum(1 for u, v in eset if (v, u) in eset)
+        degprod = sum(outdeg[u] * indeg[v] for u, v in eset)
+        return pd.DataFrame(
+            {
+                "n_edges": pd.array([len(eset)], dtype="int64"),
+                "n_recip": pd.array([n_recip], dtype="int64"),
+                "sum_degprod": pd.array([degprod], dtype="int64"),
+            }
+        )
+
+    edges = ds.map_batches(edges_partial, batch_format="pyarrow")
+    return (
+        edges.map_batches(
+            lambda b: b.append_column(
+                "cg", pa.array(np.zeros(len(b), dtype=np.int32))
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("cg")  # the distinct edge set is host-bounded
+        .map_groups(
+            lambda df: metrics(df.drop(columns=["cg"])),
+            batch_format="pandas",
+        )
+    )
+
+
+def q218_histogram_drift(sf_dir: str):
+    """DISTRIBUTION DRIFT between the first and second halves of the
+    event stream — the PSI/L1 monitoring primitive with exact integer
+    evidence: the time midpoint (min+max)/2 splits the stream, values
+    bucket at width 50, and each bucket reports both halves' counts
+    plus |Δ| (the L1 term). Two scalar aggregates fix the split; the
+    bucket reduce is bounded by the value range."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+    lo = ds.min("ts")
+    hi = ds.max("ts")
+    mid_us = (
+        int(np.datetime64(pd.Timestamp(lo), "us").astype("int64"))
+        + int(np.datetime64(pd.Timestamp(hi), "us").astype("int64"))
+    ) // 2
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = pc.cast(
+            pc.cast(b["ts"], pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        v = np.asarray(b["value"].to_pylist(), dtype=np.float64)
+        bucket = np.floor(v / 50.0).astype(np.int64)
+        first = ts_us < mid_us
+        df = pd.DataFrame(
+            {
+                "bucket": bucket,
+                "n_first": first.astype("int64"),
+                "n_second": (~first).astype("int64"),
+            }
+        )
+        out = df.groupby("bucket", as_index=False).sum()
+        return pa.Table.from_pandas(
+            out.astype(
+                {"bucket": "int64", "n_first": "int64", "n_second": "int64"}
+            ),
+            preserve_index=False,
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("bucket", as_index=False).sum()
+        out["abs_diff"] = (out["n_first"] - out["n_second"]).abs()
+        return out.astype(
+            {
+                "bucket": "int64", "n_first": "int64",
+                "n_second": "int64", "abs_diff": "int64",
+            }
+        )
+
+    return coarse_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"), "bucket", final
+    )
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -11751,6 +11986,9 @@ QUERIES = {
     "q213_cusum_drift": q213_cusum_drift,
     "q214_sequence_disorder": q214_sequence_disorder,
     "q215_autocorr_evidence": q215_autocorr_evidence,
+    "q216_weighted_jaccard": q216_weighted_jaccard,
+    "q217_graph_reciprocity": q217_graph_reciprocity,
+    "q218_histogram_drift": q218_histogram_drift,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -13043,6 +13281,75 @@ ORACLE_SQL = {
         SELECT CAST(vec_id + 10000 AS BIGINT) AS clip_id,
                vec_id AS orig_id
         FROM embeddings WHERE vec_id % 4 = 0
+    """,
+    "q216_weighted_jaccard": f"""
+        -- weighted Jaccard evidence: only the MIN mass is enumerated;
+        -- Σmax = T_a + T_b − Σmin is a derived epilogue
+        WITH toks AS (
+          SELECT source,
+                 unnest(list_filter({_TOKS}, x -> x <> '')) AS token
+          FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+        ),
+        tc AS (
+          SELECT source, token, count(*) AS cnt FROM toks GROUP BY 1, 2
+        ),
+        tt AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS t
+               FROM tc GROUP BY 1),
+        pm AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+                 CAST(sum(least(a.cnt, b.cnt)) AS BIGINT) AS sum_min
+          FROM tc a JOIN tc b
+            ON a.token = b.token AND a.source < b.source
+          GROUP BY 1, 2
+        )
+        SELECT pm.source_a, pm.source_b, pm.sum_min,
+               ta.t AS t_a, tb.t AS t_b
+        FROM pm JOIN tt ta ON ta.source = pm.source_a
+                JOIN tt tb ON tb.source = pm.source_b
+    """,
+    "q217_graph_reciprocity": """
+        -- analytic edge contract (the q147 arithmetic): distinct
+        -- ordered edges, reverse-existence count, Σ outdeg·indeg
+        WITH e AS (
+          SELECT DISTINCT
+                 'site' || CAST(doc_id % 7 AS VARCHAR) AS src,
+                 'site' || CAST((3 * doc_id + 1) % 7 AS VARCHAR) AS dst
+          FROM documents
+          UNION
+          SELECT DISTINCT
+                 'site' || CAST(doc_id % 7 AS VARCHAR),
+                 'site' || CAST((5 * doc_id + 2) % 7 AS VARCHAR)
+          FROM documents
+        ),
+        od AS (SELECT src, count(*) AS outd FROM e GROUP BY 1),
+        idg AS (SELECT dst, count(*) AS ind FROM e GROUP BY 1)
+        SELECT (SELECT count(*) FROM e) AS n_edges,
+               (SELECT count(*) FROM e x
+                WHERE EXISTS (SELECT 1 FROM e y
+                              WHERE y.src = x.dst AND y.dst = x.src))
+                 AS n_recip,
+               CAST((SELECT sum(od.outd * idg.ind)
+                     FROM e JOIN od ON e.src = od.src
+                            JOIN idg ON e.dst = idg.dst) AS BIGINT)
+                 AS sum_degprod
+    """,
+    "q218_histogram_drift": """
+        -- first/second half split at the (min+max)/2 timestamp;
+        -- width-50 value buckets; |Δ| is the L1 drift term
+        WITH m AS (
+          SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+          FROM events
+        ),
+        b AS (
+          SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+                 CASE WHEN epoch_us(ts) < (SELECT mid FROM m)
+                      THEN 1 ELSE 0 END AS f
+          FROM events
+        )
+        SELECT bucket, CAST(sum(f) AS BIGINT) AS n_first,
+               CAST(sum(1 - f) AS BIGINT) AS n_second,
+               CAST(abs(sum(f) - sum(1 - f)) AS BIGINT) AS abs_diff
+        FROM b GROUP BY 1
     """,
     "q213_cusum_drift": """
         -- clamped CUSUM unrolled: S_i = P_i - least(0, min(P_1..P_i))
