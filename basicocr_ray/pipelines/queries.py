@@ -11773,6 +11773,199 @@ def q218_histogram_drift(sf_dir: str):
     )
 
 
+def q219_encoding_advisor(sf_dir: str):
+    """DICTIONARY-ENCODING ADVISOR — the Parquet writer's per-column
+    decision as data: for each string column of `documents`, row count,
+    distinct count, plain storage cost (Σ value length), dictionary
+    cost (Σ distinct-value lengths + 4·rows for the codes), and the
+    verdict. Distinct counting exchanges (column, fp, len) triples —
+    the value's length rides with its fingerprint (same value → same
+    length), so neither pass moves the values themselves. Final
+    combine is a 3-row pandas join on the driver (column-bounded)."""
+    MASK = (1 << 63) - 1
+    COLS = ["text", "lang", "source"]
+    ds = _read(sf_dir, "documents", columns=COLS)
+
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    def fp_partial(b: pa.Table) -> pa.Table:
+        seen: set = set()
+        plain: dict[str, list[int]] = {c: [0, 0] for c in COLS}
+        for row in zip(*[b[c].to_pylist() for c in COLS]):
+            for c, v in zip(COLS, row):
+                v = v if v is not None else ""
+                plain[c][0] += 1
+                plain[c][1] += len(v)
+                seen.add((c, _md5_low64(v) & MASK, len(v)))
+        rows = sorted(seen)
+        t1 = pa.table(
+            {
+                "col": pa.array([r[0] for r in rows], pa.string()),
+                "fp": pa.array([r[1] for r in rows], pa.int64()),
+                "vlen": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+        return t1
+
+    def plain_partial(b: pa.Table) -> pa.Table:
+        out_c, out_n, out_l = [], [], []
+        for c in COLS:
+            vals = b[c].to_pylist()
+            out_c.append(c)
+            out_n.append(len(vals))
+            out_l.append(sum(len(v) if v is not None else 0 for v in vals))
+        return pa.table(
+            {
+                "col": pa.array(out_c, pa.string()),
+                "n": pa.array(out_n, pa.int64()),
+                "plain_chars": pa.array(out_l, pa.int64()),
+            }
+        )
+
+    def uniq_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["col", "fp"])
+        out = d.groupby("col", as_index=False).agg(
+            n_distinct=("fp", "size"), dist_chars=("vlen", "sum")
+        )
+        return out.astype({"n_distinct": "int64", "dist_chars": "int64"})
+
+    uniq = coarse_group_reduce(
+        ds.map_batches(fp_partial, batch_format="pyarrow"),
+        ["col", "fp"],
+        uniq_reduce,
+    ).to_pandas()  # ≤ #columns × #salts rows
+    uniq = uniq.groupby("col", as_index=False).sum()
+
+    plain = (
+        ds.map_batches(plain_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("col", as_index=False)
+        .sum()
+    )
+
+    out = plain.merge(uniq, on="col")
+    out["dict_cost"] = out["dist_chars"] + 4 * out["n"]
+    out["use_dict"] = (out["dict_cost"] < out["plain_chars"]).astype(
+        "int64"
+    )
+    return out.astype(
+        {
+            "n": "int64", "plain_chars": "int64", "n_distinct": "int64",
+            "dist_chars": "int64", "dict_cost": "int64",
+        }
+    )[["col", "n", "plain_chars", "n_distinct", "dist_chars",
+       "dict_cost", "use_dict"]]
+
+
+def q220_next_event_baseline(sf_dir: str):
+    """NEXT-EVENT MAJORITY BASELINE — the accuracy floor any sequence
+    model must beat: from per-user (current → next) transition counts
+    (the q111 relation), predict the modal next type per current type;
+    evidence = per current type: total transitions and the modal count
+    (accuracy = n_correct / n_total is the derived epilogue, and the
+    modal COUNT is tie-free even when the argmax type is tied)."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        nxt = g.groupby("user_id")["event_type"].shift(-1)
+        out = pd.DataFrame(
+            {"cur": g["event_type"], "nxt": nxt}
+        ).dropna().groupby(["cur", "nxt"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+        return out.astype({"n": "int64"})
+
+    trans = coarse_group_reduce(ds, "user_id", pairs)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby(["cur", "nxt"], as_index=False)["n"].sum()
+        out = agg.groupby("cur", as_index=False).agg(
+            n_total=("n", "sum"), n_correct=("n", "max")
+        )
+        return out.astype({"n_total": "int64", "n_correct": "int64"})
+
+    return coarse_group_reduce(trans, "cur", fold)
+
+
+def q221_dedup_savings(sf_dir: str):
+    """DEDUP SAVINGS ESTIMATE — the business case for the dedup stage,
+    computed entirely on the FINGERPRINT relation (same text → same
+    token count, so the per-fp row carries multiplicity + one token
+    count and the corpus never re-tokenizes survivors): one row with
+    docs, distinct docs, whitespace tokens before dedup, and tokens
+    after keep-one-per-text dedup."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    MASK = (1 << 63) - 1
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        acc: dict[int, list[int]] = {}
+        for t in b["text"].to_pylist():
+            t = t if t is not None else ""
+            fp = _md5_low64(t) & MASK
+            a = acc.setdefault(fp, [0, len(t.split())])
+            a[0] += 1
+        ks = sorted(acc)
+        return pa.table(
+            {
+                "fp": pa.array(ks, pa.int64()),
+                "n_dups": pa.array([acc[k][0] for k in ks], pa.int64()),
+                "tok_cnt": pa.array([acc[k][1] for k in ks], pa.int64()),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("fp", as_index=False).agg(
+            n_dups=("n_dups", "sum"), tok_cnt=("tok_cnt", "first")
+        )
+        return pd.DataFrame(
+            {
+                "n_docs": pd.array([int(g["n_dups"].sum())], dtype="int64"),
+                "n_unique": pd.array([len(g)], dtype="int64"),
+                "tokens_all": pd.array(
+                    [int((g["n_dups"] * g["tok_cnt"]).sum())],
+                    dtype="int64"),
+                "tokens_unique": pd.array(
+                    [int(g["tok_cnt"].sum())], dtype="int64"),
+            }
+        )
+
+    partials = coarse_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"), "fp", fold
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                c: pd.array([int(df[c].sum())], dtype="int64")
+                for c in ["n_docs", "n_unique", "tokens_all",
+                          "tokens_unique"]
+            }
+        )
+
+    return (
+        partials.map_batches(
+            lambda b: b.append_column(
+                "cg", pa.array(np.zeros(len(b), dtype=np.int32))
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("cg")
+        .map_groups(
+            lambda df: final(df.drop(columns=["cg"])),
+            batch_format="pandas",
+        )
+    )
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -11989,6 +12182,9 @@ QUERIES = {
     "q216_weighted_jaccard": q216_weighted_jaccard,
     "q217_graph_reciprocity": q217_graph_reciprocity,
     "q218_histogram_drift": q218_histogram_drift,
+    "q219_encoding_advisor": q219_encoding_advisor,
+    "q220_next_event_baseline": q220_next_event_baseline,
+    "q221_dedup_savings": q221_dedup_savings,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -13281,6 +13477,75 @@ ORACLE_SQL = {
         SELECT CAST(vec_id + 10000 AS BIGINT) AS clip_id,
                vec_id AS orig_id
         FROM embeddings WHERE vec_id % 4 = 0
+    """,
+    "q219_encoding_advisor": """
+        -- per-column dictionary-vs-plain decision: dict cost =
+        -- distinct-value chars + 4 bytes/row of codes
+        WITH c1 AS (SELECT coalesce(text, '') AS v FROM documents),
+        c2 AS (SELECT coalesce(lang, '') AS v FROM documents),
+        c3 AS (SELECT coalesce(source, '') AS v FROM documents),
+        s AS (
+          SELECT 'text' AS col, count(*) AS n,
+                 CAST(sum(length(v)) AS BIGINT) AS plain_chars,
+                 CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+                 CAST((SELECT sum(length(v))
+                       FROM (SELECT DISTINCT v FROM c1)) AS BIGINT)
+                   AS dist_chars
+          FROM c1
+          UNION ALL
+          SELECT 'lang', count(*), CAST(sum(length(v)) AS BIGINT),
+                 CAST(count(DISTINCT v) AS BIGINT),
+                 CAST((SELECT sum(length(v))
+                       FROM (SELECT DISTINCT v FROM c2)) AS BIGINT)
+          FROM c2
+          UNION ALL
+          SELECT 'source', count(*), CAST(sum(length(v)) AS BIGINT),
+                 CAST(count(DISTINCT v) AS BIGINT),
+                 CAST((SELECT sum(length(v))
+                       FROM (SELECT DISTINCT v FROM c3)) AS BIGINT)
+          FROM c3
+        )
+        SELECT col, n, plain_chars, n_distinct, dist_chars,
+               CAST(dist_chars + 4 * n AS BIGINT) AS dict_cost,
+               CAST(CASE WHEN dist_chars + 4 * n < plain_chars
+                    THEN 1 ELSE 0 END AS BIGINT) AS use_dict
+        FROM s
+    """,
+    "q220_next_event_baseline": """
+        -- modal-next-type accuracy floor; the modal COUNT is tie-free
+        WITH r AS (
+          SELECT event_type AS cur,
+                 lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+          FROM events
+        ),
+        c AS (
+          SELECT cur, nxt, count(*) AS n FROM r
+          WHERE nxt IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT cur, CAST(sum(n) AS BIGINT) AS n_total,
+               CAST(max(n) AS BIGINT) AS n_correct
+        FROM c GROUP BY 1
+    """,
+    "q221_dedup_savings": """
+        -- computed on the text-group relation: same text → same token
+        -- count, so survivors never re-tokenize
+        WITH d AS (SELECT coalesce(text, '') AS t FROM documents),
+        tok AS (
+          SELECT t, len(list_filter(
+                   regexp_split_to_array(t, '\\s+'), x -> x <> ''))
+                 AS tc
+          FROM d
+        ),
+        g AS (
+          SELECT t, count(*) AS n_dups, CAST(min(tc) AS BIGINT) AS tc
+          FROM tok GROUP BY t
+        )
+        SELECT CAST(sum(n_dups) AS BIGINT) AS n_docs,
+               count(*) AS n_unique,
+               CAST(sum(n_dups * tc) AS BIGINT) AS tokens_all,
+               CAST(sum(tc) AS BIGINT) AS tokens_unique
+        FROM g
     """,
     "q216_weighted_jaccard": f"""
         -- weighted Jaccard evidence: only the MIN mass is enumerated;
