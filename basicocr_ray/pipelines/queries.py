@@ -11966,6 +11966,244 @@ def q221_dedup_savings(sf_dir: str):
     )
 
 
+def q222_fd_discovery(sf_dir: str):
+    """FUNCTIONAL-DEPENDENCY DISCOVERY (the Metanome-style profiling
+    pass a schema-inference tool runs): for every ordered column pair
+    (A → B) over (lang, source, n_chars-band), the FD holds iff
+    |distinct A| = |distinct (A, B)|; the violation magnitude is their
+    difference. Distinct counts exchange fingerprints of the value
+    pairs only — one coarse dedup per candidate, all six candidates in
+    ONE batch pass."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    MASK = (1 << 63) - 1
+    ds = _read(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+    COLS = ["lang", "source", "band"]
+
+    def partial(b: pa.Table) -> pa.Table:
+        vals = {
+            "lang": [v if v is not None else "" for v in
+                     b["lang"].to_pylist()],
+            "source": [v if v is not None else "" for v in
+                       b["source"].to_pylist()],
+            "band": [str(v // 100) for v in b["n_chars"].to_pylist()],
+        }
+        seen: set = set()
+        n = len(vals["lang"])
+        for i in range(n):
+            for a in COLS:
+                seen.add((f"{a}", _md5_low64(vals[a][i]) & MASK))
+                for bcol in COLS:
+                    if a == bcol:
+                        continue
+                    seen.add(
+                        (
+                            f"{a}>{bcol}",
+                            _md5_low64(
+                                vals[a][i] + "\x1f" + vals[bcol][i]
+                            ) & MASK,
+                        )
+                    )
+        rows = sorted(seen)
+        return pa.table(
+            {
+                "key": pa.array([r[0] for r in rows], pa.string()),
+                "fp": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        )
+
+    def uniq(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()
+        out = d.groupby("key", as_index=False).agg(n=("fp", "size"))
+        return out.astype({"n": "int64"})
+
+    counts = coarse_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"), ["key", "fp"], uniq
+    ).to_pandas()  # ≤ (3 + 6) × #salts rows — metadata
+    counts = counts.groupby("key", as_index=False)["n"].sum()
+    cmap = dict(zip(counts["key"], counts["n"]))
+
+    rows = []
+    for a in COLS:
+        for bcol in COLS:
+            if a == bcol:
+                continue
+            n_lhs = int(cmap[a])
+            n_pair = int(cmap[f"{a}>{bcol}"])
+            rows.append(
+                (a, bcol, n_lhs, n_pair,
+                 1 if n_lhs == n_pair else 0, n_pair - n_lhs)
+            )
+    return pd.DataFrame(
+        {
+            "lhs": pd.array([r[0] for r in rows], dtype="object"),
+            "rhs": pd.array([r[1] for r in rows], dtype="object"),
+            "n_lhs": pd.array([r[2] for r in rows], dtype="int64"),
+            "n_pair": pd.array([r[3] for r in rows], dtype="int64"),
+            "fd_holds": pd.array([r[4] for r in rows], dtype="int64"),
+            "violations": pd.array([r[5] for r in rows], dtype="int64"),
+        }
+    )
+
+
+def q223_join_stats_moments(sf_dir: str):
+    """FREQUENCY-MOMENT JOIN STATISTICS (the AMS F0/F1/F2 suite an
+    optimizer keeps per join key): for orders and lineitem on the order
+    key — per side F0 (distinct keys), F1 (rows), F2 (Σ n(k)² = the
+    SELF-join size), plus the exact cross-join size Σ n_o·n_l (q196's
+    statistic, here alongside its moment family). All from per-key
+    count relations; rows never meet."""
+    from basicocr_ray.stages.joins import bucketed_hash_join
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey"])
+    lineitem = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+
+    def count_side(src, key):
+        def partial(b: pa.Table) -> pa.Table:
+            t = b.group_by(key).aggregate([([], "count_all")])
+            return pa.table(
+                {
+                    "k": pc.cast(t[key], pa.int64()),
+                    "n": pc.cast(t["count_all"], pa.int64()),
+                }
+            )
+
+        def merge(df: pd.DataFrame) -> pd.DataFrame:
+            m = df.groupby("k", as_index=False)["n"].sum()
+            return m.astype({"k": "int64", "n": "int64"})
+
+        return coarse_group_reduce(
+            src.map_batches(partial, batch_format="pyarrow"), "k", merge
+        ).materialize()
+
+    co = count_side(orders, "o_orderkey")
+    cl = count_side(lineitem, "l_orderkey")
+
+    def side_moments(cnts, side):
+        def m(b: pa.Table) -> pa.Table:
+            n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "side": pa.array([side], pa.string()),
+                    "f0": pa.array([len(n)], pa.int64()),
+                    "f1": pa.array([int(n.sum())], pa.int64()),
+                    "f2": pa.array([int((n * n).sum())], pa.int64()),
+                }
+            )
+
+        return cnts.map_batches(m, batch_format="pyarrow")
+
+    cross = bucketed_hash_join(
+        co.map_batches(
+            lambda b: pa.table({"k": b["k"], "n_o": b["n"]}),
+            batch_format="pyarrow",
+        ),
+        cl.map_batches(
+            lambda b: pa.table({"k": b["k"], "n_l": b["n"]}),
+            batch_format="pyarrow",
+        ),
+        key="k", left_columns=["n_o"], right_columns=["n_l"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "side": pa.array(["cross"], pa.string()),
+                "f0": pa.array([len(b)], pa.int64()),
+                "f1": pa.array([0], pa.int64()),
+                "f2": pa.array(
+                    [
+                        int(
+                            (
+                                b["n_o"].to_numpy(zero_copy_only=False)
+                                .astype(np.int64)
+                                * b["n_l"].to_numpy(zero_copy_only=False)
+                                .astype(np.int64)
+                            ).sum()
+                        )
+                    ],
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    allm = side_moments(co, "orders").union(
+        side_moments(cl, "lineitem")
+    ).union(cross)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("side", as_index=False).agg(
+            f0=("f0", "sum"), f1=("f1", "sum"), f2=("f2", "sum")
+        )
+        return out.astype({"f0": "int64", "f1": "int64", "f2": "int64"})
+
+    return (
+        allm.map_batches(
+            lambda b: b.append_column(
+                "cg", pa.array(np.zeros(len(b), dtype=np.int32))
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("cg")
+        .map_groups(
+            lambda df: final(df.drop(columns=["cg"])),
+            batch_format="pandas",
+        )
+    )
+
+
+def q224_json_profile(sf_dir: str):
+    """SEMI-STRUCTURED SCHEMA PROFILING over the `props` JSON column —
+    the discovery pass a lakehouse runs before promoting JSON to typed
+    columns: per key, presence count, integer-parse count, and the
+    exact integer value sum (the promotion evidence). Per-batch
+    json.loads (stdlib, stateless) into per-key partials; a bounded
+    key-cardinality reduce."""
+    import json
+
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "events", columns=["props"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        acc: dict[str, list[int]] = {}
+        for p in b["props"].to_pylist():
+            if not p:
+                continue
+            try:
+                obj = json.loads(p)
+            except ValueError:
+                continue
+            if not isinstance(obj, dict):
+                continue
+            for k, v in obj.items():
+                a = acc.setdefault(k, [0, 0, 0])
+                a[0] += 1
+                if isinstance(v, int) and not isinstance(v, bool):
+                    a[1] += 1
+                    a[2] += v
+        ks = sorted(acc)
+        return pa.table(
+            {
+                "key": pa.array(ks, pa.string()),
+                "n_present": pa.array([acc[k][0] for k in ks], pa.int64()),
+                "n_int": pa.array([acc[k][1] for k in ks], pa.int64()),
+                "sum_int": pa.array([acc[k][2] for k in ks], pa.int64()),
+            }
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("key", as_index=False).sum()
+        return out.astype(
+            {"n_present": "int64", "n_int": "int64", "sum_int": "int64"}
+        )
+
+    return coarse_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"), "key", final
+    )
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -12185,6 +12423,9 @@ QUERIES = {
     "q219_encoding_advisor": q219_encoding_advisor,
     "q220_next_event_baseline": q220_next_event_baseline,
     "q221_dedup_savings": q221_dedup_savings,
+    "q222_fd_discovery": q222_fd_discovery,
+    "q223_join_stats_moments": q223_join_stats_moments,
+    "q224_json_profile": q224_json_profile,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -13477,6 +13718,89 @@ ORACLE_SQL = {
         SELECT CAST(vec_id + 10000 AS BIGINT) AS clip_id,
                vec_id AS orig_id
         FROM embeddings WHERE vec_id % 4 = 0
+    """,
+    "q222_fd_discovery": """
+        -- FD A→B holds iff |distinct A| = |distinct (A,B)|
+        WITH d AS (
+          SELECT coalesce(lang, '') AS lang,
+                 coalesce(source, '') AS source,
+                 CAST(n_chars // 100 AS VARCHAR) AS band
+          FROM documents
+        ),
+        c AS (
+          SELECT 'lang' AS k, CAST(count(DISTINCT lang) AS BIGINT) AS n
+          FROM d
+          UNION ALL SELECT 'source', count(DISTINCT source) FROM d
+          UNION ALL SELECT 'band', count(DISTINCT band) FROM d
+          UNION ALL SELECT 'lang>source',
+            count(DISTINCT lang || chr(31) || source) FROM d
+          UNION ALL SELECT 'lang>band',
+            count(DISTINCT lang || chr(31) || band) FROM d
+          UNION ALL SELECT 'source>lang',
+            count(DISTINCT source || chr(31) || lang) FROM d
+          UNION ALL SELECT 'source>band',
+            count(DISTINCT source || chr(31) || band) FROM d
+          UNION ALL SELECT 'band>lang',
+            count(DISTINCT band || chr(31) || lang) FROM d
+          UNION ALL SELECT 'band>source',
+            count(DISTINCT band || chr(31) || source) FROM d
+        ),
+        pairs AS (
+          SELECT * FROM (VALUES
+            ('lang', 'source'), ('lang', 'band'), ('source', 'lang'),
+            ('source', 'band'), ('band', 'lang'), ('band', 'source')
+          ) p(lhs, rhs)
+        )
+        SELECT p.lhs, p.rhs, a.n AS n_lhs, ab.n AS n_pair,
+               CAST(CASE WHEN a.n = ab.n THEN 1 ELSE 0 END AS BIGINT)
+                 AS fd_holds,
+               CAST(ab.n - a.n AS BIGINT) AS violations
+        FROM pairs p
+        JOIN c a ON a.k = p.lhs
+        JOIN c ab ON ab.k = p.lhs || '>' || p.rhs
+    """,
+    "q223_join_stats_moments": """
+        -- AMS moment suite per side + the exact cross-join size
+        WITH co AS (
+          SELECT o_orderkey AS k, count(*) AS n FROM orders GROUP BY 1
+        ),
+        cl AS (
+          SELECT l_orderkey AS k, count(*) AS n FROM lineitem GROUP BY 1
+        ),
+        j AS (SELECT co.n AS n_o, cl.n AS n_l FROM co JOIN cl USING (k))
+        SELECT 'orders' AS side, CAST(count(*) AS BIGINT) AS f0,
+               CAST(sum(n) AS BIGINT) AS f1,
+               CAST(sum(n * n) AS BIGINT) AS f2
+        FROM co
+        UNION ALL
+        SELECT 'lineitem', count(*), CAST(sum(n) AS BIGINT),
+               CAST(sum(n * n) AS BIGINT)
+        FROM cl
+        UNION ALL
+        SELECT 'cross', count(*), CAST(0 AS BIGINT),
+               CAST(sum(n_o * n_l) AS BIGINT)
+        FROM j
+    """,
+    "q224_json_profile": """
+        -- per-key presence / integer-parse / exact integer sum over
+        -- the props JSON column (keys are identifier-simple here)
+        WITH kx AS (
+          SELECT props, unnest(json_keys(props)) AS key
+          FROM events WHERE props IS NOT NULL
+        ),
+        t AS (
+          SELECT key,
+                 CASE WHEN json_type(props, '$.' || key)
+                           IN ('UBIGINT', 'BIGINT', 'INTEGER')
+                      THEN CAST(json_extract(props, '$.' || key)
+                                AS BIGINT) END AS iv
+          FROM kx
+        )
+        SELECT key, count(*) AS n_present,
+               CAST(sum(CASE WHEN iv IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_int,
+               CAST(coalesce(sum(iv), 0) AS BIGINT) AS sum_int
+        FROM t GROUP BY 1
     """,
     "q219_encoding_advisor": """
         -- per-column dictionary-vs-plain decision: dict cost =
