@@ -12204,6 +12204,236 @@ def q224_json_profile(sf_dir: str):
     )
 
 
+def q225_assoc_rules(sf_dir: str):
+    """ASSOCIATION RULES over document token sets (the market-basket
+    layer q208's 3-token lattice samples): every DIRECTED rule a → b
+    with co-occurrence support ≥ 20 docs, with the exact confidence
+    evidence (n_ab, n_ant). Shape: each doc emits C(k,2) distinct-token
+    pairs (k = per-doc distinct tokens — the per-basket bound that
+    makes Apriori tractable), pair counts and token doc-frequencies
+    reduce independently, and ONE bucketed join on the antecedent
+    attaches n_ant — no vocabulary centralizes."""
+    from basicocr_ray.stages.joins import bucketed_hash_join
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    MIN_SUPP = 20
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        acc: dict[tuple, int] = {}
+        for t in b["text"].to_pylist():
+            if not t:
+                continue
+            toks = sorted(set(token_items(t)))
+            for i in range(len(toks)):
+                for j in range(i + 1, len(toks)):
+                    k = (toks[i], toks[j])
+                    acc[k] = acc.get(k, 0) + 1
+        ks = sorted(acc)
+        return pa.table(
+            {
+                "a": pa.array([k[0] for k in ks], pa.string()),
+                "b": pa.array([k[1] for k in ks], pa.string()),
+                "n": pa.array([acc[k] for k in ks], pa.int64()),
+            }
+        )
+
+    def pair_merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["a", "b"], as_index=False)["n"].sum()
+        out = out[out["n"] >= MIN_SUPP]
+        return out.astype({"n": "int64"}).reset_index(drop=True)
+
+    pairs = coarse_group_reduce(
+        ds.map_batches(pair_partial, batch_format="pyarrow"),
+        ["a", "b"],
+        pair_merge,
+    )
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        acc: dict[str, int] = {}
+        for t in b["text"].to_pylist():
+            if not t:
+                continue
+            for tok in set(token_items(t)):
+                acc[tok] = acc.get(tok, 0) + 1
+        ks = sorted(acc)
+        return pa.table(
+            {
+                "tok": pa.array(ks, pa.string()),
+                "df_cnt": pa.array([acc[k] for k in ks], pa.int64()),
+            }
+        )
+
+    def df_merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("tok", as_index=False)["df_cnt"].sum()
+        return out.astype({"df_cnt": "int64"})
+
+    dfreq = coarse_group_reduce(
+        ds.map_batches(df_partial, batch_format="pyarrow"), "tok", df_merge
+    )
+
+    # directed rules: (a→b) and (b→a) from each unordered pair
+    def directed(b: pa.Table) -> pa.Table:
+        a = b["a"].to_pylist()
+        bb = b["b"].to_pylist()
+        n = b["n"].to_pylist()
+        return pa.table(
+            {
+                "ant": pa.array(a + bb, pa.string()),
+                "cons": pa.array(bb + a, pa.string()),
+                "n_ab": pa.array(n + n, pa.int64()),
+            }
+        )
+
+    rules = pairs.map_batches(directed, batch_format="pyarrow")
+    out = bucketed_hash_join(
+        rules,
+        dfreq.map_batches(
+            lambda b: pa.table(
+                {"ant": b["tok"], "n_ant": pc.cast(b["df_cnt"], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ),
+        key="ant", left_columns=["cons", "n_ab"], right_columns=["n_ant"],
+    )
+    return out
+
+
+def q226_fairness_evidence(sf_dir: str):
+    """JAIN'S FAIRNESS INDEX evidence over per-host load (the scheduler
+    -audit scalar): with x_h = events on host (user mod 32), Jain =
+    (Σx)² / (n·Σx²) — the output is the exact integer triple
+    (n_hosts, sum_x, sum_x2); the index is a derived epilogue. Host
+    counts fold in a bounded aggregate; three scalars shuffle."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        hosts = (
+            np.asarray(b["user_id"].to_pylist(), dtype=np.int64) % 32
+        )
+        df = pd.DataFrame({"host": hosts})
+        out = df.groupby("host", as_index=False).size().rename(
+            columns={"size": "x"}
+        )
+        return pa.Table.from_pandas(
+            out.astype({"host": "int64", "x": "int64"}),
+            preserve_index=False,
+        )
+
+    per_host = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("host")  # bounded: 32 keys
+        .aggregate(Sum("x", alias_name="x"))
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["x"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "n_hosts": pd.array([len(x)], dtype="int64"),
+                "sum_x": pd.array([int(x.sum())], dtype="int64"),
+                "sum_x2": pd.array([int((x * x).sum())], dtype="int64"),
+            }
+        )
+
+    return (
+        per_host.map_batches(
+            lambda b: b.append_column(
+                "cg", pa.array(np.zeros(len(b), dtype=np.int32))
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("cg")
+        .map_groups(
+            lambda df: final(df.drop(columns=["cg"])),
+            batch_format="pandas",
+        )
+    )
+
+
+def q227_erasure_plan(sf_dir: str):
+    """CROSS-TABLE ERASURE PLAN (the GDPR/right-to-be-forgotten
+    manifest): the deletion set doc_id ≡ 0 mod 101 cascades from
+    `documents` to the `embeddings` rows keyed by the same id; per
+    table the plan reports row count and an order-insensitive XOR
+    digest of the doomed rows (the q165 checksum — the executor can
+    verify the erasure touched exactly these rows). Per-batch partials
+    carry one row per table; ids and digests move, payloads don't."""
+    ds_docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds_emb = _read(sf_dir, "embeddings", columns=["vec_id"])
+
+    MASK = (1 << 63) - 1
+
+    def docs_partial(b: pa.Table) -> pa.Table:
+        n, chk = 0, 0
+        for did, t in zip(
+            b["doc_id"].to_pylist(), b["text"].to_pylist()
+        ):
+            if did % 101 != 0:
+                continue
+            n += 1
+            chk ^= _md5_low64(
+                f"{did}:{t if t is not None else ''}"
+            ) & MASK
+        return pa.table(
+            {
+                "tbl": pa.array(["documents"], pa.string()),
+                "n_rows": pa.array([n], pa.int64()),
+                "chk": pa.array([chk], pa.int64()),
+            }
+        )
+
+    def emb_partial(b: pa.Table) -> pa.Table:
+        n, chk = 0, 0
+        for vid in b["vec_id"].to_pylist():
+            if vid % 101 != 0:
+                continue
+            n += 1
+            chk ^= _md5_low64(str(vid)) & MASK
+        return pa.table(
+            {
+                "tbl": pa.array(["embeddings"], pa.string()),
+                "n_rows": pa.array([n], pa.int64()),
+                "chk": pa.array([chk], pa.int64()),
+            }
+        )
+
+    parts = ds_docs.map_batches(
+        docs_partial, batch_format="pyarrow"
+    ).union(ds_emb.map_batches(emb_partial, batch_format="pyarrow"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for tbl, g in df.groupby("tbl"):
+            chk = 0
+            for v in g["chk"]:
+                chk ^= int(v)
+            rows.append((tbl, int(g["n_rows"].sum()), chk))
+        return pd.DataFrame(
+            {
+                "tbl": pd.array([r[0] for r in rows], dtype="object"),
+                "n_rows": pd.array([r[1] for r in rows], dtype="int64"),
+                "chk": pd.array([r[2] for r in rows], dtype="int64"),
+            }
+        )
+
+    return (
+        parts.map_batches(
+            lambda b: b.append_column(
+                "cg", pa.array(np.zeros(len(b), dtype=np.int32))
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("cg")
+        .map_groups(
+            lambda df: final(df.drop(columns=["cg"])),
+            batch_format="pandas",
+        )
+    )
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -12426,6 +12656,9 @@ QUERIES = {
     "q222_fd_discovery": q222_fd_discovery,
     "q223_join_stats_moments": q223_join_stats_moments,
     "q224_json_profile": q224_json_profile,
+    "q225_assoc_rules": q225_assoc_rules,
+    "q226_fairness_evidence": q226_fairness_evidence,
+    "q227_erasure_plan": q227_erasure_plan,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -13718,6 +13951,58 @@ ORACLE_SQL = {
         SELECT CAST(vec_id + 10000 AS BIGINT) AS clip_id,
                vec_id AS orig_id
         FROM embeddings WHERE vec_id % 4 = 0
+    """,
+    "q225_assoc_rules": """
+        -- directed rules with support >= 20; confidence evidence =
+        -- (n_ab, n_ant)
+        WITH dt AS (
+          SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '\\s+'))
+                     AS tok
+            FROM documents WHERE text IS NOT NULL
+          ) WHERE tok <> ''
+        ),
+        pc_ AS (
+          SELECT a.tok AS a, b.tok AS b, count(*) AS n
+          FROM dt a JOIN dt b
+            ON a.doc_id = b.doc_id AND a.tok < b.tok
+          GROUP BY 1, 2 HAVING count(*) >= 20
+        ),
+        dfq AS (SELECT tok, count(*) AS n_ant FROM dt GROUP BY 1),
+        rules AS (
+          SELECT a AS ant, b AS cons, n AS n_ab FROM pc_
+          UNION ALL SELECT b, a, n FROM pc_
+        )
+        SELECT r.ant, r.cons, CAST(r.n_ab AS BIGINT) AS n_ab,
+               CAST(d.n_ant AS BIGINT) AS n_ant
+        FROM rules r JOIN dfq d ON d.tok = r.ant
+    """,
+    "q226_fairness_evidence": """
+        -- Jain = (Σx)²/(n·Σx²); evidence only, all integers
+        WITH h AS (
+          SELECT user_id % 32 AS host, count(*) AS x
+          FROM events GROUP BY 1
+        )
+        SELECT count(*) AS n_hosts, CAST(sum(x) AS BIGINT) AS sum_x,
+               CAST(sum(x * x) AS BIGINT) AS sum_x2
+        FROM h
+    """,
+    "q227_erasure_plan": """
+        -- cascade manifest: row counts + XOR digests of exactly the
+        -- doomed rows, per table
+        SELECT 'documents' AS tbl, count(*) AS n_rows,
+               CAST(coalesce(bit_xor(CAST(
+                 md5_number_lower(CAST(doc_id AS VARCHAR) || ':'
+                                  || coalesce(text, ''))
+                 & 9223372036854775807 AS BIGINT)), 0) AS BIGINT) AS chk
+        FROM documents WHERE doc_id % 101 = 0
+        UNION ALL
+        SELECT 'embeddings', count(*),
+               CAST(coalesce(bit_xor(CAST(
+                 md5_number_lower(CAST(vec_id AS VARCHAR))
+                 & 9223372036854775807 AS BIGINT)), 0) AS BIGINT)
+        FROM embeddings WHERE vec_id % 101 = 0
     """,
     "q222_fd_discovery": """
         -- FD A→B holds iff |distinct A| = |distinct (A,B)|
