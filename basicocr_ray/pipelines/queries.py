@@ -12434,6 +12434,222 @@ def q227_erasure_plan(sf_dir: str):
     )
 
 
+def q228_familiarity_score(sf_dir: str):
+    """CORPUS-FAMILIARITY SCORE per document — the integer core of
+    LM-perplexity quality ranking (CCNet's "how typical is this doc"
+    signal without the float log): each document's bigrams join the
+    corpus bigram-count table, and the doc reports n_bigrams plus the
+    exact Σ corpus-count over its bigrams (high mass ⇔ formulaic/
+    familiar text; the per-bigram ratio is a derived epilogue). One
+    bucketed hash join on the bigram string — the count table never
+    broadcasts, the q48 open-vocabulary discipline."""
+    from basicocr_ray.stages.joins import bucketed_hash_join
+    from basicocr_ray.stages.wide import (
+        coarse_group_reduce, count_terms, make_ngram_items,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    corpus = count_terms(ds, "text", make_ngram_items(2), "bigram")
+
+    def explode(b: pa.Table) -> pa.Table:
+        out_d, out_g = [], []
+        for did, t in zip(
+            b["doc_id"].to_pylist(), b["text"].to_pylist()
+        ):
+            if not t:
+                continue
+            for g in make_ngram_items(2)(t):
+                out_d.append(did)
+                out_g.append(g)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "bigram": pa.array(out_g, pa.string()),
+            }
+        )
+
+    pairs = ds.map_batches(explode, batch_format="pyarrow")
+    joined = bucketed_hash_join(
+        pairs, corpus, key="bigram",
+        left_columns=["doc_id"], right_columns=["cnt"],
+    )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("doc_id", as_index=False).agg(
+            n_bigrams=("cnt", "size"), mass=("cnt", "sum")
+        )
+        return out.astype(
+            {"doc_id": "int64", "n_bigrams": "int64", "mass": "int64"}
+        )
+
+    return coarse_group_reduce(joined, "doc_id", fold)
+
+
+def q229_rle_estimate(sf_dir: str):
+    """DISTRIBUTED RUN-LENGTH ESTIMATE — the RLE-encoding size a
+    columnar writer predicts for the `lang` column in doc_id order:
+    runs = value CHANGES + 1, computed without a global sort-scan:
+    each 64-id bucket counts its internal changes and exports its
+    (first, last) boundary values (metadata); the driver stitches
+    buckets by comparing adjacent boundaries — the distributed
+    adjacency primitive. Output: n_rows, n_runs."""
+    from basicocr_ray.core.collect import collect_rows
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def bucket_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "doc_id": np.asarray(
+                    b["doc_id"].to_pylist(), dtype=np.int64
+                ),
+                "lang": [
+                    v if v is not None else ""
+                    for v in b["lang"].to_pylist()
+                ],
+            }
+        ).sort_values("doc_id", kind="mergesort")
+        df = df.assign(rb=df["doc_id"] // 64)
+        rows = []
+        for rb, g in df.groupby("rb"):
+            vals = g["lang"].to_numpy()
+            changes = int((vals[1:] != vals[:-1]).sum())
+            rows.append(
+                (
+                    int(rb), len(g), changes,
+                    int(g["doc_id"].iloc[0]), vals[0],
+                    int(g["doc_id"].iloc[-1]), vals[-1],
+                )
+            )
+        return pa.table(
+            {
+                "rb": pa.array([r[0] for r in rows], pa.int64()),
+                "n": pa.array([r[1] for r in rows], pa.int64()),
+                "changes": pa.array([r[2] for r in rows], pa.int64()),
+                "lo_id": pa.array([r[3] for r in rows], pa.int64()),
+                "lo_v": pa.array([r[4] for r in rows], pa.string()),
+                "hi_id": pa.array([r[5] for r in rows], pa.int64()),
+                "hi_v": pa.array([r[6] for r in rows], pa.string()),
+            }
+        )
+
+    # bucket summaries are metadata-sized; stitch on the driver
+    frags: dict[int, list] = {}
+    for row in collect_rows(
+        ds.map_batches(bucket_partial, batch_format="pyarrow")
+    ):
+        frags.setdefault(int(row["rb"]), []).append(row)
+
+    n_rows = 0
+    n_changes = 0
+    bounds = {}
+    for rb, parts in frags.items():
+        # a bucket may split across read batches: stitch its fragments
+        parts.sort(key=lambda r: r["lo_id"])
+        n_rows += sum(r["n"] for r in parts)
+        n_changes += sum(r["changes"] for r in parts)
+        for a, b in zip(parts, parts[1:]):
+            if a["hi_v"] != b["lo_v"]:
+                n_changes += 1
+        bounds[rb] = (parts[0]["lo_v"], parts[-1]["hi_v"])
+    # stitch consecutive buckets in id order (sparse ids just make the
+    # "next" bucket non-adjacent — the comparison is the same)
+    rbs = sorted(bounds)
+    for a, b in zip(rbs, rbs[1:]):
+        if bounds[a][1] != bounds[b][0]:
+            n_changes += 1
+
+    return pd.DataFrame(
+        {
+            "n_rows": pd.array([n_rows], dtype="int64"),
+            "n_runs": pd.array(
+                [n_changes + 1 if n_rows else 0], dtype="int64"),
+        }
+    )
+
+
+def q230_tukey_outliers(sf_dir: str):
+    """TUKEY-FENCE OUTLIER COUNTS per source — the boxplot audit with
+    EXACT discrete quartiles (`grouped_quantile_disc`, the two-pass
+    histogram refinement — no per-group sort): fences at Q1 − 3·IQR/2
+    and Q3 + 3·IQR/2 on 2·n_chars (doubled so the 3/2 stays integer);
+    output per source n, q1_2x, q3_2x and the counts outside each
+    fence. The quartile relation is group-sized and broadcasts into
+    the counting scan."""
+    from basicocr_ray.stages.wide import grouped_quantile_disc
+
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def doubled(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["source"],
+                "x2": pc.multiply(
+                    pc.cast(b["n_chars"], pa.int64()), 2
+                ),
+            }
+        )
+
+    d2 = ds.map_batches(doubled, batch_format="pyarrow")
+    q1 = grouped_quantile_disc(
+        d2, "source", "x2", 1, 4, out_name="q1_2x"
+    ).to_pandas()
+    q3 = grouped_quantile_disc(
+        d2, "source", "x2", 3, 4, out_name="q3_2x"
+    ).to_pandas()
+    fences = q1.merge(q3, on="source")
+    fences["lo"] = fences["q1_2x"] - 3 * (
+        fences["q3_2x"] - fences["q1_2x"]
+    ) // 2
+    fences["hi"] = fences["q3_2x"] + 3 * (
+        fences["q3_2x"] - fences["q1_2x"]
+    ) // 2
+    fmap = {
+        r["source"]: (int(r["lo"]), int(r["hi"]),
+                      int(r["q1_2x"]), int(r["q3_2x"]))
+        for _, r in fences.iterrows()
+    }  # source-bounded: broadcast in the closure
+
+    def count_out(b: pa.Table) -> pa.Table:
+        acc: dict[str, list[int]] = {}
+        for src, x in zip(
+            b["source"].to_pylist(), b["n_chars"].to_pylist()
+        ):
+            lo, hi, _, _ = fmap[src]
+            a = acc.setdefault(src, [0, 0, 0])
+            a[0] += 1
+            if 2 * x < lo:
+                a[1] += 1
+            elif 2 * x > hi:
+                a[2] += 1
+        ks = sorted(acc)
+        return pa.table(
+            {
+                "source": pa.array(ks, pa.string()),
+                "n": pa.array([acc[k][0] for k in ks], pa.int64()),
+                "n_low": pa.array([acc[k][1] for k in ks], pa.int64()),
+                "n_high": pa.array([acc[k][2] for k in ks], pa.int64()),
+            }
+        )
+
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("source", as_index=False).sum()
+        out["q1_2x"] = [fmap[s][2] for s in out["source"]]
+        out["q3_2x"] = [fmap[s][3] for s in out["source"]]
+        return out.astype(
+            {
+                "n": "int64", "n_low": "int64", "n_high": "int64",
+                "q1_2x": "int64", "q3_2x": "int64",
+            }
+        )
+
+    return coarse_group_reduce(
+        ds.map_batches(count_out, batch_format="pyarrow"), "source", fold
+    )
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -12659,6 +12875,9 @@ QUERIES = {
     "q225_assoc_rules": q225_assoc_rules,
     "q226_fairness_evidence": q226_fairness_evidence,
     "q227_erasure_plan": q227_erasure_plan,
+    "q228_familiarity_score": q228_familiarity_score,
+    "q229_rle_estimate": q229_rle_estimate,
+    "q230_tukey_outliers": q230_tukey_outliers,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -13951,6 +14170,62 @@ ORACLE_SQL = {
         SELECT CAST(vec_id + 10000 AS BIGINT) AS clip_id,
                vec_id AS orig_id
         FROM embeddings WHERE vec_id % 4 = 0
+    """,
+    "q228_familiarity_score": f"""
+        -- per-doc bigram mass against the corpus count table
+        WITH base AS (
+          SELECT doc_id, {_TOKS} AS toks
+          FROM documents WHERE text IS NOT NULL
+        ),
+        bg AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                   i -> toks[i] || ' ' || toks[i+1])) AS bigram
+          FROM base
+        ),
+        cc AS (SELECT bigram, count(*) AS cnt FROM bg GROUP BY 1)
+        SELECT bg.doc_id, count(*) AS n_bigrams,
+               CAST(sum(cc.cnt) AS BIGINT) AS mass
+        FROM bg JOIN cc USING (bigram) GROUP BY 1
+    """,
+    "q229_rle_estimate": """
+        -- runs = changes + 1 over lang in doc_id order
+        WITH o AS (
+          SELECT coalesce(lang, '') AS v,
+                 lag(coalesce(lang, '')) OVER (ORDER BY doc_id) AS pv
+          FROM documents
+        )
+        SELECT count(*) AS n_rows,
+               CAST(CASE WHEN count(*) = 0 THEN 0
+                    ELSE 1 + coalesce(sum(CASE WHEN pv IS NOT NULL
+                                               AND v <> pv
+                                          THEN 1 ELSE 0 END), 0)
+                    END AS BIGINT) AS n_runs
+        FROM o
+    """,
+    "q230_tukey_outliers": """
+        -- boxplot fences on 2·n_chars (doubled so 3/2·IQR stays
+        -- integer); exact discrete quartiles
+        WITH q AS (
+          SELECT source,
+                 quantile_disc(2 * n_chars, 0.25) AS q1_2x,
+                 quantile_disc(2 * n_chars, 0.75) AS q3_2x
+          FROM documents GROUP BY 1
+        ),
+        f AS (
+          SELECT source, q1_2x, q3_2x,
+                 q1_2x - 3 * (q3_2x - q1_2x) // 2 AS lo,
+                 q3_2x + 3 * (q3_2x - q1_2x) // 2 AS hi
+          FROM q
+        )
+        SELECT d.source, count(*) AS n,
+               CAST(sum(CASE WHEN 2 * d.n_chars < f.lo
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+               CAST(sum(CASE WHEN 2 * d.n_chars > f.hi
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+               CAST(max(f.q1_2x) AS BIGINT) AS q1_2x,
+               CAST(max(f.q3_2x) AS BIGINT) AS q3_2x
+        FROM documents d JOIN f USING (source)
+        GROUP BY 1
     """,
     "q225_assoc_rules": """
         -- directed rules with support >= 20; confidence evidence =
