@@ -12650,6 +12650,162 @@ def q230_tukey_outliers(sf_dir: str):
     )
 
 
+def q231_two_hop_paths(sf_dir: str):
+    """TWO-HOP PATH COUNTS on the q153 citation-style doc graph — the
+    friends-of-friends expansion an entity-resolution or recommender
+    pass runs: paths(v) = Σ_{v→m} outdeg(m), computed by joining the
+    edge relation against the out-degree relation on the MIDDLE vertex
+    (one bucketed hash join; degrees are a node-sized relation, never
+    broadcast). Directed edges i → {(i+1), (i+2), (3i+1)} mod N,
+    deduplicated; output per source vertex the exact 2-path count."""
+    from basicocr_ray.stages.joins import bucketed_hash_join
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    n_docs = ds.count()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        i = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        srcs = np.concatenate([i, i, i])
+        dsts = np.concatenate(
+            [(i + 1) % n_docs, (i + 2) % n_docs, (3 * i + 1) % n_docs]
+        )
+        df = pd.DataFrame({"src": srcs, "dst": dsts}).drop_duplicates()
+        return pa.Table.from_pandas(
+            df.astype({"src": "int64", "dst": "int64"}),
+            preserve_index=False,
+        )
+
+    edge_ds = ds.map_batches(edges, batch_format="pyarrow")
+
+    def dedup_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates().reset_index(drop=True)
+
+    uniq_edges = coarse_group_reduce(
+        edge_ds, ["src", "dst"], dedup_edges
+    ).materialize()
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        t = b.group_by("src").aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "mid": pc.cast(t["src"], pa.int64()),
+                "outdeg": pc.cast(t["count_all"], pa.int64()),
+            }
+        )
+
+    def deg_merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("mid", as_index=False)["outdeg"].sum()
+        return out.astype({"mid": "int64", "outdeg": "int64"})
+
+    degrees = coarse_group_reduce(
+        uniq_edges.map_batches(deg_partial, batch_format="pyarrow"),
+        "mid",
+        deg_merge,
+    )
+
+    joined = bucketed_hash_join(
+        uniq_edges.map_batches(
+            lambda b: pa.table(
+                {"mid": pc.cast(b["dst"], pa.int64()), "src": b["src"]}
+            ),
+            batch_format="pyarrow",
+        ),
+        degrees,
+        key="mid", left_columns=["src"], right_columns=["outdeg"],
+    )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("src", as_index=False).agg(
+            n_2paths=("outdeg", "sum")
+        )
+        return out.astype({"src": "int64", "n_2paths": "int64"})
+
+    return coarse_group_reduce(joined, "src", fold)
+
+
+def q232_norm_histogram(sf_dir: str):
+    """EMBEDDING NORM SPECTRUM per label — the geometry sanity check
+    before cosine vs dot decisions, hash-exact via per-dim
+    quantization: q_i = floor(1e3·x_i) is an exact int, so ‖q‖² is an
+    exact integer whose 10⁵-wide bucket is engine-identical (no float
+    norm ever compares). Output per (label, bucket): count. One numpy
+    pass per batch; a bounded (labels × buckets) reduce."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    W = 100_000
+    ds = _read(sf_dir, "embeddings", columns=["embedding", "label"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        labels = np.asarray(b["label"].to_pylist(), dtype=np.int64)
+        V = np.asarray(b["embedding"].to_pylist(), dtype=np.float64)
+        Q = np.floor(V * 1e3).astype(np.int64)
+        n2 = (Q * Q).sum(axis=1)
+        df = pd.DataFrame({"label": labels, "bucket": n2 // W})
+        out = df.groupby(["label", "bucket"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+        return pa.Table.from_pandas(
+            out.astype({"label": "int64", "bucket": "int64", "n": "int64"}),
+            preserve_index=False,
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["label", "bucket"], as_index=False)["n"].sum()
+        return out.astype({"n": "int64"})
+
+    return coarse_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["label", "bucket"],
+        final,
+    )
+
+
+def q233_session_paths(sf_dir: str):
+    """SESSIONIZED PATH MINING — the top event-type PATHS of length 3
+    WITHIN sessions (q17's 30-minute-gap windows), the clickstream
+    pattern report q111's global transitions can't give because a path
+    must not straddle a session boundary. Per coarse user group:
+    session ids by one gap-cumsum, two shifts build the trigram paths,
+    local counts; a bounded path-keyed reduce and a top-10 by (count
+    desc, path asc) finish."""
+    from basicocr_ray.stages.wide import coarse_group_reduce, top_k
+
+    GAP_US = 30 * 60 * 1_000_000
+    ds = _read(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+
+    def paths(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        t = g["ts"].astype("datetime64[us]").astype("int64")
+        gap = t.groupby(g["user_id"]).diff()
+        new_sess = gap.isna() | (gap > GAP_US)
+        sess = new_sess.cumsum()  # globally unique session ids in-group
+        et = g["event_type"]
+        e1 = et.groupby(sess).shift(-1)
+        e2 = et.groupby(sess).shift(-2)
+        ok = e1.notna() & e2.notna()
+        path = et[ok] + ">" + e1[ok] + ">" + e2[ok]
+        out = (
+            pd.DataFrame({"path": path})
+            .groupby("path", as_index=False).size()
+            .rename(columns={"size": "n"})
+        )
+        return out.astype({"n": "int64"})
+
+    per_group = coarse_group_reduce(ds, "user_id", paths)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("path", as_index=False)["n"].sum()
+        return out.astype({"n": "int64"})
+
+    counts = coarse_group_reduce(per_group, "path", merge)
+    return top_k(counts, 10, "n", "path")
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -12878,6 +13034,9 @@ QUERIES = {
     "q228_familiarity_score": q228_familiarity_score,
     "q229_rle_estimate": q229_rle_estimate,
     "q230_tukey_outliers": q230_tukey_outliers,
+    "q231_two_hop_paths": q231_two_hop_paths,
+    "q232_norm_histogram": q232_norm_histogram,
+    "q233_session_paths": q233_session_paths,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -14170,6 +14329,76 @@ ORACLE_SQL = {
         SELECT CAST(vec_id + 10000 AS BIGINT) AS clip_id,
                vec_id AS orig_id
         FROM embeddings WHERE vec_id % 4 = 0
+    """,
+    "q231_two_hop_paths": """
+        -- paths(v) = Σ over v→m of outdeg(m); edges deduplicated
+        WITH n AS (SELECT count(*) AS nn FROM documents),
+        e AS (
+          SELECT DISTINCT doc_id AS src,
+                 (doc_id + 1) % (SELECT nn FROM n) AS dst
+          FROM documents
+          UNION
+          SELECT doc_id, (doc_id + 2) % (SELECT nn FROM n)
+          FROM documents
+          UNION
+          SELECT doc_id, (3 * doc_id + 1) % (SELECT nn FROM n)
+          FROM documents
+        ),
+        deg AS (SELECT src AS mid, count(*) AS outdeg FROM e GROUP BY 1)
+        SELECT e.src, CAST(sum(deg.outdeg) AS BIGINT) AS n_2paths
+        FROM e JOIN deg ON deg.mid = e.dst
+        GROUP BY 1
+    """,
+    "q232_norm_histogram": """
+        -- ‖floor(1e3·x)‖² is an exact integer; 1e5-wide buckets
+        WITH q AS (
+          SELECT CAST(label AS BIGINT) AS label,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                   AS qv
+          FROM embeddings
+        ),
+        n2 AS (
+          SELECT label,
+                 CAST(list_sum(list_transform(qv, v -> v * v))
+                      AS BIGINT) AS n2
+          FROM q
+        )
+        SELECT label, CAST(n2 // 100000 AS BIGINT) AS bucket,
+               count(*) AS n
+        FROM n2 GROUP BY 1, 2
+    """,
+    "q233_session_paths": """
+        -- top length-3 event-type paths WITHIN 30-min-gap sessions
+        WITH o AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+          FROM events
+        ),
+        s AS (
+          SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                              OR t - lag(t) OVER w > 1800000000
+                         THEN 1 ELSE 0 END AS ns
+          FROM o
+          WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+        ),
+        sid AS (
+          SELECT *, sum(ns) OVER (
+                   PARTITION BY user_id ORDER BY t, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS sess
+          FROM s
+        ),
+        p AS (
+          SELECT event_type || '>' || lead(event_type, 1) OVER w2
+                 || '>' || lead(event_type, 2) OVER w2 AS path
+          FROM sid
+          WINDOW w2 AS (PARTITION BY user_id, sess ORDER BY t, event_id)
+        ),
+        c AS (
+          SELECT path, count(*) AS n FROM p
+          WHERE path IS NOT NULL GROUP BY 1
+        )
+        SELECT path, n FROM c ORDER BY n DESC, path LIMIT 10
     """,
     "q228_familiarity_score": f"""
         -- per-doc bigram mass against the corpus count table
