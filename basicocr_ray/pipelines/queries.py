@@ -12806,6 +12806,205 @@ def q233_session_paths(sf_dir: str):
     return top_k(counts, 10, "n", "path")
 
 
+def q234_type_distance_matrix(sf_dir: str):
+    """PAIRWISE DISTRIBUTION-DISTANCE MATRIX between event types — the
+    metric-clustering input (which metrics behave alike): per type a
+    width-50 value histogram; per type pair the exact L1 distance
+    Σ_bucket |n_a − n_b| plus both masses. The histogram relation is
+    (types × buckets)-bounded, so the pairwise fold is one tiny pass;
+    rows never shuffle — only per-batch bucket partials."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_pylist(),
+                "bucket": np.floor(
+                    np.asarray(b["value"].to_pylist(), dtype=np.float64)
+                    / 50.0
+                ).astype(np.int64),
+            }
+        )
+        out = df.groupby(
+            ["event_type", "bucket"], as_index=False
+        ).size().rename(columns={"size": "n"})
+        return pa.Table.from_pandas(
+            out.astype({"bucket": "int64", "n": "int64"}),
+            preserve_index=False,
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["event_type", "bucket"], as_index=False)["n"].sum()
+        return out.astype({"n": "int64"})
+
+    hist = coarse_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "bucket"],
+        merge,
+    )
+
+    def matrix(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby(["event_type", "bucket"], as_index=False)["n"].sum()
+        piv = agg.pivot_table(
+            index="bucket", columns="event_type", values="n", fill_value=0
+        )
+        types = sorted(piv.columns)
+        rows = []
+        for i, a in enumerate(types):
+            for b2 in types[i + 1:]:
+                l1 = int((piv[a] - piv[b2]).abs().sum())
+                rows.append(
+                    (a, b2, l1, int(piv[a].sum()), int(piv[b2].sum()))
+                )
+        return pd.DataFrame(
+            {
+                "type_a": pd.array([r[0] for r in rows], dtype="object"),
+                "type_b": pd.array([r[1] for r in rows], dtype="object"),
+                "l1": pd.array([r[2] for r in rows], dtype="int64"),
+                "n_a": pd.array([r[3] for r in rows], dtype="int64"),
+                "n_b": pd.array([r[4] for r in rows], dtype="int64"),
+            }
+        )
+
+    return (
+        hist.map_batches(
+            lambda b: b.append_column(
+                "cg", pa.array(np.zeros(len(b), dtype=np.int32))
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("cg")  # (types × buckets)-bounded relation
+        .map_groups(
+            lambda df: matrix(df.drop(columns=["cg"])),
+            batch_format="pandas",
+        )
+    )
+
+
+def q235_seasonality_peak(sf_dir: str):
+    """HOUR-OF-WEEK SEASONALITY PEAKS — the traffic heatmap's headline
+    per event type: counts per (day-of-week, hour) cell (both derived
+    by exact integer epoch arithmetic — the Unix epoch is a Thursday,
+    dow = (days + 4) mod 7), and the peak cell with the earliest
+    (dow, hour) tie-break. The cell relation is 168·types-bounded."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    DAY_US = 86_400_000_000
+    HOUR_US = 3_600_000_000
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = pc.cast(
+            pc.cast(b["ts"], pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        days = ts_us // DAY_US
+        dow = (days + 4) % 7
+        hour = (ts_us % DAY_US) // HOUR_US
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_pylist(),
+                "dow": dow,
+                "hour": hour,
+            }
+        )
+        out = df.groupby(
+            ["event_type", "dow", "hour"], as_index=False
+        ).size().rename(columns={"size": "n"})
+        return pa.Table.from_pandas(
+            out.astype({"dow": "int64", "hour": "int64", "n": "int64"}),
+            preserve_index=False,
+        )
+
+    def peak(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby(
+            ["event_type", "dow", "hour"], as_index=False
+        )["n"].sum()
+        rows = []
+        for et, g in agg.groupby("event_type"):
+            g = g.sort_values(
+                ["n", "dow", "hour"], ascending=[False, True, True],
+                kind="mergesort",
+            )
+            top = g.iloc[0]
+            rows.append(
+                (et, int(top["dow"]), int(top["hour"]), int(top["n"]),
+                 int(g["n"].sum()))
+            )
+        return pd.DataFrame(
+            {
+                "event_type": pd.array(
+                    [r[0] for r in rows], dtype="object"),
+                "peak_dow": pd.array([r[1] for r in rows], dtype="int64"),
+                "peak_hour": pd.array([r[2] for r in rows], dtype="int64"),
+                "peak_n": pd.array([r[3] for r in rows], dtype="int64"),
+                "total": pd.array([r[4] for r in rows], dtype="int64"),
+            }
+        )
+
+    return coarse_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "event_type",
+        peak,
+    )
+
+
+def q236_char_profile(sf_dir: str):
+    """CHARACTER-CLASS COMPOSITION per language — the mojibake/quality
+    profile (letters / digits / spaces / other) with exact integer
+    counts, classes chosen from the Python-re ∩ RE2 common subset
+    ([a-z], [0-9], the literal space — the q148 engine-parity
+    discipline) over the lowercased text. Per-batch vectorized counts;
+    a bounded per-lang reduce."""
+    import re as _re
+
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    RE_L = _re.compile(r"[a-z]")
+    RE_D = _re.compile(r"[0-9]")
+
+    ds = _read(sf_dir, "documents", columns=["text", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        acc: dict[str, list[int]] = {}
+        for t, lang in zip(
+            b["text"].to_pylist(), b["lang"].to_pylist()
+        ):
+            t = (t if t is not None else "").lower()
+            lang = lang if lang is not None else ""
+            a = acc.setdefault(lang, [0, 0, 0, 0])
+            nl = len(RE_L.findall(t))
+            nd = len(RE_D.findall(t))
+            ns = t.count(" ")
+            a[0] += len(t)
+            a[1] += nl
+            a[2] += nd
+            a[3] += ns
+        ks = sorted(acc)
+        return pa.table(
+            {
+                "lang": pa.array(ks, pa.string()),
+                "n_chars": pa.array([acc[k][0] for k in ks], pa.int64()),
+                "n_letters": pa.array([acc[k][1] for k in ks], pa.int64()),
+                "n_digits": pa.array([acc[k][2] for k in ks], pa.int64()),
+                "n_spaces": pa.array([acc[k][3] for k in ks], pa.int64()),
+            }
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("lang", as_index=False).sum()
+        out["n_other"] = (
+            out["n_chars"] - out["n_letters"] - out["n_digits"]
+            - out["n_spaces"]
+        )
+        return out.astype({c: "int64" for c in out.columns if c != "lang"})
+
+    return coarse_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"), "lang", final
+    )
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -13037,6 +13236,9 @@ QUERIES = {
     "q231_two_hop_paths": q231_two_hop_paths,
     "q232_norm_histogram": q232_norm_histogram,
     "q233_session_paths": q233_session_paths,
+    "q234_type_distance_matrix": q234_type_distance_matrix,
+    "q235_seasonality_peak": q235_seasonality_peak,
+    "q236_char_profile": q236_char_profile,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -14329,6 +14531,79 @@ ORACLE_SQL = {
         SELECT CAST(vec_id + 10000 AS BIGINT) AS clip_id,
                vec_id AS orig_id
         FROM embeddings WHERE vec_id % 4 = 0
+    """,
+    "q234_type_distance_matrix": """
+        -- pairwise L1 over aligned width-50 histograms (missing cells
+        -- are zero via the bucket grid)
+        WITH h AS (
+          SELECT event_type, CAST(floor(value / 50.0) AS BIGINT)
+                   AS bucket, count(*) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        u AS (SELECT DISTINCT bucket FROM h),
+        tt AS (SELECT DISTINCT event_type FROM h),
+        grid AS (
+          SELECT t.event_type, u.bucket, coalesce(h.n, 0) AS n
+          FROM tt t CROSS JOIN u
+          LEFT JOIN h ON h.event_type = t.event_type
+                     AND h.bucket = u.bucket
+        )
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(sum(abs(a.n - b.n)) AS BIGINT) AS l1,
+               CAST(sum(a.n) AS BIGINT) AS n_a,
+               CAST(sum(b.n) AS BIGINT) AS n_b
+        FROM grid a JOIN grid b
+          ON a.bucket = b.bucket AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    """,
+    "q235_seasonality_peak": """
+        -- (dow, hour) cells by exact epoch arithmetic (epoch day 0 is
+        -- a Thursday → dow = (days + 4) mod 7); earliest-cell peak
+        WITH c AS (
+          SELECT event_type,
+                 (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+                 (epoch_us(ts) % 86400000000) // 3600000000 AS hour,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2, 3
+        ),
+        r AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY n DESC, dow, hour) AS rn,
+                 sum(n) OVER (PARTITION BY event_type) AS total
+          FROM c
+        )
+        SELECT event_type, CAST(dow AS BIGINT) AS peak_dow,
+               CAST(hour AS BIGINT) AS peak_hour,
+               CAST(n AS BIGINT) AS peak_n,
+               CAST(total AS BIGINT) AS total
+        FROM r WHERE rn = 1
+    """,
+    "q236_char_profile": """
+        -- char classes from the Python-re ∩ RE2 common subset over
+        -- lowercased text; other = chars − letters − digits − spaces
+        WITH t AS (
+          SELECT coalesce(lang, '') AS lang,
+                 lower(coalesce(text, '')) AS v
+          FROM documents
+        ),
+        s AS (
+          SELECT lang,
+                 CAST(sum(length(v)) AS BIGINT) AS n_chars,
+                 CAST(sum(length(v) - length(
+                   regexp_replace(v, '[a-z]', '', 'g'))) AS BIGINT)
+                   AS n_letters,
+                 CAST(sum(length(v) - length(
+                   regexp_replace(v, '[0-9]', '', 'g'))) AS BIGINT)
+                   AS n_digits,
+                 CAST(sum(length(v) - length(replace(v, ' ', '')))
+                      AS BIGINT) AS n_spaces
+          FROM t GROUP BY 1
+        )
+        SELECT lang, n_chars, n_letters, n_digits, n_spaces,
+               CAST(n_chars - n_letters - n_digits - n_spaces
+                    AS BIGINT) AS n_other
+        FROM s
     """,
     "q231_two_hop_paths": """
         -- paths(v) = Σ over v→m of outdeg(m); edges deduplicated
