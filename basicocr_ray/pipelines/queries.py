@@ -12681,6 +12681,8 @@ def q231_two_hop_paths(sf_dir: str):
     def dedup_edges(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates().reset_index(drop=True)
 
+    # materialized because TWO consumers (degrees + the join's left
+    # side) read it — object-store blocks, spillable, never the driver
     uniq_edges = coarse_group_reduce(
         edge_ds, ["src", "dst"], dedup_edges
     ).materialize()
