@@ -13007,6 +13007,225 @@ def q236_char_profile(sf_dir: str):
     )
 
 
+def q237_max_drawdown(sf_dir: str):
+    """MAXIMUM DRAWDOWN per user — the risk metric's sequential scan
+    unrolled (the q202/q213 discipline, third member of the family):
+    dd_i = running_max(c) − c_i over cents in (ts, event_id) order, so
+    the whole thing is one cummax per coarse user group and a window
+    MAX in SQL. Output per user: peak drawdown, the event where it is
+    first realized (earliest by order), and the series peak."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "value"]
+    )
+
+    def drawdown(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        c = pd.Series(
+            np.floor(g["value"].to_numpy(dtype=np.float64) * 100)
+            .astype(np.int64)
+        )
+        peak = c.groupby(g["user_id"]).cummax()
+        dd = peak - c
+        g = g.assign(dd=dd.astype("int64"), peak=peak.astype("int64"))
+        rows = []
+        for u, sub in g.groupby("user_id"):
+            mx = int(sub["dd"].max())
+            first = sub[sub["dd"] == mx].iloc[0]
+            rows.append(
+                (int(u), mx, int(first["event_id"]),
+                 int(sub["peak"].max()))
+            )
+        return pd.DataFrame(
+            {
+                "user_id": pd.array([r[0] for r in rows], dtype="int64"),
+                "max_dd": pd.array([r[1] for r in rows], dtype="int64"),
+                "at_event": pd.array([r[2] for r in rows], dtype="int64"),
+                "peak_cents": pd.array(
+                    [r[3] for r in rows], dtype="int64"),
+            }
+        )
+
+    return coarse_group_reduce(ds, "user_id", drawdown)
+
+
+def q238_series_corr_evidence(sf_dir: str):
+    """ALIGNED-SERIES CORRELATION EVIDENCE between event types — the
+    Pearson moment sums over hourly count vectors on a COMMON grid
+    (q234's L1 is the distribution view; this is the time-co-movement
+    view): per type pair, n grid cells, Σa, Σb, Σab, Σa², Σb² — all
+    integer counts, correlation is the derived epilogue. The hourly
+    count relation is (types × hours)-bounded; the pairwise fold is
+    one pass over its pivot."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    HOUR_US = 3_600_000_000
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = pc.cast(
+            pc.cast(b["ts"], pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_pylist(),
+                "hour": ts_us - ts_us % HOUR_US,
+            }
+        )
+        out = df.groupby(
+            ["event_type", "hour"], as_index=False
+        ).size().rename(columns={"size": "n"})
+        return pa.Table.from_pandas(
+            out.astype({"hour": "int64", "n": "int64"}),
+            preserve_index=False,
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["event_type", "hour"], as_index=False)["n"].sum()
+        return out.astype({"n": "int64"})
+
+    hourly = coarse_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "hour"],
+        merge,
+    )
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby(["event_type", "hour"], as_index=False)["n"].sum()
+        piv = agg.pivot_table(
+            index="hour", columns="event_type", values="n", fill_value=0
+        )
+        types = sorted(piv.columns)
+        rows = []
+        for i, a in enumerate(types):
+            va = piv[a].to_numpy(dtype=np.int64)
+            for b2 in types[i + 1:]:
+                vb = piv[b2].to_numpy(dtype=np.int64)
+                rows.append(
+                    (
+                        a, b2, len(piv), int(va.sum()), int(vb.sum()),
+                        int((va * vb).sum()), int((va * va).sum()),
+                        int((vb * vb).sum()),
+                    )
+                )
+        return pd.DataFrame(
+            {
+                "type_a": pd.array([r[0] for r in rows], dtype="object"),
+                "type_b": pd.array([r[1] for r in rows], dtype="object"),
+                "n_cells": pd.array([r[2] for r in rows], dtype="int64"),
+                "sa": pd.array([r[3] for r in rows], dtype="int64"),
+                "sb": pd.array([r[4] for r in rows], dtype="int64"),
+                "sab": pd.array([r[5] for r in rows], dtype="int64"),
+                "saa": pd.array([r[6] for r in rows], dtype="int64"),
+                "sbb": pd.array([r[7] for r in rows], dtype="int64"),
+            }
+        )
+
+    return (
+        hourly.map_batches(
+            lambda b: b.append_column(
+                "cg", pa.array(np.zeros(len(b), dtype=np.int32))
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("cg")  # (types × hours)-bounded relation
+        .map_groups(
+            lambda df: moments(df.drop(columns=["cg"])),
+            batch_format="pandas",
+        )
+    )
+
+
+def q239_keyness_terms(sf_dir: str):
+    """KEYNESS TERMS per language — the distinctive-vocabulary report
+    (corpus linguistics' log-odds keyness, ranked WITHOUT the float:
+    token t is more distinctive for lang L than t' iff
+    n_in·T_out − n_out·T_in is larger — the exact cross-multiplied
+    integer the log-odds ratio orders by at equal totals): per lang
+    the top-5 tokens by that score (ties: token asc), with the full
+    evidence (n_in, n_out, T_in, T_out). Per-(lang, token) counts
+    reduce exactly; per-token lang vectors meet in their own hash
+    group to emit in/out splits; a per-lang top-k prune finishes."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "documents", columns=["text", "lang"])
+
+    def tok_partial(b: pa.Table) -> pa.Table:
+        acc: dict[tuple, int] = {}
+        for t, lang in zip(
+            b["text"].to_pylist(), b["lang"].to_pylist()
+        ):
+            if not t or lang is None:
+                continue
+            for tok in token_items(t):
+                k = (tok, lang)
+                acc[k] = acc.get(k, 0) + 1
+        ks = sorted(acc)
+        return pa.table(
+            {
+                "token": pa.array([k[0] for k in ks], pa.string()),
+                "lang": pa.array([k[1] for k in ks], pa.string()),
+                "cnt": pa.array([acc[k] for k in ks], pa.int64()),
+            }
+        )
+
+    def tok_merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["token", "lang"], as_index=False)["cnt"].sum()
+        return out.astype({"cnt": "int64"})
+
+    counts = coarse_group_reduce(
+        ds.map_batches(tok_partial, batch_format="pyarrow"),
+        ["token", "lang"],
+        tok_merge,
+    ).materialize()
+
+    # per-lang total masses: lang-bounded partials, driver dict
+    from basicocr_ray.core.collect import collect_rows
+
+    totals: dict[str, int] = {}
+    for row in collect_rows(
+        counts.map_batches(
+            lambda b: b.group_by("lang").aggregate([("cnt", "sum")])
+            .rename_columns(["lang", "cnt"]),
+            batch_format="pyarrow",
+        )
+    ):
+        totals[row["lang"]] = totals.get(row["lang"], 0) + int(row["cnt"])
+    T = sum(totals.values())
+
+    def in_out(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby(["token", "lang"], as_index=False)["cnt"].sum()
+        tok_tot = agg.groupby("token")["cnt"].transform("sum")
+        agg = agg.assign(n_in=agg["cnt"], n_out=tok_tot - agg["cnt"])
+        agg["t_in"] = [totals[g] for g in agg["lang"]]
+        agg["t_out"] = T - agg["t_in"]
+        agg["score"] = (
+            agg["n_in"] * agg["t_out"] - agg["n_out"] * agg["t_in"]
+        )
+        return agg[
+            ["lang", "token", "n_in", "n_out", "t_in", "t_out", "score"]
+        ].astype(
+            {
+                "n_in": "int64", "n_out": "int64", "t_in": "int64",
+                "t_out": "int64", "score": "int64",
+            }
+        )
+
+    scored = coarse_group_reduce(counts, "token", in_out)
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(
+            ["lang", "score", "token"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        return g.groupby("lang").head(5).reset_index(drop=True)
+
+    return coarse_group_reduce(scored, "lang", topk)
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -13241,6 +13460,9 @@ QUERIES = {
     "q234_type_distance_matrix": q234_type_distance_matrix,
     "q235_seasonality_peak": q235_seasonality_peak,
     "q236_char_profile": q236_char_profile,
+    "q237_max_drawdown": q237_max_drawdown,
+    "q238_series_corr_evidence": q238_series_corr_evidence,
+    "q239_keyness_terms": q239_keyness_terms,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -14533,6 +14755,93 @@ ORACLE_SQL = {
         SELECT CAST(vec_id + 10000 AS BIGINT) AS clip_id,
                vec_id AS orig_id
         FROM embeddings WHERE vec_id % 4 = 0
+    """,
+    "q237_max_drawdown": """
+        -- dd_i = running_max(c) - c_i; earliest realization wins
+        WITH o AS (
+          SELECT user_id, event_id, epoch_us(ts) AS t,
+                 CAST(floor(value * 100) AS BIGINT) AS c
+          FROM events
+        ),
+        r AS (
+          SELECT *, max(c) OVER w AS pk FROM o
+          WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        d AS (SELECT user_id, event_id, t, pk - c AS dd, pk FROM r),
+        sel AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY user_id ORDER BY dd DESC, t, event_id
+                 ) AS rn
+          FROM d
+        ),
+        pkm AS (
+          SELECT user_id, CAST(max(pk) AS BIGINT) AS peak_cents
+          FROM d GROUP BY 1
+        )
+        SELECT s.user_id, CAST(s.dd AS BIGINT) AS max_dd,
+               s.event_id AS at_event, pkm.peak_cents
+        FROM (SELECT * FROM sel WHERE rn = 1) s JOIN pkm USING (user_id)
+    """,
+    "q238_series_corr_evidence": """
+        -- Pearson moment sums over hourly counts on a COMMON grid
+        WITH h AS (
+          SELECT event_type,
+                 epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        u AS (SELECT DISTINCT hour FROM h),
+        tt AS (SELECT DISTINCT event_type FROM h),
+        grid AS (
+          SELECT t.event_type, u.hour, coalesce(h.n, 0) AS n
+          FROM tt t CROSS JOIN u
+          LEFT JOIN h ON h.event_type = t.event_type AND h.hour = u.hour
+        )
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS n_cells,
+               CAST(sum(a.n) AS BIGINT) AS sa,
+               CAST(sum(b.n) AS BIGINT) AS sb,
+               CAST(sum(a.n * b.n) AS BIGINT) AS sab,
+               CAST(sum(a.n * a.n) AS BIGINT) AS saa,
+               CAST(sum(b.n * b.n) AS BIGINT) AS sbb
+        FROM grid a JOIN grid b
+          ON a.hour = b.hour AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    """,
+    "q239_keyness_terms": f"""
+        -- keyness order by the exact cross-product n_in·T_out −
+        -- n_out·T_in (the log-odds ordering without the log)
+        WITH toks AS (
+          SELECT lang,
+                 unnest(list_filter({_TOKS}, x -> x <> '')) AS token
+          FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+        ),
+        tc AS (SELECT lang, token, count(*) AS cnt FROM toks GROUP BY 1, 2),
+        lt AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS t_in
+               FROM tc GROUP BY 1),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t_all FROM tc),
+        tk AS (SELECT token, CAST(sum(cnt) AS BIGINT) AS tok_tot
+               FROM tc GROUP BY 1),
+        s AS (
+          SELECT tc.lang, tc.token, CAST(tc.cnt AS BIGINT) AS n_in,
+                 CAST(tk.tok_tot - tc.cnt AS BIGINT) AS n_out,
+                 lt.t_in,
+                 CAST((SELECT t_all FROM tot) - lt.t_in AS BIGINT)
+                   AS t_out
+          FROM tc JOIN tk USING (token) JOIN lt USING (lang)
+        ),
+        r AS (
+          SELECT *, CAST(n_in * t_out - n_out * t_in AS BIGINT)
+                   AS score,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY n_in * t_out - n_out * t_in DESC, token
+                 ) AS rn
+          FROM s
+        )
+        SELECT lang, token, n_in, n_out, t_in, t_out, score
+        FROM r WHERE rn <= 5
     """,
     "q234_type_distance_matrix": """
         -- pairwise L1 over aligned width-50 histograms (missing cells
