@@ -13226,6 +13226,240 @@ def q239_keyness_terms(sf_dir: str):
     return coarse_group_reduce(scored, "lang", topk)
 
 
+def q240_debounce_audit(sf_dir: str):
+    """DEBOUNCE AUDIT — how many events a 5-minute per-(user, type)
+    suppression window would have dropped (the rate-limiter sizing
+    question before turning it on): an event is SUPPRESSED if the
+    previous same-key event is ≤ 5 minutes before it (the lag
+    formulation — window-expressible, unlike true chained debounce).
+    Output per event type: total events, suppressed count, and the
+    affected-user count. One lag per coarse (user)-grouped sort;
+    per-type partials reduce bounded."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    WIN_US = 5 * 60 * 1_000_000
+    ds = _read(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+
+    def audit(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(
+            ["user_id", "event_type", "ts", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        t = g["ts"].astype("datetime64[us]").astype("int64")
+        prev = t.groupby([g["user_id"], g["event_type"]]).shift(1)
+        sup = (t - prev) <= WIN_US
+        out = pd.DataFrame(
+            {
+                "event_type": g["event_type"],
+                "user_id": g["user_id"],
+                "sup": sup.fillna(False).astype("int64"),
+            }
+        )
+        per_ut = out.groupby(
+            ["event_type", "user_id"], as_index=False
+        ).agg(n=("sup", "size"), n_sup=("sup", "sum"))
+        res = per_ut.groupby("event_type", as_index=False).agg(
+            n_events=("n", "sum"),
+            n_suppressed=("n_sup", "sum"),
+            n_users_affected=("n_sup", lambda s: int((s > 0).sum())),
+        )
+        return res.astype(
+            {
+                "n_events": "int64", "n_suppressed": "int64",
+                "n_users_affected": "int64",
+            }
+        )
+
+    # group by user: all of a user's events land together, so per-
+    # (user, type) lags are exact; per-type partials then fold
+    per_group = coarse_group_reduce(ds, "user_id", audit)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("event_type", as_index=False).sum()
+        return out.astype(
+            {
+                "n_events": "int64", "n_suppressed": "int64",
+                "n_users_affected": "int64",
+            }
+        )
+
+    return coarse_group_reduce(per_group, "event_type", merge)
+
+
+def q241_repartition_manifest(sf_dir: str):
+    """CHECKSUM-VERIFIED REPARTITION MANIFEST — the artifact a
+    weighted range repartition (q185) ships with: per planned part,
+    row count, total weight, covered id range AND the q165
+    order-insensitive XOR digest of the member rows — so the executor
+    of the plan can prove every row landed in its assigned range.
+    Same metadata-offset shape as q185 with the digest folded into
+    the same pass."""
+    from basicocr_ray.core.collect import collect_rows
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    S = 8
+    MASK = (1 << 63) - 1
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def add_rb(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].to_pylist(), dtype=np.int64)
+        digs = [
+            _md5_low64(f"{i}:{t if t is not None else ''}") & MASK
+            for i, t in zip(
+                b["doc_id"].to_pylist(), b["text"].to_pylist()
+            )
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "wt": pc.cast(b["n_chars"], pa.int64()),
+                "digest": pa.array(digs, pa.int64()),
+                "rb": pa.array(ids // 64, pa.int64()),
+            }
+        )
+
+    body = ds.map_batches(add_rb, batch_format="pyarrow").materialize()
+
+    totals: dict[int, int] = {}
+    for row in collect_rows(
+        body.map_batches(
+            lambda b: b.group_by("rb").aggregate([("wt", "sum")])
+            .rename_columns(["rb", "v"]),
+            batch_format="pyarrow",
+        )
+    ):
+        totals[int(row["rb"])] = totals.get(int(row["rb"]), 0) + int(row["v"])
+    W = sum(totals.values())
+    target = (W + S - 1) // S
+    offsets: dict[int, int] = {}
+    acc = 0
+    for rb in sorted(totals):
+        offsets[rb] = acc
+        acc += totals[rb]
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id", kind="mergesort")
+        w = df["wt"].to_numpy(dtype=np.int64)
+        pre = offsets[int(df["rb"].iloc[0])] + np.cumsum(w) - w
+        df = df.assign(part=(pre // target).astype("int64"))
+        rows = []
+        for part, g in df.groupby("part"):
+            chk = 0
+            for v in g["digest"]:
+                chk ^= int(v)
+            rows.append(
+                (int(part), len(g), int(g["wt"].sum()),
+                 int(g["doc_id"].min()), int(g["doc_id"].max()), chk)
+            )
+        return pd.DataFrame(
+            {
+                "part": pd.array([r[0] for r in rows], dtype="int64"),
+                "n_docs": pd.array([r[1] for r in rows], dtype="int64"),
+                "tot_weight": pd.array(
+                    [r[2] for r in rows], dtype="int64"),
+                "id_lo": pd.array([r[3] for r in rows], dtype="int64"),
+                "id_hi": pd.array([r[4] for r in rows], dtype="int64"),
+                "chk": pd.array([r[5] for r in rows], dtype="int64"),
+            }
+        )
+
+    partials = body.groupby("rb").map_groups(assign, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for part, g in df.groupby("part"):
+            chk = 0
+            for v in g["chk"]:
+                chk ^= int(v)
+            rows.append(
+                (int(part), int(g["n_docs"].sum()),
+                 int(g["tot_weight"].sum()), int(g["id_lo"].min()),
+                 int(g["id_hi"].max()), chk)
+            )
+        return pd.DataFrame(
+            {
+                "part": pd.array([r[0] for r in rows], dtype="int64"),
+                "n_docs": pd.array([r[1] for r in rows], dtype="int64"),
+                "tot_weight": pd.array(
+                    [r[2] for r in rows], dtype="int64"),
+                "id_lo": pd.array([r[3] for r in rows], dtype="int64"),
+                "id_hi": pd.array([r[4] for r in rows], dtype="int64"),
+                "chk": pd.array([r[5] for r in rows], dtype="int64"),
+            }
+        )
+
+    return coarse_group_reduce(partials, "part", merge)
+
+
+def q242_freq_spectrum(sf_dir: str):
+    """TOKEN FREQUENCY SPECTRUM per language — the Zipf diagnostic
+    (how many types live in each frequency octave [2^k, 2^{k+1})) plus
+    each octave's token mass; the count-of-counts relation that q206's
+    coverage scan walks, surfaced as the artifact itself. The octave
+    is an exact bit-length, so both engines bucket identically."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "documents", columns=["text", "lang"])
+
+    def tok_partial(b: pa.Table) -> pa.Table:
+        acc: dict[tuple, int] = {}
+        for t, lang in zip(
+            b["text"].to_pylist(), b["lang"].to_pylist()
+        ):
+            if not t or lang is None:
+                continue
+            for tok in token_items(t):
+                k = (lang, tok)
+                acc[k] = acc.get(k, 0) + 1
+        ks = sorted(acc)
+        return pa.table(
+            {
+                "lang": pa.array([k[0] for k in ks], pa.string()),
+                "token": pa.array([k[1] for k in ks], pa.string()),
+                "cnt": pa.array([acc[k] for k in ks], pa.int64()),
+            }
+        )
+
+    def tok_merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["lang", "token"], as_index=False)["cnt"].sum()
+        return out.astype({"cnt": "int64"})
+
+    counts = coarse_group_reduce(
+        ds.map_batches(tok_partial, batch_format="pyarrow"),
+        ["lang", "token"],
+        tok_merge,
+    )
+
+    def spectrum_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "lang": b["lang"].to_pylist(),
+                "cnt": b["cnt"].to_pylist(),
+            }
+        )
+        df["octave"] = [int(c).bit_length() - 1 for c in df["cnt"]]
+        out = df.groupby(["lang", "octave"], as_index=False).agg(
+            n_types=("cnt", "size"), mass=("cnt", "sum")
+        )
+        return pa.Table.from_pandas(
+            out.astype(
+                {"octave": "int64", "n_types": "int64", "mass": "int64"}
+            ),
+            preserve_index=False,
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["lang", "octave"], as_index=False).sum()
+        return out.astype({"n_types": "int64", "mass": "int64"})
+
+    return coarse_group_reduce(
+        counts.map_batches(spectrum_partial, batch_format="pyarrow"),
+        ["lang", "octave"],
+        final,
+    )
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -13463,6 +13697,9 @@ QUERIES = {
     "q237_max_drawdown": q237_max_drawdown,
     "q238_series_corr_evidence": q238_series_corr_evidence,
     "q239_keyness_terms": q239_keyness_terms,
+    "q240_debounce_audit": q240_debounce_audit,
+    "q241_repartition_manifest": q241_repartition_manifest,
+    "q242_freq_spectrum": q242_freq_spectrum,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -14755,6 +14992,71 @@ ORACLE_SQL = {
         SELECT CAST(vec_id + 10000 AS BIGINT) AS clip_id,
                vec_id AS orig_id
         FROM embeddings WHERE vec_id % 4 = 0
+    """,
+    "q240_debounce_audit": """
+        -- suppressed = previous same-(user, type) event within 5 min
+        WITH o AS (
+          SELECT user_id, event_type, epoch_us(ts) AS t,
+                 lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id) AS pt
+          FROM events
+        ),
+        f AS (
+          SELECT user_id, event_type,
+                 CASE WHEN pt IS NOT NULL AND t - pt <= 300000000
+                      THEN 1 ELSE 0 END AS sup
+          FROM o
+        ),
+        pu AS (
+          SELECT event_type, user_id, count(*) AS n, sum(sup) AS ns
+          FROM f GROUP BY 1, 2
+        )
+        SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
+               CAST(sum(ns) AS BIGINT) AS n_suppressed,
+               CAST(sum(CASE WHEN ns > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_users_affected
+        FROM pu GROUP BY 1
+    """,
+    "q241_repartition_manifest": """
+        -- q185's plan + the q165 XOR digest per planned part
+        WITH w AS (
+          SELECT doc_id, CAST(n_chars AS BIGINT) AS wt,
+                 CAST(md5_number_lower(CAST(doc_id AS VARCHAR) || ':'
+                        || coalesce(text, ''))
+                      & 9223372036854775807 AS BIGINT) AS digest
+          FROM documents
+        ),
+        t AS (SELECT CAST(sum(wt) AS BIGINT) AS tot FROM w),
+        p AS (
+          SELECT doc_id, wt, digest,
+                 coalesce(sum(wt) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS pre
+          FROM w
+        ),
+        parts AS (
+          SELECT *, pre // (SELECT (tot + 7) // 8 FROM t) AS part
+          FROM p
+        )
+        SELECT CAST(part AS BIGINT) AS part, count(*) AS n_docs,
+               CAST(sum(wt) AS BIGINT) AS tot_weight,
+               min(doc_id) AS id_lo, max(doc_id) AS id_hi,
+               CAST(bit_xor(digest) AS BIGINT) AS chk
+        FROM parts GROUP BY 1
+    """,
+    "q242_freq_spectrum": f"""
+        -- octave = bit-length − 1 (exact in both engines; no log2)
+        WITH toks AS (
+          SELECT lang,
+                 unnest(list_filter({_TOKS}, x -> x <> '')) AS token
+          FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+        ),
+        tc AS (SELECT lang, token, count(*) AS cnt FROM toks GROUP BY 1, 2)
+        SELECT lang, CAST(length(bin(cnt)) - 1 AS BIGINT) AS octave,
+               count(*) AS n_types, CAST(sum(cnt) AS BIGINT) AS mass
+        FROM tc GROUP BY 1, 2
     """,
     "q237_max_drawdown": """
         -- dd_i = running_max(c) - c_i; earliest realization wins
