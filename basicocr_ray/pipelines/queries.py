@@ -13460,6 +13460,208 @@ def q242_freq_spectrum(sf_dir: str):
     )
 
 
+def q243_first_relevant_rank(sf_dir: str):
+    """FIRST-RELEVANT RANK — the MRR/recall eval's integer core: for
+    every query vector (vec_id ≡ 0 mod 10), rank candidates by the
+    exact quantized integer dot (the q182 discipline — no float enters
+    the driver hash; ties break on cand_id asc) and report the 1-based
+    rank of the first candidate sharing the query's LABEL (the
+    relevance proxy), or −1 if none. Two bounded passes instead of an
+    n×q pair shuffle: pass A reduces each batch to ≤1 champion row per
+    query (the batch's best relevant candidate), pass B broadcasts the
+    per-query champion (dot*, id*) and counts candidates strictly
+    ahead of it — shuffle traffic is O(queries) per batch in both
+    passes, and the driver holds only the probe-set-sized results
+    (the same O(q) footprint as the broadcast query matrix itself)."""
+    import ray
+
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    qtab = pq.read_table(
+        _p(sf_dir, "embeddings"), columns=["vec_id", "embedding", "label"]
+    )
+    qm = pc.equal(
+        pc.subtract(
+            qtab["vec_id"],
+            pc.multiply(pc.divide(qtab["vec_id"], 10), 10),
+        ),
+        0,
+    )
+    qsel = qtab.filter(qm)
+    qids = np.asarray(qsel["vec_id"].to_pylist(), dtype=np.int64)
+    qlabels = np.asarray(qsel["label"].to_pylist(), dtype=np.int64)
+    Qq = np.floor(
+        np.asarray(qsel["embedding"].to_pylist(), dtype=np.float64) * 1e3
+    ).astype(np.int64)
+    qref = ray.put((qids, qlabels, Qq))
+    I64_MIN = np.iinfo(np.int64).min
+    I64_MAX = np.iinfo(np.int64).max
+
+    def _batch_dots(b: pa.Table, Qq_b: np.ndarray):
+        cids = np.asarray(b["vec_id"].to_pylist(), dtype=np.int64)
+        clab = np.asarray(b["label"].to_pylist(), dtype=np.int64)
+        Vq = np.floor(
+            np.asarray(b["embedding"].to_pylist(), dtype=np.float64) * 1e3
+        ).astype(np.int64)
+        return cids, clab, Vq @ Qq_b.T  # dots: (batch, queries)
+
+    # ---- pass A: per-query champion relevant candidate -----------------
+    def champion_partial(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        ids_np, qlab, Qq_b = _ray.get(qref)
+        cids, clab, dots = _batch_dots(b, Qq_b)
+        relok = (clab[:, None] == qlab[None, :]) & (
+            cids[:, None] != ids_np[None, :]
+        )
+        best = np.where(relok, dots, I64_MIN).max(axis=0)
+        has = relok.any(axis=0)
+        tie = relok & (dots == best[None, :])
+        best_id = np.where(tie, cids[:, None], I64_MAX).min(axis=0)
+        return pa.table(
+            {
+                "query_id": pa.array(ids_np[has], pa.int64()),
+                "dot": pa.array(best[has], pa.int64()),
+                "cand_id": pa.array(best_id[has], pa.int64()),
+            }
+        )
+
+    def champion_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(
+            ["query_id", "dot", "cand_id"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        return g.groupby("query_id", as_index=False).first()
+
+    ds_a = _read(sf_dir, "embeddings", columns=["vec_id", "embedding",
+                                                "label"])
+    champs = coarse_group_reduce(
+        ds_a.map_batches(champion_partial, batch_format="pyarrow"),
+        "query_id", champion_final,
+    ).to_pandas()
+
+    d_star = np.full(len(qids), I64_MIN, dtype=np.int64)
+    id_star = np.full(len(qids), I64_MAX, dtype=np.int64)
+    has_rel = np.zeros(len(qids), dtype=bool)
+    pos = {int(q): i for i, q in enumerate(qids)}
+    for q, d, c in champs[["query_id", "dot", "cand_id"]].itertuples(
+        index=False
+    ):
+        i = pos[int(q)]
+        d_star[i], id_star[i], has_rel[i] = int(d), int(c), True
+    thr_ref = ray.put((qids, d_star, id_star, has_rel))
+
+    # ---- pass B: count candidates ahead of the champion ----------------
+    def ahead_partial(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        ids_np, qlab, Qq_b = _ray.get(qref)
+        tids, td, tc, thas = _ray.get(thr_ref)
+        cids, clab, dots = _batch_dots(b, Qq_b)
+        valid = cids[:, None] != tids[None, :]
+        ahead = (dots > td[None, :]) | (
+            (dots == td[None, :]) & (cids[:, None] < tc[None, :])
+        )
+        n = (ahead & valid).sum(axis=0).astype(np.int64)
+        return pa.table(
+            {
+                "query_id": pa.array(tids[thas], pa.int64()),
+                "n_ahead": pa.array(n[thas], pa.int64()),
+            }
+        )
+
+    def ahead_final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("query_id", as_index=False)["n_ahead"].sum()
+        return out.astype({"query_id": "int64", "n_ahead": "int64"})
+
+    ds_b = _read(sf_dir, "embeddings", columns=["vec_id", "embedding",
+                                                "label"])
+    counts = coarse_group_reduce(
+        ds_b.map_batches(ahead_partial, batch_format="pyarrow"),
+        "query_id", ahead_final,
+    ).to_pandas()
+
+    rank = np.full(len(qids), -1, dtype=np.int64)
+    for q, n in counts[["query_id", "n_ahead"]].itertuples(index=False):
+        rank[pos[int(q)]] = int(n) + 1
+    return pd.DataFrame(
+        {
+            "query_id": pd.array(qids, dtype="int64"),
+            "first_rel_rank": pd.array(rank, dtype="int64"),
+        }
+    )
+
+
+def q244_time_in_state(sf_dir: str):
+    """TIME-IN-STATE attribution — the state-machine analytics metric
+    (how long users SIT in each state): the whole-second gap to the
+    next event is attributed to the CURRENT event's type (q192's TWAP
+    weights values; this attributes the time itself); last events
+    contribute 0. Output per event type: transitions out (gaps
+    counted) and total attributed seconds."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+
+    def attribute(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        t = g["ts"].astype("datetime64[us]").astype("int64")
+        nxt = t.groupby(g["user_id"]).shift(-1)
+        dt_s = ((nxt - t) // 1_000_000).fillna(0).astype("int64")
+        has_next = nxt.notna().astype("int64")
+        out = pd.DataFrame(
+            {
+                "event_type": g["event_type"],
+                "n_gaps": has_next,
+                "dwell_s": dt_s,
+            }
+        ).groupby("event_type", as_index=False).sum()
+        return out.astype({"n_gaps": "int64", "dwell_s": "int64"})
+
+    per_group = coarse_group_reduce(ds, "user_id", attribute)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("event_type", as_index=False).sum()
+        return out.astype({"n_gaps": "int64", "dwell_s": "int64"})
+
+    return coarse_group_reduce(per_group, "event_type", merge)
+
+
+def q245_catalog_digest(sf_dir: str):
+    """CATALOG DIGEST — the migration smoke artifact both engines
+    compute first: per table, the distributed row count, the column
+    count, and an order-sensitive md5-low-63 digest of the column-name
+    list (schema drift shows up before any value does). Row counts are
+    per-batch partials; schemas are file metadata (driver-side,
+    bounded by the catalog size)."""
+    import ray.data
+
+    TABLES = ["documents", "events", "embeddings", "orders", "lineitem"]
+    MASK = (1 << 63) - 1
+
+    rows = []
+    for tbl in TABLES:
+        schema = pq.read_schema(_p(sf_dir, tbl))
+        names = list(schema.names)
+        dig = _md5_low64(",".join(names)) & MASK
+        n = ray.data.read_parquet(
+            _p(sf_dir, tbl), columns=[names[0]]
+        ).count()
+        rows.append((tbl, int(n), len(names), dig))
+    return pd.DataFrame(
+        {
+            "tbl": pd.array([r[0] for r in rows], dtype="object"),
+            "n_rows": pd.array([r[1] for r in rows], dtype="int64"),
+            "n_cols": pd.array([r[2] for r in rows], dtype="int64"),
+            "schema_chk": pd.array([r[3] for r in rows], dtype="int64"),
+        }
+    )
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -13700,6 +13902,9 @@ QUERIES = {
     "q240_debounce_audit": q240_debounce_audit,
     "q241_repartition_manifest": q241_repartition_manifest,
     "q242_freq_spectrum": q242_freq_spectrum,
+    "q243_first_relevant_rank": q243_first_relevant_rank,
+    "q244_time_in_state": q244_time_in_state,
+    "q245_catalog_digest": q245_catalog_digest,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -15057,6 +15262,80 @@ ORACLE_SQL = {
         SELECT lang, CAST(length(bin(cnt)) - 1 AS BIGINT) AS octave,
                count(*) AS n_types, CAST(sum(cnt) AS BIGINT) AS mass
         FROM tc GROUP BY 1, 2
+    """,
+    "q243_first_relevant_rank": """
+        -- rank by exact int-quantized dot (floor(1e3·x) per dim),
+        -- ties on cand_id asc; first candidate sharing the query's
+        -- label, -1 if the label never recurs
+        WITH qv AS (
+          SELECT vec_id, label,
+                 list_transform(
+                   embedding, x -> floor(CAST(x AS DOUBLE) * 1000)) AS q
+          FROM embeddings
+        ),
+        pairs AS (
+          SELECT a.vec_id AS query_id, a.label AS qlab,
+                 b.vec_id AS cand_id, b.label AS clab,
+                 CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot
+          FROM qv a JOIN qv b
+            ON a.vec_id % 10 = 0 AND b.vec_id <> a.vec_id
+        ),
+        ranked AS (
+          SELECT query_id, (clab = qlab) AS rel,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY dot DESC, cand_id) AS rn
+          FROM pairs
+        ),
+        frr AS (
+          SELECT query_id, min(rn) AS r FROM ranked WHERE rel GROUP BY 1
+        )
+        SELECT q.vec_id AS query_id,
+               CAST(coalesce(f.r, -1) AS BIGINT) AS first_rel_rank
+        FROM (SELECT vec_id FROM embeddings WHERE vec_id % 10 = 0) q
+        LEFT JOIN frr f ON f.query_id = q.vec_id
+    """,
+    "q244_time_in_state": """
+        -- whole-second gap to the NEXT event of the same user is
+        -- attributed to the CURRENT event's type; last events add 0
+        WITH o AS (
+          SELECT user_id, event_type, epoch_us(ts) AS t,
+                 lead(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS nt
+          FROM events
+        )
+        SELECT event_type,
+               CAST(sum(CASE WHEN nt IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_gaps,
+               CAST(sum(CASE WHEN nt IS NOT NULL
+                             THEN (nt - t) // 1000000 ELSE 0 END)
+                    AS BIGINT) AS dwell_s
+        FROM o GROUP BY 1
+    """,
+    "q245_catalog_digest": """
+        -- per-table row count, column count, and an order-sensitive
+        -- md5-low-63 digest of the comma-joined column-name list
+        WITH cols AS (
+          SELECT table_name AS tbl,
+                 string_agg(column_name, ','
+                            ORDER BY ordinal_position) AS names,
+                 count(*) AS n_cols
+          FROM information_schema.columns
+          WHERE table_name IN ('documents', 'events', 'embeddings',
+                               'orders', 'lineitem')
+          GROUP BY 1
+        ),
+        cnts AS (
+          SELECT 'documents' AS tbl, count(*) AS n FROM documents
+          UNION ALL SELECT 'events', count(*) FROM events
+          UNION ALL SELECT 'embeddings', count(*) FROM embeddings
+          UNION ALL SELECT 'orders', count(*) FROM orders
+          UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+        )
+        SELECT c.tbl, CAST(n.n AS BIGINT) AS n_rows,
+               CAST(c.n_cols AS BIGINT) AS n_cols,
+               CAST(md5_number_lower(c.names)
+                    & 9223372036854775807 AS BIGINT) AS schema_chk
+        FROM cols c JOIN cnts n ON n.tbl = c.tbl
     """,
     "q237_max_drawdown": """
         -- dd_i = running_max(c) - c_i; earliest realization wins
