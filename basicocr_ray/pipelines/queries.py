@@ -13662,6 +13662,231 @@ def q245_catalog_digest(sf_dir: str):
     )
 
 
+def q246_promo_revenue_share(sf_dir: str):
+    """PROMO REVENUE SHARE — TPC-H Q14 re-expressed on this schema:
+    per ship month, the exact cents of revenue from PROMO-type parts
+    vs all revenue (the share itself is a division the consumer does —
+    only integers enter the driver hash). The part dimension reduces
+    to ONE BIT per partkey: a sorted int64 partkey array of promo
+    parts is ray.put ONCE and probed with np.searchsorted inside every
+    batch — no shuffle touches the fact table beyond the bounded
+    month rollup."""
+    import ray
+
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ptab = pq.read_table(_p(sf_dir, "part"), columns=["p_partkey", "p_type"])
+    pk = np.asarray(ptab["p_partkey"].to_pylist(), dtype=np.int64)
+    is_promo = np.asarray(
+        pc.equal(ptab["p_type"], "PROMO").to_pylist(), dtype=bool
+    )
+    promo_keys = np.sort(pk[is_promo])
+    pref = ray.put(promo_keys)
+
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        promo = _ray.get(pref)
+        keys = b["l_partkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(promo, keys)
+        idx[idx >= len(promo)] = max(len(promo) - 1, 0)
+        hit = (
+            promo[idx] == keys if len(promo) else np.zeros(len(keys), bool)
+        )
+        month = (
+            pc.year(b["l_shipdate"]).to_numpy(zero_copy_only=False) * 100
+            + pc.month(b["l_shipdate"]).to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        cents = np.floor(
+            b["l_extendedprice"].combine_chunks().to_numpy()
+            * (1.0 - b["l_discount"].combine_chunks().to_numpy())
+            * 100.0
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "ship_month": month,
+                "promo_cents": np.where(hit, cents, 0),
+                "total_cents": cents,
+                "n_lines": np.ones(len(keys), dtype=np.int64),
+            }
+        ).groupby("ship_month", as_index=False).sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("ship_month", as_index=False).sum()
+        return out.astype(
+            {
+                "ship_month": "int64", "promo_cents": "int64",
+                "total_cents": "int64", "n_lines": "int64",
+            }
+        )
+
+    return coarse_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"), "ship_month", final
+    )
+
+
+def q247_slow_orders(sf_dir: str):
+    """SLOW-ORDER PRIORITY AUDIT — TPC-H Q4's EXISTS semi-join on this
+    schema: orders with at least one line shipped more than 90 days
+    after the order date, counted per priority (plus the earliest such
+    orderkey as evidence). Both sides are fact-scale, so the join is
+    the single-shuffle bucketed hash join with the per-order ANY and
+    the per-priority partial count FUSED into the bucket task — the
+    driver sees five rows."""
+    from basicocr_ray.stages.joins import bucketed_hash_join
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    DAYS90_US = 90 * 86_400 * 1_000_000
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"]).map_batches(
+        lambda b: pa.table(
+            {
+                "okey": b["l_orderkey"],
+                "ship_us": pc.cast(
+                    pc.cast(b["l_shipdate"], pa.timestamp("us")), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    od = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "okey": b["o_orderkey"],
+                "odate_us": pc.cast(
+                    pc.cast(b["o_orderdate"], pa.timestamp("us")), pa.int64()
+                ),
+                "prio": b["o_orderpriority"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def bucket_agg(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "o_orderpriority": pa.array([], pa.string()),
+                    "n_slow_orders": pa.array([], pa.int64()),
+                    "first_orderkey": pa.array([], pa.int64()),
+                }
+            )
+        df = tbl.to_pandas()
+        df["slow"] = df["ship_us"] > df["odate_us"] + DAYS90_US
+        per_order = df.groupby(["okey", "prio"], as_index=False)["slow"].any()
+        hit = per_order[per_order["slow"]]
+        out = hit.groupby("prio", as_index=False).agg(
+            n_slow_orders=("okey", "size"), first_orderkey=("okey", "min")
+        )
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(out["prio"], pa.string()),
+                "n_slow_orders": pa.array(
+                    out["n_slow_orders"].astype("int64"), pa.int64()
+                ),
+                "first_orderkey": pa.array(
+                    out["first_orderkey"].astype("int64"), pa.int64()
+                ),
+            }
+        )
+
+    joined = bucketed_hash_join(
+        li, od, "okey", ["ship_us"], ["odate_us", "prio"],
+        bucket_post_fn=bucket_agg,
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("o_orderpriority", as_index=False).agg(
+            n_slow_orders=("n_slow_orders", "sum"),
+            first_orderkey=("first_orderkey", "min"),
+        )
+        return out.astype(
+            {"n_slow_orders": "int64", "first_orderkey": "int64"}
+        )
+
+    return coarse_group_reduce(joined, "o_orderpriority", final)
+
+
+def q248_supplier_diversity(sf_dir: str):
+    """SUPPLIER DIVERSITY — TPC-H Q16 re-expressed without partsupp:
+    per (p_brand, p_size), the number of DISTINCT suppliers observed
+    shipping that part in lineitem, excluding credit-watch suppliers
+    (s_acctbal < 1000 — the schema's stand-in for Q16's complaint
+    filter). Part attrs and the exclusion set are broadcast
+    dimensions; each batch pre-dedups to its distinct (brand, size,
+    suppkey) triples so shuffle traffic is bounded by the
+    dimension-cross product, never the fact row count."""
+    import ray
+
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ptab = pq.read_table(
+        _p(sf_dir, "part"), columns=["p_partkey", "p_brand", "p_size"]
+    )
+    pk = np.asarray(ptab["p_partkey"].to_pylist(), dtype=np.int64)
+    order = np.argsort(pk)
+    pk = pk[order]
+    brands = np.asarray(ptab["p_brand"].to_pylist(), dtype=object)[order]
+    sizes = np.asarray(
+        ptab["p_size"].to_pylist(), dtype=np.int64
+    )[order]
+    stab = pq.read_table(
+        _p(sf_dir, "supplier"), columns=["s_suppkey", "s_acctbal"]
+    )
+    bad = np.sort(
+        np.asarray(
+            stab.filter(pc.less(stab["s_acctbal"], 1000.0))["s_suppkey"]
+            .to_pylist(),
+            dtype=np.int64,
+        )
+    )
+    dref = ray.put((pk, brands, sizes, bad))
+
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def triples(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        pkeys, pbrand, psize, badkeys = _ray.get(dref)
+        keys = b["l_partkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        supp = b["l_suppkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        if len(badkeys):
+            bi = np.searchsorted(badkeys, supp)
+            bi[bi >= len(badkeys)] = len(badkeys) - 1
+            keep = badkeys[bi] != supp
+            keys, supp = keys[keep], supp[keep]
+        pi = np.searchsorted(pkeys, keys)
+        df = pd.DataFrame(
+            {
+                "p_brand": pbrand[pi],
+                "p_size": psize[pi],
+                "suppkey": supp.astype(np.int64),
+            }
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["p_brand", "p_size"], as_index=False).agg(
+            n_supp=("suppkey", "nunique")
+        )
+        return out.astype({"p_size": "int64", "n_supp": "int64"})
+
+    return coarse_group_reduce(
+        ds.map_batches(triples, batch_format="pyarrow"),
+        ["p_brand", "p_size"],
+        final,
+    )
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -13905,6 +14130,9 @@ QUERIES = {
     "q243_first_relevant_rank": q243_first_relevant_rank,
     "q244_time_in_state": q244_time_in_state,
     "q245_catalog_digest": q245_catalog_digest,
+    "q246_promo_revenue_share": q246_promo_revenue_share,
+    "q247_slow_orders": q247_slow_orders,
+    "q248_supplier_diversity": q248_supplier_diversity,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -15336,6 +15564,44 @@ ORACLE_SQL = {
                CAST(md5_number_lower(c.names)
                     & 9223372036854775807 AS BIGINT) AS schema_chk
         FROM cols c JOIN cnts n ON n.tbl = c.tbl
+    """,
+    "q246_promo_revenue_share": """
+        -- TPC-H Q14 on this schema; exact cents, the share is the
+        -- consumer's division
+        SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate)
+                    AS BIGINT) AS ship_month,
+               CAST(sum(CASE WHEN p_type = 'PROMO'
+                        THEN floor(l_extendedprice * (1 - l_discount) * 100)
+                        ELSE 0 END) AS BIGINT) AS promo_cents,
+               CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100))
+                    AS BIGINT) AS total_cents,
+               count(*) AS n_lines
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        GROUP BY 1
+    """,
+    "q247_slow_orders": """
+        -- TPC-H Q4's EXISTS: any line shipped > 90 days after the
+        -- order date (90 d = 7776000000000 us)
+        SELECT o_orderpriority,
+               count(*) AS n_slow_orders,
+               min(o_orderkey) AS first_orderkey
+        FROM orders o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND epoch_us(l.l_shipdate)
+                > epoch_us(o.o_orderdate) + 7776000000000)
+        GROUP BY 1
+    """,
+    "q248_supplier_diversity": """
+        -- TPC-H Q16 without partsupp: suppliers observed in lineitem,
+        -- credit-watch suppliers (acctbal < 1000) excluded
+        SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+        GROUP BY 1, 2
     """,
     "q237_max_drawdown": """
         -- dd_i = running_max(c) - c_i; earliest realization wins
