@@ -13887,6 +13887,151 @@ def q248_supplier_diversity(sf_dir: str):
     )
 
 
+def q249_bow_dup_groups(sf_dir: str):
+    """BAG-OF-WORDS DUP GROUPS — order-insensitive exact dedup (the
+    gap between q10's byte-exact and q22's near-dup): signature =
+    md5-low-63 of the sorted DISTINCT token set, groups with ≥2 docs
+    reported with size + earliest member. Shuffle carries (sig,
+    doc_id) only — never text — and the signature groupby rides the
+    coarse-salt exchange like the rest of the dedup family."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    MASK = (1 << 63) - 1
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def sig_batch(b: pa.Table) -> pa.Table:
+        ids, sigs = [], []
+        for did, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            if t is None:
+                continue
+            ids.append(did)
+            sigs.append(
+                _md5_low64(" ".join(sorted(set(token_items(t))))) & MASK
+            )
+        return pa.table(
+            {
+                "sig": pa.array(sigs, pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+            }
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("sig", as_index=False).agg(
+            n_docs=("doc_id", "size"), first_doc=("doc_id", "min")
+        )
+        g = g[g["n_docs"] >= 2]
+        return g.astype(
+            {"sig": "int64", "n_docs": "int64", "first_doc": "int64"}
+        )
+
+    return coarse_group_reduce(
+        ds.map_batches(sig_batch, batch_format="pyarrow"), "sig", final
+    )
+
+
+def q250_readability_evidence(sf_dir: str):
+    """READABILITY EVIDENCE per language — the integer components a
+    Flesch-style score divides (words/sentences, vowel-groups/words)
+    WITHOUT the division: docs, whitespace words, non-empty [.!?]+
+    sentence segments, and [aeiou]+ vowel groups (the engine-portable
+    syllable proxy). Compiled regexes, per-doc kernel (the same
+    irreducible per-record compute class as extraction), bounded
+    per-lang rollup."""
+    import re as _re
+
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    SENT_RE = _re.compile(r"[.!?]+")
+    VOWEL_RE = _re.compile(r"[aeiou]+")
+    ds = _read(sf_dir, "documents", columns=["text", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        acc: dict[str, list[int]] = {}
+        for t, lang in zip(b["text"].to_pylist(), b["lang"].to_pylist()):
+            if t is None or lang is None:
+                continue
+            a = acc.setdefault(lang, [0, 0, 0, 0])
+            a[0] += 1
+            a[1] += len(token_items(t))
+            a[2] += sum(1 for s in SENT_RE.split(t) if s != "")
+            a[3] += len(VOWEL_RE.findall(t.lower()))
+        ks = sorted(acc)
+        return pa.table(
+            {
+                "lang": pa.array(ks, pa.string()),
+                "n_docs": pa.array([acc[k][0] for k in ks], pa.int64()),
+                "n_words": pa.array([acc[k][1] for k in ks], pa.int64()),
+                "n_sentences": pa.array([acc[k][2] for k in ks], pa.int64()),
+                "n_vowel_groups": pa.array(
+                    [acc[k][3] for k in ks], pa.int64()
+                ),
+            }
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("lang", as_index=False).sum()
+        return out.astype(
+            {
+                "n_docs": "int64", "n_words": "int64",
+                "n_sentences": "int64", "n_vowel_groups": "int64",
+            }
+        )
+
+    return coarse_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"), "lang", final
+    )
+
+
+def q251_order_cadence(sf_dir: str):
+    """ORDER CADENCE per customer — the CRM re-engagement metric:
+    order count, lifetime cents, and the LOWER-MEDIAN whole-day gap
+    between consecutive orders (index (m−1)//2 of the sorted gap list
+    — an exact integer both engines select identically; −1 for
+    single-order customers). Orders co-locate per customer on the
+    coarse exchange; each group computes its gaps vectorized."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    DAY_US = 86_400_000_000
+    ds = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey",
+                                   "o_orderdate", "o_totalprice"]
+    )
+
+    def cadence(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(
+            ["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort"
+        ).reset_index(drop=True)
+        t = g["o_orderdate"].astype("datetime64[us]").astype("int64")
+        cents = np.floor(
+            g["o_totalprice"].to_numpy(dtype=np.float64) * 100.0
+        ).astype(np.int64)
+        rows = []
+        start = 0
+        cust = g["o_custkey"].to_numpy()
+        for i in range(1, len(g) + 1):
+            if i == len(g) or cust[i] != cust[start]:
+                tt = t.iloc[start:i].to_numpy()
+                gaps = np.sort((tt[1:] - tt[:-1]) // DAY_US)
+                med = int(gaps[(len(gaps) - 1) // 2]) if len(gaps) else -1
+                rows.append(
+                    (int(cust[start]), i - start,
+                     int(cents[start:i].sum()), med)
+                )
+                start = i
+        return pd.DataFrame(
+            {
+                "custkey": pd.array([r[0] for r in rows], dtype="int64"),
+                "n_orders": pd.array([r[1] for r in rows], dtype="int64"),
+                "total_cents": pd.array([r[2] for r in rows], dtype="int64"),
+                "median_gap_days": pd.array(
+                    [r[3] for r in rows], dtype="int64"
+                ),
+            }
+        )
+
+    return coarse_group_reduce(ds, "o_custkey", cadence)
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -14133,6 +14278,9 @@ QUERIES = {
     "q246_promo_revenue_share": q246_promo_revenue_share,
     "q247_slow_orders": q247_slow_orders,
     "q248_supplier_diversity": q248_supplier_diversity,
+    "q249_bow_dup_groups": q249_bow_dup_groups,
+    "q250_readability_evidence": q250_readability_evidence,
+    "q251_order_cadence": q251_order_cadence,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -15602,6 +15750,62 @@ ORACLE_SQL = {
         WHERE l_suppkey NOT IN
               (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
         GROUP BY 1, 2
+    """,
+    "q249_bow_dup_groups": f"""
+        -- order-insensitive exact dup: md5-low-63 of the sorted
+        -- DISTINCT token set (coalesce: empty token list -> '')
+        WITH s AS (
+          SELECT doc_id,
+                 CAST(md5_number_lower(coalesce(array_to_string(
+                        list_sort(list_distinct(
+                          list_filter({_TOKS}, x -> x <> ''))), ' '), ''))
+                      & 9223372036854775807 AS BIGINT) AS sig
+          FROM documents WHERE text IS NOT NULL
+        )
+        SELECT sig, count(*) AS n_docs, min(doc_id) AS first_doc
+        FROM s GROUP BY 1 HAVING count(*) >= 2
+    """,
+    "q250_readability_evidence": f"""
+        -- integer Flesch components: words, [.!?]+ sentence segments,
+        -- [aeiou]+ vowel groups (syllable proxy); no division
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(len(list_filter({_TOKS}, x -> x <> '')))
+                    AS BIGINT) AS n_words,
+               CAST(sum(len(list_filter(
+                      regexp_split_to_array(text, '[.!?]+'),
+                      x -> x <> ''))) AS BIGINT) AS n_sentences,
+               CAST(sum(len(regexp_extract_all(lower(text), '[aeiou]+')))
+                    AS BIGINT) AS n_vowel_groups
+        FROM documents
+        WHERE text IS NOT NULL AND lang IS NOT NULL
+        GROUP BY 1
+    """,
+    "q251_order_cadence": """
+        -- lower-median whole-day gap between consecutive orders
+        -- (element (m-1)//2 of the sorted gap list; -1 if < 2 orders)
+        WITH o AS (
+          SELECT o_custkey, epoch_us(o_orderdate) AS t,
+                 floor(o_totalprice * 100) AS cents,
+                 lead(epoch_us(o_orderdate)) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS nt
+          FROM orders
+        ),
+        agg AS (
+          SELECT o_custkey AS custkey, count(*) AS n_orders,
+                 CAST(sum(cents) AS BIGINT) AS total_cents
+          FROM o GROUP BY 1
+        ),
+        med AS (
+          SELECT o_custkey AS custkey,
+                 list_sort(list((nt - t) // 86400000000)) AS gl
+          FROM o WHERE nt IS NOT NULL GROUP BY 1
+        )
+        SELECT a.custkey, a.n_orders, a.total_cents,
+               CAST(coalesce(
+                 m.gl[CAST((len(m.gl) - 1) // 2 AS INT) + 1], -1
+               ) AS BIGINT) AS median_gap_days
+        FROM agg a LEFT JOIN med m ON m.custkey = a.custkey
     """,
     "q237_max_drawdown": """
         -- dd_i = running_max(c) - c_i; earliest realization wins
