@@ -14032,6 +14032,314 @@ def q251_order_cadence(sf_dir: str):
     return coarse_group_reduce(ds, "o_custkey", cadence)
 
 
+def q252_rfm_segments(sf_dir: str):
+    """RFM SEGMENTATION — the classic CRM cube with EXACT integer
+    tercile thresholds: per customer R = whole days from last order to
+    the corpus max date, F = order count, M = lifetime cents; each
+    metric bucketed at the ceil(n/3)/ceil(2n/3) order statistics
+    (grouped_quantile_disc — the q60/q99 two-pass histogram machinery,
+    no global sort), then the ≤27-cell segment rollup. The customer-dim
+    RFM relation is materialized ONCE and scanned by the six quantile
+    probes + the bucket pass."""
+    from basicocr_ray.stages.wide import (
+        coarse_group_reduce,
+        grouped_quantile_disc,
+    )
+
+    DAY_US = 86_400_000_000
+    ds = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    gmax_us = int(
+        ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "t": pa.array(
+                        [
+                            pc.max(
+                                pc.cast(
+                                    pc.cast(
+                                        b["o_orderdate"], pa.timestamp("us")
+                                    ),
+                                    pa.int64(),
+                                )
+                            ).as_py()
+                        ],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).max("t")
+    )
+
+    def rfm(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["o_orderdate"].astype("datetime64[us]").astype("int64")
+        cents = np.floor(
+            df["o_totalprice"].to_numpy(dtype=np.float64) * 100.0
+        ).astype(np.int64)
+        g = pd.DataFrame(
+            {"custkey": df["o_custkey"], "t": t, "cents": cents}
+        ).groupby("custkey", as_index=False).agg(
+            last_t=("t", "max"), f_orders=("t", "size"),
+            m_cents=("cents", "sum"),
+        )
+        g["r_days"] = (gmax_us - g["last_t"]) // DAY_US
+        return g[["custkey", "r_days", "f_orders", "m_cents"]].astype(
+            {
+                "custkey": "int64", "r_days": "int64",
+                "f_orders": "int64", "m_cents": "int64",
+            }
+        )
+
+    rfm_ds = coarse_group_reduce(ds, "o_custkey", rfm).materialize()
+
+    one = rfm_ds.map_batches(
+        lambda b: b.append_column(
+            "g", pa.array(np.zeros(len(b), dtype=np.int32))
+        ),
+        batch_format="pyarrow",
+    )
+    thr = {}
+    for col in ("r_days", "f_orders", "m_cents"):
+        t1 = int(
+            collect_rows(grouped_quantile_disc(one, "g", col, 1, 3))[0][
+                "q_value"
+            ]
+        )
+        t2 = int(
+            collect_rows(grouped_quantile_disc(one, "g", col, 2, 3))[0][
+                "q_value"
+            ]
+        )
+        thr[col] = (t1, t2)
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        out = {}
+        for col, seg in (
+            ("r_days", "r_seg"), ("f_orders", "f_seg"), ("m_cents", "m_seg")
+        ):
+            v = b[col].combine_chunks().to_numpy(zero_copy_only=False)
+            t1, t2 = thr[col]
+            out[seg] = np.where(v <= t1, 0, np.where(v <= t2, 1, 2)).astype(
+                np.int64
+            )
+        out["n_customers"] = np.ones(b.num_rows, dtype=np.int64)
+        return pa.table(out)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(
+            ["r_seg", "f_seg", "m_seg"], as_index=False
+        )["n_customers"].sum()
+        return out.astype({"n_customers": "int64"})
+
+    return coarse_group_reduce(
+        rfm_ds.map_batches(bucketize, batch_format="pyarrow"),
+        ["r_seg", "f_seg", "m_seg"],
+        final,
+    )
+
+
+def q253_neighborhood_purity(sf_dir: str):
+    """ANN NEIGHBORHOOD PURITY@10 — the embedding-space label-
+    coherence eval: for each query vector (vec_id ≡ 0 mod 10), how
+    many of its top-10 neighbors by exact int-quantized dot (ties on
+    cand_id asc) share its label. Per-batch LOCAL top-10 per query is
+    the only thing shuffled (≤ 10·|queries| rows per batch — the q15
+    brute-force discipline with the q182 integer ranking)."""
+    import ray
+
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    qtab = pq.read_table(
+        _p(sf_dir, "embeddings"), columns=["vec_id", "embedding", "label"]
+    )
+    qm = pc.equal(
+        pc.subtract(
+            qtab["vec_id"],
+            pc.multiply(pc.divide(qtab["vec_id"], 10), 10),
+        ),
+        0,
+    )
+    qsel = qtab.filter(qm)
+    qids = np.asarray(qsel["vec_id"].to_pylist(), dtype=np.int64)
+    qlabels = np.asarray(qsel["label"].to_pylist(), dtype=np.int64)
+    Qq = np.floor(
+        np.asarray(qsel["embedding"].to_pylist(), dtype=np.float64) * 1e3
+    ).astype(np.int64)
+    qref = ray.put((qids, qlabels, Qq))
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding",
+                                              "label"])
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        ids_np, qlab, Qq_b = _ray.get(qref)
+        cids = np.asarray(b["vec_id"].to_pylist(), dtype=np.int64)
+        clab = np.asarray(b["label"].to_pylist(), dtype=np.int64)
+        Vq = np.floor(
+            np.asarray(b["embedding"].to_pylist(), dtype=np.float64) * 1e3
+        ).astype(np.int64)
+        dots = Vq @ Qq_b.T
+        out_q, out_d, out_c, out_s = [], [], [], []
+        for j, qid in enumerate(ids_np):
+            ok = cids != qid
+            col, sid, slab = dots[ok, j], cids[ok], clab[ok]
+            top = np.lexsort((sid, -col))[:10]
+            out_q.extend([int(qid)] * len(top))
+            out_d.extend(col[top].tolist())
+            out_c.extend(sid[top].tolist())
+            out_s.extend((slab[top] == qlab[j]).astype(np.int64).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "dot": pa.array(out_d, pa.int64()),
+                "cand_id": pa.array(out_c, pa.int64()),
+                "same": pa.array(out_s, pa.int64()),
+            }
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for qid, g in df.groupby("query_id"):
+            g = g.sort_values(
+                ["dot", "cand_id"], ascending=[False, True],
+                kind="mergesort",
+            ).head(10)
+            rows.append((int(qid), int(g["same"].sum()), len(g)))
+        return pd.DataFrame(
+            {
+                "query_id": pd.array([r[0] for r in rows], dtype="int64"),
+                "n_same_label": pd.array(
+                    [r[1] for r in rows], dtype="int64"
+                ),
+                "k_used": pd.array([r[2] for r in rows], dtype="int64"),
+            }
+        )
+
+    return coarse_group_reduce(
+        ds.map_batches(local_topk, batch_format="pyarrow"),
+        "query_id", final,
+    )
+
+
+def q254_dq_constraint_suite(sf_dir: str):
+    """DATA-QUALITY CONSTRAINT SUITE — the Deequ/Great-Expectations
+    verification artifact: five declarative constraints over events
+    (completeness, value range, payload pattern, type set membership,
+    key uniqueness) evaluated in ONE vectorized pass plus one keyed
+    exchange for uniqueness; per rule: rows checked, violations, and
+    the earliest offending event_id (−1 when clean). Zeros are
+    evidence too — the suite proves the corpus passes."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    OK_TYPES = {"click", "view", "signup", "purchase", "error"}
+    ds = _read(
+        sf_dir, "events",
+        columns=["event_id", "value", "props", "event_type"],
+    )
+
+    def flags(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        val = b["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        props = b["props"].to_pylist()
+        etype = b["event_type"].to_pylist()
+        viol = {
+            "completeness_props": np.array(
+                [p is None for p in props], dtype=bool
+            ),
+            "range_value_0_300": (val < 0) | (val > 300),
+            "pattern_props_object": np.array(
+                [p is not None and not p.startswith("{") for p in props],
+                dtype=bool,
+            ),
+            "set_event_type": np.array(
+                [t not in OK_TYPES for t in etype], dtype=bool
+            ),
+        }
+        rules, checked, nviol, first = [], [], [], []
+        for rule, m in viol.items():
+            rules.append(rule)
+            checked.append(len(eid))
+            nviol.append(int(m.sum()))
+            first.append(int(eid[m].min()) if m.any() else -1)
+        return pa.table(
+            {
+                "rule": pa.array(rules, pa.string()),
+                "n_checked": pa.array(checked, pa.int64()),
+                "n_violations": pa.array(nviol, pa.int64()),
+                "first_bad_id": pa.array(first, pa.int64()),
+            }
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        def mmin(s):
+            pos = s[s >= 0]
+            return int(pos.min()) if len(pos) else -1
+
+        out = df.groupby("rule", as_index=False).agg(
+            n_checked=("n_checked", "sum"),
+            n_violations=("n_violations", "sum"),
+            first_bad_id=("first_bad_id", mmin),
+        )
+        return out.astype(
+            {
+                "n_checked": "int64", "n_violations": "int64",
+                "first_bad_id": "int64",
+            }
+        )
+
+    scalar_rules = coarse_group_reduce(
+        ds.map_batches(flags, batch_format="pyarrow"), "rule", merge
+    ).to_pandas()
+
+    # uniqueness: keyed exchange; ids with multiplicity >= 2 violate
+    def id_counts(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        u, c = np.unique(eid, return_counts=True)
+        return pa.table(
+            {
+                "event_id": pa.array(u.astype(np.int64), pa.int64()),
+                "cnt": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def dup_stats(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_id", as_index=False)["cnt"].sum()
+        d = g[g["cnt"] >= 2]
+        return pd.DataFrame(
+            {
+                "n_total": pd.array([int(g["cnt"].sum())], dtype="int64"),
+                "n_dup": pd.array([int(d["cnt"].sum())], dtype="int64"),
+                "first_dup": pd.array(
+                    [int(d["event_id"].min()) if len(d) else -1],
+                    dtype="int64",
+                ),
+            }
+        )
+
+    dup = coarse_group_reduce(
+        ds.map_batches(id_counts, batch_format="pyarrow"),
+        "event_id", dup_stats,
+    ).to_pandas()
+    firsts = dup["first_dup"][dup["first_dup"] >= 0]
+    uniq_row = pd.DataFrame(
+        {
+            "rule": ["unique_event_id"],
+            "n_checked": pd.array([int(dup["n_total"].sum())], dtype="int64"),
+            "n_violations": pd.array(
+                [int(dup["n_dup"].sum())], dtype="int64"
+            ),
+            "first_bad_id": pd.array(
+                [int(firsts.min()) if len(firsts) else -1], dtype="int64"
+            ),
+        }
+    )
+    return pd.concat([scalar_rules, uniq_row], ignore_index=True)
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -14281,6 +14589,9 @@ QUERIES = {
     "q249_bow_dup_groups": q249_bow_dup_groups,
     "q250_readability_evidence": q250_readability_evidence,
     "q251_order_cadence": q251_order_cadence,
+    "q252_rfm_segments": q252_rfm_segments,
+    "q253_neighborhood_purity": q253_neighborhood_purity,
+    "q254_dq_constraint_suite": q254_dq_constraint_suite,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -15806,6 +16117,114 @@ ORACLE_SQL = {
                  m.gl[CAST((len(m.gl) - 1) // 2 AS INT) + 1], -1
                ) AS BIGINT) AS median_gap_days
         FROM agg a LEFT JOIN med m ON m.custkey = a.custkey
+    """,
+    "q252_rfm_segments": """
+        -- tercile thresholds are the EXACT order statistics at
+        -- 1-indexed positions ceil(n/3) and ceil(2n/3) (quantile_disc
+        -- convention); bucket: <= t1 -> 0, <= t2 -> 1, else 2
+        WITH gm AS (SELECT epoch_us(max(o_orderdate)) AS gmax FROM orders),
+        rfm AS (
+          SELECT o_custkey,
+                 CAST((gm.gmax - epoch_us(max(o_orderdate)))
+                      // 86400000000 AS BIGINT) AS r_days,
+                 count(*) AS f_orders,
+                 CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS m_cents
+          FROM orders, gm GROUP BY o_custkey, gm.gmax
+        ),
+        t AS (
+          SELECT list_sort(list(r_days)) AS rl,
+                 list_sort(list(f_orders)) AS fl,
+                 list_sort(list(m_cents)) AS ml,
+                 count(*) AS n
+          FROM rfm
+        )
+        SELECT CAST(CASE WHEN r_days <= rl[CAST((n + 2) // 3 AS INT)] THEN 0
+                    WHEN r_days <= rl[CAST((2 * n + 2) // 3 AS INT)] THEN 1
+                    ELSE 2 END AS BIGINT) AS r_seg,
+               CAST(CASE WHEN f_orders <= fl[CAST((n + 2) // 3 AS INT)] THEN 0
+                    WHEN f_orders <= fl[CAST((2 * n + 2) // 3 AS INT)] THEN 1
+                    ELSE 2 END AS BIGINT) AS f_seg,
+               CAST(CASE WHEN m_cents <= ml[CAST((n + 2) // 3 AS INT)] THEN 0
+                    WHEN m_cents <= ml[CAST((2 * n + 2) // 3 AS INT)] THEN 1
+                    ELSE 2 END AS BIGINT) AS m_seg,
+               count(*) AS n_customers
+        FROM rfm, t GROUP BY 1, 2, 3
+    """,
+    "q253_neighborhood_purity": """
+        -- top-10 by int-quantized dot (ties cand_id asc); count
+        -- neighbors sharing the query's label
+        WITH qv AS (
+          SELECT vec_id, label,
+                 list_transform(
+                   embedding, x -> floor(CAST(x AS DOUBLE) * 1000)) AS q
+          FROM embeddings
+        ),
+        qsim AS (
+          SELECT a.vec_id AS query_id, a.label AS qlab,
+                 b.vec_id AS cand_id, b.label AS clab,
+                 CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot
+          FROM qv a JOIN qv b
+            ON a.vec_id % 10 = 0 AND b.vec_id <> a.vec_id
+        ),
+        r AS (
+          SELECT query_id, qlab, clab,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY dot DESC, cand_id) AS rn
+          FROM qsim
+        )
+        SELECT query_id,
+               CAST(sum(CASE WHEN clab = qlab THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_same_label,
+               count(*) AS k_used
+        FROM r WHERE rn <= 10 GROUP BY 1
+    """,
+    "q254_dq_constraint_suite": """
+        -- Deequ-style constraint verification: per rule, rows
+        -- checked, violations, earliest offender (-1 when clean)
+        WITH tot AS (SELECT count(*) AS n FROM events)
+        SELECT 'completeness_props' AS rule, tot.n AS n_checked,
+               CAST(count(*) FILTER (WHERE props IS NULL)
+                    AS BIGINT) AS n_violations,
+               CAST(coalesce(min(event_id) FILTER (WHERE props IS NULL),
+                             -1) AS BIGINT) AS first_bad_id
+        FROM events, tot GROUP BY tot.n
+        UNION ALL
+        SELECT 'range_value_0_300', tot.n,
+               CAST(count(*) FILTER (WHERE value < 0 OR value > 300)
+                    AS BIGINT),
+               CAST(coalesce(min(event_id) FILTER
+                      (WHERE value < 0 OR value > 300), -1) AS BIGINT)
+        FROM events, tot GROUP BY tot.n
+        UNION ALL
+        SELECT 'pattern_props_object', tot.n,
+               CAST(count(*) FILTER
+                      (WHERE props IS NOT NULL AND props NOT LIKE '{%')
+                    AS BIGINT),
+               CAST(coalesce(min(event_id) FILTER
+                      (WHERE props IS NOT NULL AND props NOT LIKE '{%'),
+                      -1) AS BIGINT)
+        FROM events, tot GROUP BY tot.n
+        UNION ALL
+        SELECT 'set_event_type', tot.n,
+               CAST(count(*) FILTER (WHERE event_type IS NULL OR
+                      event_type NOT IN ('click', 'view', 'signup',
+                                         'purchase', 'error'))
+                    AS BIGINT),
+               CAST(coalesce(min(event_id) FILTER
+                      (WHERE event_type IS NULL OR
+                       event_type NOT IN ('click', 'view', 'signup',
+                                          'purchase', 'error')), -1)
+                    AS BIGINT)
+        FROM events, tot GROUP BY tot.n
+        UNION ALL
+        SELECT 'unique_event_id', tot.n,
+               (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM
+                 (SELECT count(*) AS c FROM events
+                  GROUP BY event_id HAVING count(*) >= 2)),
+               (SELECT CAST(coalesce(min(event_id), -1) AS BIGINT) FROM
+                 (SELECT event_id FROM events
+                  GROUP BY event_id HAVING count(*) >= 2))
+        FROM tot
     """,
     "q237_max_drawdown": """
         -- dd_i = running_max(c) - c_i; earliest realization wins
