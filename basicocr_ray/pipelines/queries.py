@@ -14340,6 +14340,243 @@ def q254_dq_constraint_suite(sf_dir: str):
     return pd.concat([scalar_rules, uniq_row], ignore_index=True)
 
 
+def q255_bm25_evidence(sf_dir: str):
+    """BM25 COMPONENT EVIDENCE — everything a BM25 scorer divides,
+    for a deterministic probe set (per lang: top-3 tokens by corpus
+    tf, ties token asc): total tf, doc frequency, the lang's doc
+    count and token mass. All integers — the idf/length-norm floats
+    are the consumer's. One corpus scan builds (lang, token,
+    tf, df) partials; the materialized count table feeds BOTH the
+    probe top-3 and the lang token-mass rollup; lang doc counts are a
+    column-pruned second scan."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def tok_partial(b: pa.Table) -> pa.Table:
+        acc: dict[tuple, list[int]] = {}
+        for t, lang in zip(b["text"].to_pylist(), b["lang"].to_pylist()):
+            if t is None or lang is None:
+                continue
+            cnt: dict[str, int] = {}
+            for tok in token_items(t):
+                cnt[tok] = cnt.get(tok, 0) + 1
+            for tok, c in cnt.items():
+                a = acc.setdefault((lang, tok), [0, 0])
+                a[0] += c
+                a[1] += 1
+        ks = sorted(acc)
+        return pa.table(
+            {
+                "lang": pa.array([k[0] for k in ks], pa.string()),
+                "token": pa.array([k[1] for k in ks], pa.string()),
+                "tf": pa.array([acc[k][0] for k in ks], pa.int64()),
+                "df": pa.array([acc[k][1] for k in ks], pa.int64()),
+            }
+        )
+
+    def tok_merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["lang", "token"], as_index=False).sum()
+        return out.astype({"tf": "int64", "df": "int64"})
+
+    counts = coarse_group_reduce(
+        ds.map_batches(tok_partial, batch_format="pyarrow"),
+        ["lang", "token"],
+        tok_merge,
+    ).materialize()
+
+    def top3(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lang, g in df.groupby("lang"):
+            g = g.sort_values(
+                ["tf", "token"], ascending=[False, True], kind="mergesort"
+            ).head(3)
+            rows.append(g)
+        return pd.concat(rows, ignore_index=True) if rows else df.iloc[:0]
+
+    probe = coarse_group_reduce(counts, "lang", top3).to_pandas()
+
+    def mass(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("lang", as_index=False).agg(
+            lang_tokens=("tf", "sum")
+        )
+        return out.astype({"lang_tokens": "int64"})
+
+    lang_tokens = coarse_group_reduce(counts, "lang", mass).to_pandas()
+
+    def doc_partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.is_valid(b["text"]), pc.is_valid(b["lang"])
+        )
+        sel = b.filter(m)
+        df = pd.DataFrame({"lang": sel["lang"].to_pylist()})
+        out = df.groupby("lang", as_index=False).size()
+        return pa.table(
+            {
+                "lang": pa.array(out["lang"], pa.string()),
+                "lang_docs": pa.array(
+                    out["size"].astype("int64"), pa.int64()
+                ),
+            }
+        )
+
+    def doc_merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("lang", as_index=False)["lang_docs"].sum()
+        return out.astype({"lang_docs": "int64"})
+
+    lang_docs = coarse_group_reduce(
+        _read(sf_dir, "documents", columns=["text", "lang"]).map_batches(
+            doc_partial, batch_format="pyarrow"
+        ),
+        "lang", doc_merge,
+    ).to_pandas()
+
+    out = probe.rename(columns={"token": "term", "tf": "tf_total"})
+    out = out.merge(lang_tokens, on="lang").merge(lang_docs, on="lang")
+    return out[
+        ["lang", "term", "tf_total", "df", "lang_docs", "lang_tokens"]
+    ].astype(
+        {
+            "tf_total": "int64", "df": "int64",
+            "lang_docs": "int64", "lang_tokens": "int64",
+        }
+    )
+
+
+def q256_freshness_report(sf_dir: str):
+    """FRESHNESS / HEARTBEAT REPORT per event type — the pipeline-ops
+    staleness artifact: event count, whole-second lag of the type's
+    last event behind the corpus max, and the LARGEST inter-event gap
+    (−1 for single-event types). The gap needs a per-type total order
+    — instead of dragging a whole type into one task, each (type,
+    hour) bucket reduces to (n, min, max, max internal gap) and the
+    driver merges the BOUNDED bucket chain per type (boundary gaps =
+    next bucket's min − previous bucket's max, which also spans empty
+    hours)."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    HOUR_US = 3_600_000_000
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "hour": pc.divide(t, HOUR_US),
+                "t": t,
+            }
+        )
+
+    def bucket_stats(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (et, hr), grp in df.groupby(["event_type", "hour"]):
+            tt = np.sort(grp["t"].to_numpy())
+            mig = int((tt[1:] - tt[:-1]).max()) if len(tt) > 1 else -1
+            rows.append((et, int(hr), len(tt), int(tt[0]), int(tt[-1]), mig))
+        return pd.DataFrame(
+            {
+                "event_type": [r[0] for r in rows],
+                "hour": pd.array([r[1] for r in rows], dtype="int64"),
+                "n": pd.array([r[2] for r in rows], dtype="int64"),
+                "t_min": pd.array([r[3] for r in rows], dtype="int64"),
+                "t_max": pd.array([r[4] for r in rows], dtype="int64"),
+                "gap_in": pd.array([r[5] for r in rows], dtype="int64"),
+            }
+        )
+
+    buckets = coarse_group_reduce(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "hour"],
+        bucket_stats,
+    ).to_pandas()
+
+    gmax = int(buckets["t_max"].max())
+    rows = []
+    for et, g in buckets.groupby("event_type"):
+        g = g.sort_values("hour")
+        n = int(g["n"].sum())
+        gap = int(g["gap_in"].max())
+        bmax = g["t_max"].to_numpy()
+        bmin = g["t_min"].to_numpy()
+        if len(g) > 1:
+            gap = max(gap, int((bmin[1:] - bmax[:-1]).max()))
+        rows.append(
+            (
+                et, n, (gmax - int(bmax[-1])) // 1_000_000,
+                gap // 1_000_000 if gap >= 0 else -1,
+            )
+        )
+    return pd.DataFrame(
+        {
+            "event_type": [r[0] for r in rows],
+            "n_events": pd.array([r[1] for r in rows], dtype="int64"),
+            "last_seen_lag_s": pd.array(
+                [r[2] for r in rows], dtype="int64"
+            ),
+            "max_gap_s": pd.array([r[3] for r in rows], dtype="int64"),
+        }
+    )
+
+
+def q257_daily_value_bands(sf_dir: str):
+    """DAILY VALUE BANDS — the ops-dashboard percentile ribbon: per
+    (event_type, day), the EXACT p50/p90 order statistics of the
+    cents-quantized value (positions ceil(n/2) / ceil(9n/10) — the
+    grouped_quantile_disc two-pass histogram, no per-group sort) plus
+    the count. Composite groups ride a derived key column."""
+    from basicocr_ray.stages.wide import (
+        coarse_group_reduce,
+        grouped_quantile_disc,
+    )
+
+    DAY_US = 86_400_000_000
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+        day = pc.divide(t, DAY_US)
+        cents = pc.cast(
+            pc.floor(pc.multiply(b["value"], 100.0)), pa.int64()
+        )
+        gk = pc.binary_join_element_wise(
+            pc.cast(b["event_type"], pa.string()),
+            pc.cast(day, pa.string()),
+            "|",
+        )
+        return pa.table(
+            {"gk": gk, "event_type": b["event_type"], "day": day,
+             "cents": cents}
+        )
+
+    base = ds.map_batches(prep, batch_format="pyarrow").materialize()
+
+    p50 = {
+        r["gk"]: int(r["q_value"])
+        for r in collect_rows(grouped_quantile_disc(base, "gk", "cents", 1, 2))
+    }
+    p90 = {
+        r["gk"]: int(r["q_value"])
+        for r in collect_rows(grouped_quantile_disc(base, "gk", "cents", 9, 10))
+    }
+
+    def cnt(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["gk", "event_type", "day"], as_index=False).size()
+        out = out.rename(columns={"size": "n_events"})
+        return out.astype({"day": "int64", "n_events": "int64"})
+
+    counts = coarse_group_reduce(base, "gk", cnt).to_pandas()
+    counts["p50_cents"] = pd.array(
+        [p50[k] for k in counts["gk"]], dtype="int64"
+    )
+    counts["p90_cents"] = pd.array(
+        [p90[k] for k in counts["gk"]], dtype="int64"
+    )
+    return counts[
+        ["event_type", "day", "n_events", "p50_cents", "p90_cents"]
+    ]
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -14592,6 +14829,9 @@ QUERIES = {
     "q252_rfm_segments": q252_rfm_segments,
     "q253_neighborhood_purity": q253_neighborhood_purity,
     "q254_dq_constraint_suite": q254_dq_constraint_suite,
+    "q255_bm25_evidence": q255_bm25_evidence,
+    "q256_freshness_report": q256_freshness_report,
+    "q257_daily_value_bands": q257_daily_value_bands,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -16225,6 +16465,72 @@ ORACLE_SQL = {
                  (SELECT event_id FROM events
                   GROUP BY event_id HAVING count(*) >= 2))
         FROM tot
+    """,
+    "q255_bm25_evidence": f"""
+        -- probe = per-lang top-3 tokens by tf (ties token asc);
+        -- all-integer BM25 components, the floats are the consumer's
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 unnest(list_filter({_TOKS}, x -> x <> '')) AS token
+          FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+        ),
+        tc AS (
+          SELECT lang, token, count(*) AS tf,
+                 count(DISTINCT doc_id) AS df
+          FROM toks GROUP BY 1, 2
+        ),
+        probe AS (
+          SELECT lang, token, tf, df,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY tf DESC, token) AS rn
+          FROM tc
+        ),
+        lt AS (SELECT lang, CAST(sum(tf) AS BIGINT) AS lang_tokens
+               FROM tc GROUP BY 1),
+        ld AS (SELECT lang, count(*) AS lang_docs FROM documents
+               WHERE text IS NOT NULL AND lang IS NOT NULL GROUP BY 1)
+        SELECT p.lang, p.token AS term, CAST(p.tf AS BIGINT) AS tf_total,
+               CAST(p.df AS BIGINT) AS df, ld.lang_docs, lt.lang_tokens
+        FROM probe p JOIN lt USING (lang) JOIN ld USING (lang)
+        WHERE p.rn <= 3
+    """,
+    "q256_freshness_report": """
+        -- staleness per type: lag behind the corpus max and the
+        -- largest inter-event gap, whole seconds (floor is monotonic
+        -- so max of floored gaps = floored max gap)
+        WITH o AS (
+          SELECT event_type, epoch_us(ts) AS t,
+                 lead(epoch_us(ts)) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id) AS nt
+          FROM events
+        ),
+        gm AS (SELECT max(epoch_us(ts)) AS g FROM events)
+        SELECT event_type, count(*) AS n_events,
+               CAST((gm.g - max(t)) // 1000000 AS BIGINT)
+                 AS last_seen_lag_s,
+               CAST(coalesce(max((nt - t) // 1000000), -1) AS BIGINT)
+                 AS max_gap_s
+        FROM o, gm GROUP BY event_type, gm.g
+    """,
+    "q257_daily_value_bands": """
+        -- exact p50/p90 order statistics at 1-indexed positions
+        -- ceil(n/2) and ceil(9n/10) of the sorted cents
+        WITH v AS (
+          SELECT event_type,
+                 CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                 CAST(floor(value * 100) AS BIGINT) AS cents
+          FROM events
+        ),
+        s AS (
+          SELECT event_type, day, list_sort(list(cents)) AS cl,
+                 count(*) AS n
+          FROM v GROUP BY 1, 2
+        )
+        SELECT event_type, day, CAST(n AS BIGINT) AS n_events,
+               CAST(cl[CAST((n + 1) // 2 AS INT)] AS BIGINT) AS p50_cents,
+               CAST(cl[CAST((9 * n + 9) // 10 AS INT)] AS BIGINT)
+                 AS p90_cents
+        FROM s
     """,
     "q237_max_drawdown": """
         -- dd_i = running_max(c) - c_i; earliest realization wins
