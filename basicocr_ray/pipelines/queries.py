@@ -14577,6 +14577,159 @@ def q257_daily_value_bands(sf_dir: str):
     ]
 
 
+def q258_split_leakage(sf_dir: str):
+    """SPLIT LEAKAGE AUDIT — the train/eval contamination check run
+    before any training export (q75's decontamination targets a known
+    eval set; this audits the engine's OWN q81 hash split): for every
+    split pair, the number of bag-of-words duplicate groups (q249
+    signatures) with members on BOTH sides, plus each side's doc
+    count inside those groups. Shuffle carries (sig, split, n) —
+    bounded by the signature cardinality, output by the 3 pairs."""
+    from basicocr_ray.stages.sample import hash_split
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    MASK = (1 << 63) - 1
+    ds = hash_split(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), "doc_id"
+    )
+
+    def sig_partial(b: pa.Table) -> pa.Table:
+        acc: dict[tuple, int] = {}
+        for t, sp in zip(b["text"].to_pylist(), b["split"].to_pylist()):
+            if t is None:
+                continue
+            sig = _md5_low64(" ".join(sorted(set(token_items(t))))) & MASK
+            acc[(sig, sp)] = acc.get((sig, sp), 0) + 1
+        ks = sorted(acc)
+        return pa.table(
+            {
+                "sig": pa.array([k[0] for k in ks], pa.int64()),
+                "split": pa.array([k[1] for k in ks], pa.string()),
+                "n": pa.array([acc[k] for k in ks], pa.int64()),
+            }
+        )
+
+    def pair_rows(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["sig", "split"], as_index=False)["n"].sum()
+        rows = []
+        for sig, grp in g.groupby("sig"):
+            if len(grp) < 2:
+                continue
+            recs = sorted(grp[["split", "n"]].itertuples(index=False))
+            for i in range(len(recs)):
+                for j in range(i + 1, len(recs)):
+                    rows.append(
+                        (recs[i][0], recs[j][0], 1,
+                         int(recs[i][1]), int(recs[j][1]))
+                    )
+        return pd.DataFrame(
+            {
+                "split_a": [r[0] for r in rows],
+                "split_b": [r[1] for r in rows],
+                "n_leaky_groups": pd.array(
+                    [r[2] for r in rows], dtype="int64"
+                ),
+                "n_docs_a": pd.array([r[3] for r in rows], dtype="int64"),
+                "n_docs_b": pd.array([r[4] for r in rows], dtype="int64"),
+            }
+        )
+
+    per_sig = coarse_group_reduce(
+        ds.map_batches(sig_partial, batch_format="pyarrow"),
+        "sig", pair_rows,
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["split_a", "split_b"], as_index=False).sum()
+        return out.astype(
+            {
+                "n_leaky_groups": "int64",
+                "n_docs_a": "int64", "n_docs_b": "int64",
+            }
+        )
+
+    return coarse_group_reduce(per_sig, ["split_a", "split_b"], final)
+
+
+def q259_encoding_weight(sf_dir: str):
+    """UTF-8 ENCODING WEIGHT per language — the storage planner's
+    byte-vs-char profile (CJK text budgets ~3 bytes/char, Latin ~1):
+    docs, characters, and encoded bytes, entirely in zero-copy Arrow
+    kernels (utf8_length / binary_length) — no Python row loop."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "documents", columns=["text", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(b["text"]), pc.is_valid(b["lang"]))
+        sel = b.filter(m)
+        chars = pc.cast(pc.utf8_length(sel["text"]), pa.int64())
+        nbytes = pc.cast(
+            pc.binary_length(pc.cast(sel["text"], pa.binary())), pa.int64()
+        )
+        df = pd.DataFrame(
+            {
+                "lang": sel["lang"].to_pylist(),
+                "n_docs": 1,
+                "sum_chars": chars.to_numpy(zero_copy_only=False),
+                "sum_bytes": nbytes.to_numpy(zero_copy_only=False),
+            }
+        ).groupby("lang", as_index=False).sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("lang", as_index=False).sum()
+        return out.astype(
+            {"n_docs": "int64", "sum_chars": "int64", "sum_bytes": "int64"}
+        )
+
+    return coarse_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"), "lang", final
+    )
+
+
+def q260_co_engagement(sf_dir: str):
+    """CO-ENGAGEMENT MATRIX — for every unordered event-type pair, the
+    number of users who did BOTH and the total co-engagement strength
+    Σ_user min(count_a, count_b) (the bipartite projection of the
+    user–type graph; q189 projects langs over features, this projects
+    types over users). Per-user type counts co-locate on the user
+    exchange; each user emits ≤ C(|types|, 2) pair rows."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def user_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(
+            ["user_id", "event_type"], as_index=False
+        ).size()
+        rows = []
+        for uid, grp in g.groupby("user_id"):
+            recs = sorted(grp[["event_type", "size"]].itertuples(index=False))
+            for i in range(len(recs)):
+                for j in range(i + 1, len(recs)):
+                    rows.append(
+                        (recs[i][0], recs[j][0], 1,
+                         min(int(recs[i][1]), int(recs[j][1])))
+                    )
+        return pd.DataFrame(
+            {
+                "type_a": [r[0] for r in rows],
+                "type_b": [r[1] for r in rows],
+                "n_users": pd.array([r[2] for r in rows], dtype="int64"),
+                "strength": pd.array([r[3] for r in rows], dtype="int64"),
+            }
+        )
+
+    per_user = coarse_group_reduce(ds, "user_id", user_pairs)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["type_a", "type_b"], as_index=False).sum()
+        return out.astype({"n_users": "int64", "strength": "int64"})
+
+    return coarse_group_reduce(per_user, ["type_a", "type_b"], final)
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -14832,6 +14985,9 @@ QUERIES = {
     "q255_bm25_evidence": q255_bm25_evidence,
     "q256_freshness_report": q256_freshness_report,
     "q257_daily_value_bands": q257_daily_value_bands,
+    "q258_split_leakage": q258_split_leakage,
+    "q259_encoding_weight": q259_encoding_weight,
+    "q260_co_engagement": q260_co_engagement,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -16531,6 +16687,54 @@ ORACLE_SQL = {
                CAST(cl[CAST((9 * n + 9) // 10 AS INT)] AS BIGINT)
                  AS p90_cents
         FROM s
+    """,
+    "q258_split_leakage": f"""
+        -- BOW dup groups (q249 signature) spanning q81 hash splits
+        WITH d AS (
+          SELECT CAST(md5_number_lower(coalesce(array_to_string(
+                   list_sort(list_distinct(
+                     list_filter({_TOKS}, x -> x <> ''))), ' '), ''))
+                 & 9223372036854775807 AS BIGINT) AS sig,
+                 CASE WHEN CAST('0x' || substr(
+                        md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                        % 100 < 80 THEN 'train'
+                      WHEN CAST('0x' || substr(
+                        md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                        % 100 < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents WHERE text IS NOT NULL
+        ),
+        g AS (SELECT sig, split, count(*) AS n FROM d GROUP BY 1, 2)
+        SELECT x.split AS split_a, y.split AS split_b,
+               count(*) AS n_leaky_groups,
+               CAST(sum(x.n) AS BIGINT) AS n_docs_a,
+               CAST(sum(y.n) AS BIGINT) AS n_docs_b
+        FROM g x JOIN g y ON x.sig = y.sig AND x.split < y.split
+        GROUP BY 1, 2
+    """,
+    "q259_encoding_weight": """
+        -- chars vs encoded bytes per lang (length = codepoints,
+        -- strlen = utf-8 bytes)
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+               CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes
+        FROM documents
+        WHERE text IS NOT NULL AND lang IS NOT NULL
+        GROUP BY 1
+    """,
+    "q260_co_engagement": """
+        -- bipartite projection of user-type counts: users doing both
+        -- + sum of min(count_a, count_b)
+        WITH c AS (
+          SELECT user_id, event_type, count(*) AS n
+          FROM events GROUP BY 1, 2
+        )
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS n_users,
+               CAST(sum(least(a.n, b.n)) AS BIGINT) AS strength
+        FROM c a JOIN c b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
     """,
     "q237_max_drawdown": """
         -- dd_i = running_max(c) - c_i; earliest realization wins
