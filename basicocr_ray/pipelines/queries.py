@@ -14730,6 +14730,235 @@ def q260_co_engagement(sf_dir: str):
     return coarse_group_reduce(per_user, ["type_a", "type_b"], final)
 
 
+def q261_retention_plan(sf_dir: str):
+    """SNAPSHOT RETENTION PLAN — the backup-GC policy artifact (keep
+    the last 7 dailies, the last 4 week-closers, the last 3
+    month-closers; first matching reason wins, everything else
+    drops): applied to the corpus' distinct event days. The week key
+    is the pure-integer ISO week (epoch_day + 3) // 7 — no calendar
+    library on either engine. Distinct days reduce to bounded
+    metadata; the policy is driver arithmetic."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    DAY_US = 86_400_000_000
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def day_partial(b: pa.Table) -> pa.Table:
+        t = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+        days = np.unique(
+            (t.to_numpy(zero_copy_only=False) // DAY_US).astype(np.int64)
+        )
+        return pa.table({"day": pa.array(days, pa.int64())})
+
+    def day_merge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"day": pd.array(sorted(df["day"].unique()), dtype="int64")}
+        )
+
+    days = np.sort(
+        coarse_group_reduce(
+            ds.map_batches(day_partial, batch_format="pyarrow"),
+            "day", day_merge,
+        ).to_pandas()["day"].to_numpy()
+    )
+
+    daily = set(days[-7:].tolist())
+    week = (days + 3) // 7
+    week_close = {}
+    for d, w in zip(days.tolist(), week.tolist()):
+        week_close[w] = d  # days sorted asc -> last wins = week max
+    weekly = set(
+        [week_close[w] for w in sorted(week_close)[-4:]]
+    )
+    month_key = []
+    for d in days.tolist():
+        dt = datetime.utcfromtimestamp(d * 86_400)
+        month_key.append(dt.year * 12 + dt.month)
+    month_close = {}
+    for d, m in zip(days.tolist(), month_key):
+        month_close[m] = d
+    monthly = set([month_close[m] for m in sorted(month_close)[-3:]])
+
+    reasons = []
+    for d in days.tolist():
+        if d in daily:
+            reasons.append("daily")
+        elif d in weekly:
+            reasons.append("weekly")
+        elif d in monthly:
+            reasons.append("monthly")
+        else:
+            reasons.append("drop")
+    return pd.DataFrame(
+        {
+            "day": pd.array(days, dtype="int64"),
+            "action": reasons,
+        }
+    )
+
+
+def q262_topk_movers(sf_dir: str):
+    """DAY-OVER-DAY TOP MOVERS — the anomaly dashboard's headline: per
+    event type, the 3 largest absolute day-over-day count changes on
+    the dense calendar grid (missing days count 0; ties earliest day
+    first). Per-(type, day) counts are the only exchange; the dense
+    diff runs on bounded metadata."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    DAY_US = 86_400_000_000
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def cnt_partial(b: pa.Table) -> pa.Table:
+        t = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_pylist(),
+                "day": (
+                    t.to_numpy(zero_copy_only=False) // DAY_US
+                ).astype(np.int64),
+            }
+        ).groupby(["event_type", "day"], as_index=False).size()
+        df = df.rename(columns={"size": "n"})
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def cnt_merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["event_type", "day"], as_index=False)["n"].sum()
+        return out.astype({"day": "int64", "n": "int64"})
+
+    counts = coarse_group_reduce(
+        ds.map_batches(cnt_partial, batch_format="pyarrow"),
+        ["event_type", "day"],
+        cnt_merge,
+    ).to_pandas()
+
+    d0, d1 = int(counts["day"].min()), int(counts["day"].max())
+    grid = np.arange(d0, d1 + 1, dtype=np.int64)
+    rows = []
+    for et, g in counts.groupby("event_type"):
+        dense = np.zeros(len(grid), dtype=np.int64)
+        dense[g["day"].to_numpy() - d0] = g["n"].to_numpy()
+        delta = dense[1:] - dense[:-1]
+        order = np.lexsort((grid[1:], -np.abs(delta)))[:3]
+        for i in order:
+            rows.append(
+                (et, int(grid[i + 1]), int(dense[i]), int(dense[i + 1]),
+                 int(delta[i]))
+            )
+    return pd.DataFrame(
+        {
+            "event_type": [r[0] for r in rows],
+            "day": pd.array([r[1] for r in rows], dtype="int64"),
+            "prev_n": pd.array([r[2] for r in rows], dtype="int64"),
+            "n": pd.array([r[3] for r in rows], dtype="int64"),
+            "delta": pd.array([r[4] for r in rows], dtype="int64"),
+        }
+    )
+
+
+def q263_band_migration(sf_dir: str):
+    """VALUE-BAND MIGRATION MATRIX — the cohort-health report: split
+    the corpus at the calendar midpoint, band each user's window spend
+    into exact terciles AMONG THAT WINDOW'S ACTIVE USERS (ceil(n/3) /
+    ceil(2n/3) order statistics), and count users per (band_w1,
+    band_w2) cell with −1 = inactive. Both windows' totals co-locate
+    on one user exchange; thresholds come from the two-pass histogram
+    quantile over the materialized per-user relation."""
+    from basicocr_ray.stages.wide import (
+        coarse_group_reduce,
+        grouped_quantile_disc,
+    )
+
+    DAY_US = 86_400_000_000
+    ds = _read(sf_dir, "events", columns=["ts", "user_id", "value"])
+
+    def day_bounds(b: pa.Table) -> pa.Table:
+        t = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+        d = t.to_numpy(zero_copy_only=False) // DAY_US
+        return pa.table(
+            {
+                "lo": pa.array([int(d.min())], pa.int64()),
+                "hi": pa.array([int(d.max())], pa.int64()),
+            }
+        )
+
+    bounds = ds.map_batches(day_bounds, batch_format="pyarrow")
+    lo = int(bounds.min("lo"))
+    hi = int(bounds.max("hi"))
+    split_day = (lo + hi + 1) // 2
+
+    def user_windows(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["ts"].astype("datetime64[us]").astype("int64")
+        day = (t // DAY_US).to_numpy()
+        cents = np.floor(
+            df["value"].to_numpy(dtype=np.float64) * 100.0
+        ).astype(np.int64)
+        w = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(),
+                "w1": np.where(day < split_day, cents, 0),
+                "w2": np.where(day >= split_day, cents, 0),
+                "a1": (day < split_day).astype(np.int64),
+                "a2": (day >= split_day).astype(np.int64),
+            }
+        ).groupby("user_id", as_index=False).sum()
+        return w.astype(
+            {
+                "user_id": "int64", "w1": "int64", "w2": "int64",
+                "a1": "int64", "a2": "int64",
+            }
+        )
+
+    users = coarse_group_reduce(ds, "user_id", user_windows).materialize()
+
+    thr = {}
+    for col, active in (("w1", "a1"), ("w2", "a2")):
+        act = users.map_batches(
+            lambda b, a=active: b.filter(pc.greater(b[a], 0)),
+            batch_format="pyarrow",
+        ).map_batches(
+            lambda b: b.append_column(
+                "g", pa.array(np.zeros(len(b), dtype=np.int32))
+            ),
+            batch_format="pyarrow",
+        )
+        t1 = int(
+            collect_rows(grouped_quantile_disc(act, "g", col, 1, 3))[0][
+                "q_value"
+            ]
+        )
+        t2 = int(
+            collect_rows(grouped_quantile_disc(act, "g", col, 2, 3))[0][
+                "q_value"
+            ]
+        )
+        thr[col] = (t1, t2)
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        out = {}
+        for col, active, seg in (
+            ("w1", "a1", "band_w1"), ("w2", "a2", "band_w2")
+        ):
+            v = b[col].combine_chunks().to_numpy(zero_copy_only=False)
+            a = b[active].combine_chunks().to_numpy(zero_copy_only=False)
+            t1, t2 = thr[col]
+            band = np.where(v <= t1, 0, np.where(v <= t2, 1, 2))
+            out[seg] = np.where(a > 0, band, -1).astype(np.int64)
+        out["n_users"] = np.ones(b.num_rows, dtype=np.int64)
+        return pa.table(out)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(
+            ["band_w1", "band_w2"], as_index=False
+        )["n_users"].sum()
+        return out.astype({"n_users": "int64"})
+
+    return coarse_group_reduce(
+        users.map_batches(bucketize, batch_format="pyarrow"),
+        ["band_w1", "band_w2"],
+        final,
+    )
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -14988,6 +15217,9 @@ QUERIES = {
     "q258_split_leakage": q258_split_leakage,
     "q259_encoding_weight": q259_encoding_weight,
     "q260_co_engagement": q260_co_engagement,
+    "q261_retention_plan": q261_retention_plan,
+    "q262_topk_movers": q262_topk_movers,
+    "q263_band_migration": q263_band_migration,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -16735,6 +16967,120 @@ ORACLE_SQL = {
         FROM c a JOIN c b
           ON a.user_id = b.user_id AND a.event_type < b.event_type
         GROUP BY 1, 2
+    """,
+    "q261_retention_plan": """
+        -- keep last 7 dailies, last 4 week-closers, last 3
+        -- month-closers; first reason wins. ISO week = (day+3)//7.
+        WITH d AS (
+          SELECT DISTINCT epoch_us(ts) // 86400000000 AS day FROM events
+        ),
+        r AS (
+          SELECT day,
+                 row_number() OVER (ORDER BY day DESC) AS rd,
+                 (day + 3) // 7 AS wk,
+                 year(make_timestamp(day * 86400000000)) * 12
+                   + month(make_timestamp(day * 86400000000)) AS mo
+          FROM d
+        ),
+        wmax AS (SELECT wk, max(day) AS wday FROM r GROUP BY wk),
+        wrank AS (SELECT wday,
+                         row_number() OVER (ORDER BY wk DESC) AS rw
+                  FROM wmax),
+        mmax AS (SELECT mo, max(day) AS mday FROM r GROUP BY mo),
+        mrank AS (SELECT mday,
+                         row_number() OVER (ORDER BY mo DESC) AS rm
+                  FROM mmax)
+        SELECT r.day,
+               CASE WHEN r.rd <= 7 THEN 'daily'
+                    WHEN w.rw IS NOT NULL AND w.rw <= 4 THEN 'weekly'
+                    WHEN m.rm IS NOT NULL AND m.rm <= 3 THEN 'monthly'
+                    ELSE 'drop' END AS action
+        FROM r
+        LEFT JOIN wrank w ON w.wday = r.day
+        LEFT JOIN mrank m ON m.mday = r.day
+    """,
+    "q262_topk_movers": """
+        -- dense-calendar day-over-day deltas; top-3 |delta| per type,
+        -- ties earliest day
+        WITH c AS (
+          SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        b AS (SELECT min(day) AS d0, max(day) AS d1 FROM c),
+        days AS (
+          SELECT unnest(range((SELECT d0 FROM b),
+                              (SELECT d1 FROM b) + 1)) AS day
+        ),
+        tt AS (SELECT DISTINCT event_type FROM c),
+        grid AS (
+          SELECT tt.event_type, days.day, coalesce(c.n, 0) AS n
+          FROM tt CROSS JOIN days
+          LEFT JOIN c ON c.event_type = tt.event_type
+                     AND c.day = days.day
+        ),
+        d AS (
+          SELECT event_type, day, n,
+                 lag(n) OVER (PARTITION BY event_type
+                              ORDER BY day) AS pn
+          FROM grid
+        ),
+        r AS (
+          SELECT event_type, day, pn, n, n - pn AS delta,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY abs(n - pn) DESC, day) AS rn
+          FROM d WHERE pn IS NOT NULL
+        )
+        SELECT event_type, day, CAST(pn AS BIGINT) AS prev_n,
+               CAST(n AS BIGINT) AS n, CAST(delta AS BIGINT) AS delta
+        FROM r WHERE rn <= 3
+    """,
+    "q263_band_migration": """
+        -- windows split at the calendar midpoint; terciles among each
+        -- window's ACTIVE users at ceil(n/3)/ceil(2n/3); -1 inactive
+        WITH b AS (
+          SELECT min(epoch_us(ts) // 86400000000) AS lo,
+                 max(epoch_us(ts) // 86400000000) AS hi
+          FROM events
+        ),
+        sp AS (SELECT (lo + hi + 1) // 2 AS sd FROM b),
+        u AS (
+          SELECT user_id,
+                 CAST(sum(CASE WHEN epoch_us(ts) // 86400000000 < sp.sd
+                          THEN floor(value * 100) ELSE 0 END)
+                      AS BIGINT) AS w1,
+                 CAST(sum(CASE WHEN epoch_us(ts) // 86400000000 >= sp.sd
+                          THEN floor(value * 100) ELSE 0 END)
+                      AS BIGINT) AS w2,
+                 sum(CASE WHEN epoch_us(ts) // 86400000000 < sp.sd
+                     THEN 1 ELSE 0 END) AS a1,
+                 sum(CASE WHEN epoch_us(ts) // 86400000000 >= sp.sd
+                     THEN 1 ELSE 0 END) AS a2
+          FROM events, sp GROUP BY user_id, sp.sd
+        ),
+        t1 AS (SELECT list_sort(list(w1)) AS l, count(*) AS n
+               FROM u WHERE a1 > 0),
+        t2 AS (SELECT list_sort(list(w2)) AS l, count(*) AS n
+               FROM u WHERE a2 > 0),
+        banded AS (
+          SELECT CASE WHEN a1 = 0 THEN -1
+                      WHEN w1 <= t1.l[CAST((t1.n + 2) // 3 AS INT)]
+                        THEN 0
+                      WHEN w1 <= t1.l[CAST((2 * t1.n + 2) // 3 AS INT)]
+                        THEN 1
+                      ELSE 2 END AS band_w1,
+                 CASE WHEN a2 = 0 THEN -1
+                      WHEN w2 <= t2.l[CAST((t2.n + 2) // 3 AS INT)]
+                        THEN 0
+                      WHEN w2 <= t2.l[CAST((2 * t2.n + 2) // 3 AS INT)]
+                        THEN 1
+                      ELSE 2 END AS band_w2
+          FROM u, t1, t2
+        )
+        SELECT CAST(band_w1 AS BIGINT) AS band_w1,
+               CAST(band_w2 AS BIGINT) AS band_w2,
+               count(*) AS n_users
+        FROM banded GROUP BY 1, 2
     """,
     "q237_max_drawdown": """
         -- dd_i = running_max(c) - c_i; earliest realization wins
