@@ -14959,6 +14959,365 @@ def q263_band_migration(sf_dir: str):
     )
 
 
+def _sorted_lookup(sorted_keys: np.ndarray, values: np.ndarray, keys: np.ndarray):
+    """Vectorized dimension probe: map ``keys`` through the broadcast
+    (sorted_keys -> values) association; misses return -1 (int) so the
+    caller can mask (inner-join semantics). The house searchsorted
+    pattern (q246/q248) factored out for the multi-dimension TPC-H
+    joins."""
+    if len(sorted_keys) == 0:
+        return np.full(len(keys), -1, dtype=np.int64)
+    idx = np.searchsorted(sorted_keys, keys)
+    idx[idx >= len(sorted_keys)] = len(sorted_keys) - 1
+    hit = sorted_keys[idx] == keys
+    out = values[idx].astype(np.int64)
+    out[~hit] = -1
+    return out
+
+
+def q264_trade_flows(sf_dir: str):
+    """CROSS-BORDER TRADE FLOWS — TPC-H Q7 generalized to every nation
+    pair: exact revenue cents shipped from a supplier nation to a
+    DIFFERENT customer nation, per ship year. The two fact tables meet
+    in ONE single-shuffle bucketed hash join on orderkey; every
+    dimension (customer->nation, supplier->nation, nation names) is a
+    broadcast probe on the fact side, and the (cust_nation, supp_nation,
+    year) rollup is FUSED into the join bucket so only a bounded
+    25x25x|years| relation leaves the join."""
+    import ray
+
+    from basicocr_ray.stages.joins import bucketed_hash_join
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ctab = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    ck = np.asarray(ctab["c_custkey"].to_pylist(), dtype=np.int64)
+    cv = np.asarray(ctab["c_nationkey"].to_pylist(), dtype=np.int64)
+    co = np.argsort(ck)
+    stab = pq.read_table(_p(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    sk = np.asarray(stab["s_suppkey"].to_pylist(), dtype=np.int64)
+    sv = np.asarray(stab["s_nationkey"].to_pylist(), dtype=np.int64)
+    so = np.argsort(sk)
+    dref = ray.put((ck[co], cv[co], sk[so], sv[so]))
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "okey": b["l_orderkey"],
+                "skey": b["l_suppkey"],
+                "ship_year": pc.cast(pc.year(b["l_shipdate"]), pa.int64()),
+                "cents": pa.array(
+                    np.floor(
+                        b["l_extendedprice"].combine_chunks().to_numpy()
+                        * (1.0 - b["l_discount"].combine_chunks().to_numpy())
+                        * 100.0
+                    ).astype(np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    od = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).map_batches(
+        lambda b: pa.table({"okey": b["o_orderkey"], "ckey": b["o_custkey"]}),
+        batch_format="pyarrow",
+    )
+
+    def bucket_agg(tbl: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        if tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "c_nat": pa.array([], pa.int64()),
+                    "s_nat": pa.array([], pa.int64()),
+                    "ship_year": pa.array([], pa.int64()),
+                    "revenue_cents": pa.array([], pa.int64()),
+                    "n_lines": pa.array([], pa.int64()),
+                }
+            )
+        cks, cvs, sks, svs = _ray.get(dref)
+        c_nat = _sorted_lookup(
+            cks, cvs, tbl["ckey"].combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        s_nat = _sorted_lookup(
+            sks, svs, tbl["skey"].combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        keep = (c_nat >= 0) & (s_nat >= 0) & (c_nat != s_nat)
+        df = pd.DataFrame(
+            {
+                "c_nat": c_nat[keep],
+                "s_nat": s_nat[keep],
+                "ship_year": tbl["ship_year"]
+                .combine_chunks().to_numpy(zero_copy_only=False)[keep],
+                "revenue_cents": tbl["cents"]
+                .combine_chunks().to_numpy(zero_copy_only=False)[keep],
+            }
+        )
+        df["n_lines"] = np.int64(1)
+        out = df.groupby(
+            ["c_nat", "s_nat", "ship_year"], as_index=False
+        ).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    joined = bucketed_hash_join(
+        li, od, "okey", ["skey", "ship_year", "cents"], ["ckey"],
+        bucket_post_fn=bucket_agg,
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["c_nat", "s_nat", "ship_year"], as_index=False).sum()
+        return out.astype({"revenue_cents": "int64", "n_lines": "int64"})
+
+    reduced = coarse_group_reduce(joined, ["c_nat", "s_nat", "ship_year"], final)
+
+    ntab = pq.read_table(_p(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    names = dict(
+        zip(ntab["n_nationkey"].to_pylist(), ntab["n_name"].to_pylist())
+    )
+
+    def to_names(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cust_nation": pa.array(
+                    [names[int(k)] for k in b["c_nat"].to_pylist()], pa.string()
+                ),
+                "supp_nation": pa.array(
+                    [names[int(k)] for k in b["s_nat"].to_pylist()], pa.string()
+                ),
+                "ship_year": pc.cast(b["ship_year"], pa.int64()),
+                "revenue_cents": pc.cast(b["revenue_cents"], pa.int64()),
+                "n_lines": pc.cast(b["n_lines"], pa.int64()),
+            }
+        )
+
+    return reduced.map_batches(to_names, batch_format="pyarrow")
+
+
+def q265_brand_profit_topk(sf_dir: str):
+    """BRAND PROFIT LEADERS — TPC-H Q9's product-profit rollup on this
+    schema (no partsupp: the unit cost basis is floor(p_retailprice*100)
+    cents), restricted Q9-style to parts whose name contains 'widget',
+    with the per-brand top-3 parts by total profit (ties: lower
+    partkey). The part dimension broadcasts ONCE; per-batch partials
+    group by partkey so the exchange is bounded by |part|, and the
+    top-k runs per brand on that bounded relation."""
+    import ray
+
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ptab = pq.read_table(
+        _p(sf_dir, "part"),
+        columns=["p_partkey", "p_name", "p_brand", "p_retailprice"],
+    )
+    keep = pc.match_substring(ptab["p_name"], "widget")
+    ptab = ptab.filter(keep)
+    pk = np.asarray(ptab["p_partkey"].to_pylist(), dtype=np.int64)
+    order = np.argsort(pk)
+    pk = pk[order]
+    cost = np.floor(
+        np.asarray(ptab["p_retailprice"].to_pylist(), dtype=np.float64) * 100.0
+    ).astype(np.int64)[order]
+    brands = np.asarray(ptab["p_brand"].to_pylist(), dtype=object)[order]
+    dref = ray.put((pk, cost))
+
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        pkeys, costs = _ray.get(dref)
+        keys = b["l_partkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        unit = _sorted_lookup(pkeys, costs, keys)
+        hit = unit >= 0
+        qty = np.floor(
+            b["l_quantity"].combine_chunks().to_numpy()
+        ).astype(np.int64)
+        rev = np.floor(
+            b["l_extendedprice"].combine_chunks().to_numpy()
+            * (1.0 - b["l_discount"].combine_chunks().to_numpy())
+            * 100.0
+        ).astype(np.int64)
+        profit = rev - unit * qty
+        df = pd.DataFrame(
+            {"p_partkey": keys[hit], "profit_cents": profit[hit]}
+        ).groupby("p_partkey", as_index=False).sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    per_part = coarse_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "p_partkey",
+        lambda df: df.groupby("p_partkey", as_index=False)["profit_cents"]
+        .sum().astype({"profit_cents": "int64"}),
+    )
+
+    brand_of = dict(zip(pk.tolist(), brands.tolist()))
+
+    def tag_brand(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "p_brand",
+            pa.array(
+                [brand_of[int(k)] for k in b["p_partkey"].to_pylist()],
+                pa.string(),
+            ),
+        )
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["p_brand", "profit_cents", "p_partkey"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        df["rnk"] = df.groupby("p_brand").cumcount() + 1
+        out = df[df["rnk"] <= 3].reset_index(drop=True)
+        return out.astype(
+            {"p_partkey": "int64", "profit_cents": "int64", "rnk": "int64"}
+        )
+
+    return coarse_group_reduce(
+        per_part.map_batches(tag_brand, batch_format="pyarrow"),
+        "p_brand",
+        topk,
+    )
+
+
+def q266_domestic_share(sf_dir: str):
+    """DOMESTIC REVENUE SHARE — TPC-H Q8 re-aimed at a schema-native
+    question: per (customer region, order year), the exact cents of
+    revenue where the supplier sits in the CUSTOMER'S OWN nation vs all
+    revenue (the share is the consumer's division — only integers enter
+    the driver hash). Same single-shuffle fact join as q264; the
+    nation->region hop is a second broadcast probe inside the bucket."""
+    import ray
+
+    from basicocr_ray.stages.joins import bucketed_hash_join
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ctab = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    ck = np.asarray(ctab["c_custkey"].to_pylist(), dtype=np.int64)
+    cv = np.asarray(ctab["c_nationkey"].to_pylist(), dtype=np.int64)
+    co = np.argsort(ck)
+    stab = pq.read_table(_p(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    sk = np.asarray(stab["s_suppkey"].to_pylist(), dtype=np.int64)
+    sv = np.asarray(stab["s_nationkey"].to_pylist(), dtype=np.int64)
+    so = np.argsort(sk)
+    ntab = pq.read_table(_p(sf_dir, "nation"), columns=["n_nationkey", "n_regionkey"])
+    nk = np.asarray(ntab["n_nationkey"].to_pylist(), dtype=np.int64)
+    nv = np.asarray(ntab["n_regionkey"].to_pylist(), dtype=np.int64)
+    no = np.argsort(nk)
+    dref = ray.put((ck[co], cv[co], sk[so], sv[so], nk[no], nv[no]))
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "okey": b["l_orderkey"],
+                "skey": b["l_suppkey"],
+                "cents": pa.array(
+                    np.floor(
+                        b["l_extendedprice"].combine_chunks().to_numpy()
+                        * (1.0 - b["l_discount"].combine_chunks().to_numpy())
+                        * 100.0
+                    ).astype(np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    od = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "okey": b["o_orderkey"],
+                "ckey": b["o_custkey"],
+                "order_year": pc.cast(pc.year(b["o_orderdate"]), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def bucket_agg(tbl: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        if tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "rkey": pa.array([], pa.int64()),
+                    "order_year": pa.array([], pa.int64()),
+                    "domestic_cents": pa.array([], pa.int64()),
+                    "total_cents": pa.array([], pa.int64()),
+                    "n_lines": pa.array([], pa.int64()),
+                }
+            )
+        cks, cvs, sks, svs, nks, nvs = _ray.get(dref)
+        c_nat = _sorted_lookup(
+            cks, cvs, tbl["ckey"].combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        s_nat = _sorted_lookup(
+            sks, svs, tbl["skey"].combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        rkey = _sorted_lookup(nks, nvs, c_nat)
+        keep = (c_nat >= 0) & (s_nat >= 0) & (rkey >= 0)
+        cents = tbl["cents"].combine_chunks().to_numpy(zero_copy_only=False)[keep]
+        df = pd.DataFrame(
+            {
+                "rkey": rkey[keep],
+                "order_year": tbl["order_year"]
+                .combine_chunks().to_numpy(zero_copy_only=False)[keep],
+                "domestic_cents": np.where(
+                    c_nat[keep] == s_nat[keep], cents, 0
+                ),
+                "total_cents": cents,
+            }
+        )
+        df["n_lines"] = np.int64(1)
+        out = df.groupby(["rkey", "order_year"], as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    joined = bucketed_hash_join(
+        li, od, "okey", ["skey", "cents"], ["ckey", "order_year"],
+        bucket_post_fn=bucket_agg,
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["rkey", "order_year"], as_index=False).sum()
+        return out.astype(
+            {
+                "domestic_cents": "int64", "total_cents": "int64",
+                "n_lines": "int64",
+            }
+        )
+
+    reduced = coarse_group_reduce(joined, ["rkey", "order_year"], final)
+
+    rtab = pq.read_table(_p(sf_dir, "region"), columns=["r_regionkey", "r_name"])
+    rnames = dict(
+        zip(rtab["r_regionkey"].to_pylist(), rtab["r_name"].to_pylist())
+    )
+
+    def to_names(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "r_name": pa.array(
+                    [rnames[int(k)] for k in b["rkey"].to_pylist()], pa.string()
+                ),
+                "order_year": pc.cast(b["order_year"], pa.int64()),
+                "domestic_cents": pc.cast(b["domestic_cents"], pa.int64()),
+                "total_cents": pc.cast(b["total_cents"], pa.int64()),
+                "n_lines": pc.cast(b["n_lines"], pa.int64()),
+            }
+        )
+
+    return reduced.map_batches(to_names, batch_format="pyarrow")
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -15220,6 +15579,9 @@ QUERIES = {
     "q261_retention_plan": q261_retention_plan,
     "q262_topk_movers": q262_topk_movers,
     "q263_band_migration": q263_band_migration,
+    "q264_trade_flows": q264_trade_flows,
+    "q265_brand_profit_topk": q265_brand_profit_topk,
+    "q266_domestic_share": q266_domestic_share,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -17081,6 +17443,64 @@ ORACLE_SQL = {
                CAST(band_w2 AS BIGINT) AS band_w2,
                count(*) AS n_users
         FROM banded GROUP BY 1, 2
+    """,
+    "q264_trade_flows": """
+        -- TPC-H Q7 generalized to all cross-border nation pairs;
+        -- exact cents, ship-year grain
+        SELECT nc.n_name AS cust_nation, ns.n_name AS supp_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+               CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100))
+                    AS BIGINT) AS revenue_cents,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation nc ON nc.n_nationkey = c_nationkey
+        JOIN nation ns ON ns.n_nationkey = s_nationkey
+        WHERE c_nationkey <> s_nationkey
+        GROUP BY 1, 2, 3
+    """,
+    "q265_brand_profit_topk": """
+        -- Q9-style product profit (unit cost = floor(retailprice*100)
+        -- cents), widget parts only; per-brand top-3, ties lower partkey
+        WITH per_part AS (
+          SELECT p_brand, p_partkey,
+                 CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100)
+                          - CAST(floor(p_retailprice * 100) AS BIGINT)
+                            * CAST(floor(l_quantity) AS BIGINT))
+                      AS BIGINT) AS profit_cents
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE p_name LIKE '%widget%'
+          GROUP BY 1, 2
+        ),
+        r AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY p_brand
+                   ORDER BY profit_cents DESC, p_partkey
+                 ) AS rnk
+          FROM per_part
+        )
+        SELECT p_brand, p_partkey, profit_cents, CAST(rnk AS BIGINT) AS rnk
+        FROM r WHERE rnk <= 3
+    """,
+    "q266_domestic_share": """
+        -- Q8 re-aimed: per (customer region, order year), cents from
+        -- same-nation suppliers vs all; share is the consumer's division
+        SELECT r_name, CAST(year(o_orderdate) AS BIGINT) AS order_year,
+               CAST(sum(CASE WHEN s_nationkey = c_nationkey
+                        THEN floor(l_extendedprice * (1 - l_discount) * 100)
+                        ELSE 0 END) AS BIGINT) AS domestic_cents,
+               CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100))
+                    AS BIGINT) AS total_cents,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation nc ON nc.n_nationkey = c_nationkey
+        JOIN region   ON r_regionkey = nc.n_regionkey
+        GROUP BY 1, 2
     """,
     "q237_max_drawdown": """
         -- dd_i = running_max(c) - c_i; earliest realization wins
