@@ -15318,6 +15318,238 @@ def q266_domestic_share(sf_dir: str):
     return reduced.map_batches(to_names, batch_format="pyarrow")
 
 
+def q267_kcore_peel(sf_dir: str):
+    """K-CORE PEELING (k=3, three unrolled rounds) on the undirected
+    q153 citation-style doc graph — the spam-farm / dense-community
+    extraction pass a web-graph pipeline runs after components (q42)
+    and PageRank (q103). Each round is fully join-based: degrees are a
+    coarse-salted reduce over stacked endpoints, survivors (deg >= k)
+    filter the edge set through TWO bucketed left-semi joins (one per
+    endpoint), and nothing node- or edge-scale ever touches the
+    driver. Output: the round-3 surviving vertices with their residual
+    degree inside the surviving edge set (0 if their last neighbor was
+    peeled with them)."""
+    from basicocr_ray.stages.joins import bucketed_hash_join
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    K = 3
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    n_docs = ds.count()
+
+    def gen_edges(batch: pa.Table) -> pa.Table:
+        i = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        x = np.concatenate([i, i, i])
+        y = np.concatenate(
+            [(i + 1) % n_docs, (i + 2) % n_docs, (3 * i + 1) % n_docs]
+        )
+        keep = x != y
+        x, y = x[keep], y[keep]
+        df = pd.DataFrame(
+            {"a": np.minimum(x, y), "b": np.maximum(x, y)}
+        ).drop_duplicates()
+        return pa.Table.from_pandas(
+            df.astype({"a": "int64", "b": "int64"}), preserve_index=False
+        )
+
+    def dedup_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates().reset_index(drop=True)
+
+    edges = coarse_group_reduce(
+        ds.map_batches(gen_edges, batch_format="pyarrow"),
+        ["a", "b"], dedup_edges,
+    ).materialize()
+
+    def degrees(edge_ds, out_key: str):
+        def partial(b: pa.Table) -> pa.Table:
+            u = np.concatenate(
+                [
+                    b["a"].combine_chunks().to_numpy(zero_copy_only=False),
+                    b["b"].combine_chunks().to_numpy(zero_copy_only=False),
+                ]
+            )
+            df = pd.DataFrame({out_key: u})
+            df["dg"] = np.int64(1)
+            out = df.groupby(out_key, as_index=False).sum()
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        def merge(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.groupby(out_key, as_index=False)["dg"].sum()
+            return out.astype({out_key: "int64", "dg": "int64"})
+
+        return coarse_group_reduce(
+            edge_ds.map_batches(partial, batch_format="pyarrow"),
+            out_key, merge,
+        )
+
+    alive = None
+    for _ in range(3):
+        deg = degrees(edges, "u")
+        alive = deg.map_batches(
+            lambda b: pa.table(
+                {"u": b.filter(pc.greater_equal(b["dg"], K))["u"]}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        edges = bucketed_hash_join(
+            edges,
+            alive.map_batches(
+                lambda b: pa.table({"a": b["u"]}), batch_format="pyarrow"
+            ),
+            "a", ["b"], [], join_type="left semi",
+        )
+        edges = bucketed_hash_join(
+            edges,
+            alive.map_batches(
+                lambda b: pa.table({"b": b["u"]}), batch_format="pyarrow"
+            ),
+            "b", ["a"], [], join_type="left semi",
+        ).materialize()
+
+    residual = degrees(edges, "v").map_batches(
+        lambda b: pa.table(
+            {"v": b["v"], "residual_deg": pc.cast(b["dg"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    out = bucketed_hash_join(
+        alive.map_batches(
+            lambda b: pa.table({"v": b["u"]}), batch_format="pyarrow"
+        ),
+        residual,
+        "v", [], ["residual_deg"], join_type="left outer",
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "v": pc.cast(b["v"], pa.int64()),
+                "residual_deg": pc.cast(
+                    pc.coalesce(b["residual_deg"], pa.scalar(0)), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q268_next_higher(sf_dir: str):
+    """NEXT-GREATER-ELEMENT over each user's event sequence — the
+    "how long until a better offer" primitive (stock-span family):
+    for every event, the number of sequence steps to the FIRST later
+    event of the same user with a strictly higher value (cents), -1 if
+    none. One exchange co-locates each user; the per-group kernel is
+    the O(n) monotonic stack (per-user sequences are memory-bounded,
+    the house sessionize assumption). The SQL twin is the O(n^2)
+    self-join — exact on the same input."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_id", "user_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "t": pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()),
+                "c": pa.array(
+                    np.floor(
+                        b["value"].combine_chunks().to_numpy() * 100.0
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for uid, g in df.groupby("user_id"):
+            g = g.sort_values(["t", "event_id"], kind="mergesort")
+            c = g["c"].to_numpy()
+            n = len(c)
+            res = np.full(n, -1, dtype=np.int64)
+            stack: list[int] = []
+            for i in range(n):
+                ci = c[i]
+                while stack and c[stack[-1]] < ci:
+                    j = stack.pop()
+                    res[j] = i - j
+                stack.append(i)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "user_id": np.full(n, uid, dtype=np.int64),
+                        "event_id": g["event_id"].to_numpy(),
+                        "steps_to_higher": res,
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.array([], dtype="int64"),
+                    "event_id": pd.array([], dtype="int64"),
+                    "steps_to_higher": pd.array([], dtype="int64"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return coarse_group_reduce(
+        ds.map_batches(prep, batch_format="pyarrow"), "user_id", per_user
+    )
+
+
+def q269_waterfill_alloc(sf_dir: str):
+    """WATER-FILLING CRAWL-SLOT ALLOCATION — max-min fair division of
+    a global budget (half the corpus) across hosts (doc_id % 64, demand
+    = host doc count): every host gets min(demand, L) for the largest
+    integer level L that fits the budget, and the remainder goes one
+    unit each to the lowest-numbered still-unsatisfied hosts. The
+    corpus-scale work is ONE per-host count reduce; the allocation is
+    exact integer arithmetic on the bounded 64-row demand relation
+    (q226 measures fairness — this PLANS it)."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = (
+            b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False) % 64
+        ).astype(np.int64)
+        df = pd.DataFrame({"host": h})
+        df["demand"] = np.int64(1)
+        return pa.Table.from_pandas(
+            df.groupby("host", as_index=False).sum(), preserve_index=False
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("host", as_index=False)["demand"].sum()
+        return out.astype({"host": "int64", "demand": "int64"})
+
+    rows = collect_rows(
+        coarse_group_reduce(
+            ds.map_batches(partial, batch_format="pyarrow"), "host", merge
+        )
+    )
+    hosts = np.array(sorted(r["host"] for r in rows), dtype=np.int64)
+    dem = {r["host"]: r["demand"] for r in rows}
+    d = np.array([dem[h] for h in hosts], dtype=np.int64)
+    budget = int(d.sum()) // 2
+
+    levels = np.arange(0, int(d.max()) + 1, dtype=np.int64)
+    fills = np.minimum.outer(d, levels).sum(axis=0)
+    level = int(levels[fills <= budget].max())
+    base = np.minimum(d, level)
+    rem = budget - int(base.sum())
+    unsat = np.flatnonzero(d > level)
+    alloc = base.copy()
+    alloc[unsat[:rem]] += 1
+    return pd.DataFrame(
+        {
+            "host": pd.array(hosts, dtype="int64"),
+            "demand": pd.array(d, dtype="int64"),
+            "alloc": pd.array(alloc, dtype="int64"),
+        }
+    )
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -15582,6 +15814,9 @@ QUERIES = {
     "q264_trade_flows": q264_trade_flows,
     "q265_brand_profit_topk": q265_brand_profit_topk,
     "q266_domestic_share": q266_domestic_share,
+    "q267_kcore_peel": q267_kcore_peel,
+    "q268_next_higher": q268_next_higher,
+    "q269_waterfill_alloc": q269_waterfill_alloc,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -17501,6 +17736,100 @@ ORACLE_SQL = {
         JOIN nation nc ON nc.n_nationkey = c_nationkey
         JOIN region   ON r_regionkey = nc.n_regionkey
         GROUP BY 1, 2
+    """,
+    "q267_kcore_peel": """
+        -- 3 unrolled peel rounds, k=3, undirected q153 graph;
+        -- survivors with residual degree over the surviving edges
+        WITH nn AS (SELECT count(*) AS c FROM documents),
+        vv AS (SELECT doc_id AS v FROM documents),
+        raw AS (
+          SELECT v, (v + 1) % c AS w FROM vv, nn
+          UNION ALL SELECT v, (v + 2) % c FROM vv, nn
+          UNION ALL SELECT v, (3 * v + 1) % c FROM vv, nn
+        ),
+        e0 AS (
+          SELECT DISTINCT least(v, w) AS a, greatest(v, w) AS b
+          FROM raw WHERE v <> w
+        ),
+        d1 AS (SELECT u, count(*) AS dg FROM
+               (SELECT a AS u FROM e0 UNION ALL SELECT b FROM e0)
+               GROUP BY u),
+        a1 AS (SELECT u FROM d1 WHERE dg >= 3),
+        e1 AS (SELECT a, b FROM e0
+               WHERE a IN (SELECT u FROM a1)
+                 AND b IN (SELECT u FROM a1)),
+        d2 AS (SELECT u, count(*) AS dg FROM
+               (SELECT a AS u FROM e1 UNION ALL SELECT b FROM e1)
+               GROUP BY u),
+        a2 AS (SELECT u FROM d2 WHERE dg >= 3),
+        e2 AS (SELECT a, b FROM e1
+               WHERE a IN (SELECT u FROM a2)
+                 AND b IN (SELECT u FROM a2)),
+        d3 AS (SELECT u, count(*) AS dg FROM
+               (SELECT a AS u FROM e2 UNION ALL SELECT b FROM e2)
+               GROUP BY u),
+        a3 AS (SELECT u FROM d3 WHERE dg >= 3),
+        e3 AS (SELECT a, b FROM e2
+               WHERE a IN (SELECT u FROM a3)
+                 AND b IN (SELECT u FROM a3)),
+        d4 AS (SELECT u, count(*) AS dg FROM
+               (SELECT a AS u FROM e3 UNION ALL SELECT b FROM e3)
+               GROUP BY u)
+        SELECT a3.u AS v,
+               CAST(coalesce(d4.dg, 0) AS BIGINT) AS residual_deg
+        FROM a3 LEFT JOIN d4 ON d4.u = a3.u
+    """,
+    "q268_next_higher": """
+        -- first strictly-higher later event per user; -1 if none
+        WITH o AS (
+          SELECT user_id, event_id, epoch_us(ts) AS t,
+                 CAST(floor(value * 100) AS BIGINT) AS c
+          FROM events
+        ),
+        r AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY user_id ORDER BY t, event_id
+                 ) AS rn
+          FROM o
+        )
+        SELECT r.user_id, r.event_id,
+               CAST(coalesce(min(r2.rn) - r.rn, -1) AS BIGINT)
+                 AS steps_to_higher
+        FROM r LEFT JOIN r r2
+          ON r2.user_id = r.user_id AND r2.rn > r.rn AND r2.c > r.c
+        GROUP BY r.user_id, r.event_id, r.rn
+    """,
+    "q269_waterfill_alloc": """
+        -- max-min fair: min(demand, L) for the largest feasible
+        -- integer L; remainder one unit each to the lowest unsat hosts
+        WITH h AS (
+          SELECT doc_id % 64 AS host, count(*) AS demand
+          FROM documents GROUP BY 1
+        ),
+        b AS (SELECT CAST(sum(demand) AS BIGINT) // 2 AS budget FROM h),
+        lv AS (
+          SELECT max(l) AS level FROM (
+            SELECT unnest(range(0, (SELECT max(demand) FROM h) + 1)) AS l
+          )
+          WHERE (SELECT sum(least(demand, l)) FROM h)
+                <= (SELECT budget FROM b)
+        ),
+        base AS (
+          SELECT host, demand,
+                 least(demand, (SELECT level FROM lv)) AS base
+          FROM h
+        ),
+        r AS (SELECT (SELECT budget FROM b) - sum(base) AS rem FROM base),
+        unsat AS (
+          SELECT host, row_number() OVER (ORDER BY host) AS rk
+          FROM base WHERE demand > (SELECT level FROM lv)
+        )
+        SELECT base.host, CAST(base.demand AS BIGINT) AS demand,
+               CAST(base.base
+                    + CASE WHEN unsat.rk IS NOT NULL
+                               AND unsat.rk <= (SELECT rem FROM r)
+                           THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        FROM base LEFT JOIN unsat ON unsat.host = base.host
     """,
     "q237_max_drawdown": """
         -- dd_i = running_max(c) - c_i; earliest realization wins
