@@ -15550,6 +15550,251 @@ def q269_waterfill_alloc(sf_dir: str):
     )
 
 
+def q270_frontcode_savings(sf_dir: str):
+    """FRONT-CODING SAVINGS of the globally-sorted text column — the
+    Lucene/RocksDB term-dictionary planning number: total chars the
+    sorted corpus would save by prefix-compressing each string against
+    its sorted predecessor (LCP capped at 64 chars, the usual
+    front-coding prefix bound). The hard part at scale is GLOBAL sorted
+    adjacency without a global sort-to-one-task: order-preserving
+    range buckets learned from a first-character histogram (equal first
+    chars share a bucket, so bucket ranges are sorted-order prefixes),
+    per-bucket local sort + adjacent-LCP reduce, and the ≤B cross-bucket
+    boundary pairs (each bucket's 64-char min/max slice — metadata)
+    stitch on the driver. One corpus scan after the histogram pass;
+    nothing string-scale leaves the buckets."""
+    from os.path import commonprefix
+
+    from basicocr_ray.core.collect import collect_rows as _cr
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def p1(b: pa.Table) -> pa.Table:
+        vc = pc.value_counts(
+            pc.utf8_slice_codeunits(b["text"], 0, 1).combine_chunks()
+        )
+        return pa.table(
+            {"ch": vc.field("values"), "n": vc.field("counts")}
+        )
+
+    counts: dict = {}
+    for row in _cr(ds.map_batches(p1, batch_format="pyarrow")):
+        counts[row["ch"]] = counts.get(row["ch"], 0) + int(row["n"])
+    chars = sorted(counts)
+    total_n = sum(counts.values())
+    B = 64
+    per = max(1, -(-total_n // B))
+    char_bucket: dict = {}
+    bid, acc = 0, 0
+    for ch in chars:
+        if acc >= per and bid < B - 1:
+            bid, acc = bid + 1, 0
+        char_bucket[ch] = bid
+        acc += counts[ch]
+
+    def tag(b: pa.Table) -> pa.Table:
+        first = pc.utf8_slice_codeunits(b["text"], 0, 1).to_pylist()
+        return pa.table(
+            {
+                "text": b["text"],
+                "_b": pa.array(
+                    [char_bucket[c] for c in first], pa.int64()
+                ),
+            }
+        )
+
+    def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        texts = sorted(df["text"].tolist())
+        saved = 0
+        for a, c in zip(texts, texts[1:]):
+            saved += len(commonprefix((a[:64], c[:64])))
+        return pd.DataFrame(
+            {
+                "_b": pd.array([int(df["_b"].iloc[0])], dtype="int64"),
+                "n": pd.array([len(texts)], dtype="int64"),
+                "chars": pd.array(
+                    [sum(len(t) for t in texts)], dtype="int64"
+                ),
+                "saved": pd.array([saved], dtype="int64"),
+                "lo": [texts[0][:64]],
+                "hi": [texts[-1][:64]],
+            }
+        )
+
+    rows = sorted(
+        collect_rows(
+            ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("_b")
+            .map_groups(reduce_bucket, batch_format="pandas")
+        ),
+        key=lambda r: r["_b"],
+    )
+    n = sum(r["n"] for r in rows)
+    chars_total = sum(r["chars"] for r in rows)
+    saved = sum(r["saved"] for r in rows)
+    for prev, cur in zip(rows, rows[1:]):
+        saved += len(commonprefix((prev["hi"], cur["lo"])))
+    return pd.DataFrame(
+        {
+            "n_strings": pd.array([n], dtype="int64"),
+            "sum_chars": pd.array([chars_total], dtype="int64"),
+            "n_pairs": pd.array([max(0, n - 1)], dtype="int64"),
+            "saved_chars": pd.array([saved], dtype="int64"),
+        }
+    )
+
+
+def q271_bfs_dist(sf_dir: str):
+    """MULTI-SOURCE BFS shortest-path distance (≤3 hops) on the
+    undirected q153 doc graph from the deterministic seed set
+    doc_id % 97 == 0 — the crawl-frontier / influence-radius primitive,
+    fully join-based: each round is ONE bucketed semi-join (edges whose
+    source is in the frontier), a coarse-salted distinct on the
+    candidate targets, and ONE bucketed anti-join against the visited
+    set — so a round's cost scales with the frontier's edge
+    neighborhood, not the graph. Nothing node- or edge-scale touches
+    the driver; visited accumulates as a materialized union with the
+    round number as the (exact, BFS-minimal) distance."""
+    from basicocr_ray.stages.joins import bucketed_hash_join
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    n_docs = ds.count()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        i = batch["doc_id"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        js = [(i + 1) % n_docs, (i + 2) % n_docs, (3 * i + 1) % n_docs]
+        ii = np.concatenate([i, i, i])
+        jj = np.concatenate(js)
+        keep = ii != jj
+        src = np.concatenate([ii[keep], jj[keep]])
+        dst = np.concatenate([jj[keep], ii[keep]])
+        return pa.table(
+            {
+                "ek": pa.array(src * (1 << 32) + dst, pa.int64()),
+                "node": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+            }
+        )
+
+    def dedup_first(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates("ek")[["node", "dst"]]
+
+    E = coarse_group_reduce(
+        ds.map_batches(edges, batch_format="pyarrow"), "ek", dedup_first
+    ).materialize()
+
+    def seed(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        node = ids[ids % 97 == 0]
+        return pa.table(
+            {
+                "node": pa.array(node, pa.int64()),
+                "dist": pa.array(
+                    np.zeros(len(node), dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    frontier = ds.map_batches(seed, batch_format="pyarrow").materialize()
+    visited = frontier
+
+    def dedup_node(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates("node")[["node"]]
+
+    for r in (1, 2, 3):
+        reached = bucketed_hash_join(
+            E,
+            frontier.map_batches(
+                lambda b: b.select(["node"]), batch_format="pyarrow"
+            ),
+            key="node",
+            left_columns=["dst"],
+            right_columns=[],
+            join_type="left semi",
+        )
+        cand = coarse_group_reduce(
+            reached.map_batches(
+                lambda b: pa.table({"node": b["dst"]}),
+                batch_format="pyarrow",
+            ),
+            "node",
+            dedup_node,
+        )
+        fresh = bucketed_hash_join(
+            cand,
+            visited.map_batches(
+                lambda b: b.select(["node"]), batch_format="pyarrow"
+            ),
+            key="node",
+            left_columns=[],
+            right_columns=[],
+            join_type="left anti",
+        )
+        frontier = fresh.map_batches(
+            lambda b, _r=r: pa.table(
+                {
+                    "node": b["node"],
+                    "dist": pa.array(
+                        np.full(b.num_rows, _r, dtype=np.int64)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        visited = visited.union(frontier).materialize()
+
+    return visited.map_batches(
+        lambda b: pa.table({"doc_id": b["node"], "dist": b["dist"]}),
+        batch_format="pyarrow",
+    )
+
+
+def q272_weighted_median(sf_dir: str):
+    """EXACT per-group LOWER WEIGHTED MEDIAN — per return flag, the
+    smallest extended-price (cents) v such that twice the quantity mass
+    at or below v covers the group's total quantity — the
+    inventory-planner's "half the units move at or under this price"
+    number. Runs in `grouped_weighted_median`'s two-pass
+    histogram-refinement shape (stages/wide.py): two metadata reduces
+    locate the candidate value bucket per group, and only that bucket's
+    rows trickle to the exact in-bucket selection — no per-group sort,
+    no full-row shuffle, weight-skew-proof."""
+    from basicocr_ray.stages.wide import grouped_weighted_median
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "cents": pa.array(
+                    np.floor(
+                        b["l_extendedprice"].combine_chunks().to_numpy()
+                        * 100.0
+                    ).astype(np.int64)
+                ),
+                "qty": pc.cast(b["l_quantity"], pa.int64()),
+            }
+        )
+
+    return grouped_weighted_median(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "l_returnflag",
+        "cents",
+        "qty",
+        out_name="wmedian_cents",
+    )
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -15817,6 +16062,9 @@ QUERIES = {
     "q267_kcore_peel": q267_kcore_peel,
     "q268_next_higher": q268_next_higher,
     "q269_waterfill_alloc": q269_waterfill_alloc,
+    "q270_frontcode_savings": q270_frontcode_savings,
+    "q271_bfs_dist": q271_bfs_dist,
+    "q272_weighted_median": q272_weighted_median,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -17830,6 +18078,86 @@ ORACLE_SQL = {
                                AND unsat.rk <= (SELECT rem FROM r)
                            THEN 1 ELSE 0 END AS BIGINT) AS alloc
         FROM base LEFT JOIN unsat ON unsat.host = base.host
+    """,
+    "q270_frontcode_savings": """
+        -- chars saved by front-coding each sorted string against its
+        -- predecessor (LCP capped at 64 chars)
+        WITH ordered AS (
+          SELECT text, lag(text) OVER (ORDER BY text, doc_id) AS prev,
+                 row_number() OVER (ORDER BY text, doc_id) AS rn
+          FROM documents
+        ),
+        pairs AS (
+          SELECT rn, text, prev FROM ordered WHERE prev IS NOT NULL
+        ),
+        series AS (
+          SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS i
+        ),
+        lcps AS (
+          -- prefix equality is monotone in i, so max(i) == LCP
+          SELECT p.rn, coalesce(max(s.i), 0) AS lcp
+          FROM pairs p LEFT JOIN series s
+            ON s.i <= least(length(p.text), length(p.prev), 64)
+           AND substr(p.text, 1, s.i) = substr(p.prev, 1, s.i)
+          GROUP BY p.rn
+        )
+        SELECT (SELECT count(*) FROM documents) AS n_strings,
+               (SELECT CAST(sum(length(text)) AS BIGINT)
+                FROM documents) AS sum_chars,
+               count(*) AS n_pairs,
+               CAST(coalesce(sum(lcp), 0) AS BIGINT) AS saved_chars
+        FROM lcps
+    """,
+    "q271_bfs_dist": """
+        -- multi-source BFS distance <= 3 hops on the q153 graph;
+        -- min over all <=3-step walks == BFS first-reach distance
+        WITH RECURSIVE nn AS (SELECT count(*) AS c FROM documents),
+        vv AS (SELECT doc_id AS v FROM documents),
+        raw AS (
+          SELECT v, (v + 1) % c AS w FROM vv, nn
+          UNION ALL SELECT v, (v + 2) % c FROM vv, nn
+          UNION ALL SELECT v, (3 * v + 1) % c FROM vv, nn
+        ),
+        eu AS (
+          SELECT v AS src, w AS dst FROM raw WHERE v <> w
+          UNION
+          SELECT w, v FROM raw WHERE v <> w
+        ),
+        walk(node, d) AS (
+          SELECT doc_id, 0 FROM documents WHERE doc_id % 97 = 0
+          UNION ALL
+          SELECT eu.dst, w.d + 1
+          FROM walk w JOIN eu ON eu.src = w.node
+          WHERE w.d < 3
+        )
+        SELECT node AS doc_id, CAST(min(d) AS BIGINT) AS dist
+        FROM walk GROUP BY node
+    """,
+    "q272_weighted_median": """
+        -- lower weighted median: smallest cents v with
+        -- 2 * sum(qty where cents <= v) >= total qty, per return flag
+        WITH w AS (
+          SELECT l_returnflag,
+                 CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+                 CAST(l_quantity AS BIGINT) AS qty
+          FROM lineitem
+        ),
+        c AS (
+          SELECT l_returnflag, cents, sum(qty) AS qw
+          FROM w GROUP BY 1, 2
+        ),
+        cum AS (
+          SELECT l_returnflag, cents,
+                 sum(qw) OVER (PARTITION BY l_returnflag
+                               ORDER BY cents) AS cw,
+                 sum(qw) OVER (PARTITION BY l_returnflag) AS tw
+          FROM c
+        )
+        SELECT l_returnflag,
+               CAST(min(CASE WHEN 2 * cw >= tw THEN cents END)
+                    AS BIGINT) AS wmedian_cents,
+               CAST(min(tw) AS BIGINT) AS w_total
+        FROM cum GROUP BY l_returnflag
     """,
     "q237_max_drawdown": """
         -- dd_i = running_max(c) - c_i; earliest realization wins

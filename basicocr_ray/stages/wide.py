@@ -411,6 +411,121 @@ def grouped_quantile_disc(
     )
 
 
+def grouped_weighted_median(
+    ds,
+    group_column: str,
+    value_column: str,
+    weight_column: str,
+    num_hist_buckets: int = 1024,
+    out_name: str = "wmedian",
+):
+    """EXACT per-group LOWER WEIGHTED MEDIAN — the smallest value v such
+    that 2·W(≤v) ≥ W_total (integer weights; ties in value pool their
+    weight) — in `grouped_quantile_disc`'s two-pass histogram-refinement
+    shape, generalized from row counts to weight mass:
+
+    1. scan → per-group (ΣW, min, max) partials; driver reduce is
+       ≤ |groups| metadata rows.
+    2. scan → per-(group, equi-width bucket) WEIGHT histogram; the driver
+       prefix-sums ≤ |groups|·B tiny rows to find, per group, the bucket
+       where cumulative weight first reaches T = (W_total+1)//2 and the
+       residual mass still needed inside it.
+    3. pruned scan → only the candidate bucket's rows trickle to a
+       per-group task that sorts them and walks the weight cumsum to the
+       exact element.
+
+    Zero full-row shuffle; the shape survives any group cardinality and
+    any weight skew (a single dominant value concentrates its bucket, but
+    then the in-bucket selection is trivial). Values and weights must be
+    integer-valued; the result is returned as int64."""
+    import numpy as np
+
+    B = num_hist_buckets
+
+    def p1(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[group_column, value_column, weight_column]].dropna()
+        return df.groupby(group_column, as_index=False).agg(
+            w=(weight_column, "sum"),
+            lo=(value_column, "min"),
+            hi=(value_column, "max"),
+        )
+
+    stats: dict = {}
+    for row in collect_rows(ds.map_batches(p1, batch_format="pandas")):
+        g = row[group_column]
+        if g in stats:
+            s = stats[g]
+            s["w"] += int(row["w"])
+            s["lo"] = min(s["lo"], float(row["lo"]))
+            s["hi"] = max(s["hi"], float(row["hi"]))
+        else:
+            stats[g] = {
+                "w": int(row["w"]), "lo": float(row["lo"]),
+                "hi": float(row["hi"]),
+            }
+
+    widths = {g: ((s["hi"] - s["lo"]) / B) or 1.0 for g, s in stats.items()}
+    los = {g: s["lo"] for g, s in stats.items()}
+    # smallest v with cum ≥ T  ⇔  2·cum ≥ W_total (exact for odd and even)
+    targets = {g: (s["w"] + 1) // 2 for g, s in stats.items()}
+
+    def bucket_of(groups: pd.Series, vals: np.ndarray) -> np.ndarray:
+        lo = groups.map(los).to_numpy()
+        w = groups.map(widths).to_numpy()
+        return np.clip(((vals - lo) / w).astype(np.int64), 0, B - 1)
+
+    def p2(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[group_column, value_column, weight_column]].dropna()
+        df["_b"] = bucket_of(df[group_column], df[value_column].to_numpy())
+        return df.groupby([group_column, "_b"], as_index=False).agg(
+            w=(weight_column, "sum")
+        )
+
+    hist: dict = {}
+    for row in collect_rows(ds.map_batches(p2, batch_format="pandas")):
+        key = (row[group_column], int(row["_b"]))
+        hist[key] = hist.get(key, 0) + int(row["w"])
+
+    cand_bucket: dict = {}
+    residual: dict = {}
+    for g in stats:
+        acc = 0
+        for b in range(B):
+            c = hist.get((g, b), 0)
+            if acc + c >= targets[g]:
+                cand_bucket[g] = b
+                residual[g] = targets[g] - acc
+                break
+            acc += c
+
+    def p3_filter(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[group_column, value_column, weight_column]].dropna()
+        b = bucket_of(df[group_column], df[value_column].to_numpy())
+        want = df[group_column].map(cand_bucket).to_numpy()
+        return df[b == want]
+
+    def select(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[group_column].iloc[0]
+        d = df.sort_values(value_column, kind="mergesort")
+        cum = d[weight_column].to_numpy().cumsum()
+        v = d[value_column].to_numpy()[
+            int(np.searchsorted(cum, residual[g], side="left"))
+        ]
+        return pd.DataFrame(
+            {
+                group_column: [g],
+                out_name: pd.array([int(v)], dtype="int64"),
+                "w_total": pd.array([stats[g]["w"]], dtype="int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(p3_filter, batch_format="pandas")
+        .groupby(group_column)
+        .map_groups(select, batch_format="pandas")
+    )
+
+
 def grouped_window_rank(
     ds,
     group_column: str,
