@@ -15795,6 +15795,285 @@ def q272_weighted_median(sf_dir: str):
     )
 
 
+def q273_kendall_evidence(sf_dir: str):
+    """KENDALL-TAU EVIDENCE per user — exact integer pair counts between
+    time order and value order (inversions = discordant, tie pairs,
+    concordant) — the trend-monotonicity audit behind "is this user's
+    spend drifting up". The engine kernel is the O(n log n)
+    Fenwick-tree inversion count per co-located user sequence; the SQL
+    twin is the O(n²) self-join over the same pairs — exact on the same
+    input. One exchange; per-user sequences are memory-bounded (the
+    house sessionize assumption)."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_id", "user_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "t": pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()),
+                "c": pa.array(
+                    np.floor(
+                        b["value"].combine_chunks().to_numpy() * 100.0
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for uid, g in df.groupby("user_id"):
+            g = g.sort_values(["t", "event_id"], kind="mergesort")
+            c = g["c"].to_numpy()
+            n = len(c)
+            _, ranks, mult = np.unique(
+                c, return_inverse=True, return_counts=True
+            )
+            ranks = ranks + 1
+            m = len(mult)
+            bit = np.zeros(m + 1, dtype=np.int64)
+            inv = 0
+            for i, r in enumerate(ranks):
+                # seen-so-far strictly greater = i - count_seen(<= r)
+                j, seen_le = int(r), 0
+                while j > 0:
+                    seen_le += bit[j]
+                    j -= j & -j
+                inv += i - seen_le
+                j = int(r)
+                while j <= m:
+                    bit[j] += 1
+                    j += j & -j
+            ties = int((mult * (mult - 1) // 2).sum())
+            total = n * (n - 1) // 2
+            outs.append(
+                (int(uid), n, int(inv), ties, total - int(inv) - ties)
+            )
+        cols = ["user_id", "n_events", "inversions", "tie_pairs",
+                "concordant"]
+        if not outs:
+            return pd.DataFrame(
+                {c: pd.array([], dtype="int64") for c in cols}
+            )
+        arr = np.array(outs, dtype=np.int64)
+        return pd.DataFrame(
+            {c: arr[:, i] for i, c in enumerate(cols)}
+        )
+
+    return coarse_group_reduce(
+        ds.map_batches(prep, batch_format="pyarrow"), "user_id", per_user
+    )
+
+
+def q274_greedy_set_cover(sf_dir: str):
+    """GREEDY SET COVER (keyword selection), 3 unrolled rounds — "which
+    3 probe terms reach the most documents": universe = doc ids, sets =
+    tokens (a token covers the docs containing it); each round picks
+    the token covering the most still-uncovered docs (ties:
+    lexicographically smallest token). Both the (doc, token) incidence
+    relation AND the covered-doc set stay DISTRIBUTED: each round is
+    one bucketed ANTI-join on doc_id, a per-token count reduce, and a
+    distributed top-1 (`top_k`) — the driver only ever sees ONE row per
+    round, never the open vocabulary. Rounds with nothing left to
+    cover emit no row — greedy's natural stop."""
+    from basicocr_ray.stages.joins import bucketed_hash_join
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pair_items(b: pa.Table) -> pa.Table:
+        ids, toks = [], []
+        for i, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            for tok in set(ws_tokens(t)):
+                ids.append(i)
+                toks.append(tok)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "token": pa.array(toks, pa.string()),
+            }
+        )
+
+    pairs = ds.map_batches(
+        pair_items, batch_format="pyarrow"
+    ).materialize()
+    # (doc_id, token) pairs are distinct by construction (set() per doc)
+
+    def tok_counts(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("token", as_index=False).agg(
+            nc=("doc_id", "size")
+        )
+        return out.astype({"nc": "int64"})
+
+    covered = None
+    rows = []
+    covered_total = 0
+    for rnd in (1, 2, 3):
+        remaining = (
+            pairs
+            if covered is None
+            else bucketed_hash_join(
+                pairs,
+                covered,
+                key="doc_id",
+                left_columns=["token"],
+                right_columns=[],
+                join_type="left anti",
+            )
+        )
+        winner = top_k(
+            coarse_group_reduce(remaining, "token", tok_counts),
+            1,
+            "nc",
+            "token",
+        ).to_pandas()
+        if winner.empty or int(winner["nc"].iloc[0]) == 0:
+            break
+        best = str(winner["token"].iloc[0])
+        newly = int(winner["nc"].iloc[0])
+        covered_total += newly
+        rows.append((rnd, best, newly, covered_total))
+        new_docs = remaining.map_batches(
+            lambda b, _b=best: b.filter(
+                pc.equal(b["token"], _b)
+            ).select(["doc_id"]),
+            batch_format="pyarrow",
+        )
+        covered = (
+            new_docs if covered is None else covered.union(new_docs)
+        ).materialize()
+    return pd.DataFrame(
+        {
+            "round": pd.array([r[0] for r in rows], dtype="int64"),
+            "token": [r[1] for r in rows],
+            "newly_covered": pd.array(
+                [r[2] for r in rows], dtype="int64"
+            ),
+            "covered_total": pd.array(
+                [r[3] for r in rows], dtype="int64"
+            ),
+        }
+    )
+
+
+def q275_minhash_walk(sf_dir: str):
+    """DETERMINISTIC "RANDOM" WALK, 3 steps, on the q153 doc graph —
+    the reproducible crawl-sampling primitive (node2vec/PPR-style
+    exploration without RNG state): from each seed (doc_id % 101 == 0)
+    the walker moves to the out-neighbor minimizing the keyed hash
+    md5_low64("step:src:dst") — partition/retry-invariant and
+    SQL-reproducible via DuckDB's md5_number_lower. Each step is ONE
+    bucketed join of the current (seed → node) relation against the
+    edge table plus a per-seed argmin reduce; work per step is
+    |seeds| × avg-degree, never graph-scale on the driver."""
+    from basicocr_ray.stages.joins import bucketed_hash_join
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    n_docs = ds.count()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        i = batch["doc_id"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        js = [(i + 1) % n_docs, (i + 2) % n_docs, (3 * i + 1) % n_docs]
+        ii = np.concatenate([i, i, i])
+        jj = np.concatenate(js)
+        keep = ii != jj
+        src = np.concatenate([ii[keep], jj[keep]])
+        dst = np.concatenate([jj[keep], ii[keep]])
+        return pa.table(
+            {
+                "ek": pa.array(src * (1 << 32) + dst, pa.int64()),
+                "node": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+            }
+        )
+
+    def dedup_first(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates("ek")[["node", "dst"]]
+
+    E = coarse_group_reduce(
+        ds.map_batches(edges, batch_format="pyarrow"), "ek", dedup_first
+    ).materialize()
+
+    def seed(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        s = ids[ids % 101 == 0]
+        return pa.table(
+            {
+                "seed": pa.array(s, pa.int64()),
+                "node": pa.array(s, pa.int64()),
+            }
+        )
+
+    cur = ds.map_batches(seed, batch_format="pyarrow").materialize()
+    out = [cur]
+
+    for step in (1, 2, 3):
+        stepped = bucketed_hash_join(
+            E,
+            cur,
+            key="node",
+            left_columns=["dst"],
+            right_columns=["seed"],
+        )
+
+        def hash_steps(b: pa.Table, _s=step) -> pa.Table:
+            node = b["node"].to_pylist()
+            dst = b["dst"].to_pylist()
+            h = [
+                _md5_low64(f"{_s}:{u}:{v}") for u, v in zip(node, dst)
+            ]
+            return pa.table(
+                {
+                    "seed": b["seed"],
+                    "dst": b["dst"],
+                    "h": pa.array(h, pa.uint64()),
+                }
+            )
+
+        def pick_min(df: pd.DataFrame) -> pd.DataFrame:
+            d = df.sort_values(["h", "dst"], kind="mergesort")
+            d = d.drop_duplicates("seed", keep="first")
+            return pd.DataFrame(
+                {
+                    "seed": d["seed"].to_numpy(),
+                    "node": d["dst"].to_numpy(),
+                }
+            )
+
+        cur = coarse_group_reduce(
+            stepped.map_batches(hash_steps, batch_format="pyarrow"),
+            "seed",
+            pick_min,
+        ).materialize()
+        out.append(cur)
+
+    def stamp(stp: int):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "seed": b["seed"],
+                    "step": pa.array(
+                        np.full(b.num_rows, stp, dtype=np.int64)
+                    ),
+                    "node": b["node"],
+                }
+            )
+
+        return fn
+
+    res = out[0].map_batches(stamp(0), batch_format="pyarrow")
+    for stp, d in enumerate(out[1:], start=1):
+        res = res.union(d.map_batches(stamp(stp), batch_format="pyarrow"))
+    return res
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -16065,6 +16344,9 @@ QUERIES = {
     "q270_frontcode_savings": q270_frontcode_savings,
     "q271_bfs_dist": q271_bfs_dist,
     "q272_weighted_median": q272_weighted_median,
+    "q273_kendall_evidence": q273_kendall_evidence,
+    "q274_greedy_set_cover": q274_greedy_set_cover,
+    "q275_minhash_walk": q275_minhash_walk,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -18158,6 +18440,120 @@ ORACLE_SQL = {
                     AS BIGINT) AS wmedian_cents,
                CAST(min(tw) AS BIGINT) AS w_total
         FROM cum GROUP BY l_returnflag
+    """,
+    "q273_kendall_evidence": """
+        -- exact Kendall pair counts per user: O(n^2) self-join twin of
+        -- the engine's O(n log n) Fenwick inversion count
+        WITH o AS (
+          SELECT user_id, event_id, epoch_us(ts) AS t,
+                 CAST(floor(value * 100) AS BIGINT) AS c
+          FROM events
+        ),
+        r AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY user_id ORDER BY t, event_id
+                 ) AS rn
+          FROM o
+        ),
+        p AS (
+          SELECT a.user_id,
+                 sum(CASE WHEN a.c > b.c THEN 1 ELSE 0 END) AS inv,
+                 sum(CASE WHEN a.c = b.c THEN 1 ELSE 0 END) AS tie
+          FROM r a JOIN r b
+            ON b.user_id = a.user_id AND b.rn > a.rn
+          GROUP BY a.user_id
+        ),
+        n AS (SELECT user_id, count(*) AS ne FROM r GROUP BY user_id)
+        SELECT n.user_id,
+               CAST(n.ne AS BIGINT) AS n_events,
+               CAST(coalesce(p.inv, 0) AS BIGINT) AS inversions,
+               CAST(coalesce(p.tie, 0) AS BIGINT) AS tie_pairs,
+               CAST(n.ne * (n.ne - 1) // 2
+                    - coalesce(p.inv, 0)
+                    - coalesce(p.tie, 0) AS BIGINT) AS concordant
+        FROM n LEFT JOIN p ON p.user_id = n.user_id
+    """,
+    "q274_greedy_set_cover": f"""
+        -- 3 unrolled greedy keyword-selection rounds; tie: smallest
+        -- token; a round with nothing left to cover emits no row
+        WITH dt AS (
+          SELECT DISTINCT doc_id, token FROM (
+            SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+          ) WHERE token <> ''
+        ),
+        r1 AS (SELECT token, count(*) AS nc FROM dt
+               GROUP BY token ORDER BY nc DESC, token LIMIT 1),
+        c1 AS (SELECT doc_id FROM dt
+               WHERE token = (SELECT token FROM r1)),
+        d2 AS (SELECT doc_id, token FROM dt
+               WHERE doc_id NOT IN (SELECT doc_id FROM c1)),
+        r2 AS (SELECT token, count(*) AS nc FROM d2
+               GROUP BY token ORDER BY nc DESC, token LIMIT 1),
+        c2 AS (SELECT doc_id FROM d2
+               WHERE token = (SELECT token FROM r2)),
+        d3 AS (SELECT doc_id, token FROM d2
+               WHERE doc_id NOT IN (SELECT doc_id FROM c2)),
+        r3 AS (SELECT token, count(*) AS nc FROM d3
+               GROUP BY token ORDER BY nc DESC, token LIMIT 1)
+        SELECT CAST(1 AS BIGINT) AS round, token,
+               CAST(nc AS BIGINT) AS newly_covered,
+               CAST(nc AS BIGINT) AS covered_total
+        FROM r1
+        UNION ALL
+        SELECT 2, token, CAST(nc AS BIGINT),
+               CAST(nc + (SELECT nc FROM r1) AS BIGINT)
+        FROM r2
+        UNION ALL
+        SELECT 3, token, CAST(nc AS BIGINT),
+               CAST(nc + (SELECT nc FROM r1)
+                       + (SELECT nc FROM r2) AS BIGINT)
+        FROM r3
+    """,
+    "q275_minhash_walk": """
+        -- 3 deterministic argmin-hash steps from each seed;
+        -- md5_number_lower('step:src:dst') is the engine's md5_low64
+        WITH nn AS (SELECT count(*) AS c FROM documents),
+        vv AS (SELECT doc_id AS v FROM documents),
+        raw AS (
+          SELECT v, (v + 1) % c AS w FROM vv, nn
+          UNION ALL SELECT v, (v + 2) % c FROM vv, nn
+          UNION ALL SELECT v, (3 * v + 1) % c FROM vv, nn
+        ),
+        eu AS (
+          SELECT v AS src, w AS dst FROM raw WHERE v <> w
+          UNION
+          SELECT w, v FROM raw WHERE v <> w
+        ),
+        s0 AS (SELECT doc_id AS seed, doc_id AS node
+               FROM documents WHERE doc_id % 101 = 0),
+        p1 AS (
+          SELECT s0.seed, eu.dst,
+                 row_number() OVER (PARTITION BY s0.seed ORDER BY
+                   md5_number_lower('1:' || CAST(eu.src AS VARCHAR)
+                     || ':' || CAST(eu.dst AS VARCHAR)), eu.dst) AS rk
+          FROM s0 JOIN eu ON eu.src = s0.node
+        ),
+        s1 AS (SELECT seed, dst AS node FROM p1 WHERE rk = 1),
+        p2 AS (
+          SELECT s1.seed, eu.dst,
+                 row_number() OVER (PARTITION BY s1.seed ORDER BY
+                   md5_number_lower('2:' || CAST(eu.src AS VARCHAR)
+                     || ':' || CAST(eu.dst AS VARCHAR)), eu.dst) AS rk
+          FROM s1 JOIN eu ON eu.src = s1.node
+        ),
+        s2 AS (SELECT seed, dst AS node FROM p2 WHERE rk = 1),
+        p3 AS (
+          SELECT s2.seed, eu.dst,
+                 row_number() OVER (PARTITION BY s2.seed ORDER BY
+                   md5_number_lower('3:' || CAST(eu.src AS VARCHAR)
+                     || ':' || CAST(eu.dst AS VARCHAR)), eu.dst) AS rk
+          FROM s2 JOIN eu ON eu.src = s2.node
+        ),
+        s3 AS (SELECT seed, dst AS node FROM p3 WHERE rk = 1)
+        SELECT seed, CAST(0 AS BIGINT) AS step, seed AS node FROM s0
+        UNION ALL SELECT seed, 1, node FROM s1
+        UNION ALL SELECT seed, 2, node FROM s2
+        UNION ALL SELECT seed, 3, node FROM s3
     """,
     "q237_max_drawdown": """
         -- dd_i = running_max(c) - c_i; earliest realization wins
