@@ -16074,6 +16074,347 @@ def q275_minhash_walk(sf_dir: str):
     return res
 
 
+def q276_mutual_nn_pairs(sf_dir: str):
+    """MUTUAL NEAREST-NEIGHBOR PAIRS over the embedding table — the
+    entity-resolution / translation-mining primitive (two vectors that
+    are each other's top-1 by exact int-quantized dot, ties cand_id
+    asc). Per-batch brute top-1 against the ray.put-broadcast quantized
+    matrix (the q15/q253 brute baseline — broadcast-bounded, the IVF
+    path in stages/embed.py is the open-scale variant), then the
+    mutuality check is ONE coarse-salted reduce on the canonical pair
+    key: each vector emits exactly one (min·2³²+max) row, so a key with
+    both directions present (count == 2) IS a mutual pair — no second
+    join, nothing pair-scale on the driver."""
+    import ray
+
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    tab = pq.read_table(_p(sf_dir, "embeddings"),
+                        columns=["vec_id", "embedding"])
+    all_ids = np.asarray(tab["vec_id"].to_pylist(), dtype=np.int64)
+    Mq = np.floor(
+        np.asarray(tab["embedding"].to_pylist(), dtype=np.float64) * 1e3
+    ).astype(np.int64)
+    ref = ray.put((all_ids, Mq))
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def local_nn(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        ids_all, M = _ray.get(ref)
+        vids = np.asarray(b["vec_id"].to_pylist(), dtype=np.int64)
+        V = np.floor(
+            np.asarray(b["embedding"].to_pylist(), dtype=np.float64)
+            * 1e3
+        ).astype(np.int64)
+        dots = V @ M.T
+        # exclude self, argmax by (dot desc, cand asc)
+        nn_ids = np.empty(len(vids), dtype=np.int64)
+        nn_dots = np.empty(len(vids), dtype=np.int64)
+        for i, vid in enumerate(vids):
+            row = dots[i]
+            ok = ids_all != vid
+            cand, d = ids_all[ok], row[ok]
+            j = np.lexsort((cand, -d))[0]
+            nn_ids[i] = cand[j]
+            nn_dots[i] = d[j]
+        a = np.minimum(vids, nn_ids)
+        bb = np.maximum(vids, nn_ids)
+        return pa.table(
+            {
+                "pk": pa.array(a * (1 << 32) + bb, pa.int64()),
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(bb, pa.int64()),
+                "dot": pa.array(nn_dots, pa.int64()),
+            }
+        )
+
+    def mutual(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("pk", as_index=False).agg(
+            n=("pk", "size"), a=("a", "first"), b=("b", "first"),
+            dot=("dot", "first"),
+        )
+        g = g[g["n"] == 2][["a", "b", "dot"]]
+        return g.astype({"a": "int64", "b": "int64", "dot": "int64"})
+
+    return coarse_group_reduce(
+        ds.map_batches(local_nn, batch_format="pyarrow"), "pk", mutual
+    )
+
+
+def q277_rank_overlap_depth(sf_dir: str):
+    """SPLIT-HALF RANK-LIST AGREEMENT — overlap@depth between the
+    top-20 token lists of the two corpus halves (doc_id parity), the
+    integer evidence under rank-biased-overlap-style list-similarity
+    metrics (the consumer applies its own weights). Corpus-scale work
+    is the two distributed token counts + two distributed top-20s
+    (`top_k` local-prune discipline); the driver sees 40 rows and the
+    depth sweep is bounded arithmetic."""
+    from basicocr_ray.stages.wide import count_terms
+
+    def half(parity: int):
+        d = _read(sf_dir, "documents", columns=["doc_id", "text"])
+        filt = d.map_batches(
+            lambda b, _p_=parity: b.filter(
+                pc.equal(
+                    pc.bit_wise_and(b["doc_id"], 1), _p_
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        counts = count_terms(filt, "text", token_items)
+        return top_k(counts, 20, "cnt", "token").to_pandas()
+
+    t0, t1 = half(0), half(1)
+
+    def ranks(df: pd.DataFrame) -> dict:
+        df = df.sort_values(
+            ["cnt", "token"], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        return {t: i + 1 for i, t in enumerate(df["token"])}
+
+    r0, r1 = ranks(t0), ranks(t1)
+    common = [(r0[t], r1[t]) for t in r0 if t in r1]
+    depths = np.arange(1, 21, dtype=np.int64)
+    overlap = np.array(
+        [sum(1 for ra, rb in common if ra <= d and rb <= d)
+         for d in depths],
+        dtype=np.int64,
+    )
+    return pd.DataFrame(
+        {
+            "depth": pd.array(depths, dtype="int64"),
+            "overlap": pd.array(overlap, dtype="int64"),
+        }
+    )
+
+
+def q278_pointer_doubling(sf_dir: str):
+    """POINTER DOUBLING / BINARY LIFTING — f⁸(u) for every doc under
+    the successor map f(u) = (3u+1) mod N in THREE self-join squarings
+    (f→f², f²→f⁴, f⁴→f⁸) instead of eight sequential hops — the
+    list-ranking / chained-redirect-resolution primitive every
+    distributed graph engine needs. Each squaring is ONE bucketed
+    hash join of the relation with itself (compose a.v = b.u);
+    round count is log₂(k), not k. The SQL twin composes the same
+    three squarings."""
+    from basicocr_ray.stages.joins import bucketed_hash_join
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    n_docs = ds.count()
+
+    def succ(batch: pa.Table) -> pa.Table:
+        u = batch["doc_id"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "u": pa.array(u, pa.int64()),
+                "v": pa.array((3 * u + 1) % n_docs, pa.int64()),
+            }
+        )
+
+    S = ds.map_batches(succ, batch_format="pyarrow").materialize()
+    for _ in range(3):  # f -> f^2 -> f^4 -> f^8
+        left = S.map_batches(
+            lambda b: pa.table({"k": b["v"], "u": b["u"]}),
+            batch_format="pyarrow",
+        )
+        right = S.map_batches(
+            lambda b: pa.table({"k": b["u"], "v2": b["v"]}),
+            batch_format="pyarrow",
+        )
+        S = bucketed_hash_join(
+            left, right, key="k",
+            left_columns=["u"], right_columns=["v2"],
+        ).map_batches(
+            lambda b: pa.table({"u": b["u"], "v": b["v2"]}),
+            batch_format="pyarrow",
+        ).materialize()
+
+    return S.map_batches(
+        lambda b: pa.table({"doc_id": b["u"], "f8": b["v"]}),
+        batch_format="pyarrow",
+    )
+
+
+def q279_hits_scores(sf_dir: str):
+    """HITS hubs-and-authorities (Kleinberg) over the derived host
+    graph — the second classic link-analysis op next to q103's
+    PageRank, as ALTERNATING integer SpMV: two rounds of
+    auth ← AᵀΒ·hub, hub ← A·auth, each round two
+    `propagate_sum_int` passes (one bucketed join + one union-groupby
+    zero-fill each; nothing node/edge-scale on the driver). Hash-exact
+    because the iteration is run UN-normalized from the integer
+    document-mass seed — magnitudes grow ≤ out_degree² per round
+    (≤ 81·N after 2 rounds), so int64 holds to N ≈ 10¹⁷ and the
+    consumer normalizes once at the end if it wants unit vectors."""
+    from ray.data.aggregate import Count
+
+    from basicocr_ray.stages.graph import propagate_sum_int
+
+    H = 64
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def hostify(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({"h": pa.array(ids % H, pa.int64())})
+
+    nodes = (
+        ds.map_batches(hostify, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Count(alias_name="mass"))
+        .materialize()
+    )
+
+    def mk_edges(b: pa.Table, rev: bool = False) -> pa.Table:
+        hs = b["h"].combine_chunks().to_numpy(zero_copy_only=False)
+        src = np.repeat(hs, 3)
+        dst = np.stack(
+            [(3 * hs + 1) % H, (5 * hs + 2) % H, (7 * hs + 4) % H], axis=1
+        ).reshape(-1)
+        if rev:
+            src, dst = dst, src
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+            }
+        )
+
+    edges = nodes.map_batches(
+        mk_edges, batch_format="pyarrow"
+    ).materialize()
+    rev_edges = nodes.map_batches(
+        lambda b: mk_edges(b, rev=True), batch_format="pyarrow"
+    ).materialize()
+
+    hub = nodes.map_batches(
+        lambda b: pa.table({"h": b["h"], "x": b["mass"]}),
+        batch_format="pyarrow",
+    ).materialize()
+    auth = None
+    for _ in range(2):
+        # auth(v) = Σ_{u→v} hub(u); hub(u) = Σ_{u→v} auth(v)
+        auth = propagate_sum_int(
+            hub, edges, nodes, num_buckets=4
+        ).materialize()
+        hub = propagate_sum_int(
+            auth, rev_edges, nodes, num_buckets=4
+        ).materialize()
+
+    # final (h, mass, hub, auth) assembly: every relation is keyed by h
+    # and each contributes exactly one row per node, so ONE union +
+    # coarse-grouped merge replaces two bucketed joins (one shuffle,
+    # not two)
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    def _tag(col):
+        def f(b: pa.Table, _c=col) -> pa.Table:
+            n = b.num_rows
+            z = pa.array(np.zeros(n, dtype=np.int64))
+            vals = {"mass": z, "hub": z, "auth": z}
+            vals[_c] = pc.cast(b["mass" if _c == "mass" else "x"], pa.int64())
+            return pa.table({"h": b["h"], **vals})
+
+        return f
+
+    parts = nodes.map_batches(_tag("mass"), batch_format="pyarrow").union(
+        hub.map_batches(_tag("hub"), batch_format="pyarrow"),
+        auth.map_batches(_tag("auth"), batch_format="pyarrow"),
+    )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("h", as_index=False).agg(
+            mass=("mass", "sum"), hub=("hub", "sum"), auth=("auth", "sum")
+        )
+        return g.astype(
+            {"h": "int64", "mass": "int64", "hub": "int64", "auth": "int64"}
+        )
+
+    return coarse_group_reduce(parts, "h", merge, num_salt=4)
+
+
+def q280_lis_per_lang(sf_dir: str):
+    """LONGEST STRICTLY-INCREASING SUBSEQUENCE length of each
+    language's doc-length sequence (n_chars in doc_id order) — the
+    order-statistics-of-order primitive behind "how sorted is this
+    shard" planners (q214 counts inversions; this measures the sorted
+    CORE). One exchange co-locates each lang; the per-group kernel is
+    O(n log n) patience sorting (bisect on the tails array). The SQL
+    twin is the O(n²·L) recursive-chain DP — exact on the same
+    input."""
+    import bisect
+
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def per_lang(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for lang, g in df.groupby("lang"):
+            g = g.sort_values("doc_id", kind="mergesort")
+            tails: list[int] = []
+            for v in g["n_chars"].to_numpy():
+                v = int(v)
+                i = bisect.bisect_left(tails, v)
+                if i == len(tails):
+                    tails.append(v)
+                else:
+                    tails[i] = v
+            out.append((lang, len(tails)))
+        return pd.DataFrame(
+            {
+                "lang": pd.array(
+                    [l for l, _ in out], dtype="object"
+                ),
+                "lis_len": pd.array(
+                    [n for _, n in out], dtype="int64"
+                ),
+            }
+        )
+
+    filt = ds.map_batches(
+        lambda b: b.filter(pc.is_valid(b["lang"])),
+        batch_format="pyarrow",
+    )
+    return coarse_group_reduce(filt, "lang", per_lang)
+
+
+def q281_unpivot_metrics(sf_dir: str):
+    """DISTRIBUTED UNPIVOT/MELT — the wide→long relational verb (the
+    inverse of q80's pivot): each document row fans out to one
+    (doc_id, metric, value) row per derived metric (codepoint count,
+    UTF-8 byte count, space count), all three computed with Arrow
+    kernels (utf8_length / binary_length / count_substring) and the
+    fan-out built by numpy repeat/tile — a pure per-batch flat map, no
+    shuffle at all, the shape a feature-store export runs at corpus
+    scale."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def melt(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b["text"]))
+        ids = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        txt = b["text"].combine_chunks()
+        chars = pc.utf8_length(txt).to_numpy(zero_copy_only=False)
+        nbytes = pc.binary_length(txt).to_numpy(zero_copy_only=False)
+        spaces = pc.count_substring(txt, " ").to_numpy(zero_copy_only=False)
+        n = len(ids)
+        vals = np.stack([chars, nbytes, spaces], axis=1).reshape(-1)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, 3), pa.int64()),
+                "metric": pa.array(
+                    np.tile(np.array(["chars", "bytes", "spaces"]), n)
+                ),
+                "value": pa.array(vals.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -16347,6 +16688,12 @@ QUERIES = {
     "q273_kendall_evidence": q273_kendall_evidence,
     "q274_greedy_set_cover": q274_greedy_set_cover,
     "q275_minhash_walk": q275_minhash_walk,
+    "q276_mutual_nn_pairs": q276_mutual_nn_pairs,
+    "q277_rank_overlap_depth": q277_rank_overlap_depth,
+    "q278_pointer_doubling": q278_pointer_doubling,
+    "q279_hits_scores": q279_hits_scores,
+    "q280_lis_per_lang": q280_lis_per_lang,
+    "q281_unpivot_metrics": q281_unpivot_metrics,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -18554,6 +18901,142 @@ ORACLE_SQL = {
         UNION ALL SELECT seed, 1, node FROM s1
         UNION ALL SELECT seed, 2, node FROM s2
         UNION ALL SELECT seed, 3, node FROM s3
+    """,
+    "q276_mutual_nn_pairs": """
+        -- vectors that are each other's top-1 by int-quantized dot
+        -- (ties cand_id asc); one row per mutual pair, a < b
+        WITH qv AS (
+          SELECT vec_id,
+                 list_transform(
+                   embedding, x -> floor(CAST(x AS DOUBLE) * 1000)) AS q
+          FROM embeddings
+        ),
+        sim AS (
+          SELECT a.vec_id AS va, b.vec_id AS vb,
+                 CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot
+          FROM qv a JOIN qv b ON b.vec_id <> a.vec_id
+        ),
+        r AS (
+          SELECT va, vb, dot,
+                 row_number() OVER (PARTITION BY va
+                                    ORDER BY dot DESC, vb) AS rn
+          FROM sim
+        ),
+        nn AS (SELECT va, vb, dot FROM r WHERE rn = 1)
+        SELECT x.va AS a, x.vb AS b, x.dot
+        FROM nn x JOIN nn y ON y.va = x.vb AND y.vb = x.va
+        WHERE x.va < x.vb
+    """,
+    "q277_rank_overlap_depth": f"""
+        -- overlap@depth between the two halves' top-20 token lists
+        WITH t0 AS (
+          SELECT token, count(*) AS cnt FROM (
+            SELECT unnest({_TOKS}) AS token FROM documents
+            WHERE doc_id % 2 = 0
+          ) WHERE token <> '' GROUP BY token
+        ),
+        t1 AS (
+          SELECT token, count(*) AS cnt FROM (
+            SELECT unnest({_TOKS}) AS token FROM documents
+            WHERE doc_id % 2 = 1
+          ) WHERE token <> '' GROUP BY token
+        ),
+        r0 AS (SELECT token, row_number() OVER
+                 (ORDER BY cnt DESC, token) AS ra FROM t0),
+        r1 AS (SELECT token, row_number() OVER
+                 (ORDER BY cnt DESC, token) AS rb FROM t1),
+        m AS (
+          SELECT ra, rb FROM r0 JOIN r1 USING (token)
+          WHERE ra <= 20 AND rb <= 20
+        ),
+        d AS (SELECT CAST(unnest(range(1, 21)) AS BIGINT) AS depth)
+        SELECT depth,
+               CAST((SELECT count(*) FROM m
+                     WHERE ra <= depth AND rb <= depth)
+                    AS BIGINT) AS overlap
+        FROM d
+    """,
+    "q278_pointer_doubling": """
+        -- f^8 via three join squarings; f(u) = (3u+1) mod N
+        WITH nn AS (SELECT count(*) AS c FROM documents),
+        s AS (SELECT doc_id AS u, (3 * doc_id + 1) % c AS v
+              FROM documents, nn),
+        t1 AS (SELECT a.u, b.v FROM s a JOIN s b ON b.u = a.v),
+        t2 AS (SELECT a.u, b.v FROM t1 a JOIN t1 b ON b.u = a.v),
+        t3 AS (SELECT a.u, b.v FROM t2 a JOIN t2 b ON b.u = a.v)
+        SELECT u AS doc_id, v AS f8 FROM t3
+    """,
+    "q279_hits_scores": """
+        -- two un-normalized HITS rounds from the mass seed over the
+        -- q103 host graph (3 out-edges per host, mod-64 ids)
+        WITH hosts AS (
+          SELECT doc_id % 64 AS h, CAST(count(*) AS BIGINT) AS mass
+          FROM documents GROUP BY 1
+        ),
+        e AS (
+          SELECT h AS src, (3 * h + 1) % 64 AS dst FROM hosts
+          UNION ALL SELECT h, (5 * h + 2) % 64 FROM hosts
+          UNION ALL SELECT h, (7 * h + 4) % 64 FROM hosts
+        ),
+        -- contributions to ids absent from hosts are dropped
+        el AS (SELECT src, dst FROM e
+               WHERE dst IN (SELECT h FROM hosts)),
+        a1 AS (SELECT ho.h, COALESCE(sum(s.mass), 0) AS v
+               FROM hosts ho
+               LEFT JOIN el ON el.dst = ho.h
+               LEFT JOIN hosts s ON s.h = el.src
+               GROUP BY 1),
+        h1 AS (SELECT ho.h, COALESCE(sum(a.v), 0) AS v
+               FROM hosts ho
+               LEFT JOIN el ON el.src = ho.h
+               LEFT JOIN a1 a ON a.h = el.dst
+               GROUP BY 1),
+        a2 AS (SELECT ho.h, COALESCE(sum(s.v), 0) AS v
+               FROM hosts ho
+               LEFT JOIN el ON el.dst = ho.h
+               LEFT JOIN h1 s ON s.h = el.src
+               GROUP BY 1),
+        h2 AS (SELECT ho.h, COALESCE(sum(a.v), 0) AS v
+               FROM hosts ho
+               LEFT JOIN el ON el.src = ho.h
+               LEFT JOIN a2 a ON a.h = el.dst
+               GROUP BY 1)
+        SELECT ho.h, ho.mass,
+               CAST(h2.v AS BIGINT) AS hub, CAST(a2.v AS BIGINT) AS auth
+        FROM hosts ho JOIN h2 ON h2.h = ho.h JOIN a2 ON a2.h = ho.h
+    """,
+    "q280_lis_per_lang": """
+        -- longest strictly-increasing subsequence of n_chars in doc_id
+        -- order, per lang: recursive chain DP (k = chain length)
+        WITH RECURSIVE seq AS (
+          SELECT lang, doc_id, n_chars FROM documents
+          WHERE lang IS NOT NULL
+        ),
+        r AS (
+          SELECT lang, doc_id, n_chars, 1 AS k FROM seq
+          UNION
+          SELECT s.lang, s.doc_id, s.n_chars, r.k + 1
+          FROM r JOIN seq s
+            ON s.lang = r.lang AND s.doc_id > r.doc_id
+           AND s.n_chars > r.n_chars
+        )
+        SELECT lang, CAST(max(k) AS BIGINT) AS lis_len
+        FROM r GROUP BY 1
+    """,
+    "q281_unpivot_metrics": """
+        -- wide -> long melt: one (doc_id, metric, value) row per
+        -- derived metric (codepoints, utf-8 bytes, spaces)
+        WITH w AS (
+          SELECT doc_id,
+                 CAST(length(text) AS BIGINT) AS m_chars,
+                 CAST(strlen(text) AS BIGINT) AS m_bytes,
+                 CAST(length(text) - length(replace(text, ' ', ''))
+                      AS BIGINT) AS m_spaces
+          FROM documents WHERE text IS NOT NULL
+        )
+        SELECT doc_id, 'chars' AS metric, m_chars AS value FROM w
+        UNION ALL SELECT doc_id, 'bytes', m_bytes FROM w
+        UNION ALL SELECT doc_id, 'spaces', m_spaces FROM w
     """,
     "q237_max_drawdown": """
         -- dd_i = running_max(c) - c_i; earliest realization wins

@@ -166,3 +166,84 @@ def pagerank_scaled_int(
         scale *= damp_den * out_degree
 
     return ranked, scale
+
+
+def propagate_sum_int(
+    vec_ds,
+    edges_ds,
+    nodes_ds,
+    node_column: str = "h",
+    value_column: str = "x",
+    num_buckets: int = 32,
+    num_salt: int | None = None,
+):
+    """ONE round of integer SpMV: vec(node, x) × edges(src, dst) →
+    Dataset(node, x) with out.x(v) = Σ_{u→v} vec.x(u), and 0 for nodes
+    of ``nodes_ds`` with no in-edges. The building block HITS-style
+    alternating propagation shares with `pagerank_scaled_int`: the
+    contribution pass is one bucketed hash join (per-dst pre-sums fused
+    into the join bucket, so only (dst, partial) rows leave it) and the
+    zero-fill is a union-groupby with the node table — rows shuffle
+    twice, nothing node/edge-scale touches the driver. Contributions to
+    ids absent from ``nodes_ds`` are dropped (the graph is the node
+    table)."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    def tag_nodes(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "k": pc.cast(b[node_column], pa.int64()),
+                "inc": pa.array(np.zeros(n, dtype=np.int64)),
+                "tag": pa.array(np.ones(n, dtype=np.int8)),
+            }
+        )
+
+    tagged_nodes = nodes_ds.map_batches(tag_nodes, batch_format="pyarrow")
+
+    vec_keyed = vec_ds.map_batches(
+        lambda b: pa.table(
+            {
+                "src": pc.cast(b[node_column], pa.int64()),
+                "x": pc.cast(b[value_column], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def presum_by_dst(t: pa.Table) -> pa.Table:
+        out = (
+            pa.table({"dst": t["dst"], "x": t["x"]})
+            .group_by("dst")
+            .aggregate([("x", "sum")])
+        )
+        n = out.num_rows
+        return pa.table(
+            {
+                "k": pc.cast(out["dst"], pa.int64()),
+                "inc": pc.cast(out["x_sum"], pa.int64()),
+                "tag": pa.array(np.zeros(n, dtype=np.int8)),
+            }
+        )
+
+    contrib = bucketed_hash_join(
+        vec_keyed, edges_ds, key="src",
+        left_columns=["x"], right_columns=["dst"],
+        bucket_post_fn=presum_by_dst, num_buckets=num_buckets,
+    )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("k", as_index=False).agg(
+            inc=("inc", "sum"), node=("tag", "max")
+        )
+        g = g[g["node"] == 1]
+        return pd.DataFrame(
+            {
+                node_column: g["k"].astype("int64"),
+                value_column: g["inc"].astype("int64"),
+            }
+        )
+
+    return coarse_group_reduce(
+        contrib.union(tagged_nodes), "k", combine, num_salt=num_salt
+    )
