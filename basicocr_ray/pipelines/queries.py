@@ -16415,6 +16415,290 @@ def q281_unpivot_metrics(sf_dir: str):
     return ds.map_batches(melt, batch_format="pyarrow")
 
 
+def q282_greedy_matching(sf_dir: str):
+    """LOCAL-DOMINANCE BIPARTITE MATCHING (the distributed greedy
+    matching used for graph coarsening / crawl-slot assignment): an
+    edge (user, type, w=count) is matched in a round iff it is BOTH its
+    user's best edge (w desc, type asc) and its type's best edge
+    (w desc, user asc) — the handshake needs no coordination, just two
+    per-side top-1 reduces and the q276 mutual-agreement trick (union
+    the two pick relations on the edge key; a key present twice IS a
+    handshake). Two rounds, matched endpoints removed between rounds.
+    The matched relation per round is ≤ |event types| rows — the
+    broadcast-filter side stays bounded by the small side of the
+    bipartition."""
+    import ray
+
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "event_type"], as_index=False).size()
+        return g.rename(columns={"size": "w"})
+
+    def merge_sum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "event_type"], as_index=False)["w"].sum()
+        return g.astype({"user_id": "int64", "w": "int64"})
+
+    edges = coarse_group_reduce(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["user_id", "event_type"],
+        merge_sum,
+    ).materialize()
+
+    def top1(by: str, tie: str):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values(
+                [by, "w", tie], ascending=[True, False, True],
+                kind="mergesort",
+            )
+            return df.groupby(by, as_index=False).head(1)
+
+        return f
+
+    matched_rounds = []
+    for rnd in (1, 2):
+        pick_u = coarse_group_reduce(edges, "user_id", top1("user_id", "event_type"))
+        pick_t = coarse_group_reduce(edges, "event_type", top1("event_type", "user_id"))
+
+        def agree(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby(["user_id", "event_type"], as_index=False).agg(
+                n=("w", "size"), w=("w", "first")
+            )
+            g = g[g["n"] == 2][["user_id", "event_type", "w"]]
+            return g.astype({"user_id": "int64", "w": "int64"})
+
+        matched = pd.DataFrame(
+            collect_rows(
+                coarse_group_reduce(
+                    pick_u.union(pick_t), ["user_id", "event_type"], agree
+                )
+            ),
+            columns=["user_id", "event_type", "w"],
+        )
+        matched["round"] = np.int64(rnd)
+        matched_rounds.append(matched)
+        if rnd == 2:
+            break
+        mu = ray.put(set(matched["user_id"].tolist()))
+        mt = ray.put(set(matched["event_type"].tolist()))
+
+        def survives(b: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            us, ts = _ray.get(mu), _ray.get(mt)
+            keep_u = np.array(
+                [u not in us for u in b["user_id"].to_pylist()]
+            )
+            keep_t = np.array(
+                [t not in ts for t in b["event_type"].to_pylist()]
+            )
+            return b.filter(pa.array(keep_u & keep_t))
+
+        edges = edges.map_batches(
+            survives, batch_format="pyarrow"
+        ).materialize()
+
+    out = pd.concat(matched_rounds, ignore_index=True)
+    return out.astype(
+        {"user_id": "int64", "w": "int64", "round": "int64"}
+    )[["user_id", "event_type", "w", "round"]]
+
+
+def q283_global_kth_value(sf_dir: str):
+    """EXACT GLOBAL ORDER STATISTIC WITHOUT A SORT — the lower median
+    of lineitem price cents by HISTOGRAM DESCENT: O(log_B(range))
+    full-column passes, each a vectorized per-batch bincount whose
+    shuffle payload is ≤ B=4096 (bucket, count) rows; the driver only
+    ever walks a 4096-row histogram to pick the bucket holding rank k,
+    then recurses into it. This is how a 10¹²-row engine computes an
+    exact percentile when `sort` (an all-to-all exchange of every row)
+    is off the table — the grouped quantile family (q60/q66) co-locates
+    per group; this is the single-giant-group escape."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = b["l_extendedprice"].combine_chunks().to_numpy()
+        return pa.table(
+            {"c": pa.array(np.floor(v * 100.0).astype(np.int64))}
+        )
+
+    cds = ds.map_batches(cents, batch_format="pyarrow").materialize()
+    agg = cds.aggregate(
+        Count(alias_name="n"), Min("c", alias_name="lo"), Max("c", alias_name="hi")
+    )
+    n, lo, hi = int(agg["n"]), int(agg["lo"]), int(agg["hi"]) + 1
+    k = (n + 1) // 2
+    B = 4096
+
+    def hist_pass(lo_: int, hi_: int, w_: int):
+        def part(b: pa.Table) -> pa.Table:
+            c = b["c"].combine_chunks().to_numpy()
+            c = c[(c >= lo_) & (c < hi_)]
+            cnt = np.bincount((c - lo_) // w_, minlength=0)
+            nz = np.nonzero(cnt)[0]
+            return pa.table(
+                {
+                    "bkt": pa.array(nz.astype(np.int64)),
+                    "cnt": pa.array(cnt[nz].astype(np.int64)),
+                }
+            )
+
+        def merge(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("bkt", as_index=False)["cnt"].sum()
+            return g.astype({"bkt": "int64", "cnt": "int64"})
+
+        return pd.DataFrame(
+            collect_rows(
+                coarse_group_reduce(
+                    cds.map_batches(part, batch_format="pyarrow"),
+                    "bkt",
+                    merge,
+                )
+            ),
+            columns=["bkt", "cnt"],
+        ).sort_values("bkt")
+
+    while hi - lo > B:
+        w = -(-(hi - lo) // B)  # ceil
+        h = hist_pass(lo, hi, w)
+        run = 0
+        for bkt, cnt in zip(h["bkt"], h["cnt"]):
+            if run + cnt >= k:
+                k -= run
+                lo, hi = lo + int(bkt) * w, min(hi, lo + (int(bkt) + 1) * w)
+                break
+            run += int(cnt)
+    # exact-value pass inside the final narrow range
+    h = hist_pass(lo, hi, 1)
+    run = 0
+    kth = None
+    for bkt, cnt in zip(h["bkt"], h["cnt"]):
+        run += int(cnt)
+        if run >= k:
+            kth = lo + int(bkt)
+            break
+    return pd.DataFrame(
+        {
+            "n": pd.array([n], dtype="int64"),
+            "k": pd.array([(n + 1) // 2], dtype="int64"),
+            "kth_value": pd.array([kth], dtype="int64"),
+        }
+    )
+
+
+def q284_ks_statistic(sf_dir: str):
+    """TWO-SAMPLE KOLMOGOROV–SMIRNOV EVIDENCE between the value
+    distributions of the two lexicographically-first event types, as
+    the EXACT INTEGER numerator D·n1·n2 = max over thresholds of
+    |cum1·n2 − cum2·n1| (the consumer divides once for D). The ordered
+    cumulative max never sorts rows: per-value counts reduce in coarse
+    hash groups, each count row lands in one of 256 RANGE buckets, the
+    in-bucket prefix extrema (min/max of the running diff) reduce per
+    bucket, and the driver chains 256 bounded summaries with a running
+    offset — the q35 two-phase-scan discipline applied to a max-of-
+    prefix functional. int64-exact while n1·n2 < 2⁶³ (document: rescale
+    counts for larger corpora)."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    types = sorted(
+        t for t in ds.unique("event_type") if t is not None
+    )[:2]
+    ta, tb = types[0], types[1]
+
+    def per_value(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_pandas()
+        keep = et.isin([ta, tb]).to_numpy()
+        v = np.floor(
+            b["value"].combine_chunks().to_numpy()[keep] * 100.0
+        ).astype(np.int64)
+        is_a = (et[keep] == ta).to_numpy()
+        df = pd.DataFrame(
+            {
+                "v": v,
+                "c1": is_a.astype(np.int64),
+                "c2": (~is_a).astype(np.int64),
+            }
+        ).groupby("v", as_index=False).sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("v", as_index=False)[["c1", "c2"]].sum()
+        return g.astype({"v": "int64", "c1": "int64", "c2": "int64"})
+
+    counts = coarse_group_reduce(
+        ds.map_batches(per_value, batch_format="pyarrow"), "v", merge
+    ).materialize()
+
+    # totals (tiny scalar reduce), then 256 range buckets
+    from ray.data.aggregate import Max, Min, Sum
+
+    tot = counts.aggregate(
+        Sum("c1", alias_name="n1"), Sum("c2", alias_name="n2"),
+        Min("v", alias_name="vlo"), Max("v", alias_name="vhi"),
+    )
+    n1, n2 = int(tot["n1"]), int(tot["n2"])
+    vlo, vhi = int(tot["vlo"]), int(tot["vhi"]) + 1
+    NB = 256
+    w = -(-(vhi - vlo) // NB)
+
+    def add_rb(b: pa.Table) -> pa.Table:
+        v = b["v"].combine_chunks().to_numpy()
+        return b.append_column(
+            "rb", pa.array(((v - vlo) // w).astype(np.int64))
+        )
+
+    def bucket_summary(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for rb, g in df.groupby("rb"):
+            g = g.sort_values("v", kind="mergesort")
+            d = (g["c1"].to_numpy() * n2 - g["c2"].to_numpy() * n1).cumsum()
+            out.append(
+                (
+                    int(rb),
+                    int(g["c1"].sum()),
+                    int(g["c2"].sum()),
+                    int(d.min()),
+                    int(d.max()),
+                )
+            )
+        return pd.DataFrame(
+            out, columns=["rb", "s1", "s2", "dmin", "dmax"]
+        ).astype("int64")
+
+    summaries = pd.DataFrame(
+        collect_rows(
+            coarse_group_reduce(
+                counts.map_batches(add_rb, batch_format="pyarrow"),
+                "rb",
+                bucket_summary,
+            )
+        ),
+        columns=["rb", "s1", "s2", "dmin", "dmax"],
+    ).sort_values("rb")
+
+    off = 0
+    d_num = 0
+    for _, r in summaries.iterrows():
+        d_num = max(d_num, abs(off + int(r["dmax"])), abs(off + int(r["dmin"])))
+        off += int(r["s1"]) * n2 - int(r["s2"]) * n1
+    return pd.DataFrame(
+        {
+            "type_a": pd.array([ta], dtype="object"),
+            "type_b": pd.array([tb], dtype="object"),
+            "n1": pd.array([n1], dtype="int64"),
+            "n2": pd.array([n2], dtype="int64"),
+            "d_num": pd.array([d_num], dtype="int64"),
+        }
+    )
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -16694,6 +16978,9 @@ QUERIES = {
     "q279_hits_scores": q279_hits_scores,
     "q280_lis_per_lang": q280_lis_per_lang,
     "q281_unpivot_metrics": q281_unpivot_metrics,
+    "q282_greedy_matching": q282_greedy_matching,
+    "q283_global_kth_value": q283_global_kth_value,
+    "q284_ks_statistic": q284_ks_statistic,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -19037,6 +19324,83 @@ ORACLE_SQL = {
         SELECT doc_id, 'chars' AS metric, m_chars AS value FROM w
         UNION ALL SELECT doc_id, 'bytes', m_bytes FROM w
         UNION ALL SELECT doc_id, 'spaces', m_spaces FROM w
+    """,
+    "q282_greedy_matching": """
+        -- two rounds of local-dominance matching: an edge is matched
+        -- iff it is its user's best (w desc, type asc) AND its type's
+        -- best (w desc, user asc); matched endpoints leave round 2
+        WITH e AS (
+          SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS w
+          FROM events GROUP BY 1, 2
+        ),
+        bu1 AS (SELECT user_id, event_type, w FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+                    ORDER BY w DESC, event_type) AS rn FROM e)
+          WHERE rn = 1),
+        bt1 AS (SELECT user_id, event_type, w FROM (
+          SELECT *, row_number() OVER (PARTITION BY event_type
+                    ORDER BY w DESC, user_id) AS rn FROM e)
+          WHERE rn = 1),
+        m1 AS (SELECT u.user_id, u.event_type, u.w
+               FROM bu1 u JOIN bt1 t USING (user_id, event_type)),
+        e2 AS (SELECT * FROM e
+               WHERE user_id NOT IN (SELECT user_id FROM m1)
+                 AND event_type NOT IN (SELECT event_type FROM m1)),
+        bu2 AS (SELECT user_id, event_type, w FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+                    ORDER BY w DESC, event_type) AS rn FROM e2)
+          WHERE rn = 1),
+        bt2 AS (SELECT user_id, event_type, w FROM (
+          SELECT *, row_number() OVER (PARTITION BY event_type
+                    ORDER BY w DESC, user_id) AS rn FROM e2)
+          WHERE rn = 1),
+        m2 AS (SELECT u.user_id, u.event_type, u.w
+               FROM bu2 u JOIN bt2 t USING (user_id, event_type))
+        SELECT user_id, event_type, w, CAST(1 AS BIGINT) AS round FROM m1
+        UNION ALL
+        SELECT user_id, event_type, w, CAST(2 AS BIGINT) FROM m2
+    """,
+    "q283_global_kth_value": """
+        -- lower median of price cents as a pure order statistic
+        WITH c AS (
+          SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v
+          FROM lineitem
+        ),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST((count(*) + 1) // 2 AS BIGINT) AS k FROM c),
+        s AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM c)
+        SELECT nn.n, nn.k, s.v AS kth_value FROM s, nn WHERE s.rn = nn.k
+    """,
+    "q284_ks_statistic": """
+        -- KS D numerator between the two lexicographically-first
+        -- event types: max over thresholds of |cum1*n2 - cum2*n1|
+        WITH ab AS (
+          SELECT min(event_type) AS a, max(event_type) AS b FROM (
+            SELECT event_type FROM events WHERE event_type IS NOT NULL
+            GROUP BY 1 ORDER BY 1 LIMIT 2)
+        ),
+        e AS (
+          SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v
+          FROM events, ab WHERE event_type IN (ab.a, ab.b)
+        ),
+        g AS (
+          SELECT v,
+                 sum(CASE WHEN event_type = (SELECT a FROM ab)
+                     THEN 1 ELSE 0 END) AS c1,
+                 sum(CASE WHEN event_type = (SELECT b FROM ab)
+                     THEN 1 ELSE 0 END) AS c2
+          FROM e GROUP BY 1
+        ),
+        n AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM g),
+        cum AS (
+          SELECT sum(c1) OVER (ORDER BY v) AS cum1,
+                 sum(c2) OVER (ORDER BY v) AS cum2
+          FROM g
+        )
+        SELECT (SELECT a FROM ab) AS type_a, (SELECT b FROM ab) AS type_b,
+               CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2,
+               CAST(max(abs(cum1 * n.n2 - cum2 * n.n1)) AS BIGINT) AS d_num
+        FROM cum, n GROUP BY n.n1, n.n2
     """,
     "q237_max_drawdown": """
         -- dd_i = running_max(c) - c_i; earliest realization wins
