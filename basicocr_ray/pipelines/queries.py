@@ -16515,10 +16515,10 @@ def q283_global_kth_value(sf_dir: str):
     then recurses into it. This is how a 10¹²-row engine computes an
     exact percentile when `sort` (an all-to-all exchange of every row)
     is off the table — the grouped quantile family (q60/q66) co-locates
-    per group; this is the single-giant-group escape."""
-    from ray.data.aggregate import Count, Max, Min
-
-    from basicocr_ray.stages.wide import coarse_group_reduce
+    per group; this is the single-giant-group escape
+    (`stages/wide.py:global_order_stats` is the multi-k generalization;
+    this asks it for one rank)."""
+    from basicocr_ray.stages.wide import global_order_stats
 
     ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
 
@@ -16529,64 +16529,13 @@ def q283_global_kth_value(sf_dir: str):
         )
 
     cds = ds.map_batches(cents, batch_format="pyarrow").materialize()
-    agg = cds.aggregate(
-        Count(alias_name="n"), Min("c", alias_name="lo"), Max("c", alias_name="hi")
-    )
-    n, lo, hi = int(agg["n"]), int(agg["lo"]), int(agg["hi"]) + 1
+    n = cds.count()
     k = (n + 1) // 2
-    B = 4096
-
-    def hist_pass(lo_: int, hi_: int, w_: int):
-        def part(b: pa.Table) -> pa.Table:
-            c = b["c"].combine_chunks().to_numpy()
-            c = c[(c >= lo_) & (c < hi_)]
-            cnt = np.bincount((c - lo_) // w_, minlength=0)
-            nz = np.nonzero(cnt)[0]
-            return pa.table(
-                {
-                    "bkt": pa.array(nz.astype(np.int64)),
-                    "cnt": pa.array(cnt[nz].astype(np.int64)),
-                }
-            )
-
-        def merge(df: pd.DataFrame) -> pd.DataFrame:
-            g = df.groupby("bkt", as_index=False)["cnt"].sum()
-            return g.astype({"bkt": "int64", "cnt": "int64"})
-
-        return pd.DataFrame(
-            collect_rows(
-                coarse_group_reduce(
-                    cds.map_batches(part, batch_format="pyarrow"),
-                    "bkt",
-                    merge,
-                )
-            ),
-            columns=["bkt", "cnt"],
-        ).sort_values("bkt")
-
-    while hi - lo > B:
-        w = -(-(hi - lo) // B)  # ceil
-        h = hist_pass(lo, hi, w)
-        run = 0
-        for bkt, cnt in zip(h["bkt"], h["cnt"]):
-            if run + cnt >= k:
-                k -= run
-                lo, hi = lo + int(bkt) * w, min(hi, lo + (int(bkt) + 1) * w)
-                break
-            run += int(cnt)
-    # exact-value pass inside the final narrow range
-    h = hist_pass(lo, hi, 1)
-    run = 0
-    kth = None
-    for bkt, cnt in zip(h["bkt"], h["cnt"]):
-        run += int(cnt)
-        if run >= k:
-            kth = lo + int(bkt)
-            break
+    kth = global_order_stats(cds, [k])[k]
     return pd.DataFrame(
         {
             "n": pd.array([n], dtype="int64"),
-            "k": pd.array([(n + 1) // 2], dtype="int64"),
+            "k": pd.array([k], dtype="int64"),
             "kth_value": pd.array([kth], dtype="int64"),
         }
     )
@@ -16697,6 +16646,231 @@ def q284_ks_statistic(sf_dir: str):
             "d_num": pd.array([d_num], dtype="int64"),
         }
     )
+
+
+def q285_decile_grid(sf_dir: str):
+    """JOINT DECILE GRID — the 2-D rank-dependence audit (a discrete
+    copula): every event lands in a (value-decile, user-activity-decile)
+    cell and the 10×10 contingency matrix falls out. Both decile ladders
+    are EXACT order statistics t_j at ranks ceil(j·n/10), computed by
+    ONE simultaneous histogram descent each
+    (`stages/wide.py:global_order_stats` — O(log_B range) scans total
+    for all 9 thresholds, never a sort); band(x) = 1 + #{j: x > t_j}.
+    The user's activity band joins back to events through a bucketed
+    hash join (user count relation is fact-scale — never broadcast),
+    and the grid is a bounded coarse reduce."""
+    from basicocr_ray.stages.joins import bucketed_hash_join
+    from basicocr_ray.stages.wide import (
+        coarse_group_reduce,
+        global_order_stats,
+    )
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = b["value"].combine_chunks().to_numpy()
+        return pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "v": pa.array(np.floor(v * 100.0).astype(np.int64)),
+            }
+        )
+
+    ev = ds.map_batches(cents, batch_format="pyarrow").materialize()
+    n = ev.count()
+    vks = sorted({-(-(j * n) // 10) for j in range(1, 10)})
+    v_stats = global_order_stats(ev, vks, column="v")
+    v_thresh = np.array(
+        [v_stats[-(-(j * n) // 10)] for j in range(1, 10)], dtype=np.int64
+    )
+
+    # per-user activity counts (fact-scale relation, stays distributed)
+    def upart(b: pa.Table) -> pa.Table:
+        vc = pc.value_counts(b["user_id"])
+        return pa.table(
+            {
+                "user_id": pc.cast(vc.field("values"), pa.int64()),
+                "cnt": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    def umerge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False)["cnt"].sum()
+        return g.astype({"user_id": "int64", "cnt": "int64"})
+
+    ucnt = coarse_group_reduce(
+        ev.map_batches(upart, batch_format="pyarrow"), "user_id", umerge
+    ).materialize()
+    nu = ucnt.count()
+    uks = sorted({-(-(j * nu) // 10) for j in range(1, 10)})
+    u_stats = global_order_stats(ucnt, uks, column="cnt")
+    u_thresh = np.array(
+        [u_stats[-(-(j * nu) // 10)] for j in range(1, 10)], dtype=np.int64
+    )
+
+    def uband(b: pa.Table) -> pa.Table:
+        c = b["cnt"].combine_chunks().to_numpy(zero_copy_only=False)
+        # band counts STRICTLY smaller thresholds (ties stay low)
+        band = 1 + (c[:, None] > u_thresh[None, :]).sum(axis=1)
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "uband": pa.array(band.astype(np.int64)),
+            }
+        )
+
+    ubands = ucnt.map_batches(uband, batch_format="pyarrow")
+
+    def vband(b: pa.Table) -> pa.Table:
+        v = b["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        band = 1 + (v[:, None] > v_thresh[None, :]).sum(axis=1)
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "vband": pa.array(band.astype(np.int64)),
+            }
+        )
+
+    joined = bucketed_hash_join(
+        ev.map_batches(vband, batch_format="pyarrow"),
+        ubands,
+        key="user_id",
+        left_columns=["vband"],
+        right_columns=["uband"],
+    )
+
+    def grid(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["vband", "uband"], as_index=False).size()
+        g = g.rename(columns={"size": "n_events"})
+        return g.astype(
+            {"vband": "int64", "uband": "int64", "n_events": "int64"}
+        )
+
+    return coarse_group_reduce(joined, ["vband", "uband"], grid)
+
+
+def q286_apportionment(sf_dir: str):
+    """LARGEST-REMAINDER (Hamilton) APPORTIONMENT of a 1000-slot sample
+    budget across languages ∝ document counts — THE sampling-plan
+    operator a corpus curator runs before q47's stratified draw: base =
+    ⌊S·cnt/total⌋ per lang, and the S − Σbase leftover slots go one
+    each to the largest remainders S·cnt mod total (ties: lang asc).
+    Corpus-scale work is one per-lang count reduce; the apportionment
+    is exact integer arithmetic on the bounded lang relation (compare
+    q269's max-min waterfill — this one is proportional)."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    S = 1000
+    ds = _read(sf_dir, "documents", columns=["lang"])
+
+    def part(b: pa.Table) -> pa.Table:
+        vc = pc.value_counts(
+            b["lang"].combine_chunks().filter(
+                pc.is_valid(b["lang"].combine_chunks())
+            )
+        )
+        return pa.table(
+            {
+                "lang": pc.cast(vc.field("values"), pa.string()),
+                "cnt": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("lang", as_index=False)["cnt"].sum()
+        return g.astype({"cnt": "int64"})
+
+    rows = pd.DataFrame(
+        collect_rows(
+            coarse_group_reduce(
+                ds.map_batches(part, batch_format="pyarrow"), "lang", merge
+            )
+        ),
+        columns=["lang", "cnt"],
+    ).sort_values("lang").reset_index(drop=True)
+
+    total = int(rows["cnt"].sum())
+    base = (S * rows["cnt"].to_numpy()) // total
+    rem = (S * rows["cnt"].to_numpy()) % total
+    leftover = S - int(base.sum())
+    order = np.lexsort((rows["lang"].to_numpy(), -rem))
+    extra = np.zeros(len(rows), dtype=np.int64)
+    extra[order[:leftover]] = 1
+    return pd.DataFrame(
+        {
+            "lang": rows["lang"],
+            "n_docs": rows["cnt"].astype("int64"),
+            "slots": pd.array(base + extra, dtype="int64"),
+        }
+    )
+
+
+def q287_survival_at_risk(sf_dir: str):
+    """KAPLAN–MEIER-STYLE SURVIVAL EVIDENCE for user lifetimes: per
+    observed lifetime d (whole days between a user's first and last
+    event), how many users END at d and how many were still AT RISK
+    (lifetime ≥ d) — the exact integer columns under any survival-curve
+    estimator. One exchange co-locates each user (first/last reduce),
+    lifetimes histogram in a bounded coarse reduce (the day domain is
+    calendar-bounded), and the at-risk suffix sum walks the bounded
+    histogram driver-side (the q261/q269 bounded-relation discipline)."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "t": pc.cast(
+                    pc.cast(b["ts"], pa.timestamp("us")), pa.int64()
+                ),
+            }
+        )
+
+    def upart(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False)["t"].agg(["min", "max"])
+        return g.reset_index(drop=True).astype(
+            {"user_id": "int64", "min": "int64", "max": "int64"}
+        )
+
+    spans = coarse_group_reduce(
+        ds.map_batches(prep, batch_format="pyarrow").map_batches(
+            upart, batch_format="pandas"
+        ),
+        "user_id",
+        lambda df: df.groupby("user_id", as_index=False)
+        .agg({"min": "min", "max": "max"})
+        .astype({"user_id": "int64", "min": "int64", "max": "int64"}),
+    )
+
+    def lifetime(b: pa.Table) -> pa.Table:
+        lo = b["min"].combine_chunks().to_numpy(zero_copy_only=False)
+        hi = b["max"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = (hi - lo) // 86_400_000_000
+        out = pd.DataFrame({"d": d.astype(np.int64)})
+        out["n_ending"] = np.int64(1)
+        g = out.groupby("d", as_index=False)["n_ending"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = pd.DataFrame(
+        collect_rows(
+            coarse_group_reduce(
+                spans.map_batches(lifetime, batch_format="pyarrow"),
+                "d",
+                lambda df: df.groupby("d", as_index=False)["n_ending"]
+                .sum()
+                .astype({"d": "int64", "n_ending": "int64"}),
+            )
+        ),
+        columns=["d", "n_ending"],
+    ).sort_values("d", ascending=False)
+
+    hist["n_at_risk"] = hist["n_ending"].cumsum()
+    hist = hist.sort_values("d").reset_index(drop=True)
+    return hist.astype(
+        {"d": "int64", "n_ending": "int64", "n_at_risk": "int64"}
+    )[["d", "n_ending", "n_at_risk"]]
 
 
 # ===========================================================================
@@ -16981,6 +17155,9 @@ QUERIES = {
     "q282_greedy_matching": q282_greedy_matching,
     "q283_global_kth_value": q283_global_kth_value,
     "q284_ks_statistic": q284_ks_statistic,
+    "q285_decile_grid": q285_decile_grid,
+    "q286_apportionment": q286_apportionment,
+    "q287_survival_at_risk": q287_survival_at_risk,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -19401,6 +19578,77 @@ ORACLE_SQL = {
                CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2,
                CAST(max(abs(cum1 * n.n2 - cum2 * n.n1)) AS BIGINT) AS d_num
         FROM cum, n GROUP BY n.n1, n.n2
+    """,
+    "q285_decile_grid": """
+        -- joint (value-decile, user-activity-decile) contingency grid;
+        -- thresholds are exact order stats at ceil(j*n/10), band =
+        -- 1 + #{strictly smaller thresholds}
+        WITH c AS (
+          SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS v
+          FROM events
+        ),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+        js AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS j),
+        sv AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM c),
+        tv AS (SELECT j.j, s.v AS t
+               FROM js j CROSS JOIN n
+               JOIN sv s ON s.rn = (j.j * n.n + 9) // 10),
+        uc AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+               FROM c GROUP BY 1),
+        nu AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uc),
+        su AS (SELECT cnt, row_number() OVER (ORDER BY cnt) AS rn FROM uc),
+        tu AS (SELECT j.j, s.cnt AS t
+               FROM js j CROSS JOIN nu
+               JOIN su s ON s.rn = (j.j * nu.n + 9) // 10),
+        vb AS (SELECT user_id,
+                      1 + (SELECT count(*) FROM tv WHERE tv.t < c.v)
+                        AS vband
+               FROM c),
+        ub AS (SELECT user_id,
+                      1 + (SELECT count(*) FROM tu WHERE tu.t < uc.cnt)
+                        AS uband
+               FROM uc)
+        SELECT CAST(vb.vband AS BIGINT) AS vband,
+               CAST(ub.uband AS BIGINT) AS uband,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM vb JOIN ub USING (user_id) GROUP BY 1, 2
+    """,
+    "q286_apportionment": """
+        -- Hamilton / largest-remainder: base = floor(S*cnt/total),
+        -- leftover slots to largest S*cnt mod total (ties lang asc)
+        WITH c AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS cnt
+          FROM documents WHERE lang IS NOT NULL GROUP BY 1
+        ),
+        t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+        b AS (SELECT lang, cnt,
+                     (1000 * cnt) // t.total AS base,
+                     (1000 * cnt) % t.total AS rem
+              FROM c, t),
+        l AS (SELECT CAST(1000 - sum(base) AS BIGINT) AS leftover FROM b),
+        r AS (SELECT lang, cnt, base,
+                     row_number() OVER (ORDER BY rem DESC, lang) AS rk
+              FROM b)
+        SELECT lang, cnt AS n_docs,
+               CAST(base + CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END
+                    AS BIGINT) AS slots
+        FROM r, l
+    """,
+    "q287_survival_at_risk": """
+        -- per observed lifetime d (whole days first->last event):
+        -- users ending at d, users at risk (lifetime >= d)
+        WITH s AS (
+          SELECT user_id,
+                 (epoch_us(max(ts)) - epoch_us(min(ts))) // 86400000000
+                   AS d
+          FROM events GROUP BY 1
+        ),
+        h AS (SELECT d, CAST(count(*) AS BIGINT) AS n_ending
+              FROM s GROUP BY 1)
+        SELECT CAST(d AS BIGINT) AS d, n_ending,
+               CAST(sum(n_ending) OVER (ORDER BY d DESC)
+                    AS BIGINT) AS n_at_risk
+        FROM h
     """,
     "q237_max_drawdown": """
         -- dd_i = running_max(c) - c_i; earliest realization wins

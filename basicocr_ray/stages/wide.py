@@ -833,3 +833,144 @@ def local_distinct_cg(
     return g.append_column(
         "cg", pa.array((h & (salts - 1)).astype(np.int32))
     )
+
+
+def global_order_stats(
+    cds,
+    ks: list[int],
+    column: str = "c",
+    num_buckets: int = 4096,
+    num_salt: int | None = None,
+) -> dict[int, int]:
+    """Exact k-th smallest (1-indexed, for EVERY k in ``ks``) of an
+    int64 column — without sorting a row: SIMULTANEOUS histogram
+    descent. Each round is ONE full-column scan that histograms every
+    still-wide (k, lo, hi) interval at once (per-batch vectorized
+    bincount; the shuffle payload is ≤ |intervals|·B (bucket, count)
+    rows), the driver walks the ≤ B-row histograms to narrow each k's
+    interval, and a final exact-value pass resolves all ks together —
+    O(log_B(range)) scans TOTAL, independent of len(ks). This is how a
+    10¹²-row engine computes exact global percentile LADDERS when
+    `sort` (an all-to-all of every row) is off the table; the grouped
+    quantile family (grouped_quantile_disc et al.) co-locates per
+    group — this is the single-giant-group escape, multi-k.
+
+    Returns {k: value}. ks must satisfy 1 <= k <= n.
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Count, Max, Min
+
+    agg = cds.aggregate(
+        Count(alias_name="n"),
+        Min(column, alias_name="lo"),
+        Max(column, alias_name="hi"),
+    )
+    n, glo, ghi = int(agg["n"]), int(agg["lo"]), int(agg["hi"]) + 1
+    bad = [k for k in ks if not 1 <= k <= n]
+    if bad:
+        raise ValueError(f"ks out of range 1..{n}: {bad}")
+
+    # per-k state: remaining rank within [lo, hi)
+    state = {k: (k, glo, ghi) for k in ks}
+
+    def hist_scan(intervals):
+        """intervals: list of (iid, lo, hi, w). One scan → DataFrame of
+        (iid, bkt, cnt)."""
+        ivs = list(intervals)
+
+        def part(b: pa.Table) -> pa.Table:
+            c = b[column].combine_chunks().to_numpy(zero_copy_only=False)
+            iids, bkts, cnts = [], [], []
+            for iid, lo_, hi_, w_ in ivs:
+                m = c[(c >= lo_) & (c < hi_)]
+                if len(m) == 0:
+                    continue
+                cnt = np.bincount((m - lo_) // w_)
+                nz = np.nonzero(cnt)[0]
+                iids.append(np.full(len(nz), iid, dtype=np.int64))
+                bkts.append(nz.astype(np.int64))
+                cnts.append(cnt[nz].astype(np.int64))
+            if not iids:
+                return pa.table(
+                    {
+                        "iid": pa.array([], pa.int64()),
+                        "bkt": pa.array([], pa.int64()),
+                        "cnt": pa.array([], pa.int64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "iid": pa.array(np.concatenate(iids)),
+                    "bkt": pa.array(np.concatenate(bkts)),
+                    "cnt": pa.array(np.concatenate(cnts)),
+                }
+            )
+
+        def merge(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby(["iid", "bkt"], as_index=False)["cnt"].sum()
+            return g.astype({"iid": "int64", "bkt": "int64", "cnt": "int64"})
+
+        return pd.DataFrame(
+            collect_rows(
+                coarse_group_reduce(
+                    cds.map_batches(part, batch_format="pyarrow"),
+                    ["iid", "bkt"],
+                    merge,
+                    num_salt=num_salt,
+                )
+            ),
+            columns=["iid", "bkt", "cnt"],
+        ).sort_values(["iid", "bkt"])
+
+    # descent rounds: histogram every wide interval at once
+    while True:
+        # dedup identical (lo, hi) windows across ks
+        wide = {}
+        for k, (_krem, lo_, hi_) in state.items():
+            if hi_ - lo_ > num_buckets:
+                wide.setdefault((lo_, hi_), []).append(k)
+        if not wide:
+            break
+        intervals = []
+        for iid, ((lo_, hi_), _grp) in enumerate(sorted(wide.items())):
+            w_ = -(-(hi_ - lo_) // num_buckets)
+            intervals.append((iid, lo_, hi_, w_))
+        hist = hist_scan(intervals)
+        for iid, lo_, hi_, w_ in intervals:
+            h = hist[hist["iid"] == iid]
+            pairs = list(zip(h["bkt"], h["cnt"]))
+            for k in wide[(lo_, hi_)]:
+                krem = state[k][0]
+                run = 0
+                for bkt, cnt in pairs:
+                    if run + int(cnt) >= krem:
+                        b0 = lo_ + int(bkt) * w_
+                        state[k] = (
+                            krem - run, b0, min(hi_, b0 + w_)
+                        )
+                        break
+                    run += int(cnt)
+
+    # final exact-value pass over every (narrow) interval at once
+    narrow = {}
+    for k, (_krem, lo_, hi_) in state.items():
+        narrow.setdefault((lo_, hi_), []).append(k)
+    intervals = [
+        (iid, lo_, hi_, 1)
+        for iid, (lo_, hi_) in enumerate(sorted(narrow))
+    ]
+    hist = hist_scan(intervals)
+    out: dict[int, int] = {}
+    for iid, lo_, hi_, _w in intervals:
+        h = hist[hist["iid"] == iid]
+        pairs = list(zip(h["bkt"], h["cnt"]))
+        for k in narrow[(lo_, hi_)]:
+            krem = state[k][0]
+            run = 0
+            for bkt, cnt in pairs:
+                run += int(cnt)
+                if run >= krem:
+                    out[k] = lo_ + int(bkt)
+                    break
+    return out
