@@ -16873,6 +16873,201 @@ def q287_survival_at_risk(sf_dir: str):
     )[["d", "n_ending", "n_at_risk"]]
 
 
+def q288_gram_matrix(sf_dir: str):
+    """DISTRIBUTED GRAM MATRIX — the PCA/whitening prep primitive:
+    G = EᵀE over the int-quantized embedding matrix, computed as
+    per-batch d×d numpy matmul PARTIALS (the k-means
+    broadcast-partials discipline, `stages/kmeans.py`): each batch
+    ships at most d(d+1)/2 = 2080 upper-triangle rows regardless of
+    row count, a bounded coarse reduce sums them, and nothing
+    row-scale ever shuffles. int64-exact: |q| ≤ 10³ per element keeps
+    Σq_iq_j < 2⁶³ to 9·10¹² rows (rescale the quantizer beyond)."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        V = np.floor(
+            np.asarray(b["embedding"].to_pylist(), dtype=np.float64)
+            * 1e3
+        ).astype(np.int64)
+        G = V.T @ V
+        d = G.shape[0]
+        iu = np.triu_indices(d)
+        return pa.table(
+            {
+                "i": pa.array(iu[0].astype(np.int64) + 1),
+                "j": pa.array(iu[1].astype(np.int64) + 1),
+                "gram": pa.array(G[iu]),
+            }
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["i", "j"], as_index=False)["gram"].sum()
+        return g.astype({"i": "int64", "j": "int64", "gram": "int64"})
+
+    return coarse_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"), ["i", "j"], merge
+    )
+
+
+def q289_snake_draft_shards(sf_dir: str):
+    """SNAKE-DRAFT SHARD BALANCING — the closed-form load-balancing
+    heuristic (boustrophedon assignment): hosts ranked by demand desc
+    (ties host asc) deal into 8 shards forward-then-backward, so every
+    shard gets one pick per round and pick quality alternates — the
+    deterministic, coordination-free cousin of LPT bin packing a
+    planner can compute INSIDE a row expression. Corpus-scale work is
+    one per-host count reduce; ranking + assignment is exact integer
+    arithmetic on the bounded 64-row demand relation."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    S = 8
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def part(b: pa.Table) -> pa.Table:
+        h = (
+            b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+            % 64
+        ).astype(np.int64)
+        df = pd.DataFrame({"host": h})
+        df["demand"] = np.int64(1)
+        return pa.Table.from_pandas(
+            df.groupby("host", as_index=False).sum(), preserve_index=False
+        )
+
+    rows = pd.DataFrame(
+        collect_rows(
+            coarse_group_reduce(
+                ds.map_batches(part, batch_format="pyarrow"),
+                "host",
+                lambda df: df.groupby("host", as_index=False)["demand"]
+                .sum()
+                .astype({"host": "int64", "demand": "int64"}),
+            )
+        ),
+        columns=["host", "demand"],
+    )
+    order = np.lexsort((rows["host"].to_numpy(), -rows["demand"].to_numpy()))
+    r = np.empty(len(rows), dtype=np.int64)  # 0-based rank
+    r[order] = np.arange(len(rows))
+    rnd, pos = r // S, r % S
+    shard = np.where(rnd % 2 == 0, pos, S - 1 - pos)
+    out = pd.DataFrame(
+        {"shard": shard, "demand": rows["demand"].to_numpy()}
+    ).groupby("shard", as_index=False).agg(
+        n_hosts=("demand", "size"), total_demand=("demand", "sum")
+    )
+    return out.astype(
+        {"shard": "int64", "n_hosts": "int64", "total_demand": "int64"}
+    )
+
+
+def q290_minplus_apsp(sf_dir: str):
+    """ALL-PAIRS SHORTEST PATHS BY MIN-PLUS SQUARING — q278's
+    pointer-doubling lifted to the (min, +) semiring: D_{2k}[u,v] =
+    min over m of D_k[u,m] + D_k[m,v], so THREE squarings give every
+    ≤8-hop shortest path over the weighted host graph (64 nodes, 3
+    out-edges of weight 1+(u+v) mod 5, plus zero self-loops). Each
+    squaring is ONE bucketed self-join on the middle vertex with the
+    per-(u,v) min fused into the join bucket, then a coarse min-reduce
+    — log₂(h) rounds instead of h relaxation sweeps, the matrix path
+    a distributed engine takes when diameters are shallow."""
+    from basicocr_ray.stages.joins import bucketed_hash_join
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    H = 64
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def hostify(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({"h": pa.array(np.unique(ids % H), pa.int64())})
+
+    def hmerge(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.drop_duplicates("h")
+            .astype({"h": "int64"})
+            .reset_index(drop=True)
+        )
+
+    hosts = coarse_group_reduce(
+        ds.map_batches(hostify, batch_format="pyarrow"), "h", hmerge
+    ).materialize()
+
+    def seed(b: pa.Table) -> pa.Table:
+        hs = b["h"].combine_chunks().to_numpy(zero_copy_only=False)
+        u = np.concatenate([np.repeat(hs, 3), hs])
+        v = np.concatenate(
+            [
+                np.stack(
+                    [(3 * hs + 1) % H, (5 * hs + 2) % H, (7 * hs + 4) % H],
+                    axis=1,
+                ).reshape(-1),
+                hs,
+            ]
+        )
+        w = np.concatenate(
+            [
+                (1 + (np.repeat(hs, 3) + np.stack(
+                    [(3 * hs + 1) % H, (5 * hs + 2) % H, (7 * hs + 4) % H],
+                    axis=1,
+                ).reshape(-1)) % 5),
+                np.zeros(len(hs), dtype=np.int64),
+            ]
+        )
+        df = pd.DataFrame({"u": u, "v": v, "w": w})
+        df = df.groupby(["u", "v"], as_index=False)["w"].min()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    D = hosts.map_batches(seed, batch_format="pyarrow").materialize()
+
+    def min_uv(t: pa.Table) -> pa.Table:
+        out = (
+            pa.table(
+                {
+                    "u": t["u"],
+                    "v": t["v2"],
+                    "w": pc.add(t["wl"], t["wr"]),
+                }
+            )
+            .group_by(["u", "v"])
+            .aggregate([("w", "min")])
+        )
+        return pa.table(
+            {"u": out["u"], "v": out["v"], "w": out["w_min"]}
+        )
+
+    for _ in range(3):  # D -> D2 -> D4 -> D8
+        left = D.map_batches(
+            lambda b: pa.table({"m": b["v"], "u": b["u"], "wl": b["w"]}),
+            batch_format="pyarrow",
+        )
+        right = D.map_batches(
+            lambda b: pa.table({"m": b["u"], "v2": b["v"], "wr": b["w"]}),
+            batch_format="pyarrow",
+        )
+        joined = bucketed_hash_join(
+            left, right, key="m",
+            left_columns=["u", "wl"], right_columns=["v2", "wr"],
+            bucket_post_fn=min_uv, num_buckets=4,
+        )
+
+        def dmin(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby(["u", "v"], as_index=False)["w"].min()
+            return g.astype({"u": "int64", "v": "int64", "w": "int64"})
+
+        D = coarse_group_reduce(
+            joined, ["u", "v"], dmin, num_salt=4
+        ).materialize()
+
+    return D.map_batches(
+        lambda b: pa.table(
+            {"u": b["u"], "v": b["v"], "dist": b["w"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -17158,6 +17353,9 @@ QUERIES = {
     "q285_decile_grid": q285_decile_grid,
     "q286_apportionment": q286_apportionment,
     "q287_survival_at_risk": q287_survival_at_risk,
+    "q288_gram_matrix": q288_gram_matrix,
+    "q289_snake_draft_shards": q289_snake_draft_shards,
+    "q290_minplus_apsp": q290_minplus_apsp,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -19649,6 +19847,61 @@ ORACLE_SQL = {
                CAST(sum(n_ending) OVER (ORDER BY d DESC)
                     AS BIGINT) AS n_at_risk
         FROM h
+    """,
+    "q288_gram_matrix": """
+        -- G = E^T E over int-quantized embeddings, upper triangle
+        -- (1-based dims)
+        WITH u AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000)
+                      AS BIGINT) AS q
+          FROM embeddings
+        )
+        SELECT a.i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS gram
+        FROM u a JOIN u b ON b.vec_id = a.vec_id AND b.i >= a.i
+        GROUP BY 1, 2
+    """,
+    "q289_snake_draft_shards": """
+        -- boustrophedon deal of demand-ranked hosts into 8 shards
+        WITH d AS (
+          SELECT doc_id % 64 AS host, CAST(count(*) AS BIGINT) AS demand
+          FROM documents GROUP BY 1
+        ),
+        r AS (SELECT host, demand,
+                     row_number() OVER (ORDER BY demand DESC, host) - 1
+                       AS r
+              FROM d),
+        a AS (SELECT demand,
+                     CASE WHEN (r // 8) % 2 = 0 THEN r % 8
+                          ELSE 7 - (r % 8) END AS shard
+              FROM r)
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST(count(*) AS BIGINT) AS n_hosts,
+               CAST(sum(demand) AS BIGINT) AS total_demand
+        FROM a GROUP BY 1
+    """,
+    "q290_minplus_apsp": """
+        -- (min,+) matrix squaring x3 = all <=8-hop shortest paths;
+        -- edges weight 1+(u+v)%5, self-loops 0
+        WITH hosts AS (SELECT DISTINCT doc_id % 64 AS h FROM documents),
+        e0 AS (
+          SELECT h AS u, (3 * h + 1) % 64 AS v FROM hosts
+          UNION ALL SELECT h, (5 * h + 2) % 64 FROM hosts
+          UNION ALL SELECT h, (7 * h + 4) % 64 FROM hosts
+        ),
+        d1 AS (
+          SELECT u, v, CAST(min(w) AS BIGINT) AS w FROM (
+            SELECT u, v, 1 + (u + v) % 5 AS w FROM e0
+            UNION ALL SELECT h, h, 0 FROM hosts
+          ) GROUP BY 1, 2
+        ),
+        d2 AS (SELECT a.u, b.v, min(a.w + b.w) AS w
+               FROM d1 a JOIN d1 b ON b.u = a.v GROUP BY 1, 2),
+        d4 AS (SELECT a.u, b.v, min(a.w + b.w) AS w
+               FROM d2 a JOIN d2 b ON b.u = a.v GROUP BY 1, 2),
+        d8 AS (SELECT a.u, b.v, min(a.w + b.w) AS w
+               FROM d4 a JOIN d4 b ON b.u = a.v GROUP BY 1, 2)
+        SELECT u, v, CAST(w AS BIGINT) AS dist FROM d8
     """,
     "q237_max_drawdown": """
         -- dd_i = running_max(c) - c_i; earliest realization wins
