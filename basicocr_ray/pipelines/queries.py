@@ -17068,6 +17068,163 @@ def q290_minplus_apsp(sf_dir: str):
     )
 
 
+def q291_rendezvous_placement(sf_dir: str):
+    """RENDEZVOUS (HRW) PLACEMENT CHURN — the consistent-placement
+    audit every storage planner runs before resharding: each doc goes
+    to argmax over nodes of md5(doc:node), and growing the ring 8→9
+    nodes moves only the docs whose new node wins (≈1/9), while
+    mod-placement reshuffles ≈8/9. Both assignments are pure per-row
+    kernels (no shuffle at all); the verdict is one scalar reduce of
+    three counters. The md5 ladder is the house DuckDB-exact hash
+    (`md5_number_lower` semantics via core.textstats.md5_low64), so
+    the oracle reproduces every argmax bit-for-bit."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def place(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        moved_hrw = 0
+        moved_mod = 0
+        for did in ids:
+            hs = [
+                _md5_low64(f"{did}:{node}") for node in range(9)
+            ]
+            n8 = int(np.argmax(hs[:8]))
+            n9 = int(np.argmax(hs))
+            if n8 != n9:
+                moved_hrw += 1
+            if did % 8 != did % 9:
+                moved_mod += 1
+        return pa.table(
+            {
+                "n_total": pa.array([len(ids)], pa.int64()),
+                "moved_hrw": pa.array([moved_hrw], pa.int64()),
+                "moved_mod": pa.array([moved_mod], pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(place, batch_format="pyarrow").aggregate(
+        Sum("n_total", alias_name="n_total"),
+        Sum("moved_hrw", alias_name="moved_hrw"),
+        Sum("moved_mod", alias_name="moved_mod"),
+    )
+    return pd.DataFrame(
+        {
+            "n_total": pd.array([int(agg["n_total"])], dtype="int64"),
+            "moved_hrw": pd.array([int(agg["moved_hrw"])], dtype="int64"),
+            "moved_mod": pd.array([int(agg["moved_mod"])], dtype="int64"),
+        }
+    )
+
+
+def q292_mannwhitney_u(sf_dir: str):
+    """MANN–WHITNEY U EVIDENCE — q284's rank-test sibling: for the two
+    lexicographically-first event types, the EXACT INTEGER
+    u2 = 2·#{(a,b): vₐ > v_b} + #{vₐ = v_b} (= 2U for sample a; the
+    consumer halves/normalizes once). Same scale discipline as the KS
+    chain: per-value count reduce → 256 range buckets, each emitting
+    (Σc1, Σc2, in-bucket Σc1·prefix2, Σc1·c2) — the cross-bucket term
+    is LINEAR in the incoming cum2 offset, so 256 bounded summaries
+    chain exactly on the driver. No sort, no pair materialization;
+    int64-exact while n1·n2 < 2⁶²."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    types = sorted(
+        t for t in ds.unique("event_type") if t is not None
+    )[:2]
+    ta, tb = types[0], types[1]
+
+    def per_value(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_pandas()
+        keep = et.isin([ta, tb]).to_numpy()
+        v = np.floor(
+            b["value"].combine_chunks().to_numpy()[keep] * 100.0
+        ).astype(np.int64)
+        is_a = (et[keep] == ta).to_numpy()
+        df = pd.DataFrame(
+            {
+                "v": v,
+                "c1": is_a.astype(np.int64),
+                "c2": (~is_a).astype(np.int64),
+            }
+        ).groupby("v", as_index=False).sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("v", as_index=False)[["c1", "c2"]].sum()
+        return g.astype({"v": "int64", "c1": "int64", "c2": "int64"})
+
+    counts = coarse_group_reduce(
+        ds.map_batches(per_value, batch_format="pyarrow"), "v", merge
+    ).materialize()
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    tot = counts.aggregate(
+        Sum("c1", alias_name="n1"), Sum("c2", alias_name="n2"),
+        Min("v", alias_name="vlo"), Max("v", alias_name="vhi"),
+    )
+    n1, n2 = int(tot["n1"]), int(tot["n2"])
+    vlo, vhi = int(tot["vlo"]), int(tot["vhi"]) + 1
+    NB = 256
+    w = -(-(vhi - vlo) // NB)
+
+    def add_rb(b: pa.Table) -> pa.Table:
+        v = b["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "rb", pa.array(((v - vlo) // w).astype(np.int64))
+        )
+
+    def bucket_summary(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for rb, g in df.groupby("rb"):
+            g = g.sort_values("v", kind="mergesort")
+            c1 = g["c1"].to_numpy()
+            c2 = g["c2"].to_numpy()
+            pre2 = np.concatenate([[0], c2.cumsum()[:-1]])
+            out.append(
+                (
+                    int(rb),
+                    int(c1.sum()),
+                    int(c2.sum()),
+                    int((c1 * pre2).sum()),
+                    int((c1 * c2).sum()),
+                )
+            )
+        return pd.DataFrame(
+            out, columns=["rb", "s1", "s2", "inner_gt", "inner_tie"]
+        ).astype("int64")
+
+    summaries = pd.DataFrame(
+        collect_rows(
+            coarse_group_reduce(
+                counts.map_batches(add_rb, batch_format="pyarrow"),
+                "rb",
+                bucket_summary,
+            )
+        ),
+        columns=["rb", "s1", "s2", "inner_gt", "inner_tie"],
+    ).sort_values("rb")
+
+    gt = tie = 0
+    cum2 = 0
+    for _, r in summaries.iterrows():
+        gt += int(r["inner_gt"]) + cum2 * int(r["s1"])
+        tie += int(r["inner_tie"])
+        cum2 += int(r["s2"])
+    return pd.DataFrame(
+        {
+            "type_a": pd.array([ta], dtype="object"),
+            "type_b": pd.array([tb], dtype="object"),
+            "n1": pd.array([n1], dtype="int64"),
+            "n2": pd.array([n2], dtype="int64"),
+            "u2": pd.array([2 * gt + tie], dtype="int64"),
+        }
+    )
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -17356,6 +17513,8 @@ QUERIES = {
     "q288_gram_matrix": q288_gram_matrix,
     "q289_snake_draft_shards": q289_snake_draft_shards,
     "q290_minplus_apsp": q290_minplus_apsp,
+    "q291_rendezvous_placement": q291_rendezvous_placement,
+    "q292_mannwhitney_u": q292_mannwhitney_u,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -19902,6 +20061,58 @@ ORACLE_SQL = {
         d8 AS (SELECT a.u, b.v, min(a.w + b.w) AS w
                FROM d4 a JOIN d4 b ON b.u = a.v GROUP BY 1, 2)
         SELECT u, v, CAST(w AS BIGINT) AS dist FROM d8
+    """,
+    "q291_rendezvous_placement": """
+        -- HRW: doc -> argmax over nodes of md5(doc:node); churn of
+        -- the 8->9 grow vs mod-placement churn
+        WITH nodes9 AS (SELECT CAST(unnest(range(9)) AS BIGINT) AS node),
+        h AS (
+          SELECT d.doc_id, n.node,
+                 md5_number_lower(CAST(d.doc_id AS VARCHAR) || ':' ||
+                                  CAST(n.node AS VARCHAR)) AS hv
+          FROM documents d CROSS JOIN nodes9 n
+        ),
+        a8 AS (SELECT doc_id, arg_max(node, hv) AS n8 FROM h
+               WHERE node < 8 GROUP BY 1),
+        a9 AS (SELECT doc_id, arg_max(node, hv) AS n9 FROM h GROUP BY 1)
+        SELECT CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN a8.n8 <> a9.n9 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS moved_hrw,
+               CAST(sum(CASE WHEN a8.doc_id % 8 <> a8.doc_id % 9
+                        THEN 1 ELSE 0 END) AS BIGINT) AS moved_mod
+        FROM a8 JOIN a9 USING (doc_id)
+    """,
+    "q292_mannwhitney_u": """
+        -- 2U for sample a: 2*#{va > vb} + #{va = vb}, exact ints
+        WITH ab AS (
+          SELECT min(event_type) AS a, max(event_type) AS b FROM (
+            SELECT event_type FROM events WHERE event_type IS NOT NULL
+            GROUP BY 1 ORDER BY 1 LIMIT 2)
+        ),
+        e AS (
+          SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v
+          FROM events, ab WHERE event_type IN (ab.a, ab.b)
+        ),
+        g AS (
+          SELECT v,
+                 sum(CASE WHEN event_type = (SELECT a FROM ab)
+                     THEN 1 ELSE 0 END) AS c1,
+                 sum(CASE WHEN event_type = (SELECT b FROM ab)
+                     THEN 1 ELSE 0 END) AS c2
+          FROM e GROUP BY 1
+        ),
+        n AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM g),
+        cum AS (
+          SELECT c1, c2,
+                 COALESCE(sum(c2) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cum2_lt
+          FROM g
+        )
+        SELECT (SELECT a FROM ab) AS type_a, (SELECT b FROM ab) AS type_b,
+               CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2,
+               CAST(2 * sum(c1 * cum2_lt) + sum(c1 * c2) AS BIGINT) AS u2
+        FROM cum, n GROUP BY n.n1, n.n2
     """,
     "q237_max_drawdown": """
         -- dd_i = running_max(c) - c_i; earliest realization wins
