@@ -16481,20 +16481,24 @@ def q282_greedy_matching(sf_dir: str):
         matched_rounds.append(matched)
         if rnd == 2:
             break
-        mu = ray.put(set(matched["user_id"].tolist()))
-        mt = ray.put(set(matched["event_type"].tolist()))
+        mu = ray.put(
+            pa.array(sorted(set(matched["user_id"].tolist())), pa.int64())
+        )
+        mt = ray.put(
+            pa.array(
+                sorted(set(matched["event_type"].tolist())), pa.string()
+            )
+        )
 
         def survives(b: pa.Table) -> pa.Table:
             import ray as _ray
 
             us, ts = _ray.get(mu), _ray.get(mt)
-            keep_u = np.array(
-                [u not in us for u in b["user_id"].to_pylist()]
+            keep = pc.and_(
+                pc.invert(pc.is_in(b["user_id"], value_set=us)),
+                pc.invert(pc.is_in(b["event_type"], value_set=ts)),
             )
-            keep_t = np.array(
-                [t not in ts for t in b["event_type"].to_pylist()]
-            )
-            return b.filter(pa.array(keep_u & keep_t))
+            return b.filter(keep)
 
         edges = edges.map_batches(
             survives, batch_format="pyarrow"
