@@ -17229,6 +17229,218 @@ def q292_mannwhitney_u(sf_dir: str):
     )
 
 
+def q293_ntile_assign(sf_dir: str):
+    """DISTRIBUTED NTILE — the row-splitting decile (vs q285's
+    value-threshold bands): every event gets its exact
+    ``ntile(10) OVER (ORDER BY cents, event_id)`` tile with NO global
+    sort, via `stages/sample.py:value_rank` (range-bucket by value →
+    O(B) driver offset prefix → per-bucket local sort + arange);
+    the tile is then pure closed-form arithmetic on the 0-based rank
+    (first n%k tiles get ⌈n/k⌉ rows). Output is the per-tile audit
+    (row count + value span) a partitioner would act on."""
+    from basicocr_ray.stages.sample import value_rank
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    K = 10
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = b["value"].combine_chunks().to_numpy()
+        return pa.table(
+            {
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "c": pa.array(np.floor(v * 100.0).astype(np.int64)),
+            }
+        )
+
+    ev = ds.map_batches(cents, batch_format="pyarrow").materialize()
+    n = ev.count()
+    ranked = value_rank(ev, "c", "event_id")
+    q, m = divmod(n, K)
+
+    def tile_of(b: pa.Table) -> pa.Table:
+        r = b["pos"].combine_chunks().to_numpy(zero_copy_only=False)
+        big = (q + 1) * m  # rows living in the m larger tiles
+        tile = np.where(
+            r < big, r // (q + 1) + 1, m + (r - big) // q + 1
+        ).astype(np.int64)
+        return pa.table(
+            {"tile": pa.array(tile), "c": b["c"]}
+        )
+
+    def audit(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("tile", as_index=False).agg(
+            n_rows=("c", "size"), min_c=("c", "min"), max_c=("c", "max")
+        )
+        return g.astype(
+            {
+                "tile": "int64",
+                "n_rows": "int64",
+                "min_c": "int64",
+                "max_c": "int64",
+            }
+        )
+
+    return coarse_group_reduce(
+        ranked.map_batches(tile_of, batch_format="pyarrow"), "tile", audit
+    )
+
+
+def q294_spearman_evidence(sf_dir: str):
+    """SPEARMAN RANK-CORRELATION EVIDENCE between event value and
+    event time — q273's Kendall sibling on the rank-difference side:
+    exact integers (n, Σd², tie terms Σ(t³−t) for both variables),
+    where d uses DOUBLED tie-averaged ranks r2 = 2·cum_lt + cnt + 1
+    (so .5 average ranks stay integer and d = r2x − r2y is exact; the
+    consumer computes ρ once from the four numbers). Ranks come from
+    per-value count reduces + a 256-range-bucket offset chain (the
+    q284/q292 two-phase-scan discipline), each row learns its two
+    ranks through bucketed hash joins (rank relations are fact-scale,
+    never broadcast), and Σd² is one scalar reduce."""
+    from basicocr_ray.stages.joins import bucketed_hash_join
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = np.floor(
+            b["value"].combine_chunks().to_numpy() * 100.0
+        ).astype(np.int64)
+        t = (
+            pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {"x": pa.array(v), "y": pa.array(t)}
+        )
+
+    rows = ds.map_batches(prep, batch_format="pyarrow").materialize()
+
+    def ranks_of(col: str):
+        """(value, r2, cnt) relation with r2 = 2*cum_lt + cnt + 1, via
+        range-bucketed offset chain; plus the Σ(t³−t) tie term."""
+
+        def part(b: pa.Table) -> pa.Table:
+            vc = pc.value_counts(b[col].combine_chunks())
+            return pa.table(
+                {
+                    "v": pc.cast(vc.field("values"), pa.int64()),
+                    "cnt": pc.cast(vc.field("counts"), pa.int64()),
+                }
+            )
+
+        def merge(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("v", as_index=False)["cnt"].sum()
+            return g.astype({"v": "int64", "cnt": "int64"})
+
+        cnts = coarse_group_reduce(
+            rows.map_batches(part, batch_format="pyarrow"), "v", merge
+        ).materialize()
+
+        from ray.data.aggregate import Max, Min
+
+        agg = cnts.aggregate(
+            Min("v", alias_name="lo"), Max("v", alias_name="hi")
+        )
+        lo, hi = int(agg["lo"]), int(agg["hi"]) + 1
+        NB = 256
+        w = -(-(hi - lo) // NB)
+
+        def add_rb(b: pa.Table) -> pa.Table:
+            v = b["v"].combine_chunks().to_numpy(zero_copy_only=False)
+            return b.append_column(
+                "rb", pa.array(((v - lo) // w).astype(np.int64))
+            )
+
+        bucketed = cnts.map_batches(
+            add_rb, batch_format="pyarrow"
+        ).materialize()
+
+        sums = pd.DataFrame(
+            collect_rows(
+                coarse_group_reduce(
+                    bucketed,
+                    "rb",
+                    lambda df: df.groupby("rb", as_index=False)
+                    .agg(s=("cnt", "sum"), t3=("cnt", lambda c: int(
+                        (c.to_numpy() ** 3 - c.to_numpy()).sum()
+                    )))
+                    .astype({"rb": "int64", "s": "int64", "t3": "int64"}),
+                )
+            ),
+            columns=["rb", "s", "t3"],
+        ).sort_values("rb")
+        offs = {}
+        acc = 0
+        for _, r in sums.iterrows():
+            offs[int(r["rb"])] = acc
+            acc += int(r["s"])
+        tie_term = int(sums["t3"].sum())
+
+        def number(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values("v", kind="mergesort")
+            pre = np.concatenate([[0], df["cnt"].to_numpy().cumsum()[:-1]])
+            base = offs[int(df["rb"].iloc[0])]
+            df["r2"] = 2 * (base + pre) + df["cnt"].to_numpy() + 1
+            return df[["v", "r2"]].astype({"v": "int64", "r2": "int64"})
+
+        ranked = bucketed.groupby("rb").map_groups(
+            number, batch_format="pandas"
+        )
+        return ranked, tie_term
+
+    rx, tie_x = ranks_of("x")
+    ry, tie_y = ranks_of("y")
+
+    jx = bucketed_hash_join(
+        rows.map_batches(
+            lambda b: pa.table({"v": b["x"], "y": b["y"]}),
+            batch_format="pyarrow",
+        ),
+        rx.map_batches(
+            lambda b: pa.table({"v": b["v"], "r2x": b["r2"]}),
+            batch_format="pyarrow",
+        ),
+        key="v",
+        left_columns=["y"],
+        right_columns=["r2x"],
+    )
+    jxy = bucketed_hash_join(
+        jx.map_batches(
+            lambda b: pa.table({"k": b["y"], "r2x": b["r2x"]}),
+            batch_format="pyarrow",
+        ),
+        ry.map_batches(
+            lambda b: pa.table({"k": b["v"], "r2y": b["r2"]}),
+            batch_format="pyarrow",
+        ),
+        key="k",
+        left_columns=["r2x"],
+        right_columns=["r2y"],
+    )
+
+    from ray.data.aggregate import Count, Sum
+
+    def d2(b: pa.Table) -> pa.Table:
+        dx = b["r2x"].combine_chunks().to_numpy(zero_copy_only=False)
+        dy = b["r2y"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = dx - dy
+        return pa.table({"d2": pa.array(d * d)})
+
+    agg = jxy.map_batches(d2, batch_format="pyarrow").aggregate(
+        Count(alias_name="n"), Sum("d2", alias_name="sum_d2")
+    )
+    return pd.DataFrame(
+        {
+            "n": pd.array([int(agg["n"])], dtype="int64"),
+            "sum_d2": pd.array([int(agg["sum_d2"])], dtype="int64"),
+            "tie_x": pd.array([tie_x], dtype="int64"),
+            "tie_y": pd.array([tie_y], dtype="int64"),
+        }
+    )
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -17519,6 +17731,8 @@ QUERIES = {
     "q290_minplus_apsp": q290_minplus_apsp,
     "q291_rendezvous_placement": q291_rendezvous_placement,
     "q292_mannwhitney_u": q292_mannwhitney_u,
+    "q293_ntile_assign": q293_ntile_assign,
+    "q294_spearman_evidence": q294_spearman_evidence,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -20117,6 +20331,51 @@ ORACLE_SQL = {
                CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2,
                CAST(2 * sum(c1 * cum2_lt) + sum(c1 * c2) AS BIGINT) AS u2
         FROM cum, n GROUP BY n.n1, n.n2
+    """,
+    "q293_ntile_assign": """
+        -- exact ntile(10) by (cents, event_id); per-tile audit
+        WITH c AS (
+          SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS c
+          FROM events
+        ),
+        t AS (SELECT c, ntile(10) OVER (ORDER BY c, event_id) AS tile
+              FROM c)
+        SELECT CAST(tile AS BIGINT) AS tile,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               min(c) AS min_c, max(c) AS max_c
+        FROM t GROUP BY 1
+    """,
+    "q294_spearman_evidence": """
+        -- doubled tie-averaged ranks r2 = 2*cum_lt + cnt + 1; exact
+        -- (n, sum d^2, tie terms) under Spearman rho
+        WITH e AS (
+          SELECT CAST(floor(value * 100) AS BIGINT) AS x,
+                 epoch_us(ts) AS y
+          FROM events
+        ),
+        gx AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS cnt
+               FROM e GROUP BY 1),
+        rx AS (SELECT v,
+                      2 * COALESCE(sum(cnt) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) + cnt + 1 AS r2
+               FROM gx),
+        gy AS (SELECT y AS v, CAST(count(*) AS BIGINT) AS cnt
+               FROM e GROUP BY 1),
+        ry AS (SELECT v,
+                      2 * COALESCE(sum(cnt) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) + cnt + 1 AS r2
+               FROM gy),
+        d AS (SELECT rx.r2 AS r2x, ry.r2 AS r2y
+              FROM e JOIN rx ON rx.v = e.x JOIN ry ON ry.v = e.y)
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum((r2x - r2y) * (r2x - r2y)) AS BIGINT) AS sum_d2,
+               (SELECT CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT)
+                FROM gx) AS tie_x,
+               (SELECT CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT)
+                FROM gy) AS tie_y
+        FROM d
     """,
     "q237_max_drawdown": """
         -- dd_i = running_max(c) - c_i; earliest realization wins

@@ -474,3 +474,61 @@ def stratified_bottomk_alloc(ds, group_column: str, id_column: str,
         .groupby("cg")
         .map_groups(head_per_group, batch_format="pandas")
     )
+
+
+def value_rank(ds, value_column: str, id_column: str,
+               num_buckets: int = 256, out_column: str = "pos"):
+    """0-based global row number under ``ORDER BY (value, id)`` — the
+    value-ordered sibling of `global_rank` (which orders by the
+    deterministic md5 shuffle key): rows range-bucket by the int64
+    value (bucket boundaries from one scalar min/max aggregate, so a
+    bucket is a contiguous value slice), per-bucket counts reduce to a
+    metadata-sized exclusive prefix on the driver (O(B) state), and
+    each bucket sorts locally by (value, id) and numbers a vectorized
+    arange from its offset. Exactly
+    ``ROW_NUMBER() OVER (ORDER BY value, id) - 1`` with no global
+    sort. Heavy value skew concentrates a bucket (the shared caveat of
+    every range-partitioned order op here); raise num_buckets or
+    pre-salt duplicates if one value dominates."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max, Min
+
+    agg = ds.aggregate(
+        Min(value_column, alias_name="lo"), Max(value_column, alias_name="hi")
+    )
+    lo, hi = int(agg["lo"]), int(agg["hi"]) + 1
+    w = -(-(hi - lo) // num_buckets)
+
+    def add_rb(b: pa.Table) -> pa.Table:
+        v = b[value_column].combine_chunks().to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "rb", pa.array(((v - lo) // w).astype(np.int32))
+        )
+
+    bucketed = ds.map_batches(add_rb, batch_format="pyarrow").materialize()
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch["rb"])
+        return pa.table({"rb": vc.field("values"), "n": vc.field("counts")})
+
+    counts: dict[int, int] = {}
+    for row in collect_rows(
+        bucketed.map_batches(partial_counts, batch_format="pyarrow")
+    ):  # ≤ blocks × B metadata rows
+        counts[int(row["rb"])] = counts.get(int(row["rb"]), 0) + int(row["n"])
+    offsets: dict[int, int] = {}
+    acc = 0
+    for rb in sorted(counts):
+        offsets[rb] = acc
+        acc += counts[rb]
+
+    def number(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([value_column, id_column], kind="mergesort")
+        base = offsets[int(df["rb"].iloc[0])]
+        df[out_column] = base + np.arange(len(df), dtype=np.int64)
+        return df.drop(columns=["rb"])
+
+    return bucketed.groupby("rb").map_groups(number, batch_format="pandas")
