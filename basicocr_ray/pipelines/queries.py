@@ -17441,6 +17441,154 @@ def q294_spearman_evidence(sf_dir: str):
     )
 
 
+def q295_chi2_contingency(sf_dir: str):
+    """CHI-SQUARE CONTINGENCY EVIDENCE over the (lang × source) table:
+    per cell the observed count o, its margins r=Σrow c=Σcol, and the
+    EXACT integer deviation numerator dev2 = (n·o − r·c)² — the
+    consumer divides by n·r·c once per cell to get χ² (expected =
+    r·c/n; (o−e)²/e = dev2/(n·r·c)). One partial+final count reduce
+    builds the bounded contingency; margins and deviations are
+    arithmetic on that bounded relation. int64-exact while n·o < 2⁶³
+    (n < 3·10⁹; rescale beyond)."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=["lang", "source"])
+        g = df.groupby(["lang", "source"], as_index=False).size()
+        return g.rename(columns={"size": "o"})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "source"], as_index=False)["o"].sum()
+        return g.astype({"o": "int64"})
+
+    cells = pd.DataFrame(
+        collect_rows(
+            coarse_group_reduce(
+                ds.map_batches(part, batch_format="pandas"),
+                ["lang", "source"],
+                merge,
+            )
+        ),
+        columns=["lang", "source", "o"],
+    )
+    n = int(cells["o"].sum())
+    r = cells.groupby("lang")["o"].transform("sum").to_numpy()
+    c = cells.groupby("source")["o"].transform("sum").to_numpy()
+    o = cells["o"].to_numpy()
+    dev2 = (n * o - r * c) ** 2
+    return pd.DataFrame(
+        {
+            "lang": cells["lang"],
+            "source": cells["source"],
+            "o": pd.array(o, dtype="int64"),
+            "r": pd.array(r, dtype="int64"),
+            "c": pd.array(c, dtype="int64"),
+            "dev2": pd.array(dev2, dtype="int64"),
+        }
+    )
+
+
+def q296_id_gap_audit(sf_dir: str):
+    """ID-SPACE GAP AUDIT — the ingestion-completeness probe: bucket
+    the orderkey space by ⌊key/1000⌋ and report, per bucket, how many
+    ids are present vs missing inside the bucket's OBSERVED span
+    (max−min+1−distinct). A silent loader gap shows up as missing > 0
+    without any row-level scan of what *should* exist. Per-batch
+    partials carry (bucket, min, max, distinct-set summary) — here
+    distinct-per-bucket is exact via in-group pandas nunique after a
+    coarse-salted exchange keyed on the bucket (ids of one bucket
+    co-locate; buckets are 1000-wide so groups are memory-bounded)."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array((k // 1000).astype(np.int64)),
+                "k": pa.array(k.astype(np.int64)),
+            }
+        )
+
+    def audit(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("bkt")["k"].agg(["min", "max", "nunique"])
+        g = g.reset_index()
+        out = pd.DataFrame(
+            {
+                "bkt": g["bkt"].astype("int64"),
+                "n_present": g["nunique"].astype("int64"),
+                "n_missing": (
+                    g["max"] - g["min"] + 1 - g["nunique"]
+                ).astype("int64"),
+            }
+        )
+        return out
+
+    return coarse_group_reduce(
+        ds.map_batches(prep, batch_format="pyarrow"), "bkt", audit
+    )
+
+
+def q297_dict_encode(sf_dir: str):
+    """GLOBAL DICTIONARY ENCODING — the columnar-engine verb behind
+    every categorical column: build ONE corpus-wide dense code table
+    (distinct langs in sorted order → codes 0..G−1; exactly
+    ``dense_rank() − 1``) and stamp every row with its code. The
+    dictionary build is a distinct reduce (bounded by category
+    cardinality), the stamping a broadcast searchsorted — the same
+    small-side-broadcast discipline as J1, because a dictionary that
+    does NOT fit in a broadcast has no business being dictionary-
+    encoded."""
+    import ray
+
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def dpart(b: pa.Table) -> pa.Table:
+        arr = b["lang"].combine_chunks()
+        u = pc.unique(arr.filter(pc.is_valid(arr)))
+        return pa.table({"lang": u})
+
+    dic = sorted(
+        set(
+            pd.DataFrame(
+                collect_rows(
+                    coarse_group_reduce(
+                        ds.map_batches(dpart, batch_format="pyarrow"),
+                        "lang",
+                        lambda df: df.drop_duplicates("lang").reset_index(
+                            drop=True
+                        ),
+                    )
+                ),
+                columns=["lang"],
+            )["lang"].tolist()
+        )
+    )
+    codes = np.arange(len(dic), dtype=np.int64)
+    ref = ray.put((np.array(dic, dtype=object), codes))
+
+    def stamp(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        vocab, cds = _ray.get(ref)
+        b = b.filter(pc.is_valid(b["lang"]))
+        langs = b["lang"].combine_chunks().to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(vocab, langs)
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "lang_code": pa.array(cds[idx]),
+            }
+        )
+
+    return ds.map_batches(stamp, batch_format="pyarrow")
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -17733,6 +17881,9 @@ QUERIES = {
     "q292_mannwhitney_u": q292_mannwhitney_u,
     "q293_ntile_assign": q293_ntile_assign,
     "q294_spearman_evidence": q294_spearman_evidence,
+    "q295_chi2_contingency": q295_chi2_contingency,
+    "q296_id_gap_audit": q296_id_gap_audit,
+    "q297_dict_encode": q297_dict_encode,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -20376,6 +20527,43 @@ ORACLE_SQL = {
                (SELECT CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT)
                 FROM gy) AS tie_y
         FROM d
+    """,
+    "q295_chi2_contingency": """
+        -- per (lang, source) cell: o, margins, (n*o - r*c)^2
+        WITH cells AS (
+          SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+          FROM documents
+          WHERE lang IS NOT NULL AND source IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        m AS (
+          SELECT lang, source, o,
+                 CAST(sum(o) OVER (PARTITION BY lang) AS BIGINT) AS r,
+                 CAST(sum(o) OVER (PARTITION BY source) AS BIGINT) AS c
+          FROM cells
+        )
+        SELECT lang, source, o, r, c,
+               CAST((n.n * o - r * c) * (n.n * o - r * c) AS BIGINT)
+                 AS dev2
+        FROM m, n
+    """,
+    "q296_id_gap_audit": """
+        -- per 1000-wide orderkey bucket: present ids and gaps inside
+        -- the observed span
+        SELECT CAST(o_orderkey // 1000 AS BIGINT) AS bkt,
+               CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_present,
+               CAST(max(o_orderkey) - min(o_orderkey) + 1
+                    - count(DISTINCT o_orderkey) AS BIGINT) AS n_missing
+        FROM orders GROUP BY 1
+    """,
+    "q297_dict_encode": """
+        -- global dense dictionary codes (sorted langs -> 0..G-1)
+        -- stamped onto every row
+        SELECT doc_id,
+               CAST(dense_rank() OVER (ORDER BY lang) - 1 AS BIGINT)
+                 AS lang_code
+        FROM documents WHERE lang IS NOT NULL
     """,
     "q237_max_drawdown": """
         -- dd_i = running_max(c) - c_i; earliest realization wins
