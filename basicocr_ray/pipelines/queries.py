@@ -17589,6 +17589,256 @@ def q297_dict_encode(sf_dir: str):
     return ds.map_batches(stamp, batch_format="pyarrow")
 
 
+def q298_merge_upsert(sf_dir: str):
+    """MERGE INTO — the upsert/delete verb (Delta/Iceberg's core
+    mutation) as ONE full-outer bucketed hash join of base vs delta on
+    the key, then a vectorized outcome classification: matched+delete
+    → deleted, matched+update → updated, matched-only → unchanged,
+    delta-only insert → inserted (delete beats update when both
+    qualify — the deterministic conflict rule). The delta here derives
+    from the base (update ids %7, delete ids %13, 5 fresh inserts) so
+    the oracle rebuilds it exactly; at scale the join IS the merge —
+    neither side broadcasts, keys shuffle once. Output: per-outcome
+    row counts plus the post-merge total."""
+    from basicocr_ray.stages.joins import bucketed_hash_join
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    n_docs = ds.count()
+
+    base = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "in_base": pa.array(
+                    np.ones(b.num_rows, dtype=np.int8)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def mk_delta(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        dels = ids[ids % 13 == 0]
+        upds = ids[(ids % 7 == 0) & (ids % 13 != 0)]
+        # fresh inserts ride along with the batch containing doc_id 0
+        ins = (
+            np.arange(5, dtype=np.int64) + 10_000_000
+            if (ids == 0).any()
+            else np.empty(0, dtype=np.int64)
+        )
+        # op codes: 1=update, 2=delete, 3=insert
+        did = np.concatenate([upds, dels, ins])
+        op = np.concatenate(
+            [
+                np.full(len(upds), 1, dtype=np.int8),
+                np.full(len(dels), 2, dtype=np.int8),
+                np.full(len(ins), 3, dtype=np.int8),
+            ]
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(did),
+                "op": pa.array(op),
+            }
+        )
+
+    delta = ds.map_batches(mk_delta, batch_format="pyarrow")
+
+    merged = bucketed_hash_join(
+        base, delta, key="doc_id",
+        left_columns=["in_base"], right_columns=["op"],
+        join_type="full outer",
+    )
+
+    def classify(b: pa.Table) -> pa.Table:
+        inb = b["in_base"].combine_chunks().to_numpy(zero_copy_only=False)
+        op = b["op"].combine_chunks().to_numpy(zero_copy_only=False)
+        inb = np.nan_to_num(inb.astype(np.float64), nan=0).astype(np.int8)
+        op = np.nan_to_num(op.astype(np.float64), nan=0).astype(np.int8)
+        outcome = np.where(
+            (inb == 1) & (op == 2), "deleted",
+            np.where(
+                (inb == 1) & (op == 1), "updated",
+                np.where(
+                    (inb == 1), "unchanged",
+                    np.where(op == 3, "inserted", "orphan_delta"),
+                ),
+            ),
+        )
+        df = pd.DataFrame({"outcome": outcome})
+        df["n_rows"] = np.int64(1)
+        g = df.groupby("outcome", as_index=False)["n_rows"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = pd.DataFrame(
+        collect_rows(
+            coarse_group_reduce(
+                merged.map_batches(classify, batch_format="pyarrow"),
+                "outcome",
+                lambda df: df.groupby("outcome", as_index=False)["n_rows"]
+                .sum()
+                .astype({"n_rows": "int64"}),
+            )
+        ),
+        columns=["outcome", "n_rows"],
+    )
+    d = dict(zip(counts["outcome"], counts["n_rows"]))
+    final = (
+        n_docs - int(d.get("deleted", 0)) + int(d.get("inserted", 0))
+    )
+    counts = pd.concat(
+        [counts, pd.DataFrame({"outcome": ["final"], "n_rows": [final]})],
+        ignore_index=True,
+    )
+    return counts.astype({"n_rows": "int64"})
+
+
+def q299_rolling_extrema(sf_dir: str):
+    """BOUNDED-FRAME ROLLING MIN/MAX — `min/max OVER (... ROWS 2
+    PRECEDING)` per user sequence, the monotonic-DEQUE primitive
+    (sliding-window minimum; q268's stack sibling): one exchange
+    co-locates each user, the in-group kernel is O(n) amortized with
+    a two-ended candidate queue — not the O(n·w) rescan the naive
+    window does — and the SQL twin is the window frame itself."""
+    from collections import deque
+
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    W = 3
+    ds = _read(sf_dir, "events", columns=["ts", "event_id", "user_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "t": pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()),
+                "c": pa.array(
+                    np.floor(
+                        b["value"].combine_chunks().to_numpy() * 100.0
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for uid, g in df.groupby("user_id"):
+            g = g.sort_values(["t", "event_id"], kind="mergesort")
+            c = g["c"].to_numpy()
+            n = len(c)
+            rmin = np.empty(n, dtype=np.int64)
+            rmax = np.empty(n, dtype=np.int64)
+            qmin: deque[int] = deque()
+            qmax: deque[int] = deque()
+            for i in range(n):
+                while qmin and qmin[0] <= i - W:
+                    qmin.popleft()
+                while qmax and qmax[0] <= i - W:
+                    qmax.popleft()
+                while qmin and c[qmin[-1]] >= c[i]:
+                    qmin.pop()
+                while qmax and c[qmax[-1]] <= c[i]:
+                    qmax.pop()
+                qmin.append(i)
+                qmax.append(i)
+                rmin[i] = c[qmin[0]]
+                rmax[i] = c[qmax[0]]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "user_id": np.full(n, uid, dtype=np.int64),
+                        "event_id": g["event_id"].to_numpy(),
+                        "rmin": rmin,
+                        "rmax": rmax,
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.array([], dtype="int64"),
+                    "event_id": pd.array([], dtype="int64"),
+                    "rmin": pd.array([], dtype="int64"),
+                    "rmax": pd.array([], dtype="int64"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return coarse_group_reduce(
+        ds.map_batches(prep, batch_format="pyarrow"), "user_id", per_user
+    )
+
+
+def q300_cluster_sample(sf_dir: str):
+    """TWO-STAGE CLUSTER SAMPLING — the survey-sampling design a
+    crawl auditor runs (sample hosts, then docs WITHIN hosts, instead
+    of a flat doc draw): stage 1 keeps the 8 hosts with the smallest
+    md5('h:'+host) (the bounded host relation ranks driver-side);
+    stage 2 keeps each kept host's 5 smallest md5('d:'+doc_id) docs —
+    a per-group deterministic bottom-k (q46's discipline, grouped),
+    partition/retry-invariant and SQL-reproducible. Output carries
+    the within-host rank so downstream weighting can invert the
+    inclusion probabilities."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def hostify(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({"h": pa.array(np.unique(ids % 64), pa.int64())})
+
+    hosts = sorted(
+        set(
+            pd.DataFrame(
+                collect_rows(
+                    coarse_group_reduce(
+                        ds.map_batches(hostify, batch_format="pyarrow"),
+                        "h",
+                        lambda df: df.drop_duplicates("h").reset_index(
+                            drop=True
+                        ),
+                    )
+                ),
+                columns=["h"],
+            )["h"].tolist()
+        )
+    )
+    kept = set(
+        sorted(hosts, key=lambda h: (_md5_low64(f"h:{h}"), h))[:8]
+    )
+
+    def stage2_part(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        h = (ids % 64).astype(np.int64)
+        m = np.isin(h, list(kept))
+        ids, h = ids[m], h[m]
+        keys = np.array(
+            [_md5_low64(f"d:{d}") for d in ids], dtype=np.uint64
+        )
+        df = pd.DataFrame({"host": h, "doc_id": ids, "k": keys})
+        # local prune: keep each host's 5 smallest keys per batch
+        df = df.sort_values(["host", "k"], kind="mergesort")
+        df = df.groupby("host", as_index=False).head(5)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def stage2_final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["host", "k"], kind="mergesort")
+        df = df.groupby("host", as_index=False).head(5)
+        df["rank_in_host"] = df.groupby("host").cumcount() + 1
+        return df[["host", "doc_id", "rank_in_host"]].astype(
+            {"host": "int64", "doc_id": "int64", "rank_in_host": "int64"}
+        )
+
+    return coarse_group_reduce(
+        ds.map_batches(stage2_part, batch_format="pyarrow"),
+        "host",
+        stage2_final,
+    )
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -17884,6 +18134,9 @@ QUERIES = {
     "q295_chi2_contingency": q295_chi2_contingency,
     "q296_id_gap_audit": q296_id_gap_audit,
     "q297_dict_encode": q297_dict_encode,
+    "q298_merge_upsert": q298_merge_upsert,
+    "q299_rolling_extrema": q299_rolling_extrema,
+    "q300_cluster_sample": q300_cluster_sample,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -20564,6 +20817,74 @@ ORACLE_SQL = {
                CAST(dense_rank() OVER (ORDER BY lang) - 1 AS BIGINT)
                  AS lang_code
         FROM documents WHERE lang IS NOT NULL
+    """,
+    "q298_merge_upsert": """
+        -- MERGE outcome counts: delta = update %7 (unless %13),
+        -- delete %13, insert 5 fresh ids; delete beats update
+        WITH base AS (SELECT doc_id FROM documents),
+        delta AS (
+          SELECT doc_id, 1 AS op FROM base
+          WHERE doc_id % 7 = 0 AND doc_id % 13 <> 0
+          UNION ALL SELECT doc_id, 2 FROM base WHERE doc_id % 13 = 0
+          UNION ALL
+          SELECT CAST(10000000 + unnest(range(5)) AS BIGINT), 3
+        ),
+        m AS (
+          SELECT COALESCE(b.present, 0) AS inb, COALESCE(d.op, 0) AS op
+          FROM (SELECT doc_id, 1 AS present FROM base) b
+          FULL OUTER JOIN delta d USING (doc_id)
+        ),
+        c AS (
+          SELECT CASE WHEN inb = 1 AND op = 2 THEN 'deleted'
+                      WHEN inb = 1 AND op = 1 THEN 'updated'
+                      WHEN inb = 1 THEN 'unchanged'
+                      WHEN op = 3 THEN 'inserted'
+                      ELSE 'orphan_delta' END AS outcome,
+                 CAST(count(*) AS BIGINT) AS n_rows
+          FROM m GROUP BY 1
+        )
+        SELECT outcome, n_rows FROM c
+        UNION ALL
+        SELECT 'final',
+               (SELECT CAST(count(*) AS BIGINT) FROM base)
+               - COALESCE((SELECT n_rows FROM c
+                           WHERE outcome = 'deleted'), 0)
+               + COALESCE((SELECT n_rows FROM c
+                           WHERE outcome = 'inserted'), 0)
+    """,
+    "q299_rolling_extrema": """
+        -- min/max over (PARTITION BY user ORDER BY ts, id
+        -- ROWS 2 PRECEDING)
+        WITH e AS (
+          SELECT user_id, event_id, ts,
+                 CAST(floor(value * 100) AS BIGINT) AS c
+          FROM events
+        )
+        SELECT user_id, event_id,
+               min(c) OVER w AS rmin,
+               max(c) OVER w AS rmax
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    "q300_cluster_sample": """
+        -- stage 1: 8 smallest md5('h:'+host) hosts; stage 2: each
+        -- host's 5 smallest md5('d:'+doc) docs with within-host rank
+        WITH hosts AS (SELECT DISTINCT doc_id % 64 AS h FROM documents),
+        kh AS (SELECT h FROM hosts
+               ORDER BY md5_number_lower('h:' || CAST(h AS VARCHAR)), h
+               LIMIT 8),
+        d AS (
+          SELECT doc_id % 64 AS host, doc_id,
+                 row_number() OVER (PARTITION BY doc_id % 64
+                   ORDER BY md5_number_lower('d:' ||
+                            CAST(doc_id AS VARCHAR)), doc_id)
+                   AS rank_in_host
+          FROM documents WHERE doc_id % 64 IN (SELECT h FROM kh)
+        )
+        SELECT CAST(host AS BIGINT) AS host, doc_id,
+               CAST(rank_in_host AS BIGINT) AS rank_in_host
+        FROM d WHERE rank_in_host <= 5
     """,
     "q237_max_drawdown": """
         -- dd_i = running_max(c) - c_i; earliest realization wins
