@@ -17839,6 +17839,186 @@ def q300_cluster_sample(sf_dir: str):
     )
 
 
+def q301_type_bitmask(sf_dir: str):
+    """BEHAVIOR FINGERPRINT BITMASKS — each user's SET of event types
+    folded to one integer (bit per dense type code), then the corpus
+    histogram of masks: the set-valued aggregate every cohort tool
+    runs ("who does exactly {click, view}?"). Type codes come from the
+    bounded type dictionary (q297's discipline); the per-user OR is a
+    partial-OR inside map_batches then an OR-merge coarse reduce —
+    the shuffle carries one int per (user, batch), never event rows —
+    and the mask histogram is a second bounded reduce."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    types = sorted(
+        t for t in ds.unique("event_type") if t is not None
+    )
+    code = {t: i for i, t in enumerate(types)}
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=["event_type"]).copy()
+        df["m"] = df["event_type"].map(
+            lambda t: np.int64(1) << code[t]
+        ).astype("int64")
+        g = df.groupby("user_id", as_index=False)["m"].agg(
+            lambda s: np.bitwise_or.reduce(s.to_numpy())
+        )
+        return g.astype({"user_id": "int64", "m": "int64"})
+
+    def or_merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False)["m"].agg(
+            lambda s: np.bitwise_or.reduce(s.to_numpy())
+        )
+        return g.astype({"user_id": "int64", "m": "int64"})
+
+    masks = coarse_group_reduce(
+        ds.map_batches(part, batch_format="pandas"), "user_id", or_merge
+    )
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("m", as_index=False).size()
+        return g.rename(columns={"m": "mask", "size": "n_users"}).astype(
+            {"mask": "int64", "n_users": "int64"}
+        )
+
+    return coarse_group_reduce(
+        masks.map_batches(
+            lambda b: pa.table({"m": b["m"]}), batch_format="pyarrow"
+        ),
+        "m",
+        hist,
+    )
+
+
+def q302_degree_assortativity(sf_dir: str):
+    """DEGREE-ASSORTATIVITY EVIDENCE of the user–type bipartite graph:
+    over the distinct edge set, the exact integer moments (|E|, Σdu,
+    Σdt, Σdu·dt, Σdu², Σdt²) under the Pearson-on-degrees coefficient
+    (the consumer forms r once). Edges are a distinct reduce; each
+    endpoint degree is a count over the edge relation; edges learn
+    BOTH degrees through two bucketed hash joins (degree relations are
+    fact-scale — never broadcast) and the six sums are one scalar
+    aggregate."""
+    from ray.data.aggregate import Count, Sum
+
+    from basicocr_ray.stages.joins import bucketed_hash_join
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def dpart(df: pd.DataFrame) -> pd.DataFrame:
+        return df.dropna(subset=["event_type"]).drop_duplicates(
+            ["user_id", "event_type"]
+        )
+
+    edges = coarse_group_reduce(
+        ds.map_batches(dpart, batch_format="pandas"),
+        ["user_id", "event_type"],
+        lambda df: df.drop_duplicates(["user_id", "event_type"]).reset_index(
+            drop=True
+        ),
+    ).materialize()
+
+    def deg_of(key: str, out: str):
+        def part(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby(key, as_index=False).size()
+            return g.rename(columns={"size": out})
+
+        return coarse_group_reduce(
+            edges.map_batches(part, batch_format="pandas"),
+            key,
+            lambda df, _o=out, _k=key: df.groupby(_k, as_index=False)[_o]
+            .sum()
+            .astype({_o: "int64"}),
+        )
+
+    du = deg_of("user_id", "du")
+    dt = deg_of("event_type", "dt")
+
+    e1 = bucketed_hash_join(
+        edges, du, key="user_id",
+        left_columns=["event_type"], right_columns=["du"],
+    )
+    e2 = bucketed_hash_join(
+        e1.map_batches(
+            lambda b: pa.table(
+                {"event_type": b["event_type"], "du": b["du"]}
+            ),
+            batch_format="pyarrow",
+        ),
+        dt,
+        key="event_type",
+        left_columns=["du"],
+        right_columns=["dt"],
+    )
+
+    def moments(b: pa.Table) -> pa.Table:
+        u = b["du"].combine_chunks().to_numpy(zero_copy_only=False)
+        t = b["dt"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_edges": pa.array([len(u)], pa.int64()),
+                "sum_du": pa.array([int(u.sum())], pa.int64()),
+                "sum_dt": pa.array([int(t.sum())], pa.int64()),
+                "sum_dudt": pa.array([int((u * t).sum())], pa.int64()),
+                "sum_du2": pa.array([int((u * u).sum())], pa.int64()),
+                "sum_dt2": pa.array([int((t * t).sum())], pa.int64()),
+            }
+        )
+
+    agg = e2.map_batches(moments, batch_format="pyarrow").aggregate(
+        Sum("n_edges", alias_name="n_edges"),
+        Sum("sum_du", alias_name="sum_du"),
+        Sum("sum_dt", alias_name="sum_dt"),
+        Sum("sum_dudt", alias_name="sum_dudt"),
+        Sum("sum_du2", alias_name="sum_du2"),
+        Sum("sum_dt2", alias_name="sum_dt2"),
+    )
+    return pd.DataFrame(
+        {
+            k: pd.array([int(agg[k])], dtype="int64")
+            for k in (
+                "n_edges", "sum_du", "sum_dt", "sum_dudt",
+                "sum_du2", "sum_dt2",
+            )
+        }
+    )
+
+
+def q303_number_mining(sf_dir: str):
+    """NUMERIC FIELD MINING — pull every digit run out of raw text
+    (the price/date/id harvesting step of semi-structured extraction):
+    per doc, how many integers appear and their exact sum (runs longer
+    than 12 digits are skipped on BOTH sides — overflow fence). The
+    kernel is the per-row parse loop the extraction-engine brief
+    exempts (compiled regex, findall); everything around it is
+    columnar and the op is embarrassingly parallel — no shuffle."""
+    import re
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pat = re.compile(r"[0-9]+")
+
+    def mine(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b["text"]))
+        ids = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        n_out = np.zeros(len(ids), dtype=np.int64)
+        s_out = np.zeros(len(ids), dtype=np.int64)
+        for i, t in enumerate(b["text"].to_pylist()):
+            runs = [r for r in pat.findall(t) if len(r) <= 12]
+            n_out[i] = len(runs)
+            s_out[i] = sum(int(r) for r in runs)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64)),
+                "n_numbers": pa.array(n_out),
+                "sum_numbers": pa.array(s_out),
+            }
+        )
+
+    return ds.map_batches(mine, batch_format="pyarrow")
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -18137,6 +18317,9 @@ QUERIES = {
     "q298_merge_upsert": q298_merge_upsert,
     "q299_rolling_extrema": q299_rolling_extrema,
     "q300_cluster_sample": q300_cluster_sample,
+    "q301_type_bitmask": q301_type_bitmask,
+    "q302_degree_assortativity": q302_degree_assortativity,
+    "q303_number_mining": q303_number_mining,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -20885,6 +21068,58 @@ ORACLE_SQL = {
         SELECT CAST(host AS BIGINT) AS host, doc_id,
                CAST(rank_in_host AS BIGINT) AS rank_in_host
         FROM d WHERE rank_in_host <= 5
+    """,
+    "q301_type_bitmask": """
+        -- per-user set-of-types as a bit per dense type code; corpus
+        -- histogram of the masks
+        WITH codes AS (
+          SELECT event_type,
+                 dense_rank() OVER (ORDER BY event_type) - 1 AS code
+          FROM (SELECT DISTINCT event_type FROM events
+                WHERE event_type IS NOT NULL)
+        ),
+        um AS (
+          SELECT user_id,
+                 CAST(sum(DISTINCT (1::BIGINT << code)) AS BIGINT)
+                   AS mask
+          FROM events e JOIN codes c USING (event_type)
+          GROUP BY 1
+        )
+        SELECT mask, CAST(count(*) AS BIGINT) AS n_users
+        FROM um GROUP BY 1
+    """,
+    "q302_degree_assortativity": """
+        -- over distinct (user, type) edges: |E| and the degree
+        -- moments under Pearson-on-degrees
+        WITH e AS (
+          SELECT DISTINCT user_id, event_type FROM events
+          WHERE event_type IS NOT NULL
+        ),
+        du AS (SELECT user_id, CAST(count(*) AS BIGINT) AS du
+               FROM e GROUP BY 1),
+        dt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS dt
+               FROM e GROUP BY 1)
+        SELECT CAST(count(*) AS BIGINT) AS n_edges,
+               CAST(sum(du.du) AS BIGINT) AS sum_du,
+               CAST(sum(dt.dt) AS BIGINT) AS sum_dt,
+               CAST(sum(du.du * dt.dt) AS BIGINT) AS sum_dudt,
+               CAST(sum(du.du * du.du) AS BIGINT) AS sum_du2,
+               CAST(sum(dt.dt * dt.dt) AS BIGINT) AS sum_dt2
+        FROM e JOIN du USING (user_id) JOIN dt USING (event_type)
+    """,
+    "q303_number_mining": """
+        -- digit runs per doc (runs > 12 digits skipped): count + sum
+        WITH m AS (
+          SELECT doc_id,
+                 list_filter(regexp_extract_all(text, '[0-9]+'),
+                             x -> length(x) <= 12) AS nums
+          FROM documents WHERE text IS NOT NULL
+        )
+        SELECT doc_id, CAST(len(nums) AS BIGINT) AS n_numbers,
+               CAST(COALESCE(list_sum(
+                 list_transform(nums, x -> CAST(x AS BIGINT))), 0)
+                 AS BIGINT) AS sum_numbers
+        FROM m
     """,
     "q237_max_drawdown": """
         -- dd_i = running_max(c) - c_i; earliest realization wins
