@@ -18019,6 +18019,191 @@ def q303_number_mining(sf_dir: str):
     return ds.map_batches(mine, batch_format="pyarrow")
 
 
+def q304_histogram_intersection(sf_dir: str):
+    """HISTOGRAM INTERSECTION KERNEL between the two
+    lexicographically-first event types — the L∞/L1 family's third
+    member (q284 KS, q305 Wasserstein): Σ_v min(c1[v], c2[v]), the
+    shared probability mass under the intersection similarity. Needs
+    NO prefix chain at all — min is pointwise per value — so it is
+    one per-value count reduce with the min folded into the final
+    group and a scalar sum: the cheapest of the three tests, worth
+    having precisely because of that."""
+    from ray.data.aggregate import Sum
+
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    types = sorted(
+        t for t in ds.unique("event_type") if t is not None
+    )[:2]
+    ta, tb = types[0], types[1]
+
+    def per_value(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_pandas()
+        keep = et.isin([ta, tb]).to_numpy()
+        v = np.floor(
+            b["value"].combine_chunks().to_numpy()[keep] * 100.0
+        ).astype(np.int64)
+        is_a = (et[keep] == ta).to_numpy()
+        df = pd.DataFrame(
+            {
+                "v": v,
+                "c1": is_a.astype(np.int64),
+                "c2": (~is_a).astype(np.int64),
+            }
+        ).groupby("v", as_index=False).sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("v", as_index=False)[["c1", "c2"]].sum()
+        g["inter"] = np.minimum(g["c1"], g["c2"])
+        return g.astype(
+            {"v": "int64", "c1": "int64", "c2": "int64", "inter": "int64"}
+        )
+
+    counts = coarse_group_reduce(
+        ds.map_batches(per_value, batch_format="pyarrow"), "v", merge
+    )
+    agg = counts.aggregate(
+        Sum("c1", alias_name="n1"), Sum("c2", alias_name="n2"),
+        Sum("inter", alias_name="inter"),
+    )
+    return pd.DataFrame(
+        {
+            "type_a": pd.array([ta], dtype="object"),
+            "type_b": pd.array([tb], dtype="object"),
+            "n1": pd.array([int(agg["n1"])], dtype="int64"),
+            "n2": pd.array([int(agg["n2"])], dtype="int64"),
+            "inter": pd.array([int(agg["inter"])], dtype="int64"),
+        }
+    )
+
+
+def q305_wasserstein_evidence(sf_dir: str):
+    """WASSERSTEIN-1 (EARTH MOVER) EVIDENCE between the two
+    lexicographically-first event types: the exact integer numerator
+    Σ_v |cum1·n2 − cum2·n1| · Δv (consumer divides by n1·n2 once) —
+    q284's L∞ statistic integrated into the L1 transport cost. The
+    absolute value breaks the single-pass linear-offset trick, so this
+    runs the TWO-PASS bounded chain: pass 1 reduces per-range-bucket
+    (Σc1, Σc2, vmin, vmax) so the driver derives every bucket's
+    incoming (cum1, cum2) offsets and its boundary gap to the next
+    bucket; pass 2 re-walks each bucket's values WITH its known offset
+    (broadcast, ≤256 entries) and emits one partial transport sum.
+    Still nothing row-scale on the driver; still no sort."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    types = sorted(
+        t for t in ds.unique("event_type") if t is not None
+    )[:2]
+    ta, tb = types[0], types[1]
+
+    def per_value(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_pandas()
+        keep = et.isin([ta, tb]).to_numpy()
+        v = np.floor(
+            b["value"].combine_chunks().to_numpy()[keep] * 100.0
+        ).astype(np.int64)
+        is_a = (et[keep] == ta).to_numpy()
+        df = pd.DataFrame(
+            {
+                "v": v,
+                "c1": is_a.astype(np.int64),
+                "c2": (~is_a).astype(np.int64),
+            }
+        ).groupby("v", as_index=False).sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("v", as_index=False)[["c1", "c2"]].sum()
+        return g.astype({"v": "int64", "c1": "int64", "c2": "int64"})
+
+    counts = coarse_group_reduce(
+        ds.map_batches(per_value, batch_format="pyarrow"), "v", merge
+    ).materialize()
+
+    from ray.data.aggregate import Max, Min
+
+    tot = counts.aggregate(
+        Min("v", alias_name="vlo"), Max("v", alias_name="vhi"),
+    )
+    vlo, vhi = int(tot["vlo"]), int(tot["vhi"]) + 1
+    NB = 256
+    w = -(-(vhi - vlo) // NB)
+
+    def add_rb(b: pa.Table) -> pa.Table:
+        v = b["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "rb", pa.array(((v - vlo) // w).astype(np.int64))
+        )
+
+    bucketed = counts.map_batches(
+        add_rb, batch_format="pyarrow"
+    ).materialize()
+
+    # pass 1: bounded per-bucket summaries -> offsets + boundary gaps
+    summ = pd.DataFrame(
+        collect_rows(
+            coarse_group_reduce(
+                bucketed,
+                "rb",
+                lambda df: df.groupby("rb", as_index=False).agg(
+                    s1=("c1", "sum"), s2=("c2", "sum"),
+                    vmin=("v", "min"), vmax=("v", "max"),
+                ).astype("int64"),
+            )
+        ),
+        columns=["rb", "s1", "s2", "vmin", "vmax"],
+    ).sort_values("rb").reset_index(drop=True)
+    n1 = int(summ["s1"].sum())
+    n2 = int(summ["s2"].sum())
+
+    meta: dict[int, tuple[int, int, int]] = {}
+    cum1 = cum2 = 0
+    for i, r in summ.iterrows():
+        nxt = (
+            int(summ.iloc[i + 1]["vmin"]) if i + 1 < len(summ) else -1
+        )
+        meta[int(r["rb"])] = (cum1, cum2, nxt)
+        cum1 += int(r["s1"])
+        cum2 += int(r["s2"])
+
+    # pass 2: per-bucket transport partial with known offsets
+    def transport(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for rb, g in df.groupby("rb"):
+            off1, off2, nxt = meta[int(rb)]
+            g = g.sort_values("v", kind="mergesort")
+            v = g["v"].to_numpy()
+            d = (
+                (off1 + g["c1"].to_numpy().cumsum()) * n2
+                - (off2 + g["c2"].to_numpy().cumsum()) * n1
+            )
+            if nxt >= 0:
+                gaps = np.concatenate([np.diff(v), [nxt - v[-1]]])
+            else:
+                gaps = np.concatenate([np.diff(v), [0]])
+            out.append((int(rb), int((np.abs(d) * gaps).sum())))
+        return pd.DataFrame(out, columns=["rb", "part"]).astype("int64")
+
+    parts = pd.DataFrame(
+        collect_rows(
+            coarse_group_reduce(bucketed, "rb", transport)
+        ),
+        columns=["rb", "part"],
+    )
+    return pd.DataFrame(
+        {
+            "type_a": pd.array([ta], dtype="object"),
+            "type_b": pd.array([tb], dtype="object"),
+            "n1": pd.array([n1], dtype="int64"),
+            "n2": pd.array([n2], dtype="int64"),
+            "emd_num": pd.array([int(parts["part"].sum())], dtype="int64"),
+        }
+    )
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -18320,6 +18505,8 @@ QUERIES = {
     "q301_type_bitmask": q301_type_bitmask,
     "q302_degree_assortativity": q302_degree_assortativity,
     "q303_number_mining": q303_number_mining,
+    "q304_histogram_intersection": q304_histogram_intersection,
+    "q305_wasserstein_evidence": q305_wasserstein_evidence,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -21120,6 +21307,63 @@ ORACLE_SQL = {
                  list_transform(nums, x -> CAST(x AS BIGINT))), 0)
                  AS BIGINT) AS sum_numbers
         FROM m
+    """,
+    "q304_histogram_intersection": """
+        -- shared mass: sum over values of min(c1, c2)
+        WITH ab AS (
+          SELECT min(event_type) AS a, max(event_type) AS b FROM (
+            SELECT event_type FROM events WHERE event_type IS NOT NULL
+            GROUP BY 1 ORDER BY 1 LIMIT 2)
+        ),
+        e AS (
+          SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v
+          FROM events, ab WHERE event_type IN (ab.a, ab.b)
+        ),
+        g AS (
+          SELECT v,
+                 sum(CASE WHEN event_type = (SELECT a FROM ab)
+                     THEN 1 ELSE 0 END) AS c1,
+                 sum(CASE WHEN event_type = (SELECT b FROM ab)
+                     THEN 1 ELSE 0 END) AS c2
+          FROM e GROUP BY 1
+        )
+        SELECT (SELECT a FROM ab) AS type_a, (SELECT b FROM ab) AS type_b,
+               CAST(sum(c1) AS BIGINT) AS n1,
+               CAST(sum(c2) AS BIGINT) AS n2,
+               CAST(sum(least(c1, c2)) AS BIGINT) AS inter
+        FROM g
+    """,
+    "q305_wasserstein_evidence": """
+        -- EMD numerator: sum |cum1*n2 - cum2*n1| * gap-to-next-value
+        WITH ab AS (
+          SELECT min(event_type) AS a, max(event_type) AS b FROM (
+            SELECT event_type FROM events WHERE event_type IS NOT NULL
+            GROUP BY 1 ORDER BY 1 LIMIT 2)
+        ),
+        e AS (
+          SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v
+          FROM events, ab WHERE event_type IN (ab.a, ab.b)
+        ),
+        g AS (
+          SELECT v,
+                 sum(CASE WHEN event_type = (SELECT a FROM ab)
+                     THEN 1 ELSE 0 END) AS c1,
+                 sum(CASE WHEN event_type = (SELECT b FROM ab)
+                     THEN 1 ELSE 0 END) AS c2
+          FROM e GROUP BY 1
+        ),
+        n AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM g),
+        cum AS (
+          SELECT sum(c1) OVER (ORDER BY v) AS cum1,
+                 sum(c2) OVER (ORDER BY v) AS cum2,
+                 lead(v) OVER (ORDER BY v) - v AS gap
+          FROM g
+        )
+        SELECT (SELECT a FROM ab) AS type_a, (SELECT b FROM ab) AS type_b,
+               CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2,
+               CAST(sum(abs(cum1 * n.n2 - cum2 * n.n1) * gap)
+                    AS BIGINT) AS emd_num
+        FROM cum, n WHERE gap IS NOT NULL GROUP BY n.n1, n.n2
     """,
     "q237_max_drawdown": """
         -- dd_i = running_max(c) - c_i; earliest realization wins
