@@ -18204,6 +18204,161 @@ def q305_wasserstein_evidence(sf_dir: str):
     )
 
 
+def q306_peak_detection(sf_dir: str):
+    """CALENDAR PEAK DETECTION — strict local maxima with prominence
+    ≥ 2 on each type's DENSE daily count series (missing days count 0,
+    the q262 dense-grid discipline): the anomaly-headline primitive
+    ("which days spiked"). One bounded (type, day) count reduce; each
+    type's calendar-bounded series co-locates and the peak scan is one
+    vectorized pass over the dense grid."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = (
+            pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_pandas(),
+                "day": (t // 86_400_000_000).astype(np.int64),
+            }
+        ).dropna(subset=["event_type"])
+        g = df.groupby(["event_type", "day"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "c"}), preserve_index=False
+        )
+
+    def peaks(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        g0 = df.groupby(["event_type", "day"], as_index=False)["c"].sum()
+        for et, g in g0.groupby("event_type"):
+            lo, hi = int(g["day"].min()), int(g["day"].max())
+            dense = np.zeros(hi - lo + 1, dtype=np.int64)
+            dense[g["day"].to_numpy() - lo] = g["c"].to_numpy()
+            if len(dense) >= 3:
+                mid = dense[1:-1]
+                nb = np.maximum(dense[:-2], dense[2:])
+                n_peaks = int(((mid > nb) & (mid - nb >= 2)).sum())
+            else:
+                n_peaks = 0
+            out.append((et, hi - lo + 1, n_peaks))
+        return pd.DataFrame(
+            out, columns=["event_type", "n_days", "n_peaks"]
+        ).astype({"n_days": "int64", "n_peaks": "int64"})
+
+    return coarse_group_reduce(
+        ds.map_batches(prep, batch_format="pyarrow"), "event_type", peaks
+    )
+
+
+def q307_dow_profile(sf_dir: str):
+    """DAY-OF-WEEK LOAD PROFILE — the calendar-dimension conformance
+    rollup, computed WITHOUT a calendar library: dow = (epoch_day + 4)
+    mod 7 (1970-01-01 was a Thursday; 0=Monday..6=Sunday), pure int64
+    Arrow arithmetic per batch, partial counts, bounded final — the
+    shape every capacity planner and crawl scheduler starts from."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = (
+            pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_pandas(),
+                "dow": ((t // 86_400_000_000 + 4) % 7).astype(np.int64),
+            }
+        ).dropna(subset=["event_type"])
+        g = df.groupby(["event_type", "dow"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n"}), preserve_index=False
+        )
+
+    return coarse_group_reduce(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "dow"],
+        lambda df: df.groupby(["event_type", "dow"], as_index=False)["n"]
+        .sum()
+        .astype({"dow": "int64", "n": "int64"}),
+    )
+
+
+def q308_lorenz_points(sf_dir: str):
+    """LORENZ CURVE POINTS — the inequality curve under q197's Gini:
+    users ranked by total spend (asc, ties user asc) split into exact
+    ntile(10) deciles, each reporting its user count, its cents, and
+    the RUNNING cents through it — (decile, cum_cents) IS the Lorenz
+    curve in integers. Per-user totals reduce once; the global
+    spend-order rank is `stages/sample.py:value_rank` (range-bucketed,
+    no sort); the 10-row cumulative walk is driver arithmetic."""
+    from basicocr_ray.stages.sample import value_rank
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    K = 10
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+
+    def upart(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["c"] = np.floor(df["value"].to_numpy() * 100.0).astype(np.int64)
+        g = df.groupby("user_id", as_index=False)["c"].sum()
+        return g.astype({"user_id": "int64", "c": "int64"})
+
+    totals = coarse_group_reduce(
+        ds.map_batches(upart, batch_format="pandas"),
+        "user_id",
+        lambda df: df.groupby("user_id", as_index=False)["c"]
+        .sum()
+        .astype({"user_id": "int64", "c": "int64"}),
+    ).materialize()
+    n = totals.count()
+    ranked = value_rank(totals, "c", "user_id")
+    q, m = divmod(n, K)
+
+    def tile_sum(df: pd.DataFrame) -> pd.DataFrame:
+        r = df["pos"].to_numpy()
+        big = (q + 1) * m
+        tile = np.where(
+            r < big, r // (q + 1) + 1, m + (r - big) // q + 1
+        ).astype(np.int64)
+        df = pd.DataFrame({"decile": tile, "c": df["c"].to_numpy()})
+        g = df.groupby("decile", as_index=False).agg(
+            n_users=("c", "size"), cents=("c", "sum")
+        )
+        return g.astype(
+            {"decile": "int64", "n_users": "int64", "cents": "int64"}
+        )
+
+    rows = pd.DataFrame(
+        collect_rows(
+            coarse_group_reduce(
+                ranked.map_batches(tile_sum, batch_format="pandas"),
+                "decile",
+                lambda df: df.groupby("decile", as_index=False)
+                .agg(n_users=("n_users", "sum"), cents=("cents", "sum"))
+                .astype("int64"),
+            )
+        ),
+        columns=["decile", "n_users", "cents"],
+    ).sort_values("decile").reset_index(drop=True)
+    rows["cum_cents"] = rows["cents"].cumsum()
+    return rows.astype(
+        {
+            "decile": "int64",
+            "n_users": "int64",
+            "cents": "int64",
+            "cum_cents": "int64",
+        }
+    )
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -18507,6 +18662,9 @@ QUERIES = {
     "q303_number_mining": q303_number_mining,
     "q304_histogram_intersection": q304_histogram_intersection,
     "q305_wasserstein_evidence": q305_wasserstein_evidence,
+    "q306_peak_detection": q306_peak_detection,
+    "q307_dow_profile": q307_dow_profile,
+    "q308_lorenz_points": q308_lorenz_points,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -21364,6 +21522,66 @@ ORACLE_SQL = {
                CAST(sum(abs(cum1 * n.n2 - cum2 * n.n1) * gap)
                     AS BIGINT) AS emd_num
         FROM cum, n WHERE gap IS NOT NULL GROUP BY n.n1, n.n2
+    """,
+    "q306_peak_detection": """
+        -- strict local maxima with prominence >= 2 on the dense daily
+        -- grid (missing days = 0)
+        WITH d AS (
+          SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+        ),
+        span AS (SELECT event_type, min(day) AS lo, max(day) AS hi
+                 FROM d GROUP BY 1),
+        grid AS (SELECT event_type,
+                        lo + unnest(range(hi - lo + 1)) AS day
+                 FROM span),
+        dense AS (
+          SELECT g.event_type, g.day, COALESCE(d.c, 0) AS c
+          FROM grid g LEFT JOIN d USING (event_type, day)
+        ),
+        w AS (
+          SELECT event_type, c,
+                 lag(c) OVER (PARTITION BY event_type ORDER BY day)
+                   AS pc,
+                 lead(c) OVER (PARTITION BY event_type ORDER BY day)
+                   AS nc
+          FROM dense
+        )
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(CASE WHEN pc IS NOT NULL AND nc IS NOT NULL
+                             AND c > pc AND c > nc
+                             AND c - greatest(pc, nc) >= 2
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_peaks
+        FROM w GROUP BY 1
+    """,
+    "q307_dow_profile": """
+        -- dow = (epoch_day + 4) mod 7 (0=Monday), pure integers
+        SELECT event_type,
+               CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT)
+                 AS dow,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+    """,
+    "q308_lorenz_points": """
+        -- users in spend-asc ntile(10) deciles; cum_cents through
+        -- each decile IS the Lorenz curve
+        WITH u AS (
+          SELECT user_id,
+                 CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                      AS BIGINT) AS c
+          FROM events GROUP BY 1
+        ),
+        t AS (SELECT c, ntile(10) OVER (ORDER BY c, user_id) AS decile
+              FROM u),
+        g AS (SELECT CAST(decile AS BIGINT) AS decile,
+                     CAST(count(*) AS BIGINT) AS n_users,
+                     CAST(sum(c) AS BIGINT) AS cents
+              FROM t GROUP BY 1)
+        SELECT decile, n_users, cents,
+               CAST(sum(cents) OVER (ORDER BY decile) AS BIGINT)
+                 AS cum_cents
+        FROM g
     """,
     "q237_max_drawdown": """
         -- dd_i = running_max(c) - c_i; earliest realization wins
