@@ -18360,6 +18360,173 @@ def q308_lorenz_points(sf_dir: str):
     )
 
 
+def q309_casefold_collisions(sf_dir: str):
+    """CASEFOLD COLLISION AUDIT — the normalization-risk probe every
+    text pipeline should run before lowercasing: lowercase token
+    classes that contain MORE THAN ONE distinct raw surface form
+    ("The"/"the"/"THE"), with the class's total count, its distinct
+    form count, and its winning raw form (count desc, form asc) — the
+    dictionary a case-restoring detokenizer would need. Per-batch
+    (lower, raw) partial counts on CASE-PRESERVING whitespace tokens
+    (token_items lowercases — exactly what this audits, so the split
+    here keeps the surface form); one coarse reduce keyed on the
+    lowercase class does the class-level fold."""
+    from basicocr_ray.stages.wide import coarse_group_reduce
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def part(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        cnt: Counter = Counter()
+        for t in b["text"].to_pylist():
+            if t:
+                for tok in t.split():
+                    cnt[(tok.lower(), tok)] += 1
+        rows = sorted(cnt.items())
+        return pa.table(
+            {
+                "lower": pa.array([k[0] for k, _ in rows], pa.string()),
+                "raw": pa.array([k[1] for k, _ in rows], pa.string()),
+                "cnt": pa.array([v for _, v in rows], pa.int64()),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lower", "raw"], as_index=False)["cnt"].sum()
+        out = []
+        for lo, grp in g.groupby("lower"):
+            if len(grp) < 2:
+                continue
+            grp = grp.sort_values(
+                ["cnt", "raw"], ascending=[False, True], kind="mergesort"
+            )
+            out.append(
+                (
+                    lo,
+                    int(grp["cnt"].sum()),
+                    len(grp),
+                    grp["raw"].iloc[0],
+                )
+            )
+        return pd.DataFrame(
+            out, columns=["lower", "total", "n_forms", "top_form"]
+        ).astype({"total": "int64", "n_forms": "int64"})
+
+    out = coarse_group_reduce(
+        ds.map_batches(part, batch_format="pyarrow"), "lower", fold
+    ).to_pandas()
+    if len(out.columns) == 0:  # empty Datasets surface schema-less
+        out = pd.DataFrame(
+            {
+                "lower": pd.array([], dtype="object"),
+                "total": pd.array([], dtype="int64"),
+                "n_forms": pd.array([], dtype="int64"),
+                "top_form": pd.array([], dtype="object"),
+            }
+        )
+    return out
+
+
+def q310_control_char_audit(sf_dir: str):
+    """CONTROL/INVISIBLE-CHARACTER AUDIT — the cleaning probe for
+    copy-paste artifacts: per doc, counts of C0 control chars
+    (excluding \\t \\n \\r), zero-width/invisible code points (ZWSP
+    ZWNJ ZWJ WJ BOM SHY), and replacement chars U+FFFD — the three
+    classes a crawl sanitizer strips or flags. One compiled-regex
+    count per class per row (the parse-kernel exemption), no shuffle;
+    only flagged docs are emitted so the result is sparse."""
+    import re
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ctrl = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
+    zw = re.compile(r"[​‌‍⁠﻿­]")
+    rep = re.compile(r"�")
+
+    def audit(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b["text"]))
+        ids = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        nc = np.zeros(len(ids), dtype=np.int64)
+        nz = np.zeros(len(ids), dtype=np.int64)
+        nr = np.zeros(len(ids), dtype=np.int64)
+        for i, t in enumerate(b["text"].to_pylist()):
+            nc[i] = len(ctrl.findall(t))
+            nz[i] = len(zw.findall(t))
+            nr[i] = len(rep.findall(t))
+        keep = (nc + nz + nr) > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep].astype(np.int64)),
+                "n_ctrl": pa.array(nc[keep]),
+                "n_zero_width": pa.array(nz[keep]),
+                "n_replacement": pa.array(nr[keep]),
+            }
+        )
+
+    out = ds.map_batches(audit, batch_format="pyarrow").to_pandas()
+    if len(out.columns) == 0:  # empty Datasets surface schema-less
+        out = pd.DataFrame(
+            {
+                "doc_id": pd.array([], dtype="int64"),
+                "n_ctrl": pd.array([], dtype="int64"),
+                "n_zero_width": pd.array([], dtype="int64"),
+                "n_replacement": pd.array([], dtype="int64"),
+            }
+        )
+    return out
+
+
+def q311_token_period(sf_dir: str):
+    """TOKEN-SEQUENCE PERIOD (KMP failure function) — template/loop
+    detection: the smallest p such that token i equals token i+p
+    everywhere (p = n − fail[n]; p = n means aperiodic), over each
+    doc's first 50 tokens. A doc whose period ≪ length is machine-
+    repeated boilerplate. O(n) per doc via the prefix function versus
+    the oracle's O(n²·p) candidate scan — same answer. Output: docs
+    with n_tokens ≥ 2, their period, and repeats = n // p (≥ 2 flags
+    a template)."""
+    from basicocr_ray.stages.wide import token_items
+
+    CAP = 50
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def period(toks: list[str]) -> int:
+        n = len(toks)
+        fail = [0] * (n + 1)
+        k = 0
+        for i in range(1, n):
+            while k and toks[i] != toks[k]:
+                k = fail[k]
+            if toks[i] == toks[k]:
+                k += 1
+            fail[i + 1] = k
+        return n - fail[n]
+
+    def mine(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b["text"]))
+        ids = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        out_id, out_n, out_p = [], [], []
+        for i, t in enumerate(b["text"].to_pylist()):
+            toks = token_items(t)[:CAP]
+            if len(toks) < 2:
+                continue
+            p = period(toks)
+            out_id.append(int(ids[i]))
+            out_n.append(len(toks))
+            out_p.append(p)
+        rep = [n // p for n, p in zip(out_n, out_p)]
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "n_tokens": pa.array(out_n, pa.int64()),
+                "period": pa.array(out_p, pa.int64()),
+                "repeats": pa.array(rep, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(mine, batch_format="pyarrow")
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -18666,6 +18833,9 @@ QUERIES = {
     "q306_peak_detection": q306_peak_detection,
     "q307_dow_profile": q307_dow_profile,
     "q308_lorenz_points": q308_lorenz_points,
+    "q309_casefold_collisions": q309_casefold_collisions,
+    "q310_control_char_audit": q310_control_char_audit,
+    "q311_token_period": q311_token_period,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -21583,6 +21753,87 @@ ORACLE_SQL = {
                CAST(sum(cents) OVER (ORDER BY decile) AS BIGINT)
                  AS cum_cents
         FROM g
+    """,
+    "q309_casefold_collisions": """
+        -- lowercase classes with >= 2 raw surface forms; winner by
+        -- (count desc, form asc)
+        WITH p AS (
+          SELECT lower(tok) AS "lower", tok AS raw,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM (
+            SELECT unnest(regexp_split_to_array(text, '\\s+')) AS tok
+            FROM documents WHERE text IS NOT NULL
+          ) WHERE tok <> '' GROUP BY 1, 2
+        ),
+        cl AS (
+          SELECT "lower", CAST(sum(cnt) AS BIGINT) AS total,
+                 CAST(count(*) AS BIGINT) AS n_forms
+          FROM p GROUP BY 1 HAVING count(*) >= 2
+        ),
+        top AS (
+          SELECT "lower", raw AS top_form FROM (
+            SELECT "lower", raw,
+                   row_number() OVER (PARTITION BY "lower"
+                     ORDER BY cnt DESC, raw) AS rn
+            FROM p) WHERE rn = 1
+        )
+        SELECT cl."lower", cl.total, cl.n_forms, top.top_form
+        FROM cl JOIN top USING ("lower")
+    """,
+    "q310_control_char_audit": """
+        -- C0 controls (minus tab/lf/cr), zero-width/invisible points,
+        -- U+FFFD; sparse output (flagged docs only)
+        WITH m AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text,
+                   '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')) AS BIGINT)
+                   AS n_ctrl,
+                 CAST(len(regexp_extract_all(text,
+                   '[​‌‍⁠﻿­]')) AS BIGINT)
+                   AS n_zero_width,
+                 CAST(len(regexp_extract_all(text, '�')) AS BIGINT)
+                   AS n_replacement
+          FROM documents WHERE text IS NOT NULL
+        )
+        SELECT doc_id, n_ctrl, n_zero_width, n_replacement FROM m
+        WHERE n_ctrl + n_zero_width + n_replacement > 0
+    """,
+    "q311_token_period": """
+        -- smallest p with tok[i] = tok[i+p] for all i (first 50
+        -- tokens); candidate scan twin of the KMP kernel
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '')[1:50] AS tl
+          FROM documents WHERE text IS NOT NULL
+        ),
+        t AS (
+          SELECT doc_id, unnest(tl) AS tok,
+                 unnest(range(1, len(tl) + 1)) AS pos
+          FROM toks
+        ),
+        lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                 FROM t GROUP BY 1 HAVING count(*) >= 2),
+        cand AS (SELECT doc_id, CAST(unnest(range(1, n + 1)) AS BIGINT)
+                        AS p
+                 FROM lens),
+        viol AS (
+          SELECT DISTINCT c.doc_id, c.p
+          FROM cand c
+          JOIN t a ON a.doc_id = c.doc_id
+          JOIN t b ON b.doc_id = c.doc_id AND b.pos = a.pos + c.p
+                  AND b.tok <> a.tok
+        ),
+        best AS (
+          SELECT c.doc_id, min(c.p) AS period
+          FROM cand c LEFT JOIN viol v
+            ON v.doc_id = c.doc_id AND v.p = c.p
+          WHERE v.p IS NULL GROUP BY 1
+        )
+        SELECT l.doc_id, l.n AS n_tokens,
+               CAST(b.period AS BIGINT) AS period,
+               CAST(l.n // b.period AS BIGINT) AS repeats
+        FROM lens l JOIN best b USING (doc_id)
     """,
     "q237_max_drawdown": """
         -- dd_i = running_max(c) - c_i; earliest realization wins
