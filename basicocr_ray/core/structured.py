@@ -1,0 +1,154 @@
+"""Structured-data extraction from HTML: <table> grids and JSON-LD blocks.
+
+The reference's extraction stack stops at main-content text; real crawl
+curation also lifts STRUCTURED payloads out of the page — data tables and
+schema.org metadata — so this module gives the engine both verbs on top of
+the same single-scan lexer the block tokenizer uses (`core/tokenize._TAG_RE`,
+see tokenize.py's rationale for the hand-rolled lexer: deterministic rules,
+one compiled scan per document, no per-character callbacks).
+
+Both functions are pure per-document kernels: they run inside
+`map_batches` and never see more than one page at a time, so the stage
+shape is the same embarrassingly-parallel scan as the flagship extractor.
+"""
+
+from __future__ import annotations
+
+import html as _htmllib
+import json
+import re
+
+from basicocr_ray.config import RAW_TEXT_TAGS
+from basicocr_ray.core.tokenize import _TAG_RE
+
+Row = list  # list[tuple[str, str]] — (cell_tag, cell_text)
+
+
+class _TableBuilder:
+    __slots__ = ("rows", "cur_row", "cur_tag", "cur_parts")
+
+    def __init__(self) -> None:
+        self.rows: list[Row] = []
+        self.cur_row: Row | None = None
+        self.cur_tag: str | None = None
+        self.cur_parts: list[str] | None = None
+
+    def close_cell(self) -> None:
+        if self.cur_tag is not None:
+            if self.cur_row is None:  # td outside tr: implicit row
+                self.cur_row = []
+            self.cur_row.append(
+                (self.cur_tag, _htmllib.unescape("".join(self.cur_parts)))
+            )
+            self.cur_tag = None
+            self.cur_parts = None
+
+    def close_row(self) -> None:
+        self.close_cell()
+        if self.cur_row is not None:
+            self.rows.append(self.cur_row)
+            self.cur_row = None
+
+
+def parse_tables(doc: str) -> list[list[Row]]:
+    """All <table> grids in document order; each grid is rows of
+    (cell_tag, text) with entities unescaped.
+
+    Rules (all implicit-close cases a tag-soup page produces):
+      * <td>/<th> closes any open cell; <tr> closes cell+row; </table>
+        closes cell+row+table; EOF closes everything still open.
+      * Nested tables are INDEPENDENT grids (a cell's inner table never
+        leaks cells into the outer row); emitted in close order.
+      * Raw-text elements (script/style/...) are skipped to their close
+        tag, so markup-looking JS can't inject phantom cells.
+      * Text outside a cell (captions, whitespace between rows) is
+        dropped — only cell content is table data.
+    """
+    out: list[list[Row]] = []
+    stack: list[_TableBuilder] = []
+    pos = 0
+    n = len(doc)
+    while pos < n:
+        m = _TAG_RE.search(doc, pos)
+        if m is None:
+            text = doc[pos:]
+            pos = n
+        else:
+            text = doc[pos : m.start()]
+        if text and stack and stack[-1].cur_tag is not None:
+            stack[-1].cur_parts.append(text)
+        if m is None:
+            break
+        pos = m.end()
+        name = m.group(1)
+        if name is None:  # comment / doctype / CDATA / PI
+            continue
+        name = name.lower()
+        closing = doc[m.start() + 1] == "/"
+        if not closing and name in RAW_TEXT_TAGS:
+            # skip raw text to the matching close tag (or EOF)
+            mm = re.compile(
+                r"</%s\b[^>]*>" % re.escape(name), re.I
+            ).search(doc, pos)
+            pos = mm.end() if mm else n
+            continue
+        if name == "table":
+            if not closing:
+                stack.append(_TableBuilder())
+            elif stack:
+                b = stack.pop()
+                b.close_row()
+                out.append(b.rows)
+        elif not stack:
+            continue
+        elif name == "tr":
+            b = stack[-1]
+            if closing:
+                b.close_row()
+            else:
+                b.close_row()
+                b.cur_row = []
+        elif name in ("td", "th"):
+            b = stack[-1]
+            b.close_cell()
+            if not closing:
+                if b.cur_row is None:
+                    b.cur_row = []
+                b.cur_tag = name
+                b.cur_parts = []
+    while stack:  # unclosed tables at EOF
+        b = stack.pop()
+        b.close_row()
+        out.append(b.rows)
+    return out
+
+
+_LDJSON_RE = re.compile(
+    r"<script\b[^>]*type\s*=\s*(?:\"application/ld\+json\""
+    r"|'application/ld\+json')[^>]*>(.*?)</script\s*>",
+    re.S | re.I,
+)
+
+
+def extract_jsonld(doc: str, want_type: str | None = None) -> list[dict]:
+    """Every parseable JSON-LD object in the page, in document order.
+
+    `want_type` filters on the @type field (the usual consumer pattern:
+    take the first Article / Product / ... block and ignore decoys).
+    Arrays at top level are flattened; unparseable blocks are skipped —
+    the tolerant posture a crawl-scale extractor needs.
+    """
+    out: list[dict] = []
+    for m in _LDJSON_RE.finditer(doc):
+        try:
+            obj = json.loads(m.group(1))
+        except (ValueError, TypeError):
+            continue
+        items = obj if isinstance(obj, list) else [obj]
+        for it in items:
+            if not isinstance(it, dict):
+                continue
+            if want_type is not None and it.get("@type") != want_type:
+                continue
+            out.append(it)
+    return out

@@ -14,6 +14,7 @@ from __future__ import annotations
 import math
 import os
 from datetime import datetime
+from html import escape as _html_escape
 
 import numpy as np
 import pandas as pd
@@ -18527,6 +18528,168 @@ def q311_token_period(sf_dir: str):
     return ds.map_batches(mine, batch_format="pyarrow")
 
 
+def q312_html_table_extract(sf_dir: str):
+    """HTML <table> STRUCTURED-DATA EXTRACTION ROUNDTRIP — the
+    table-lifting verb of a crawl curator: orders rows are rendered
+    into deterministic HTML pages (boilerplate nav, a 2-column layout
+    decoy table, a script whose BODY contains markup-looking '<td>'
+    text, then the 3-column data table with a <th> header), and a real
+    tag-soup table parser (`core/structured.parse_tables`, built on
+    the flagship lexer) must recover every (orderkey, status,
+    total_cents) exactly. Render+parse stay inside one map_batches —
+    the same per-page scan shape as the flagship extractor; the data
+    row filter is structural (exactly 3 <td> cells)."""
+    from basicocr_ray.core.structured import parse_tables
+
+    ds = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderstatus", "o_totalprice"]
+    )
+    PER_PAGE = 25
+
+    def render(rows: list[tuple[int, str, int]]) -> str:
+        body = "".join(
+            "<tr><td>%d</td><td>%s</td><td>%d.%02d</td></tr>"
+            % (k, _html_escape(s), c // 100, c % 100)
+            for k, s, c in rows
+        )
+        return (
+            "<html><head><title>Orders</title>"
+            "<script>var cell = '<td>99999</td><tr><td>0</td></tr>';</script>"
+            "</head><body>"
+            "<table class='nav'><tr><td>Home</td><td>Login</td></tr></table>"
+            "<table class='data'>"
+            "<tr><th>Order</th><th>Status</th><th>Total</th></tr>"
+            + body
+            + "</table><p>footer &amp; legal</p></body></html>"
+        )
+
+    def roundtrip(b: pa.Table) -> pa.Table:
+        keys = b["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        stats = b["o_orderstatus"].to_pylist()
+        cents = np.rint(
+            b["o_totalprice"].combine_chunks().to_numpy(zero_copy_only=False)
+            * 100
+        ).astype(np.int64)
+        out_k, out_s, out_c = [], [], []
+        for lo in range(0, len(keys), PER_PAGE):
+            rows = [
+                (int(keys[i]), stats[i], int(cents[i]))
+                for i in range(lo, min(lo + PER_PAGE, len(keys)))
+            ]
+            page = render(rows)
+            for grid in parse_tables(page):
+                for row in grid:
+                    cells = [c for c in row if c[0] == "td"]
+                    if len(row) != len(cells) or len(cells) != 3:
+                        continue  # header (th) or layout decoy
+                    whole, frac = cells[2][1].split(".")
+                    out_k.append(int(cells[0][1]))
+                    out_s.append(cells[1][1])
+                    out_c.append(int(whole) * 100 + int(frac))
+        return pa.table(
+            {
+                "orderkey": pa.array(out_k, pa.int64()),
+                "status": pa.array(out_s, pa.string()),
+                "total_cents": pa.array(out_c, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(roundtrip, batch_format="pyarrow")
+
+
+def q313_jsonld_extract(sf_dir: str):
+    """JSON-LD METADATA EXTRACTION — the schema.org lifting verb:
+    each documents row is rendered as a page whose <head> carries a
+    plain-JS decoy script, a WebSite-typed ld+json decoy, and an
+    Article-typed ld+json block holding (identifier, inLanguage,
+    contentSize); the body is the escaped document text (so scanning
+    runs over realistic page bulk). `core/structured.extract_jsonld`
+    must locate the Article block among the decoys, json-parse it and
+    emit the fields — per-page kernel, no shuffle."""
+    import json as _json
+
+    from basicocr_ray.core.structured import extract_jsonld
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang", "n_chars"])
+
+    def roundtrip(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b["text"]))
+        ids = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        langs = b["lang"].to_pylist()
+        ncs = b["n_chars"].combine_chunks().to_numpy(zero_copy_only=False)
+        out_id, out_lang, out_n = [], [], []
+        for i, t in enumerate(b["text"].to_pylist()):
+            meta = {
+                "@context": "https://schema.org",
+                "@type": "Article",
+                "identifier": int(ids[i]),
+                "inLanguage": langs[i],
+                "contentSize": int(ncs[i]),
+            }
+            page = (
+                "<html><head>"
+                "<script>var t = {'@type': 'Article', 'identifier': -1};</script>"
+                '<script type="application/ld+json">'
+                '{"@type": "WebSite", "identifier": -2}</script>'
+                '<script type="application/ld+json">'
+                + _json.dumps(meta)
+                + "</script></head><body><p>"
+                + _html_escape(t)
+                + "</p></body></html>"
+            )
+            arts = extract_jsonld(page, want_type="Article")
+            if arts:
+                out_id.append(int(arts[0]["identifier"]))
+                out_lang.append(arts[0]["inLanguage"])
+                out_n.append(int(arts[0]["contentSize"]))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "lang": pa.array(out_lang, pa.string()),
+                "n_chars": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(roundtrip, batch_format="pyarrow")
+
+
+def q314_index_coincidence(sf_dir: str):
+    """INDEX-OF-COINCIDENCE EVIDENCE — the classic letter-collision
+    statistic (Friedman's IC, the language-vs-random detector a crawl
+    sanitizer runs on suspect payloads): per doc, n_letters = Σ c_ℓ and
+    ic_num = Σ c_ℓ·(c_ℓ−1) over the 26 lowercase ascii letters — the
+    exact-integer numerator of IC = Σc(c−1)/(n(n−1)). 26 C-level
+    substring counts per row (the same replace-length trick the SQL
+    twin uses), map-only, no shuffle."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    letters = [chr(c) for c in range(ord("a"), ord("z") + 1)]
+
+    def ic(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b["text"]))
+        ids = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        texts = b["text"].to_pylist()
+        n_l = np.zeros(len(texts), dtype=np.int64)
+        num = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            tot = 0
+            s = 0
+            for ch in letters:
+                c = t.count(ch)
+                tot += c
+                s += c * (c - 1)
+            n_l[i] = tot
+            num[i] = s
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64)),
+                "n_letters": pa.array(n_l),
+                "ic_num": pa.array(num),
+            }
+        )
+
+    return ds.map_batches(ic, batch_format="pyarrow")
+
+
 # ===========================================================================
 # Registry + oracle SQL
 # ===========================================================================
@@ -18836,6 +18999,9 @@ QUERIES = {
     "q309_casefold_collisions": q309_casefold_collisions,
     "q310_control_char_audit": q310_control_char_audit,
     "q311_token_period": q311_token_period,
+    "q312_html_table_extract": q312_html_table_extract,
+    "q313_jsonld_extract": q313_jsonld_extract,
+    "q314_index_coincidence": q314_index_coincidence,
     "q34_bucketed_join_revenue": q34_bucketed_join_revenue,
     "q35_running_totals": q35_running_totals,
     "q36_distinct_pairs": q36_distinct_pairs,
@@ -21834,6 +22000,36 @@ ORACLE_SQL = {
                CAST(b.period AS BIGINT) AS period,
                CAST(l.n // b.period AS BIGINT) AS repeats
         FROM lens l JOIN best b USING (doc_id)
+    """,
+    "q312_html_table_extract": """
+        -- the Ray side must roundtrip every order through render+parse
+        SELECT o_orderkey AS orderkey, o_orderstatus AS status,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+        FROM orders
+    """,
+    "q313_jsonld_extract": """
+        -- roundtrip: the Article ld+json block carries exactly these
+        SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents WHERE text IS NOT NULL
+    """,
+    "q314_index_coincidence": """
+        -- per-letter counts via the replace-length trick (length() is
+        -- code points, so removing an ascii letter drops exactly its
+        -- occurrence count); IC numerator stays in exact integers
+        WITH letters AS (
+          SELECT unnest(['a','b','c','d','e','f','g','h','i','j','k','l',
+                         'm','n','o','p','q','r','s','t','u','v','w','x',
+                         'y','z']) AS ch
+        ),
+        cnt AS (
+          SELECT doc_id,
+                 length(text) - length(replace(text, ch, '')) AS c
+          FROM documents, letters
+          WHERE text IS NOT NULL
+        )
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_letters,
+               CAST(sum(c * (c - 1)) AS BIGINT) AS ic_num
+        FROM cnt GROUP BY doc_id
     """,
     "q237_max_drawdown": """
         -- dd_i = running_max(c) - c_i; earliest realization wins
