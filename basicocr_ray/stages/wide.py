@@ -974,3 +974,46 @@ def global_order_stats(
                     out[k] = lo_ + int(bkt)
                     break
     return out
+
+
+def union_by_name(datasets, null_fill=True):
+    """Schema-evolution UNION: combine Datasets whose schemas differ by
+    added/removed columns (the snapshot-over-time reality of any
+    long-lived table). Each input is padded with typed nulls for the
+    columns it lacks and reordered to the unified layout, then the
+    union streams — no shuffle, no materialization. Type conflicts for
+    a shared column raise (an engine should refuse to guess lossy
+    coercions). The columnar analogue of DuckDB's UNION ALL BY NAME."""
+    schemas = [ds.schema() for ds in datasets]
+    unified: dict[str, pa.DataType] = {}
+    for s in schemas:
+        for name, typ in zip(s.names, s.types):
+            if name in unified:
+                if unified[name] != typ:
+                    raise TypeError(
+                        f"column {name!r}: {unified[name]} vs {typ}"
+                    )
+            else:
+                unified[name] = typ
+    if not null_fill:
+        missing = [
+            name for name in unified
+            if any(name not in s.names for s in schemas)
+        ]
+        if missing:
+            raise ValueError(f"columns absent from some inputs: {missing}")
+    names = list(unified)
+
+    def pad(b: pa.Table) -> pa.Table:
+        cols = []
+        for name in names:
+            if name in b.column_names:
+                cols.append(b[name])
+            else:
+                cols.append(pa.nulls(b.num_rows, unified[name]))
+        return pa.table(dict(zip(names, cols)))
+
+    out = datasets[0].map_batches(pad, batch_format="pyarrow")
+    for ds in datasets[1:]:
+        out = out.union(ds.map_batches(pad, batch_format="pyarrow"))
+    return out
