@@ -152,3 +152,65 @@ def extract_jsonld(doc: str, want_type: str | None = None) -> list[dict]:
                 continue
             out.append(it)
     return out
+
+
+_URL_FIELDS = ("loc", "lastmod", "changefreq", "priority")
+
+
+def encode_sitemap(entries: list[dict]) -> str:
+    """Sitemap-protocol urlset XML (sitemaps.org 0.9). `entries` carry
+    any subset of loc/lastmod/changefreq/priority; text is XML-escaped."""
+    parts = [
+        '<?xml version="1.0" encoding="UTF-8"?>\n',
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n',
+    ]
+    for ent in entries:
+        parts.append(" <url>")
+        for f in _URL_FIELDS:
+            if f in ent and ent[f] is not None:
+                parts.append(
+                    "<%s>%s</%s>" % (f, _htmllib.escape(str(ent[f])), f)
+                )
+        parts.append("</url>\n")
+    parts.append("</urlset>\n")
+    return "".join(parts)
+
+
+def parse_sitemap(xml: str) -> list[dict]:
+    """Parse a urlset sitemap back to entry dicts (same single-scan
+    lexer as the HTML paths; entities unescaped; unknown elements and
+    text outside <url> children ignored). Tolerant of missing fields —
+    a field absent from the XML is absent from the dict."""
+    out: list[dict] = []
+    cur: dict | None = None
+    field: str | None = None
+    parts: list[str] = []
+    pos = 0
+    n = len(xml)
+    while pos < n:
+        m = _TAG_RE.search(xml, pos)
+        if m is None:
+            break
+        text = xml[pos : m.start()]
+        if text and cur is not None and field is not None:
+            parts.append(text)
+        pos = m.end()
+        name = m.group(1)
+        if name is None:
+            continue
+        name = name.lower()
+        closing = xml[m.start() + 1] == "/"
+        if name == "url":
+            if not closing:
+                cur = {}
+            elif cur is not None:
+                out.append(cur)
+                cur = None
+        elif name in _URL_FIELDS and cur is not None:
+            if not closing:
+                field = name
+                parts = []
+            elif field == name:
+                cur[name] = _htmllib.unescape("".join(parts))
+                field = None
+    return out
