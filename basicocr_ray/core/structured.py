@@ -214,3 +214,68 @@ def parse_sitemap(xml: str) -> list[dict]:
                 cur[name] = _htmllib.unescape("".join(parts))
                 field = None
     return out
+
+
+_ATTR_RE = re.compile(
+    r"""([a-zA-Z_:][-a-zA-Z0-9_:.]*)      # attribute name
+        (?:\s*=\s*
+           (?:"([^"]*)"|'([^']*)'|([^\s"'=<>`]+))  # "v" | 'v' | bare
+        )?""",
+    re.X,
+)
+
+
+def parse_attrs(tag_text: str) -> dict[str, str]:
+    """Attributes of one raw tag string (e.g. the m.group(0) of the
+    lexer): handles double/single-quoted and unquoted values and
+    boolean attributes (value '' per the HTML spec); names lowercase;
+    first occurrence wins on duplicates; entities unescaped."""
+    # strip "<name" head and ">" tail so the tag name isn't an attr
+    body = tag_text
+    m = re.match(r"</?[a-zA-Z][a-zA-Z0-9:_\-]*", body)
+    if m:
+        body = body[m.end():]
+    if body.endswith(">"):
+        body = body[:-1]
+    out: dict[str, str] = {}
+    for m in _ATTR_RE.finditer(body):
+        name = m.group(1).lower()
+        if name in out or name == "/":
+            continue
+        val = m.group(2)
+        if val is None:
+            val = m.group(3)
+        if val is None:
+            val = m.group(4)
+        out[name] = _htmllib.unescape(val) if val is not None else ""
+    return out
+
+
+def extract_head_links(doc: str) -> list[dict]:
+    """Every <link>/<meta> tag's attribute dict, in document order,
+    with a '_tag' key — the head-metadata scan behind canonical-url
+    resolution, robots meta, and charset sniffing. Raw-text elements
+    are skipped so a script can't fake a head link."""
+    out: list[dict] = []
+    pos = 0
+    n = len(doc)
+    while pos < n:
+        m = _TAG_RE.search(doc, pos)
+        if m is None:
+            break
+        pos = m.end()
+        name = m.group(1)
+        if name is None:
+            continue
+        lname = name.lower()
+        if doc[m.start() + 1] != "/" and lname in RAW_TEXT_TAGS:
+            mm = re.compile(
+                r"</%s\b[^>]*>" % re.escape(lname), re.I
+            ).search(doc, pos)
+            pos = mm.end() if mm else n
+            continue
+        if lname in ("link", "meta") and doc[m.start() + 1] != "/":
+            attrs = parse_attrs(m.group(0))
+            attrs["_tag"] = lname
+            out.append(attrs)
+    return out
