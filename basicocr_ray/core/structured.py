@@ -279,3 +279,57 @@ def extract_head_links(doc: str) -> list[dict]:
             attrs["_tag"] = lname
             out.append(attrs)
     return out
+
+
+def iter_tags(doc: str):
+    """Yield (name, closing, raw, start, end) for every tag, skipping
+    comments/doctypes and raw-text element bodies — the shared scan
+    under the outline and anchor-audit extractors."""
+    pos = 0
+    n = len(doc)
+    while pos < n:
+        m = _TAG_RE.search(doc, pos)
+        if m is None:
+            break
+        pos = m.end()
+        name = m.group(1)
+        if name is None:
+            continue
+        lname = name.lower()
+        closing = doc[m.start() + 1] == "/"
+        if not closing and lname in RAW_TEXT_TAGS:
+            mm = re.compile(
+                r"</%s\b[^>]*>" % re.escape(lname), re.I
+            ).search(doc, pos)
+            pos = mm.end() if mm else n
+            continue
+        yield lname, closing, m.group(0), m.start(), m.end()
+
+
+_H_LEVEL = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
+
+
+def parse_outline(doc: str) -> list[tuple[int, str, str]]:
+    """Document outline: (level, section_path, text) per h1–h6 in
+    order. Section paths come from the standard counter stack — a
+    heading at level L increments counter L and resets deeper ones;
+    the path joins counters 1..L ('1.2.1'); a document that opens
+    below level 1 shows the honest zero ('0.1'). Heading text is the
+    inter-tag text up to the matching close, entities unescaped and
+    whitespace collapsed."""
+    counters = [0] * 7
+    out: list[tuple[int, str, str]] = []
+    tags = list(iter_tags(doc))
+    for idx, (name, closing, _raw, _s, end) in enumerate(tags):
+        if closing or name not in _H_LEVEL:
+            continue
+        level = _H_LEVEL[name]
+        counters[level] += 1
+        for d in range(level + 1, 7):
+            counters[d] = 0
+        path = ".".join(str(counters[d]) for d in range(1, level + 1))
+        # text: up to the next tag boundary (the matching close tag)
+        nxt = tags[idx + 1][3] if idx + 1 < len(tags) else len(doc)
+        text = _htmllib.unescape(doc[end:nxt])
+        out.append((level, path, " ".join(text.split())))
+    return out
