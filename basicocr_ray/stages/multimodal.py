@@ -43,12 +43,21 @@ IMAGE_FEATURES_SCHEMA = pa.schema(
 
 
 def _real_image_features(data: bytes) -> tuple[int, int, float, int]:
-    """REAL decode path: stdlib PNG codec (`core.png`) → genuine pixel
-    statistics + 8×8 average hash. Non-PNG payloads raise (→ failed
-    path); an imaging library, if ever present, would slot in here."""
+    """REAL decode path, magic-sniffed: stdlib PNG codec (`core.png`)
+    or GIF/LZW codec (`core.gif`) → genuine pixel statistics + 8×8
+    average hash. Other payloads raise (→ failed path); an imaging
+    library, if ever present, would slot in here."""
     from basicocr_ray.core.png import average_hash_64, decode_png, to_grayscale
 
-    arr = decode_png(data)  # raises ValueError for non-PNG/unsupported
+    if data[:4] == b"GIF8":
+        from basicocr_ray.core.gif import parse_gif
+
+        img = parse_gif(data)
+        pal = np.asarray(img["palette"], dtype=np.uint8)
+        idx = np.frombuffer(img["indices"], dtype=np.uint8)
+        arr = pal[idx].reshape(img["height"], img["width"], 3)
+    else:
+        arr = decode_png(data)  # raises ValueError for non-PNG/unsupported
     gray = to_grayscale(arr)
     h, w = gray.shape
     return w, h, round(float(gray.mean()) / 255.0, 6), average_hash_64(gray)
