@@ -268,3 +268,25 @@ class ACDoubleArray:
             pos = end
         out.append(text[pos:])
         return "".join(out)
+
+
+def ac_replace(automaton, text: str, mapping: dict[str, str]) -> str:
+    """Multi-pattern REWRITE on either AC backend: substitute each
+    leftmost-longest non-overlapping match with mapping[pattern] (the
+    PII-masking / term-canonicalization generalization of strip —
+    strip is ac_replace with an all-empty mapping). Same selection
+    rule as .strip(): sort by (start, -len), greedy take."""
+    matches = automaton.find_all(text)
+    if not matches:
+        return text
+    matches.sort(key=lambda m: (m[0], -(m[1] - m[0])))
+    out = []
+    pos = 0
+    for start, end, pat in matches:
+        if start < pos:
+            continue
+        out.append(text[pos:start])
+        out.append(mapping[pat])
+        pos = end
+    out.append(text[pos:])
+    return "".join(out)

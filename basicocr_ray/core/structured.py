@@ -302,6 +302,9 @@ def iter_tags(doc: str):
                 r"</%s\b[^>]*>" % re.escape(lname), re.I
             ).search(doc, pos)
             pos = mm.end() if mm else n
+            # yield with end PAST the skipped body+close tag, so a
+            # consumer resuming text at `end` never sees script bodies
+            yield lname, False, m.group(0), m.start(), pos
             continue
         yield lname, closing, m.group(0), m.start(), m.end()
 
