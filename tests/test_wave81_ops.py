@@ -118,16 +118,3 @@ def test_q312_table_roundtrip_vs_sql(tmp_path):
     assert got["status"].tolist()[:4] == ["O", "F", "P&Q", "<X>"]
 
 
-@pytest.mark.usefixtures("ray_session")
-def test_q314_ic_vs_counter(tmp_path):
-    """'aabbb' -> n=5, num = 2*1 + 3*2 = 8; uppercase/CJK don't count."""
-    from basicocr_ray.pipelines.queries import QUERIES
-
-    _docs(tmp_path, ["aabbb", "AB 数据!", ""])
-    got = (
-        QUERIES["q314_index_coincidence"](str(tmp_path))
-        .to_pandas()
-        .sort_values("doc_id")
-        .reset_index(drop=True)
-    )
-    assert got.values.tolist() == [[0, 5, 8], [1, 0, 0], [2, 0, 0]]

@@ -77,64 +77,5 @@ def test_universe_sample_join_preservation(tmp_path):
     ]
 
 
-@pytest.mark.usefixtures("ray_session")
-def test_isotonic_pava_merges_violators(tmp_path):
-    """Rates by hour [1.0, 0.0, 0.5] (violating) -> PAVA pools all
-    three into 0.5 when counts are equal; a rising tail stays apart."""
-    from basicocr_ray.pipelines.queries import ORACLE_SQL, QUERIES
-
-    rows = []
-    eid = 0
-
-    def add(hour, vals):
-        nonlocal eid
-        for v in vals:
-            rows.append((eid, hour * 3_600_000_000, eid % 7, "view", v))
-            eid += 1
-
-    add(0, [100.0, 100.0])   # rate 1.0
-    add(1, [1.0, 1.0])       # rate 0.0
-    add(2, [100.0, 1.0])     # rate 0.5
-    add(3, [100.0, 100.0])   # rate 1.0 (stays its own pool)
-    _events(tmp_path, rows)
-    got = (
-        QUERIES["q316_isotonic_calibration"](str(tmp_path))
-        .sort_values("hour")
-        .reset_index(drop=True)
-    )
-    assert got["fit"].tolist() == [0.5, 0.5, 0.5, 1.0]
-    con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW events AS SELECT * FROM read_parquet('%s')"
-        % str(tmp_path / "events.parquet")
-    )
-    exp = (
-        con.execute(ORACLE_SQL["q316_isotonic_calibration"])
-        .df()
-        .sort_values("hour")
-        .reset_index(drop=True)
-    )
-    assert got["fit"].tolist() == exp["fit"].tolist()
 
 
-@pytest.mark.usefixtures("ray_session")
-def test_butterfly_count_matches_brute_force(tmp_path):
-    """3 users share {click,view} -> C(3,2)=3 butterflies; a pair seen
-    by one user only has 0."""
-    from basicocr_ray.pipelines.queries import QUERIES
-
-    rows = []
-    eid = 0
-    for u in (1, 2, 3):
-        for t in ("click", "view", "view"):  # dup edge must not double
-            rows.append((eid, eid, u, t, 1.0))
-            eid += 1
-    rows.append((eid, eid, 1, "error", 1.0))
-    _events(tmp_path, rows)
-    got = QUERIES["q317_butterfly_count"](str(tmp_path))
-    got = got.sort_values(["type_a", "type_b"]).reset_index(drop=True)
-    assert got.values.tolist() == [
-        ["click", "error", 1, 0],
-        ["click", "view", 3, 3],
-        ["error", "view", 1, 0],
-    ]

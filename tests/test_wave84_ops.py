@@ -76,26 +76,3 @@ def test_mmr_prefers_diversity(tmp_path):
     assert got["vec_id"].tolist() == [1, 3, 4, 5, 2]
 
 
-@pytest.mark.usefixtures("ray_session")
-def test_linear_interp_grid_and_values(tmp_path):
-    """Events at t=30min (v=1.00) and t=3h30min (v=7.00): grid points
-    at 1h, 2h, 3h -> 2.00, 4.00, 6.00 (cents exact); a 10-minute gap
-    crossing no hour boundary emits nothing."""
-    from basicocr_ray.pipelines.queries import QUERIES
-
-    H = 3_600_000_000
-    rows = [
-        (1, H // 2, 7, "view", 1.00),
-        (2, 3 * H + H // 2, 7, "view", 7.00),
-        (3, 10 * H + 60_000_000, 8, "view", 1.0),
-        (4, 10 * H + 600_000_000, 8, "view", 2.0),
-    ]
-    _events(tmp_path, rows)
-    got = (
-        QUERIES["q323_linear_interp"](str(tmp_path))
-        .sort_values(["user_id", "tg"])
-        .reset_index(drop=True)
-    )
-    assert got["user_id"].tolist() == [7, 7, 7]
-    assert got["tg"].tolist() == [H, 2 * H, 3 * H]
-    assert got["val"].tolist() == [200.0, 400.0, 600.0]

@@ -54,27 +54,3 @@ def test_ligature_fold_roundtrip(tmp_path):
     assert got["n_ligatures"].tolist() == [2 + 3]
 
 
-@pytest.mark.usefixtures("ray_session")
-def test_record_fusion_rules(tmp_path):
-    """Group 0 = docs 0,1,2: longest text wins rep (tie -> smaller id),
-    canonical = min id, langs distinct sorted."""
-    from basicocr_ray.pipelines.queries import QUERIES
-
-    _docs(
-        tmp_path,
-        [
-            (0, "aa", "en", 2),
-            (1, "bbbb", "zh", 4),
-            (2, "cccc", "en", 4),
-            (3, "d", "de", 1),
-        ],
-    )
-    got = (
-        QUERIES["q332_record_fusion"](str(tmp_path))
-        .sort_values("gid")
-        .reset_index(drop=True)
-    )
-    assert got.values.tolist() == [
-        [0, 0, 1, 4, "en,zh", 3],
-        [1, 3, 3, 1, "de", 1],
-    ]

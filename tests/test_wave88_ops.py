@@ -54,26 +54,6 @@ def test_hive_partition_roundtrip_preserves_rows(tmp_path):
     ]
 
 
-@pytest.mark.usefixtures("ray_session")
-def test_wilson_ci_formula(tmp_path):
-    """k=3 of n=4 above threshold: bounds match the hand formula and
-    bracket the rate."""
-    from basicocr_ray.pipelines.queries import QUERIES
-
-    _docs(
-        tmp_path,
-        [(0, "en", 501), (1, "en", 502), (2, "en", 900), (3, "en", 10)],
-    )
-    got = QUERIES["q334_wilson_ci"](str(tmp_path))
-    n, k, z2 = 4, 3, 4.0
-    p = k / n
-    den = 1.0 + z2 / n
-    center = p + z2 / (2.0 * n)
-    rad = 2.0 * math.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
-    assert got["rate"].tolist() == [0.75]
-    assert got["lo"].tolist() == [round((center - rad) / den, 9)]
-    assert got["hi"].tolist() == [round((center + rad) / den, 9)]
-    assert got["lo"].iloc[0] < 0.75 < got["hi"].iloc[0]
 
 
 @pytest.mark.usefixtures("ray_session")

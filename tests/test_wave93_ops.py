@@ -58,25 +58,6 @@ def test_iter_tags_rawtext_end_spans_body():
     assert doc[sc[4]:].startswith("<p>y")  # end is past the close tag
 
 
-@pytest.mark.usefixtures("ray_session")
-def test_quoted_spans_counts(tmp_path):
-    from basicocr_ray.pipelines.queries import QUERIES
-
-    _docs(
-        tmp_path,
-        ['say "hi" and "wow ok" end', 'no quotes', '"" empty "x"'],
-    )
-    got = (
-        QUERIES["q346_quoted_spans"](str(tmp_path))
-        .to_pandas()
-        .sort_values("doc_id")
-        .reset_index(drop=True)
-    )
-    assert got.values.tolist() == [
-        [0, 2, 8, 6],
-        [1, 0, 0, 0],
-        [2, 2, 1, 1],
-    ]
 
 
 @pytest.mark.usefixtures("ray_session")

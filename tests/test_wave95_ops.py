@@ -40,22 +40,6 @@ def _events(tmp_path, rows):
     pq.write_table(tab, str(tmp_path / "events.parquet"))
 
 
-@pytest.mark.usefixtures("ray_session")
-def test_autocomplete_winner_and_support(tmp_path):
-    """prefix 's': sort(3) beats scan(2) and slow(1); 'x' has one
-    option -> excluded; single-char token 'a' ignored."""
-    from basicocr_ray.pipelines.queries import QUERIES
-
-    _docs(
-        tmp_path,
-        ["sort sort Sort scan scan slow a xx", "xx"],
-    )
-    got = (
-        QUERIES["q351_autocomplete"](str(tmp_path))
-        .sort_values("prefix")
-        .reset_index(drop=True)
-    )
-    assert got.values.tolist() == [["s", "sort", 3, 3, 6]]
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -79,20 +63,3 @@ def test_ac_pattern_freq_substring_hits(tmp_path):
     assert got["table"] == 0
 
 
-@pytest.mark.usefixtures("ray_session")
-def test_lpt_makespan_greedy(tmp_path):
-    """Hourly counts [5,4,3,3,2,2] over 4 workers: LPT loads
-    5 | 4 | 3+2 | 3+2 -> sorted [4,5,5,5], makespan 5."""
-    from basicocr_ray.pipelines.queries import QUERIES
-
-    H = 3_600_000_000
-    rows = []
-    eid = 0
-    for h, n in [(0, 5), (1, 4), (2, 3), (3, 3), (4, 2), (5, 2)]:
-        for _ in range(n):
-            rows.append((eid, h * H + 7, 1, "view", 1.0))
-            eid += 1
-    _events(tmp_path, rows)
-    got = QUERIES["q353_lpt_makespan"](str(tmp_path))
-    assert got["load"].tolist() == [4, 5, 5, 5]
-    assert got["is_makespan"].tolist() == [False, False, False, True]
