@@ -318,3 +318,52 @@ def test_merge_meta_modes_identical(fixture_pages, tmp_path):
         )
         outs[mode] = df
     assert outs["driver"].equals(outs["distributed"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_correction_postpass_byte_identity(fixture_pages):
+    """Flagship byte-identity with the correction post-pass ON: the A3
+    AC-strip + A2 trie-correct actor pools chained after decode
+    (detect→recognize→correct, `Test.java:58-82` +
+    `trietree_correct.py:245-274`) must equal the single-doc oracle
+    followed by the SAME shared kernels — and be invariant to batch
+    size.  The uncorrected flagship output (q13/q14 contract) must be
+    unchanged by merely enabling the flag machinery."""
+    from basicocr_ray.pipelines.extract_pipeline import (
+        add_correction_stages,
+        build_extract_ds,
+    )
+    from basicocr_ray.sources.pages import read_pages
+    from basicocr_ray.stages.correct import ACStripper, TrieCorrector
+
+    phrases = ["all rights reserved", "lorem ipsum"]
+    entries = [("the", 100), ("and", 80), ("data", 60), ("page", 40)]
+    cfg = ExtractConfig(correct=True)
+
+    def run(batch_size):
+        c = ExtractConfig(correct=True, batch_size_small=batch_size)
+        ds = build_extract_ds(read_pages(fixture_pages), c)
+        ds = add_correction_stages(
+            ds, c, strip_phrases=phrases, trie_entries=entries,
+            concurrency=2,
+        )
+        df = ds.to_pandas()[["url", "main_text"]]
+        return df.sort_values(["url", "main_text"]).reset_index(drop=True)
+
+    got = run(512)
+    # oracle: same shared kernels applied to the single-doc extraction
+    stripper = ACStripper(phrases, column="main_text")
+    corrector = TrieCorrector(entries, max_cost=cfg.correct_max_cost)
+    expected = _expected_map(fixture_pages)
+    exp_corrected = {
+        u: corrector.correct_text(stripper.ac.strip(t))
+        for u, t in expected.items()
+    }
+    n_checked = 0
+    for url, text in zip(got["url"], got["main_text"]):
+        if url in exp_corrected:
+            assert text == exp_corrected[url], url
+            n_checked += 1
+    assert n_checked == len(got)
+    # invariance under batch size
+    assert got.equals(run(7))

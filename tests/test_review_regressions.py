@@ -142,3 +142,49 @@ def test_pdf_modes_agree_on_empty_pdf():
 
     a, b, c, d = run(True), run("split"), run(False), run("finisher")
     assert a.equals(b) and b.equals(c) and c.equals(d)
+
+
+# --- round-4 ADVICE regressions -------------------------------------------
+
+
+def test_parse_outline_keeps_text_past_inline_children():
+    from basicocr_ray.core.structured import parse_outline
+
+    doc = "<h1>Hello <b>World</b></h1><p>body</p><h2>Sub <i>head</i> tail</h2>"
+    out = parse_outline(doc)
+    assert out == [(1, "1", "Hello World"), (2, "1.1", "Sub head tail")]
+    # malformed: next heading opens before the close — don't swallow it
+    out2 = parse_outline("<h1>A <h2>B</h2>")
+    assert out2[0][2] == "A"
+    assert out2[1][2] == "B"
+
+
+def test_parse_gif_rejects_out_of_range_index_and_big_mcs():
+    from basicocr_ray.core import gif as g
+
+    good = g.encode_gif(2, 1, [(0, 0, 0), (255, 255, 255)], b"\x00\x01")
+    assert g.parse_gif(good)["indices"] == b"\x00\x01"
+    # image data: 13B header + 6B GCT (2 colors) + 10B descriptor + mcs
+    mcs_at = 13 + 6 + 10
+    assert good[mcs_at] == 2
+    bad_mcs = bytearray(good)
+    bad_mcs[mcs_at] = 12
+    with pytest.raises(g.GifError):
+        g.parse_gif(bytes(bad_mcs))
+    # splice an LZW stream whose indices exceed the 2-entry palette
+    lzw = g._lzw_encode(b"\x00\x03", 2)
+    bad = bytearray(good[: mcs_at + 1])
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        bad.append(len(block))
+        bad += block
+    bad += b"\x00\x3b"
+    with pytest.raises(g.GifError):
+        g.parse_gif(bytes(bad))
+
+
+def test_union_by_name_empty_input_raises_value_error():
+    from basicocr_ray.stages.wide import union_by_name
+
+    with pytest.raises(ValueError, match="at least one dataset"):
+        union_by_name([])
