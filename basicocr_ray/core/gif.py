@@ -103,6 +103,11 @@ def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
         cur = bytes([b])
     if cur:
         w.write(table[cur], width)
+        # the decoder adds one more table entry after the final data
+        # code; when that lands on its early-change boundary it reads
+        # END one bit wider — mirror the bump so END's width matches
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
     w.write(end, width)
     return w.finish()
 
@@ -232,6 +237,8 @@ def parse_gif(data: bytes) -> dict:
         raise GifError("no color table")
     mcs = data[pos]
     pos += 1
+    if mcs > 11:
+        raise GifError("LZW min code size > 11")
     lzw = bytearray()
     while True:
         if pos >= len(data):
@@ -245,6 +252,8 @@ def parse_gif(data: bytes) -> dict:
     indices = _lzw_decode(bytes(lzw), mcs)
     if len(indices) < w * h:
         raise GifError("pixel data short")
+    if indices and max(indices[: w * h]) >= len(palette):
+        raise GifError("pixel index out of palette range")
     return {
         "width": w, "height": h, "palette": palette,
         "indices": indices[: w * h],

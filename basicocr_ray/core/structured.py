@@ -331,8 +331,21 @@ def parse_outline(doc: str) -> list[tuple[int, str, str]]:
         for d in range(level + 1, 7):
             counters[d] = 0
         path = ".".join(str(counters[d]) for d in range(1, level + 1))
-        # text: up to the next tag boundary (the matching close tag)
-        nxt = tags[idx + 1][3] if idx + 1 < len(tags) else len(doc)
-        text = _htmllib.unescape(doc[end:nxt])
+        # text: accumulate inter-tag text until the matching close tag,
+        # skipping inline children (<h1>Hello <b>World</b></h1> ->
+        # 'Hello World'); stop early if another heading opens first
+        # (malformed doc) so its text is not swallowed
+        parts: list[str] = []
+        cur = end
+        for t_name, t_closing, _r2, t_start, t_end in tags[idx + 1:]:
+            parts.append(doc[cur:t_start])
+            cur = t_end
+            if t_closing and t_name == name:
+                break
+            if t_name in _H_LEVEL:
+                break
+        else:
+            parts.append(doc[cur:])
+        text = _htmllib.unescape("".join(parts))
         out.append((level, path, " ".join(text.split())))
     return out

@@ -984,6 +984,9 @@ def union_by_name(datasets, null_fill=True):
     union streams — no shuffle, no materialization. Type conflicts for
     a shared column raise (an engine should refuse to guess lossy
     coercions). The columnar analogue of DuckDB's UNION ALL BY NAME."""
+    datasets = list(datasets)
+    if not datasets:
+        raise ValueError("union_by_name requires at least one dataset")
     schemas = [ds.schema() for ds in datasets]
     unified: dict[str, pa.DataType] = {}
     for s in schemas:
