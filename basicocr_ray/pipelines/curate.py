@@ -5,17 +5,26 @@ hash-checked, not just its stages.
 
     read → quality filter (min tokens) → benchmark-slice exclusion
          → exact dedup (first occurrence by content fingerprint)
+         → MinHash-LSH near-dup removal (candidates → exact-Jaccard
+           verify → connected components → keep min-id representative)
          → n-gram decontamination vs the benchmark slice
          → deterministic md5 train/val/test split
          → per-(lang, split) rollup
 
+This is the reference's detect→recognize→correct dataflow shape
+(contrib/trietree/trietree_correct.py:245-274 chains correction INTO
+the driver flow, not beside it): the near-dup machinery of q22/q42/q91
+is composed into the flagship chain rather than existing only as
+standalone queries.
+
 Scale shape of each stage is the house discipline it reuses: the quality
 filter and split are stateless per-batch maps; dedup shuffles (id, fp)
-only and brings winners back with a single-shuffle semi-join; the
-decontamination gram set is the bounded benchmark broadcast;
-contaminated ids leave via a bucketed anti-join (both sides fact-scale
-safe); the rollup is partial+final. No stage materializes payload on the
-driver."""
+only and brings winners back with a single-shuffle semi-join; near-dup
+shuffles signatures/band keys only and its removal set rides a bucketed
+anti-join; the decontamination gram set is the bounded benchmark
+broadcast; contaminated ids leave via a bucketed anti-join (both sides
+fact-scale safe); the rollup is partial+final. No stage materializes
+payload on the driver."""
 
 from __future__ import annotations
 
@@ -26,7 +35,13 @@ import pyarrow as pa
 from basicocr_ray.core.textstats import md5_hex, ws_tokens
 
 
-def curate_rollup(sf_dir: str, min_tokens: int = 5, bench_mod: int = 17):
+def curate_rollup(
+    sf_dir: str,
+    min_tokens: int = 5,
+    bench_mod: int = 17,
+    near_dup: bool = True,
+    near_dup_threshold: float = 0.8,
+):
     import ray
 
     from basicocr_ray.pipelines.queries import _read
@@ -34,7 +49,12 @@ def curate_rollup(sf_dir: str, min_tokens: int = 5, bench_mod: int = 17):
         build_benchmark_grams,
         flag_contaminated,
     )
-    from basicocr_ray.stages.dedup import _coarse_salts
+    from basicocr_ray.stages.dedup import (
+        _coarse_salts,
+        assign_components,
+        minhash_candidate_pairs,
+        verify_pairs_jaccard_join,
+    )
     from basicocr_ray.stages.joins import bucketed_hash_join
     from basicocr_ray.stages.sample import hash_split
 
@@ -98,6 +118,44 @@ def curate_rollup(sf_dir: str, min_tokens: int = 5, bench_mod: int = 17):
         kept, winners, "doc_id",
         ["text", "lang", "n_chars"], [], join_type="left semi",
     ).materialize()
+
+    # 3b. near-dup removal (MinHash-LSH → exact-Jaccard verify →
+    #     connected components → keep the min-id representative per
+    #     cluster). Shuffles carry signatures/band keys and (id, id)
+    #     edges only; the removal set leaves via a bucketed anti-join.
+    if near_dup:
+        ids_text = deduped.select_columns(["doc_id", "text"])
+        # default "star" hot-bucket routing: a hot bucket contributes
+        # star edges (member ↔ min-id center) instead of all pairs —
+        # connectivity-preserving for the component consumer below, and
+        # the difference between ~10⁴ and ~10⁷ candidate pairs on
+        # template-heavy corpora ("full" is only for exact-pair-set
+        # consumers like q22)
+        cand = minhash_candidate_pairs(
+            ids_text, "doc_id", "text", num_bands=32,
+        )
+        verified = verify_pairs_jaccard_join(
+            cand, ids_text, "doc_id", "text",
+            threshold=near_dup_threshold,
+        )
+        comps = assign_components(verified.select_columns(["id_a", "id_b"]))
+        removed = comps.map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": pa.compute.cast(
+                        b.filter(
+                            pa.compute.not_equal(b["id"], b["rep"])
+                        )["id"],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()  # (id) rows — metadata; probed + joined below
+        deduped = bucketed_hash_join(
+            deduped, removed, "doc_id",
+            ["text", "lang", "n_chars"], [], join_type="left anti",
+        ).materialize()
 
     # 4. decontamination: bounded benchmark gram broadcast → flags →
     #    contaminated ids leave via a bucketed anti-join

