@@ -28,7 +28,10 @@ def entry() -> Any:
     from basicocr_ray.sources.docpages import docs_to_pages_batch
     from basicocr_ray.stages.extract import extract_batch
 
-    cfg = ExtractConfig()
+    import os
+
+    correct = os.environ.get("BASICOCR_CORRECT", "") == "1"
+    cfg = ExtractConfig(correct=correct)
     ds = _read("/root/testdata/sf0.001", "documents",
                columns=["doc_id", "text", "lang"])
 
@@ -36,7 +39,22 @@ def entry() -> Any:
         pages = docs_to_pages_batch(batch)
         return extract_batch(pages, cfg)
 
-    return ds.map_batches(wrap_extract, batch_format="pyarrow")
+    out = ds.map_batches(wrap_extract, batch_format="pyarrow")
+    if cfg.correct:
+        # detect→recognize→CORRECT: the A3 strip + A2 trie stages
+        # chained into the flagship flow (opt-in; default smoke-check
+        # output is byte-stable without it)
+        from basicocr_ray.pipelines.extract_pipeline import (
+            add_correction_stages,
+        )
+
+        out = add_correction_stages(
+            out,
+            cfg,
+            strip_phrases=["all rights reserved", "click here"],
+            trie_entries=[("the", 100), ("and", 80), ("data", 60)],
+        )
+    return out
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -35,6 +35,13 @@ class ExtractConfig:
     # --- tokenize ---
     collapse_whitespace: bool = True  # browser-like ws folding inside a block
 
+    # --- optional correction post-pass (A2/A3 chained into the
+    #     flagship flow: the reference's detect→recognize→CORRECT
+    #     dataflow — Test.java:58-82 strip, trietree_correct.py:245-274
+    #     correct — runs inside the driver flow, not beside it) ---
+    correct: bool = False          # enable AC-strip + trie-correct stages
+    correct_max_cost: int = 1      # bounded edit distance for the trie
+
     # --- partitioning / lineage ---
     num_partitions: int = 32       # partition_id = hash(url) % num_partitions
 

@@ -323,6 +323,53 @@ def build_extract_ds(
     return out
 
 
+def add_correction_stages(
+    ds: "ray.data.Dataset",
+    cfg: ExtractConfig,
+    strip_phrases=None,
+    trie_entries=None,
+    column: str = "main_text",
+    concurrency: int | tuple[int, int] = (1, 4),
+):
+    """Chain the A3 AC-strip and A2 trie-correct actor pools onto an
+    extracted Dataset, rewriting ``column`` in place — the reference's
+    detect→recognize→CORRECT driver flow (`Test.java:58-82` strip,
+    `contrib/trietree/trietree_correct.py:245-274` correct-inside-the-
+    flow). State (automaton / trie) is built once per actor in
+    ``__init__``; pass ``ray.put`` ObjectRefs for large dictionaries so
+    the broadcast ships once per node, not once per batch. Order is
+    strip-then-correct: boilerplate phrases leave before the bounded
+    edit-distance lookup sees the tokens."""
+    from basicocr_ray.stages.correct import ACStripper, TrieCorrector
+
+    if strip_phrases is not None:
+        ds = ds.map_batches(
+            ACStripper,
+            fn_constructor_kwargs={
+                "phrases": strip_phrases,
+                "column": column,
+                "out_column": column,
+            },
+            batch_format="pyarrow",
+            concurrency=concurrency,
+            num_cpus=0.5,
+        )
+    if trie_entries is not None:
+        ds = ds.map_batches(
+            TrieCorrector,
+            fn_constructor_kwargs={
+                "entries": trie_entries,
+                "column": column,
+                "out_column": column,
+                "max_cost": cfg.correct_max_cost,
+            },
+            batch_format="pyarrow",
+            concurrency=concurrency,
+            num_cpus=0.5,
+        )
+    return ds
+
+
 _EMPTY_METRICS = pa.table(
     {
         "lang": pa.array([], pa.string()),

@@ -63,9 +63,11 @@ class TrieCorrector:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.column].to_pylist()
         corrected = [self.correct_text(t or "") for t in texts]
-        return batch.append_column(
-            self.out_column, pa.array(corrected, pa.large_string())
-        )
+        arr = pa.array(corrected, pa.large_string())
+        if self.out_column == self.column:  # in-place replacement
+            idx = batch.schema.get_field_index(self.column)
+            return batch.set_column(idx, self.out_column, arr)
+        return batch.append_column(self.out_column, arr)
 
 
 class ACStripper:
@@ -94,6 +96,8 @@ class ACStripper:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.column].to_pylist()
         stripped = [self.ac.strip(t or "") for t in texts]
-        return batch.append_column(
-            self.out_column, pa.array(stripped, pa.large_string())
-        )
+        arr = pa.array(stripped, pa.large_string())
+        if self.out_column == self.column:  # in-place replacement
+            idx = batch.schema.get_field_index(self.column)
+            return batch.set_column(idx, self.out_column, arr)
+        return batch.append_column(self.out_column, arr)
