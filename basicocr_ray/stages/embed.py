@@ -17,7 +17,24 @@ import pyarrow as pa
 
 
 def _stack(col) -> np.ndarray:
-    """list<float> column → (n, d) float64 matrix."""
+    """list<float> column → (n, d) float64 matrix.
+
+    Zero-copy path: for a rectangular non-null list column the flat
+    values buffer reshapes directly — no per-row Python list
+    round-trip (the ANN hot path runs this per batch). Falls back to
+    to_pylist for ragged/null columns."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, (pa.ListArray, pa.LargeListArray)) and col.null_count == 0:
+        offsets = col.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offsets)
+        if len(widths) and (widths == widths[0]).all() and widths[0] > 0:
+            flat = col.flatten()  # slice-aware: values of the logical rows
+            if flat.null_count == 0 and len(flat) == len(widths) * int(widths[0]):
+                vals = flat.to_numpy(zero_copy_only=False)
+                return vals.astype(np.float64, copy=False).reshape(
+                    len(widths), int(widths[0])
+                )
     return np.asarray(col.to_pylist(), dtype=np.float64)
 
 

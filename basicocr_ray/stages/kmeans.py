@@ -94,3 +94,63 @@ def kmeans_assign(ds, centroids: np.ndarray, vec_column: str = "embedding",
         )
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def kmeans_fit_int(
+    ds,
+    seeds_q: np.ndarray,
+    n_iters: int = 2,
+    vec_column: str = "embedding",
+    scale: float = 1_000_000.0,
+) -> np.ndarray:
+    """INTEGER-EXACT Lloyd rounds over scale-quantized vectors — the
+    hashable sibling of `kmeans_fit` (same broadcast-partials shape, no
+    shuffle): vectors quantize via `embed.quantize_vec`, assignment is
+    exact int64 argmin squared-L2 (ties → lowest cell), and the
+    centroid update is elementwise floor(sum/count) computed in float64
+    (sums at these magnitudes are exactly representable, so numpy and a
+    SQL twin produce bit-identical centroids). Empty cells keep their
+    previous centroid. → (k, dim) int64 matrix."""
+    from basicocr_ray.stages.embed import _stack, quantize_vec
+
+    cents = np.asarray(seeds_q, dtype=np.int64)
+    k = len(cents)
+    for _ in range(n_iters):
+        cen = cents  # broadcast via closure (k × dim int64 is tiny)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            m = quantize_vec(_stack(batch[vec_column]), scale)
+            d2 = (
+                (m * m).sum(axis=1)[:, None]
+                - 2 * (m @ cen.T)
+                + (cen * cen).sum(axis=1)[None, :]
+            )
+            a = np.argmin(d2, axis=1)
+            sums = np.zeros((k, m.shape[1]), dtype=np.int64)
+            counts = np.zeros(k, dtype=np.int64)
+            np.add.at(sums, a, m)
+            np.add.at(counts, a, 1)
+            nz = counts > 0
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(k)[nz], pa.int32()),
+                    "count": pa.array(counts[nz], pa.int64()),
+                    "vec_sum": pa.array(
+                        sums[nz].tolist(), pa.list_(pa.int64())
+                    ),
+                }
+            )
+
+        rows = collect_rows(ds.map_batches(partial, batch_format="pyarrow"))
+        sums = np.zeros((k, cents.shape[1]), dtype=np.int64)
+        counts = np.zeros(k, dtype=np.int64)
+        for r in rows:
+            sums[r["cluster"]] += np.asarray(r["vec_sum"], dtype=np.int64)
+            counts[r["cluster"]] += r["count"]
+        new = cents.copy()
+        nz = counts > 0
+        new[nz] = np.floor(
+            sums[nz].astype(np.float64) / counts[nz][:, None]
+        ).astype(np.int64)
+        cents = new
+    return cents
