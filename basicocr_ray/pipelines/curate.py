@@ -28,11 +28,58 @@ payload on the driver."""
 
 from __future__ import annotations
 
+import json
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 from basicocr_ray.core.textstats import md5_hex, ws_tokens
+
+
+def _checkpointed(name, compute, checkpoint_dir, fingerprint):
+    """Filesystem checkpoint for a SMALL id-table intermediate (the
+    decision set a curation stage derives — winner ids, removal ids,
+    contaminated ids). ``compute()`` returns a Dataset; the rows are
+    persisted as one parquet file plus a marker carrying the input
+    fingerprint + stage name, and a rerun whose fingerprint matches
+    loads the parquet INSTEAD of recomputing (the `state/manifest.py`
+    resume discipline applied to the curation chain: a crash between
+    stages resumes from the last completed decision set; the text
+    relation itself is re-read from source, which is the cheap part).
+    Returns a materialized Dataset either way."""
+    import ray.data
+
+    if checkpoint_dir is None:
+        return compute().materialize()
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    data_path = os.path.join(checkpoint_dir, f"{name}.parquet")
+    marker_path = os.path.join(checkpoint_dir, f"{name}.json")
+    if os.path.exists(marker_path) and os.path.exists(data_path):
+        try:
+            marker = json.load(open(marker_path))
+        except (OSError, json.JSONDecodeError):
+            marker = None
+        if marker and marker.get("fingerprint") == fingerprint:
+            return ray.data.read_parquet(data_path).materialize()
+    ds = compute().materialize()
+    import pyarrow.parquet as _pq
+
+    df = ds.to_pandas()
+    if df.shape[1] == 0:
+        # a fully-clean corpus yields an EMPTY decision set with no
+        # schema — persist the canonical (doc_id) layout so the resume
+        # path round-trips
+        tab = pa.table({"doc_id": pa.array([], pa.int64())})
+    else:
+        tab = pa.Table.from_pandas(df, preserve_index=False)
+    _pq.write_table(tab, data_path)
+    json.dump(
+        {"fingerprint": fingerprint, "stage": name, "rows": ds.count()},
+        open(marker_path, "w"),
+    )
+    return ds
 
 
 def curate_rollup(
@@ -41,6 +88,7 @@ def curate_rollup(
     bench_mod: int = 17,
     near_dup: bool = True,
     near_dup_threshold: float = 0.8,
+    checkpoint_dir: str | None = None,
 ):
     import ray
 
@@ -62,6 +110,13 @@ def curate_rollup(
     docs = _read(
         sf_dir, "documents", columns=["doc_id", "text", "lang", "n_chars"]
     )
+    fp = None
+    if checkpoint_dir is not None:
+        from basicocr_ray.state.manifest import fingerprint_input
+
+        fp = fingerprint_input(
+            [os.path.join(sf_dir, "documents.parquet")]
+        ) + f":mt{min_tokens}:bm{bench_mod}:nd{near_dup}:{near_dup_threshold}"
 
     # 1+2. quality floor + benchmark-slice exclusion (stateless map)
     def keep(b: pa.Table) -> pa.Table:
@@ -102,8 +157,9 @@ def curate_rollup(
         g = df.groupby("fp", as_index=False)["doc_id"].min()
         return g[["doc_id"]].astype({"doc_id": "int64"})
 
-    winners = (
-        kept.map_batches(id_fp, batch_format="pyarrow")
+    winners = _checkpointed(
+        "winners",
+        lambda: kept.map_batches(id_fp, batch_format="pyarrow")
         .groupby("cg")
         .map_groups(min_per_fp, batch_format="pandas")
         .map_batches(
@@ -111,9 +167,10 @@ def curate_rollup(
                 {"doc_id": pa.array(b["doc_id"].to_pylist(), pa.int64())}
             ),
             batch_format="pyarrow",
-        )
-        .materialize()  # (id) rows — metadata; probed + joined below
-    )
+        ),
+        checkpoint_dir,
+        fp,
+    )  # (id) rows — metadata; probed + joined below
     deduped = bucketed_hash_join(
         kept, winners, "doc_id",
         ["text", "lang", "n_chars"], [], join_type="left semi",
@@ -124,34 +181,41 @@ def curate_rollup(
     #     cluster). Shuffles carry signatures/band keys and (id, id)
     #     edges only; the removal set leaves via a bucketed anti-join.
     if near_dup:
-        ids_text = deduped.select_columns(["doc_id", "text"])
-        # default "star" hot-bucket routing: a hot bucket contributes
-        # star edges (member ↔ min-id center) instead of all pairs —
-        # connectivity-preserving for the component consumer below, and
-        # the difference between ~10⁴ and ~10⁷ candidate pairs on
-        # template-heavy corpora ("full" is only for exact-pair-set
-        # consumers like q22)
-        cand = minhash_candidate_pairs(
-            ids_text, "doc_id", "text", num_bands=32,
-        )
-        verified = verify_pairs_jaccard_join(
-            cand, ids_text, "doc_id", "text",
-            threshold=near_dup_threshold,
-        )
-        comps = assign_components(verified.select_columns(["id_a", "id_b"]))
-        removed = comps.map_batches(
-            lambda b: pa.table(
-                {
-                    "doc_id": pa.compute.cast(
-                        b.filter(
-                            pa.compute.not_equal(b["id"], b["rep"])
-                        )["id"],
-                        pa.int64(),
-                    )
-                }
-            ),
-            batch_format="pyarrow",
-        ).materialize()  # (id) rows — metadata; probed + joined below
+        def compute_removed():
+            # default "star" hot-bucket routing: a hot bucket
+            # contributes star edges (member ↔ min-id center) instead
+            # of all pairs — connectivity-preserving for the component
+            # consumer below, and the difference between ~10⁴ and ~10⁷
+            # candidate pairs on template-heavy corpora ("full" is only
+            # for exact-pair-set consumers like q22)
+            ids_text = deduped.select_columns(["doc_id", "text"])
+            cand = minhash_candidate_pairs(
+                ids_text, "doc_id", "text", num_bands=32,
+            )
+            verified = verify_pairs_jaccard_join(
+                cand, ids_text, "doc_id", "text",
+                threshold=near_dup_threshold,
+            )
+            comps = assign_components(
+                verified.select_columns(["id_a", "id_b"])
+            )
+            return comps.map_batches(
+                lambda b: pa.table(
+                    {
+                        "doc_id": pa.compute.cast(
+                            b.filter(
+                                pa.compute.not_equal(b["id"], b["rep"])
+                            )["id"],
+                            pa.int64(),
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+
+        removed = _checkpointed(
+            "neardup_removed", compute_removed, checkpoint_dir, fp
+        )  # (id) rows — metadata; probed + joined below
         deduped = bucketed_hash_join(
             deduped, removed, "doc_id",
             ["text", "lang", "n_chars"], [], join_type="left anti",
@@ -163,13 +227,18 @@ def curate_rollup(
         ids = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
         return b.filter(pa.array(ids % bench_mod == 0))
 
-    bench = docs.map_batches(is_bench, batch_format="pyarrow")
-    grams_ref = ray.put(build_benchmark_grams(bench, "text", n=5))
-    flags = flag_contaminated(deduped, grams_ref, n=5)
-    contaminated = flags.map_batches(
-        lambda b: b.filter(b["contaminated"]).select(["doc_id"]),
-        batch_format="pyarrow",
-    ).materialize()  # (id) rows — metadata; probed + joined below
+    def compute_contaminated():
+        bench = docs.map_batches(is_bench, batch_format="pyarrow")
+        grams_ref = ray.put(build_benchmark_grams(bench, "text", n=5))
+        flags = flag_contaminated(deduped, grams_ref, n=5)
+        return flags.map_batches(
+            lambda b: b.filter(b["contaminated"]).select(["doc_id"]),
+            batch_format="pyarrow",
+        )
+
+    contaminated = _checkpointed(
+        "contaminated", compute_contaminated, checkpoint_dir, fp
+    )  # (id) rows — metadata; probed + joined below
     clean = bucketed_hash_join(
         deduped, contaminated, "doc_id",
         ["text", "lang", "n_chars"], [], join_type="left anti",

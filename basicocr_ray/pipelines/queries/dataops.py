@@ -590,7 +590,9 @@ def q333_hive_partition_roundtrip(sf_dir: str):
         arrow_parquet_args_fn=lambda: {"compression": "gzip"},
     )
 
-    back = ray.data.read_parquet(out_dir)  # lang inferred from dirs
+    back = ray.data.read_parquet(
+        out_dir, columns=["doc_id", "n_chars", "lang"]
+    )  # lang inferred from partition dirs
 
     def part(b: pa.Table) -> pa.Table:
         df = b.to_pandas()

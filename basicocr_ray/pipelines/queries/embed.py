@@ -26,7 +26,10 @@ def q15_ann_cosine(sf_dir: str):
     — matches DuckDB list_cosine_similarity over DOUBLE[])."""
     from basicocr_ray.stages.embed import ann_topk
 
-    qtab = pq.read_table(_p(sf_dir, "embeddings"))
+    qtab = pq.read_table(
+        _p(sf_dir, "embeddings"), columns=["vec_id", "embedding"],
+        filters=[("vec_id", "=", 0)],
+    )
     qrow = qtab.filter(pc.equal(qtab["vec_id"], 0))
     qvec = np.asarray(qrow["embedding"].to_pylist()[0], dtype=np.float64)
 

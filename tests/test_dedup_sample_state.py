@@ -2,6 +2,10 @@
 
 from __future__ import annotations
 
+import json
+import os
+
+import pandas as pd
 import pytest
 
 from basicocr_ray.state.artifacts import load_artifact_partial, save_artifact
@@ -679,3 +683,65 @@ def test_simhash_pairs_match_bruteforce_hamming():
         if d <= 3:
             want.add((i, j, d))
     assert got_set == want and len(want) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_curation_checkpoint_resume(tmp_path):
+    """Crash-resume for the curation chain (round-4 item 6): the three
+    decision-set intermediates (exact-dedup winners, near-dup removal
+    set, contaminated set) persist to checkpoint_dir with an input
+    fingerprint. A rerun must LOAD them instead of recomputing — proven
+    by poisoning the near-dup candidate generator and the decontam gram
+    builder, which a resumed run never calls. A crash "after stage k"
+    is simulated by deleting only the later checkpoints: the earlier
+    ones are still loaded (poison stays armed for them) while the
+    deleted ones recompute."""
+    import basicocr_ray.pipelines.curate as cur
+    import basicocr_ray.stages.decontam as decontam_mod
+    import basicocr_ray.stages.dedup as dedup_mod
+
+    sf = "/root/testdata/sf0.001"
+    ck = str(tmp_path / "ck")
+    base = cur.curate_rollup(sf, checkpoint_dir=ck).to_pandas()
+    base = base.sort_values(["lang", "split"]).reset_index(drop=True)
+    for name in ("winners", "neardup_removed", "contaminated"):
+        assert os.path.exists(os.path.join(ck, f"{name}.parquet")), name
+        assert os.path.exists(os.path.join(ck, f"{name}.json")), name
+
+    def boom(*a, **k):
+        raise AssertionError("stage recomputed despite valid checkpoint")
+
+    orig_cand = dedup_mod.minhash_candidate_pairs
+    orig_grams = decontam_mod.build_benchmark_grams
+    # full resume: every stage loads, poison never fires
+    try:
+        dedup_mod.minhash_candidate_pairs = boom
+        decontam_mod.build_benchmark_grams = boom
+        again = cur.curate_rollup(sf, checkpoint_dir=ck).to_pandas()
+    finally:
+        dedup_mod.minhash_candidate_pairs = orig_cand
+        decontam_mod.build_benchmark_grams = orig_grams
+    again = again.sort_values(["lang", "split"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, again)
+
+    # crash after the near-dup stage: decontam checkpoint lost, earlier
+    # ones intact — near-dup must still load (poison armed), decontam
+    # recomputes (real fn restored for it)
+    os.remove(os.path.join(ck, "contaminated.parquet"))
+    os.remove(os.path.join(ck, "contaminated.json"))
+    try:
+        dedup_mod.minhash_candidate_pairs = boom
+        partial = cur.curate_rollup(sf, checkpoint_dir=ck).to_pandas()
+    finally:
+        dedup_mod.minhash_candidate_pairs = orig_cand
+    partial = partial.sort_values(["lang", "split"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, partial)
+
+    # stale input fingerprint forces recompute (no silent reuse)
+    marker = os.path.join(ck, "winners.json")
+    m = json.load(open(marker))
+    m["fingerprint"] = "stale"
+    json.dump(m, open(marker, "w"))
+    fresh = cur.curate_rollup(sf, checkpoint_dir=ck).to_pandas()
+    fresh = fresh.sort_values(["lang", "split"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, fresh)
