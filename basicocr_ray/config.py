@@ -47,7 +47,12 @@ class ExtractConfig:
 
     # --- skew handling (SURVEY §4: alignCollate keep_ratio hazard) ---
     oversize_bytes: int = 1 << 20  # html larger than this goes to the big-doc branch
-    batch_size_small: int = 512
+    # None = whole-block batches: lets Ray fuse read→extract→spill into
+    # ONE operator (no object-store handoff, measured +10% at 8 CPUs);
+    # per-task working set stays bounded by the adaptive generator's
+    # byte-based yield regardless of batch size. Set an int to pin a
+    # row-count batch (the invariance tests do).
+    batch_size_small: int | None = None
     batch_size_big: int = 8
 
 

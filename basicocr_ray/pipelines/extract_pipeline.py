@@ -450,8 +450,9 @@ def run_extract_job(
     resume: bool = True,
     pdf_branch: bool | str = True,
     skew_split: bool = False,
-    spill_batch_rows: int = 8192,
+    spill_batch_rows: int | None = None,
     meta_mode: str = "auto",
+    read_blocks: int | None = None,
 ) -> dict:
     """Execute the flagship job end-to-end; returns job stats.
 
@@ -483,7 +484,19 @@ def run_extract_job(
     if not todo:
         return {"skipped": True, "partitions_done": len(done), "n_rows": 0}
 
-    pages = read_pages(files)
+    if read_blocks is None:
+        # ~6 tasks per CPU, floored so a block is never smaller than
+        # ~8 MB of input: Ray's default read splitter targets a fixed
+        # ~200 blocks regardless of downstream cost, which on
+        # many-small-files corpora yields extract tasks too small to
+        # amortize dispatch (measured 58% → 76% of single-core kernel
+        # rate at 8 CPUs from coarsening alone). Scaling with the
+        # cluster keeps ~6 waves at any size; the byte floor keeps the
+        # fragment count bounded on small inputs.
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        total_bytes = sum(os.path.getsize(f) for f in files)
+        read_blocks = max(1, min(6 * ncpu, total_bytes // (8 << 20)))
+    pages = read_pages(files, override_num_blocks=read_blocks)
     extracted = build_extract_ds(
         pages, cfg, skip_pids=done, pdf_branch=pdf_branch, skew_split=skew_split
     )
@@ -513,22 +526,43 @@ def run_extract_job(
     # stalled at low parallelism.
     staging = _staging_dir(out_dir)
     os.makedirs(os.path.join(out_dir, "_failed"), exist_ok=True)
+    import time as _time
+
+    _t_spill0 = _time.perf_counter()
 
     def spill_fragments(batch: pa.Table) -> pa.Table:
         import hashlib
 
-        pids_here = pc.unique(batch["partition_id"]).to_pylist()
+        import numpy as np
+
+        # ONE stable argsort + gather splits the batch into per-pid runs
+        # (P boolean filters each rescanned the whole batch — O(P·n) vs
+        # this O(n log n) with one gather)
+        pids_np = batch["partition_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(pids_np, kind="stable")
+        sorted_batch = batch.take(pa.array(order))
+        sorted_pids = pids_np[order]
+        bounds = np.flatnonzero(np.diff(sorted_pids)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(sorted_pids)]))
         out_pids, out_frags, out_rows = [], [], []
-        for pid in pids_here:
-            sub = batch.filter(pc.equal(batch["partition_id"], pid))
+        for s, e in zip(starts, ends):
+            if s == e:
+                continue
+            pid = int(sorted_pids[s])
+            sub = sorted_batch.slice(int(s), int(e - s))
             # transient staging: Arrow IPC, no compression — encode is
             # near-memcpy vs parquet's column encoding; hash the encoded
-            # bytes so the name covers full content, not just urls
+            # bytes (blake2b — ~2× md5 at equal collision safety here)
+            # so the name covers full content and task retries stay
+            # idempotent (same bytes → same name → overwrite)
             sink = pa.BufferOutputStream()
             with pa.ipc.new_file(sink, sub.schema) as w:
                 w.write_table(sub)
             buf = sink.getvalue()
-            name = hashlib.md5(memoryview(buf)).hexdigest()
+            name = hashlib.blake2b(
+                memoryview(buf), digest_size=16
+            ).hexdigest()
             d = os.path.join(staging, f"pid={pid}")
             os.makedirs(d, exist_ok=True)
             path = os.path.join(d, f"frag-{name}.arrow")
@@ -537,7 +571,7 @@ def run_extract_job(
             os.replace(path + ".tmp", path)
             out_pids.append(pid)
             out_frags.append(f"frag-{name}.arrow")
-            out_rows.append(sub.num_rows)
+            out_rows.append(int(e - s))
         return pa.table(
             {
                 "pid": pa.array(out_pids, pa.int32()),
@@ -546,17 +580,20 @@ def run_extract_job(
             }
         )
 
-    # coarse spill batches: each spill batch writes ≤ P fragments, so the
+    # spill batches: each spill batch writes ≤ P fragments, so the
     # fragment count is bounded by ceil(rows / spill_batch) × P —
-    # tiny-fragment explosions made the merge stage read-bound. Measured
-    # (800k pages, 32 CPUs): 8192 → 71-73k docs/s, 16384 → 60-64k,
-    # 32768 → 59k — finer spill tasks pipeline better with the extract
-    # stage (NOTES_r1), so 8192 is the default; raise it only if the
-    # fragment count itself becomes the bottleneck at larger P
+    # tiny-fragment explosions made the merge stage read-bound. Default
+    # None = whole-block batches: matching the extract stage's batching
+    # lets read→extract→spill FUSE into one operator (no object-store
+    # handoff; measured 15.8 → 14.2 s on 800k pages at 8 CPUs), and the
+    # adaptive generator's 8 MB yield slices bound the batch size anyway;
+    # pin an int only to reproduce the staged (unfused) formulation
     frag_meta_ds = extracted.map_batches(
         spill_fragments, batch_format="pyarrow", batch_size=spill_batch_rows
     ).materialize()  # tiny: one (pid, frag, n_rows) row per fragment
     n_fragments = frag_meta_ds.count()
+    _t_spill = _time.perf_counter() - _t_spill0
+    _t_merge0 = _time.perf_counter()
 
     def merge_partition(batch: pa.Table) -> pa.Table:
         import json as _json
@@ -666,4 +703,6 @@ def run_extract_job(
         "n_failed": n_failed,
         "n_fragments": int(n_fragments),
         "input_fingerprint": input_fp,
+        "sec_extract_spill": round(_t_spill, 3),
+        "sec_merge": round(_time.perf_counter() - _t_merge0, 3),
     }

@@ -22,6 +22,7 @@ from __future__ import annotations
 import zlib
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from basicocr_ray.config import DEFAULT_CONFIG, ExtractConfig
 from basicocr_ray.core.decode import greedy_decode
@@ -113,10 +114,11 @@ def extract_batch(
             ["start", "end", "block_id"],
         ),
     )
+    main_arr = pa.array([r["main_text"] for r in results], pa.large_string())
     return pa.table(
         {
             "url": pa.array(urls, pa.string()),
-            "main_text": pa.array([r["main_text"] for r in results], pa.large_string()),
+            "main_text": main_arr,
             "spans": spans,
             "n_blocks": pa.array([r["n_blocks"] for r in results], pa.int32()),
             "n_blocks_kept": pa.array(
@@ -132,9 +134,9 @@ def extract_batch(
             "n_bytes_in": pa.array(
                 [len(h) if h is not None else 0 for h in htmls], pa.int64()
             ),
-            "n_bytes_out": pa.array(
-                [len(r["main_text"].encode("utf-8")) for r in results], pa.int64()
-            ),
+            # utf-8 byte length straight off the Arrow buffer — the
+            # Python .encode() pass re-encoded every output doc
+            "n_bytes_out": pc.cast(pc.binary_length(main_arr), pa.int64()),
         }
     )
 
