@@ -409,12 +409,17 @@ def main() -> None:
         ).max("prefix")
         queries["pack_prefix_200k"] = round(time.perf_counter() - t0, 2)
 
-        # ANN scale path: integer-exact IVF over 200k deterministic
+        # ANN scale path: integer-exact IVF over 10^6 deterministic
         # 64-dim vectors (32 cells, 4 probed → 7/8 of the dot-product
-        # work pruned). Vector synthesis is untimed (materialized first).
+        # work pruned), centroids TRAINED by one distributed integer
+        # k-means round (kmeans_fit_int — broadcast partials, no
+        # shuffle). Vector synthesis is untimed (materialized first).
         from basicocr_ray.stages.embed import ivf_topk_int, quantize_vec
+        from basicocr_ray.stages.kmeans import kmeans_fit_int
 
         import numpy as _np
+
+        ANN_N = int(os.environ.get("BENCH_ANN_VECS", "1000000"))
 
         def synth_vecs(b: pa.Table) -> pa.Table:
             ids = b["id"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -430,18 +435,19 @@ def main() -> None:
             )
 
         vec_ds = (
-            rd.range(200_000, override_num_blocks=64)
+            rd.range(ANN_N, override_num_blocks=128)
             .map_batches(synth_vecs, batch_format="pyarrow")
             .materialize()
         )
         rng0 = _np.random.default_rng(0)
-        cents_q = quantize_vec(rng0.standard_normal((32, 64)) * 2)
+        seeds_q = quantize_vec(rng0.standard_normal((32, 64)) * 2)
         query_q = quantize_vec(rng0.standard_normal(64))
         t0 = time.perf_counter()
+        cents_q = kmeans_fit_int(vec_ds, seeds_q, n_iters=1)
         ivf_topk_int(
             vec_ds, query_q, cents_q, k=10, n_probe=4
         ).to_pandas()
-        queries["ann_ivf_200k"] = round(time.perf_counter() - t0, 2)
+        queries["ann_ivf_trained_1m"] = round(time.perf_counter() - t0, 2)
 
         from basicocr_ray.pipelines.queries import QUERIES
 
