@@ -222,11 +222,16 @@ def main() -> None:
         # multi-window estimate the per-run artifact approximates.
         merge_path = os.environ.get("BENCH_SCALING_MERGE")
         prior_accepted: dict[str, list] = {}
+        prior_detailed: dict[str, list] = {}
         if merge_path and os.path.exists(merge_path):
             with open(merge_path) as f:
                 prior = json.load(f)
             prior_accepted = {
                 k: list(v.get("accepted_samples", []))
+                for k, v in prior.get("pairs", {}).items()
+            }
+            prior_detailed = {
+                k: list(v.get("accepted_detailed", []))
                 for k, v in prior.get("pairs", {}).items()
             }
 
@@ -253,6 +258,19 @@ def main() -> None:
             merged = sorted(
                 [eff(rep) for rep in ok_reps] + prior_accepted.get(name, [])
             )
+            # per-sample window stamps (forward-only): each accepted
+            # sample carries its window's best kernel rate so a later
+            # analysis can stratify by window quality — the per-run
+            # calibration gate normalizes WITHIN a run and cannot
+            # reject a uniformly-degraded co-tenant window
+            detailed = [
+                {
+                    "eff": eff(rep),
+                    "kernel_lo": kernel(rep[lo_n]),
+                    "kernel_hi": kernel(rep[hi_n]),
+                }
+                for rep in ok_reps
+            ] + prior_detailed.get(name, [])
             shown = ok_reps or rep_samples  # pathological: report all
             effs = merged or sorted(eff(rep) for rep in shown)
             best_lo = min(shown, key=lambda r: r[lo_n]["queries"]["extract"])
@@ -261,6 +279,7 @@ def main() -> None:
                 "efficiency_median": round(statistics.median(effs), 3),
                 "efficiency_samples": effs,
                 "accepted_samples": merged,
+                "accepted_detailed": detailed,
                 "samples_accepted": len(merged),
                 "samples_accepted_this_run": len(ok_reps),
                 f"docs_per_sec_{lo_n}": best_lo[lo_n]["extract"]["docs_per_sec"],
