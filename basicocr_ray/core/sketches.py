@@ -61,7 +61,9 @@ class MinHasher:
         vals = (self.a[:, None] * xs[None, :] + self.b[:, None]) % _MERSENNE
         return vals.min(axis=1)
 
-    def signatures_batch(self, texts: list[str | None]) -> np.ndarray:
+    def signatures_batch(
+        self, texts: list[str | None], return_counts: bool = False
+    ) -> np.ndarray:
         """Signatures for a WHOLE batch: (len(texts), num_perm) uint64.
 
         Bit-identical to per-doc :meth:`signature` (tested), but pays the
@@ -69,7 +71,12 @@ class MinHasher:
         instead of once per document: all documents' shingles hash in a
         single C pass, and each permutation row reduces per-document via
         ``np.minimum.reduceat`` over the segment offsets. Empty docs get
-        the UINT64_MAX sentinel row, as before."""
+        the UINT64_MAX sentinel row, as before.
+
+        With ``return_counts=True`` also returns the per-document
+        DISTINCT shingle count (int64, the exact |A| of the Jaccard
+        set) — already computed for the reduceat segmentation, so the
+        caller's size-ratio prefilter costs nothing extra here."""
         import pandas as _pd
 
         n = len(texts)
@@ -83,7 +90,7 @@ class MinHasher:
             counts[i] = len(sh)
             all_sh.extend(sh)
         if not all_sh:
-            return out
+            return (out, counts) if return_counts else out
         xs = _pd.util.hash_array(np.asarray(all_sh, dtype=object))
         nz = counts > 0
         seg = counts[nz]
@@ -95,7 +102,7 @@ class MinHasher:
             vals = (self.a[r] * xs + self.b[r]) % _MERSENNE
             mins[:, r] = np.minimum.reduceat(vals, starts)
         out[nz] = mins
-        return out
+        return (out, counts) if return_counts else out
 
     def bands_batch(
         self, sigs: np.ndarray, num_bands: int = 16

@@ -337,12 +337,19 @@ def parse_outline(doc: str) -> list[tuple[int, str, str]]:
         # (malformed doc) so its text is not swallowed
         parts: list[str] = []
         cur = end
-        for t_name, t_closing, _r2, t_start, t_end in tags[idx + 1:]:
+        # index iteration, not a tags[idx+1:] slice — the slice copies
+        # the remaining tag list per heading (quadratic on heading-dense
+        # documents); the scan itself stays bounded by the heading span
+        for j in range(idx + 1, len(tags)):
+            t_name, t_closing, _r2, t_start, t_end = tags[j]
             parts.append(doc[cur:t_start])
             cur = t_end
             if t_closing and t_name == name:
                 break
-            if t_name in _H_LEVEL:
+            # only an OPENING heading ends accumulation early — a stray
+            # closing tag of a different level (orphan </h2> inside
+            # <h1>…</h1>) must not truncate this heading's text
+            if not t_closing and t_name in _H_LEVEL:
                 break
         else:
             parts.append(doc[cur:])

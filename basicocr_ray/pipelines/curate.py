@@ -38,22 +38,35 @@ import pyarrow as pa
 from basicocr_ray.core.textstats import md5_hex, ws_tokens
 
 
+# bumped whenever the dedup / near-dup / decontamination decision logic
+# changes meaning: mixed into the checkpoint fingerprint so a reused
+# checkpoint_dir never silently loads decision sets computed by old code
+_DECISIONS_VERSION = 2
+
+
 def _checkpointed(name, compute, checkpoint_dir, fingerprint):
-    """Filesystem checkpoint for a SMALL id-table intermediate (the
-    decision set a curation stage derives — winner ids, removal ids,
-    contaminated ids). ``compute()`` returns a Dataset; the rows are
-    persisted as one parquet file plus a marker carrying the input
-    fingerprint + stage name, and a rerun whose fingerprint matches
-    loads the parquet INSTEAD of recomputing (the `state/manifest.py`
-    resume discipline applied to the curation chain: a crash between
-    stages resumes from the last completed decision set; the text
-    relation itself is re-read from source, which is the cheap part).
-    Returns a materialized Dataset either way."""
+    """Filesystem checkpoint for an id-table intermediate (the decision
+    set a curation stage derives — winner ids, removal ids, contaminated
+    ids). ``compute()`` returns a Dataset; the rows are persisted via a
+    DISTRIBUTED multi-file ``write_parquet`` into a per-stage directory
+    (the ``winners`` set is one row per unique kept doc — O(corpus) — so
+    a driver-side collect or single-file write here would be the 100-TB
+    scale killer), plus a marker carrying the input fingerprint + stage
+    name. A rerun whose fingerprint matches reads the directory back
+    INSTEAD of recomputing (the `state/manifest.py` resume discipline
+    applied to the curation chain: a crash between stages resumes from
+    the last completed decision set; the text relation itself is re-read
+    from source, which is the cheap part). The write is crash-safe: data
+    lands in a tmp directory renamed into place, and the marker is
+    written last — a crash mid-write leaves no marker, so the stage
+    recomputes. Returns a materialized Dataset either way."""
     import ray.data
 
     if checkpoint_dir is None:
         return compute().materialize()
     os.makedirs(checkpoint_dir, exist_ok=True)
+    # directory of parquet fragments (named .parquet for continuity with
+    # the round-4 single-file layout; it is a directory now)
     data_path = os.path.join(checkpoint_dir, f"{name}.parquet")
     marker_path = os.path.join(checkpoint_dir, f"{name}.json")
     if os.path.exists(marker_path) and os.path.exists(data_path):
@@ -64,21 +77,36 @@ def _checkpointed(name, compute, checkpoint_dir, fingerprint):
         if marker and marker.get("fingerprint") == fingerprint:
             return ray.data.read_parquet(data_path).materialize()
     ds = compute().materialize()
-    import pyarrow.parquet as _pq
+    # count from the materialized blocks' metadata — no extra data pass
+    n_rows = ds.count()
+    import shutil
 
-    df = ds.to_pandas()
-    if df.shape[1] == 0:
+    tmp_path = data_path + ".tmp"
+    shutil.rmtree(tmp_path, ignore_errors=True)
+    if n_rows == 0:
         # a fully-clean corpus yields an EMPTY decision set with no
         # schema — persist the canonical (doc_id) layout so the resume
         # path round-trips
-        tab = pa.table({"doc_id": pa.array([], pa.int64())})
+        import pyarrow.parquet as _pq
+
+        os.makedirs(tmp_path, exist_ok=True)
+        _pq.write_table(
+            pa.table({"doc_id": pa.array([], pa.int64())}),
+            os.path.join(tmp_path, "empty.parquet"),
+        )
     else:
-        tab = pa.Table.from_pandas(df, preserve_index=False)
-    _pq.write_table(tab, data_path)
+        ds.write_parquet(tmp_path)
+    if os.path.isdir(data_path):
+        shutil.rmtree(data_path)
+    elif os.path.exists(data_path):
+        os.remove(data_path)  # round-4 single-file layout
+    os.rename(tmp_path, data_path)
+    marker_tmp = marker_path + ".tmp"
     json.dump(
-        {"fingerprint": fingerprint, "stage": name, "rows": ds.count()},
-        open(marker_path, "w"),
+        {"fingerprint": fingerprint, "stage": name, "rows": n_rows},
+        open(marker_tmp, "w"),
     )
+    os.rename(marker_tmp, marker_path)
     return ds
 
 
@@ -89,6 +117,7 @@ def curate_rollup(
     near_dup: bool = True,
     near_dup_threshold: float = 0.8,
     checkpoint_dir: str | None = None,
+    hot_bucket_mode: str = "star",
 ):
     import ray
 
@@ -116,7 +145,10 @@ def curate_rollup(
 
         fp = fingerprint_input(
             [os.path.join(sf_dir, "documents.parquet")]
-        ) + f":mt{min_tokens}:bm{bench_mod}:nd{near_dup}:{near_dup_threshold}"
+        ) + (
+            f":v{_DECISIONS_VERSION}:mt{min_tokens}:bm{bench_mod}"
+            f":nd{near_dup}:{near_dup_threshold}:hb{hot_bucket_mode}"
+        )
 
     # 1+2. quality floor + benchmark-slice exclusion (stateless map)
     def keep(b: pa.Table) -> pa.Table:
@@ -184,13 +216,28 @@ def curate_rollup(
         def compute_removed():
             # default "star" hot-bucket routing: a hot bucket
             # contributes star edges (member ↔ min-id center) instead
-            # of all pairs — connectivity-preserving for the component
-            # consumer below, and the difference between ~10⁴ and ~10⁷
-            # candidate pairs on template-heavy corpora ("full" is only
-            # for exact-pair-set consumers like q22)
+            # of all pairs — the difference between ~10⁴ and ~10⁷
+            # candidate pairs on template-heavy corpora. CAVEAT: star
+            # preserves connectivity of the CANDIDATE graph, not of the
+            # post-verification graph — if two true near-dups in a hot
+            # bucket both fail exact-Jaccard verification against the
+            # bucket's min-id center, their edge is lost and a component
+            # can split, so the brute-force-oracle equivalence is exact
+            # only while no bucket exceeds max_bucket_size (which holds
+            # at the driver's correctness scales and is pinned by
+            # tests/test_dedup_sample_state.py's star-vs-full divergence
+            # test). Callers who need the oracle equivalence by
+            # construction on template-heavy corpora pass
+            # hot_bucket_mode="full" and pay the quadratic hot buckets.
+            # The size-ratio prefilter inside candidate generation is
+            # lossless at the verify threshold (|A∩B|/|A∪B| ≥ t needs
+            # min(|A|,|B|)/max(|A|,|B|) ≥ t), so it never changes the
+            # verified pair set — only the shuffle volume.
             ids_text = deduped.select_columns(["doc_id", "text"])
             cand = minhash_candidate_pairs(
                 ids_text, "doc_id", "text", num_bands=32,
+                hot_bucket_mode=hot_bucket_mode,
+                prefilter_threshold=near_dup_threshold,
             )
             verified = verify_pairs_jaccard_join(
                 cand, ids_text, "doc_id", "text",

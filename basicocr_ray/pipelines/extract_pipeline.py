@@ -494,8 +494,13 @@ def run_extract_job(
         # cluster keeps ~6 waves at any size; the byte floor keeps the
         # fragment count bounded on small inputs.
         ncpu = int(ray.cluster_resources().get("CPU", 8))
-        total_bytes = sum(os.path.getsize(f) for f in files)
-        read_blocks = max(1, min(6 * ncpu, total_bytes // (8 << 20)))
+        try:
+            total_bytes = sum(os.path.getsize(f) for f in files)
+            read_blocks = max(1, min(6 * ncpu, total_bytes // (8 << 20)))
+        except OSError:
+            # remote URIs (s3://…) that read_pages accepts but the local
+            # size probe cannot stat: fall back to Ray's default splitter
+            read_blocks = None
     pages = read_pages(files, override_num_blocks=read_blocks)
     extracted = build_extract_ds(
         pages, cfg, skip_pids=done, pdf_branch=pdf_branch, skew_split=skew_split

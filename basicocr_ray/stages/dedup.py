@@ -777,32 +777,45 @@ def pc_cast_i64(col):
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------
 
-def _make_to_bands(hasher, num_bands, salts, id_column, text_column):
+def _make_to_bands(
+    hasher, num_bands, salts, id_column, text_column, with_counts=False
+):
     """(id, gk, band_hash) row emitter shared by the one-shot and the
     incremental MinHash paths. Whole-batch signature + banding (one C
     hash pass per batch, one reduceat per permutation) — the per-doc
     Python loop here was the dominant cost of the dedup family after
     round 2's per-shingle fix; only the shingle-set construction remains
-    per-document (string slicing, the irreducible kernel)."""
+    per-document (string slicing, the irreducible kernel).
+
+    ``with_counts`` adds an ``ns`` column carrying each document's exact
+    distinct-shingle count (a byproduct of signature segmentation), so
+    the band-bucket consumer can apply the lossless size-ratio prefilter
+    before any pair leaves the bucket."""
 
     def to_bands(batch: pa.Table) -> pa.Table:
         ids = batch[id_column].combine_chunks().to_numpy(
             zero_copy_only=False
         ).astype(np.int64, copy=False)
         texts = batch[text_column].to_pylist()
-        sigs = hasher.signatures_batch(texts)
+        if with_counts:
+            sigs, counts = hasher.signatures_batch(
+                texts, return_counts=True
+            )
+        else:
+            sigs = hasher.signatures_batch(texts)
         bh = hasher.bands_batch(sigs, num_bands)  # (n, num_bands)
         n = len(ids)
         bids = np.tile(np.arange(num_bands, dtype=np.int64), n)
         flat = bh.reshape(-1)
         gk = bids * salts + (flat & np.uint64(salts - 1)).astype(np.int64)
-        return pa.table(
-            {
-                id_column: pa.array(np.repeat(ids, num_bands)),
-                "gk": pa.array(gk),
-                "band_hash": pa.array(flat),
-            }
-        )
+        cols = {
+            id_column: pa.array(np.repeat(ids, num_bands)),
+            "gk": pa.array(gk),
+            "band_hash": pa.array(flat),
+        }
+        if with_counts:
+            cols["ns"] = pa.array(np.repeat(counts, num_bands))
+        return pa.table(cols)
 
     return to_bands
 
@@ -817,6 +830,7 @@ def minhash_candidate_pairs(
     max_bucket_size: int = 500,
     num_salt: int | None = None,
     hot_bucket_mode: str = "star",
+    prefilter_threshold: float | None = None,
 ):
     """→ Dataset of candidate (id_a, id_b) pairs (id_a < id_b), deduped.
 
@@ -838,11 +852,21 @@ def minhash_candidate_pairs(
     consumers with an exact-pair contract (q22); O(n²) on hot buckets, so
     reserve it for verified-downstream pipelines where a pair miss is a
     correctness bug, not a recall tradeoff. ``"error"`` raises, for
-    callers who would rather fail loudly than pay quadratic cost."""
+    callers who would rather fail loudly than pay quadratic cost.
+
+    ``prefilter_threshold=t`` applies the size-ratio prefilter INSIDE
+    the band bucket, before any pair rides the dedupe shuffle or
+    reaches the verify join: Jaccard(A,B) ≥ t implies
+    min(|A|,|B|)/max(|A|,|B|) ≥ t, so dropping pairs below the ratio is
+    LOSSLESS for any consumer that verifies at threshold ≥ t (the exact
+    distinct-shingle counts ride the band rows as one extra int64 per
+    band row). Leave it None for consumers with an exact-candidate-set
+    contract (q22)."""
     hasher = MinHasher(num_perm=num_perm, k=shingle_k)
     salts = _coarse_salts(num_salt)
     to_bands = _make_to_bands(
-        hasher, num_bands, salts, id_column, text_column
+        hasher, num_bands, salts, id_column, text_column,
+        with_counts=prefilter_threshold is not None,
     )
 
     def band_pairs(df: pd.DataFrame) -> pd.DataFrame:
@@ -854,8 +878,13 @@ def minhash_candidate_pairs(
         overwhelming majority) emit in one gather, larger buckets emit
         via ``np.triu_indices`` — the Python double loop here used to be
         the dominant cost of the whole dedup job once signatures were
-        batched (candidate sets run to tens of millions of pairs)."""
-        sub = df[["band_hash", id_column]].drop_duplicates()
+        batched (candidate sets run to tens of millions of pairs).
+
+        Pairs are built as POSITIONAL indices into the sorted bucket
+        array so the optional size-ratio prefilter applies in one
+        vectorized pass over all buckets at the end."""
+        cols = [c for c in ("band_hash", id_column, "ns") if c in df]
+        sub = df[cols].drop_duplicates(subset=["band_hash", id_column])
         sub = sub.sort_values(["band_hash", id_column], kind="mergesort")
         bh = sub["band_hash"].to_numpy()
         ids = sub[id_column].to_numpy()
@@ -875,14 +904,15 @@ def minhash_candidate_pairs(
         b_parts: list[np.ndarray] = []
         s2 = starts[sizes == 2]
         if len(s2):
-            a_parts.append(ids[s2])
-            b_parts.append(ids[s2 + 1])
+            a_parts.append(s2)
+            b_parts.append(s2 + 1)
         for st, sz in zip(starts[sizes > 2], sizes[sizes > 2]):
-            g = ids[st : st + sz]
             if sz > max_bucket_size and hot_bucket_mode != "full":
                 if hot_bucket_mode == "star":
-                    a_parts.append(np.full(sz - 1, g[0], dtype=np.int64))
-                    b_parts.append(g[1:])
+                    a_parts.append(np.full(sz - 1, st, dtype=np.int64))
+                    b_parts.append(
+                        np.arange(st + 1, st + sz, dtype=np.int64)
+                    )
                 elif hot_bucket_mode == "error":
                     raise ValueError(
                         f"LSH bucket of size {sz} exceeds max_bucket_size="
@@ -890,13 +920,24 @@ def minhash_candidate_pairs(
                     )
                 continue
             ii, jj = np.triu_indices(int(sz), k=1)
-            a_parts.append(g[ii])
-            b_parts.append(g[jj])
+            a_parts.append(st + ii)
+            b_parts.append(st + jj)
         if not a_parts:
             return empty
+        ia = np.concatenate(a_parts)
+        ib = np.concatenate(b_parts)
+        if prefilter_threshold is not None:
+            ns = sub["ns"].to_numpy().astype(np.float64, copy=False)
+            na, nb = ns[ia], ns[ib]
+            keep = np.minimum(na, nb) >= prefilter_threshold * np.maximum(
+                na, nb
+            )
+            ia, ib = ia[keep], ib[keep]
+            if not len(ia):
+                return empty
         return pd.DataFrame(
-            {"id_a": pd.Series(np.concatenate(a_parts), dtype="int64"),
-             "id_b": pd.Series(np.concatenate(b_parts), dtype="int64")}
+            {"id_a": pd.Series(ids[ia], dtype="int64"),
+             "id_b": pd.Series(ids[ib], dtype="int64")}
         )
 
     pairs = (

@@ -727,7 +727,11 @@ def test_curation_checkpoint_resume(tmp_path):
     # crash after the near-dup stage: decontam checkpoint lost, earlier
     # ones intact — near-dup must still load (poison armed), decontam
     # recomputes (real fn restored for it)
-    os.remove(os.path.join(ck, "contaminated.parquet"))
+    import shutil as _sh
+
+    # the decision set is a DIRECTORY of parquet fragments now (the
+    # distributed write_parquet checkpoint — no driver-side collect)
+    _sh.rmtree(os.path.join(ck, "contaminated.parquet"))
     os.remove(os.path.join(ck, "contaminated.json"))
     try:
         dedup_mod.minhash_candidate_pairs = boom
