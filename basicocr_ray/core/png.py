@@ -40,8 +40,12 @@ def decode_png(data: bytes) -> np.ndarray:
         chunk = data[pos + 8 : pos + 8 + length]
         pos += 12 + length  # length + type + data + crc
         if ctype == b"IHDR":
+            if len(chunk) < 13:
+                # a lying length field must not leak struct.error past
+                # the ValueError failed-path contract (found by fuzzing)
+                raise ValueError("truncated IHDR chunk")
             width, height, bit_depth, color_type, _comp, _filt, interlace = (
-                struct.unpack(">IIBBBBB", chunk)
+                struct.unpack(">IIBBBBB", chunk[:13])
             )
             if bit_depth != 8:
                 raise ValueError(f"unsupported bit depth {bit_depth}")
@@ -55,7 +59,12 @@ def decode_png(data: bytes) -> np.ndarray:
             break
     if width is None or not idat:
         raise ValueError("truncated PNG (no IHDR/IDAT)")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        # corrupt deflate stream must surface as the codec's ValueError
+        # failed-path contract, not a bare zlib.error (found by fuzzing)
+        raise ValueError(f"corrupt IDAT stream: {exc}") from exc
     ch = _CHANNELS[color_type]
     stride = width * ch
     if len(raw) < height * (stride + 1):

@@ -794,3 +794,132 @@ def test_components_unionfind_equals_distributed():
     assert (fast.groupby("rep")["id"].min().to_numpy()
             == fast["rep"].unique()).all() or True
     assert (fast["rep"] <= fast["id"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_components_unionfind_boundary_at_threshold():
+    """Boundary pin for the single-task fast path: at EXACTLY
+    ``single_task_edges`` directed edges the union-find branch runs
+    (``<=``), one below it the distributed propagation runs (``>``) —
+    and both label the same graph identically. 12 pairs → 24 directed
+    edges, so thresholds 24 and 23 straddle the boundary."""
+    import ray.data
+
+    import pyarrow as pa
+    from basicocr_ray.stages.dedup import assign_components
+
+    pairs = (
+        [(0, i) for i in range(1, 6)]        # star of 6
+        + [(10, 11), (11, 12)]               # chain of 3
+        + [(20, 21), (21, 22), (20, 22)]     # triangle
+        + [(30, 31), (31, 30)]               # duplicate-ish pair both ways
+    )
+    assert len(pairs) == 12
+    tab = pa.table(
+        {
+            "id_a": pa.array([a for a, _ in pairs], pa.int64()),
+            "id_b": pa.array([b for _, b in pairs], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(tab)
+    at = (
+        assign_components(ds, single_task_edges=24)  # == n_edges → fast
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    below = (
+        assign_components(ds, single_task_edges=23)  # < n_edges → dist
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(at, below)
+    assert (at["rep"] <= at["id"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_star_hot_bucket_can_split_post_verify_components():
+    """The star-vs-full divergence the curation chain documents
+    (pipelines/curate.py compute_removed): star hot-bucket routing
+    preserves connectivity of the CANDIDATE graph, but when two true
+    near-dups in a hot bucket both fail exact-Jaccard verification
+    against the bucket's min-id center, their edge is lost and the
+    post-verification component splits — ``hot_bucket_mode="full"``
+    recovers it (and matches the brute-force pair set).
+
+    The triple below was searched offline against the seeded MinHasher
+    (num_perm=64, k=5, num_bands=2): J(A,B)≈0.880, J(A,C)≈0.844,
+    J(B,C)≈0.959; every band where B and C collide also contains A, so
+    with max_bucket_size=2 the only bucket holding (B, C) is hot.
+    Deterministic: the shingle hash is pandas' fixed-key SipHash and the
+    permutations come from a fixed seed."""
+    import itertools
+
+    import ray.data
+
+    import pyarrow as pa
+    from basicocr_ray.core.sketches import shingles
+    from basicocr_ray.stages.dedup import (
+        assign_components,
+        minhash_candidate_pairs,
+        verify_pairs_jaccard_join,
+    )
+
+    A = ('jhmwhjvslprqlnxrklwoijihdxgkdxrywfggxpixsyqtjd gjhlfjawreibbrjweu'
+         'ypdasjppokfbipd cmpcsuvbeezsjchdrynttzthyqmoojsnjstbtxdygugivcfhf'
+         'rcfanowtpjbockikdymq azusvzgndrhuei ecbfzjtx sjodowjwmiqrpoctbnxk'
+         'tiachv ssayv isbyyfpquoifsnu pcplnkkvdfknwpjv')
+    B = ('jhmwhjvslprqlnxrklwoijihdxgkdxrywfggxpixsyqtjd gjhlfjawreibbrjweu'
+         'ypdasjppokfbipd cmpcsuvbeezsjchdrynttzthyqmoojsnjstbtxdygugivcfhf'
+         'rcfanowtpjbhjwjwocvhizzusvzgndrhuei ecbfzjtx sjodowjwmiqrpoctbnxk'
+         'tiachv ssayv isbyyfpquoifsnu pcplnkkvdfknwpjv')
+    C = ('jhmwhjvslprqlnxrklwoijihdxgkdxrywfggxpixsyqtjd gjhlfjawreibbrjweu'
+         'ypdasjppokfbipd cmpcsuvbeezsjchdryntt thyqmoojsnjstbtxdygugivcfhf'
+         'rcfanowtpjbhjwjwocvhizzusvzgndrhuei ecbfzjtx sjodowjwmiqrpoctbnxk'
+         'tiachv ssayv isbyyfpquoifsnu pcplnkkvdfknwpjv')
+    T = 0.95
+    texts = {1: A, 2: B, 3: C}
+
+    def jac(x, y):
+        sx, sy = shingles(x, 5), shingles(y, 5)
+        return len(sx & sy) / len(sx | sy)
+
+    # the premise of the construction, re-asserted so a future hasher
+    # change fails HERE with a clear message, not downstream
+    assert jac(B, C) >= T and jac(A, B) < T and jac(A, C) < T
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(texts), pa.int64()),
+                "text": pa.array([texts[i] for i in texts], pa.string()),
+            }
+        )
+    )
+
+    def removed_ids(mode):
+        cand = minhash_candidate_pairs(
+            ds, "doc_id", "text", num_bands=2, max_bucket_size=2,
+            hot_bucket_mode=mode,
+        )
+        ver = verify_pairs_jaccard_join(
+            cand, ds, "doc_id", "text", threshold=T
+        )
+        comps = assign_components(ver.select_columns(["id_a", "id_b"]))
+        df = comps.to_pandas()
+        if "id" not in df.columns:  # zero verified pairs → empty, no schema
+            return set()
+        return set(df.loc[df["id"] != df["rep"], "id"])
+
+    # brute force: the pair (2, 3) is the only true near-dup pair
+    brute = {
+        (i, j)
+        for i, j in itertools.combinations(sorted(texts), 2)
+        if jac(texts[i], texts[j]) >= T
+    }
+    assert brute == {(2, 3)}
+
+    # full: recovers the (B, C) edge → C removed, matching brute force
+    assert removed_ids("full") == {3}
+    # star: both hot-bucket star edges (A↔B, A↔C) fail verification and
+    # the B–C edge was never emitted → the component splits, nothing is
+    # removed. THIS is why the oracle-equivalence claim is gated on no
+    # bucket exceeding max_bucket_size.
+    assert removed_ids("star") == set()

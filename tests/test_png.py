@@ -217,3 +217,130 @@ def test_video_frame_sampler_real_decode():
     row0 = good[(good["item_id"] == 0) & (good["frame_index"] == 0)].iloc[0]
     assert row0["phash"] == average_hash_64(g)
     assert abs(row0["mean_pixel"] - round(float(g.mean()) / 255.0, 6)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# property fuzzing (round-5: same treatment as the GIF fuzz that found a
+# real encoder bug)
+# ---------------------------------------------------------------------------
+
+import struct as _struct
+import zlib as _zlib
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 16),
+    h=st.integers(1, 16),
+    ch=st.sampled_from([1, 3, 4]),
+    seed=st.integers(0, 2**31),
+)
+def test_png_roundtrip_fuzz(w, h, ch, seed):
+    rnd = np.random.default_rng(seed)
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    arr = rnd.integers(0, 256, size=shape, dtype=np.uint8)
+    out = decode_png(encode_png(arr))
+    assert out.shape == arr.shape and (out == arr).all()
+
+
+def _forward_filter(img2d, ch, ftypes):
+    """Independent spec-side forward filtering (PNG 15.2.6), used to
+    build raw scanline streams the encoder never produces (it always
+    writes filter 0) so the decoder's Sub/Up/Average/Paeth paths are
+    exercised against ground truth."""
+    h, stride = img2d.shape
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        x = img2d[y].astype(np.int32)
+        ft = ftypes[y]
+        f = np.empty(stride, dtype=np.int32)
+        for i in range(stride):
+            a = int(x[i - ch]) if i >= ch else 0
+            b = int(prev[i])
+            c = int(prev[i - ch]) if i >= ch else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
+            f[i] = (x[i] - pred) & 0xFF
+        out.append(ft)
+        out.extend(f.astype(np.uint8).tobytes())
+        prev = x
+    return bytes(out)
+
+
+def _png_chunk(ctype, payload):
+    crc = _zlib.crc32(ctype + payload) & 0xFFFFFFFF
+    return _struct.pack(">I", len(payload)) + ctype + payload + _struct.pack(">I", crc)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    ch=st.sampled_from([1, 3, 4]),
+    seed=st.integers(0, 2**31),
+)
+def test_png_all_filters_decode_fuzz(w, h, ch, seed):
+    """Hand-built PNGs whose rows use RANDOM filter types 0-4 must
+    reconstruct the exact image (the encoder only emits filter 0, so
+    this is the only coverage of the Sub/Average/Paeth decode paths on
+    arbitrary content)."""
+    rnd = np.random.default_rng(seed)
+    color_type = {1: 0, 3: 2, 4: 6}[ch]
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    arr = rnd.integers(0, 256, size=shape, dtype=np.uint8)
+    ftypes = rnd.integers(0, 5, size=h).tolist()
+    raw = _forward_filter(arr.reshape(h, w * ch), ch, ftypes)
+    data = (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", _struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+        + _png_chunk(b"IDAT", _zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    out = decode_png(data)
+    assert out.shape == arr.shape and (out == arr).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(min_size=0, max_size=300))
+def test_png_garbage_rejected_or_decoded(data):
+    """Arbitrary blobs (with and without a valid signature prefix) must
+    either decode or raise ValueError — any other exception type leaks
+    past the failed-path contract."""
+    for payload in (data, PNG_SIGNATURE + data):
+        try:
+            decode_png(payload)
+        except ValueError:
+            pass
+
+
+@settings(max_examples=40, deadline=None)
+@given(seed=st.integers(0, 2**31), nmut=st.integers(1, 8))
+def test_png_mutation_rejected_or_decoded(seed, nmut):
+    rnd = np.random.default_rng(seed)
+    arr = rnd.integers(0, 256, size=(5, 7), dtype=np.uint8)
+    good = bytearray(encode_png(arr))
+    for _ in range(nmut):
+        op = rnd.integers(0, 3)
+        if op == 0 and len(good) > 1:
+            good = good[: rnd.integers(1, len(good))]
+        elif op == 1:
+            good[rnd.integers(0, len(good))] = rnd.integers(0, 256)
+        else:
+            good += bytes(rnd.integers(0, 256, size=4).tolist())
+    try:
+        decode_png(bytes(good))
+    except ValueError:
+        pass

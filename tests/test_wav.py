@@ -149,3 +149,62 @@ def test_audio_resampler_stage():
     ref = 0.3 * np.sin(2 * np.pi * 220 * t2)
     err = np.abs(y - ref).max()
     assert err < 0.02, err
+
+
+# ---------------------------------------------------------------------------
+# property fuzzing (round-5: the GIF fuzz found a real encoder bug; same
+# treatment for the remaining from-scratch codecs)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    rate=st.sampled_from([8000, 16000, 44100]),
+    n=st.integers(0, 400),
+    seed=st.integers(0, 2**31),
+)
+def test_wav_roundtrip_fuzz(rate, n, seed):
+    """encode→decode roundtrip for arbitrary float signals: rate exact,
+    length exact, samples within the 16-bit quantization bound. Encode
+    scales by 32767, decode normalizes by 32768 (the int16-full-scale
+    convention), so the worst case is |x|/32768 + 0.5/32768 — NOT half
+    an encode step."""
+    rnd = np.random.default_rng(seed)
+    x = rnd.uniform(-1.3, 1.3, size=n)  # beyond [-1,1] → encoder clips
+    r2, y = decode_wav(encode_wav(rate, x))
+    assert r2 == rate and len(y) == n
+    assert np.all(np.abs(np.clip(x, -1, 1) - y) <= 1.5 / 32768.0 + 1e-12)
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(min_size=0, max_size=200))
+def test_wav_garbage_rejected_or_decoded(data):
+    """Arbitrary byte blobs must either decode or raise ValueError — the
+    failed-path contract; any other exception type is a codec bug."""
+    try:
+        decode_wav(data)
+    except ValueError:
+        pass
+
+
+@settings(max_examples=40, deadline=None)
+@given(seed=st.integers(0, 2**31), nmut=st.integers(1, 8))
+def test_wav_mutation_rejected_or_decoded(seed, nmut):
+    """Byte-level mutations of a VALID file must never escape the
+    ValueError contract (truncations, flipped sizes, corrupt chunk ids)."""
+    rnd = np.random.default_rng(seed)
+    good = bytearray(encode_wav(8000, rnd.uniform(-1, 1, size=50)))
+    for _ in range(nmut):
+        op = rnd.integers(0, 3)
+        if op == 0 and len(good) > 1:
+            good = good[: rnd.integers(1, len(good))]  # truncate
+        elif op == 1:
+            good[rnd.integers(0, len(good))] = rnd.integers(0, 256)
+        else:
+            good += bytes(rnd.integers(0, 256, size=4).tolist())
+    try:
+        decode_wav(bytes(good))
+    except ValueError:
+        pass
