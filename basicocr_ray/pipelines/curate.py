@@ -132,7 +132,7 @@ def curate_rollup(
         minhash_candidate_pairs,
         verify_pairs_jaccard_join,
     )
-    from basicocr_ray.stages.joins import bucketed_hash_join
+    from basicocr_ray.stages.joins import adaptive_semi_anti_join
     from basicocr_ray.stages.sample import hash_split
 
     salts = _coarse_salts(None)
@@ -203,9 +203,13 @@ def curate_rollup(
         checkpoint_dir,
         fp,
     )  # (id) rows — metadata; probed + joined below
-    deduped = bucketed_hash_join(
+    # adaptive: the decision sets are materialized, so each join below
+    # broadcasts the key set (zero corpus shuffle) while it measures
+    # small and degrades to the single-shuffle bucketed join when it
+    # doesn't — `winners` is O(corpus) and crosses that line first
+    deduped = adaptive_semi_anti_join(
         kept, winners, "doc_id",
-        ["text", "lang", "n_chars"], [], join_type="left semi",
+        ["text", "lang", "n_chars"], join_type="left semi",
     ).materialize()
 
     # 3b. near-dup removal (MinHash-LSH → exact-Jaccard verify →
@@ -233,15 +237,33 @@ def curate_rollup(
             # lossless at the verify threshold (|A∩B|/|A∪B| ≥ t needs
             # min(|A|,|B|)/max(|A|,|B|) ≥ t), so it never changes the
             # verified pair set — only the shuffle volume.
+            # 16 bands × 4 rows (not 32 × 2): at 4 rows per band a
+            # sub-threshold pair collides with probability s⁴ per band
+            # instead of s² — on the template-similar corpus this cuts
+            # candidates ~6.7× (1.50M → 224k at bench scale) with an
+            # IDENTICAL verified pair set (measured, and the q88 oracle
+            # pins it at both correctness scales). Worst-case miss for a
+            # pair at exactly J=0.8 is (1−0.8⁴)¹⁶ ≈ 2e-4, falling to
+            # 7e-6 at J=0.85 — the band budget spent where the verify
+            # stage, not recall, dominates the job.
             ids_text = deduped.select_columns(["doc_id", "text"])
+            # materialized: (id, id) rows only — verify's bucketed joins
+            # schema-probe their inputs, and a lazy candidate pipeline
+            # would re-execute the whole minhash chain per probe
+            # (measured ~6 s of the bench line)
             cand = minhash_candidate_pairs(
-                ids_text, "doc_id", "text", num_bands=32,
+                ids_text, "doc_id", "text", num_bands=16,
                 hot_bucket_mode=hot_bucket_mode,
                 prefilter_threshold=near_dup_threshold,
-            )
+            ).materialize()
+            # texts_ds is the MATERIALIZED deduped relation so the
+            # adaptive broadcast verify can read its size from block
+            # metadata (zero shuffles when it fits; two bucketed joins
+            # when the corpus doesn't)
             verified = verify_pairs_jaccard_join(
-                cand, ids_text, "doc_id", "text",
+                cand, deduped, "doc_id", "text",
                 threshold=near_dup_threshold,
+                broadcast_bytes=64 << 20,
             )
             comps = assign_components(
                 verified.select_columns(["id_a", "id_b"])
@@ -263,9 +285,9 @@ def curate_rollup(
         removed = _checkpointed(
             "neardup_removed", compute_removed, checkpoint_dir, fp
         )  # (id) rows — metadata; probed + joined below
-        deduped = bucketed_hash_join(
+        deduped = adaptive_semi_anti_join(
             deduped, removed, "doc_id",
-            ["text", "lang", "n_chars"], [], join_type="left anti",
+            ["text", "lang", "n_chars"], join_type="left anti",
         ).materialize()
 
     # 4. decontamination: bounded benchmark gram broadcast → flags →
@@ -286,9 +308,9 @@ def curate_rollup(
     contaminated = _checkpointed(
         "contaminated", compute_contaminated, checkpoint_dir, fp
     )  # (id) rows — metadata; probed + joined below
-    clean = bucketed_hash_join(
+    clean = adaptive_semi_anti_join(
         deduped, contaminated, "doc_id",
-        ["text", "lang", "n_chars"], [], join_type="left anti",
+        ["text", "lang", "n_chars"], join_type="left anti",
     )
 
     # 5+6. split assignment (stateless) + partial/final rollup

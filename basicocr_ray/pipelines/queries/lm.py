@@ -103,6 +103,89 @@ def q21_trie_correct(sf_dir: str):
     )
 
 
+def q222_correction_chain(sf_dir: str):
+    """The CHAINED correction flow under ONE driver hash (round-4 verdict
+    item 4): AC-strip boilerplate phrases → derive the dictionary from
+    the STRIPPED corpus (G3 broadcast) → deterministically corrupt every
+    7th token → trie-correct (max_cost 1, retry +3, tie ladder). q20/q21
+    hash the stages in isolation; this is the composition the reference
+    runs in its driver flow (contrib/trietree/trietree_correct.py:245-274
+    chains correction after recognition; acautomata Test.java:58-82
+    builds + scans in the same driver), so a stage-boundary bug — e.g.
+    dictionary built from pre-strip text, or corruption indices computed
+    on the wrong token stream — fails THIS hash even when both stage
+    hashes stay green."""
+    import ray
+
+    from basicocr_ray.stages.correct import ACStripper
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    # stage 1: AC boilerplate strip (A3) on an actor pool; materialized
+    # ONCE because it feeds BOTH the dictionary build and the correction
+    stripped = ds.map_batches(
+        ACStripper,
+        fn_constructor_kwargs={
+            "phrases": ["vector window", "hash scan"],
+            "column": "text",
+            "out_column": "stripped_text",
+        },
+        batch_format="pyarrow",
+        concurrency=2,
+    ).select_columns(["doc_id", "stripped_text"]).materialize()
+
+    # stage 2: dictionary from the stripped corpus — the chain order
+    # matters: a dictionary built pre-strip would contain the boilerplate
+    # phrases' tokens and correct differently
+    dict_rows = (
+        count_terms(stripped, "stripped_text", token_items, "token")
+        .sort(["cnt", "token"], descending=[True, False])
+        .limit(100_000)
+    )
+    entries = [
+        (r["token"], int(r["cnt"])) for r in collect_rows(dict_rows)
+    ]
+    entries_ref = ray.put(entries)
+
+    class CorruptCorrect:
+        def __init__(self, entries_ref):
+            from basicocr_ray.core.trie import TrieDict
+
+            self.trie = TrieDict(ray.get(entries_ref))
+            self._cache: dict[str, str] = {}
+
+        def _correct(self, tok: str) -> str:
+            hit = self._cache.get(tok)
+            if hit is None:
+                hit = self.trie.correct(tok, 1)
+                self._cache[tok] = hit
+            return hit
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_pylist()
+            out = []
+            for did, t in zip(ids, batch["stripped_text"].to_pylist()):
+                toks = (t or "").lower().split()
+                fixed = []
+                for i, tok in enumerate(toks):
+                    if (did + i) % 7 == 0 and len(tok) > 3:
+                        tok = tok[:-1]
+                    fixed.append(self._correct(tok))
+                out.append(" ".join(fixed))
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "corrected_text": pa.array(out, pa.large_string()),
+                }
+            )
+
+    return stripped.map_batches(
+        CorruptCorrect,
+        fn_constructor_kwargs={"entries_ref": entries_ref},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+
 _VOCAB_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789 "
 
 
@@ -664,6 +747,7 @@ def _bpe_apply_oracle_sql(steps: int = 5) -> str:
 __all__ = [
     "q20_ac_strip",
     "q21_trie_correct",
+    "q222_correction_chain",
     "q27_vocab_roundtrip",
     "q32_lm_score",
     "q49_trigram_lm_score",
@@ -679,6 +763,7 @@ __all__ = [
 QUERIES = {
     "q20_ac_strip": q20_ac_strip,
     "q21_trie_correct": q21_trie_correct,
+    "q222_correction_chain": q222_correction_chain,
     "q27_vocab_roundtrip": q27_vocab_roundtrip,
     "q32_lm_score": q32_lm_score,
     "q49_trigram_lm_score": q49_trigram_lm_score,
@@ -697,6 +782,61 @@ ORACLE_SQL = {
                replace(replace(text, 'vector window', ''),
                        'hash scan', '') AS stripped_text
         FROM documents
+    """,
+    "q222_correction_chain": """
+        -- the CHAIN: strip boilerplate → tokenize the stripped text
+        -- (filtering boundary empties so indices match Python split())
+        -- → dictionary from the stripped tokens → corrupt every 7th
+        -- token → min-levenshtein correction with the q21 tie ladder;
+        -- docs whose stripped text has no tokens still emit '' rows
+        WITH stripped AS (
+          SELECT doc_id,
+                 replace(replace(coalesce(text, ''), 'vector window', ''),
+                         'hash scan', '') AS text
+          FROM documents
+        ), tl AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM stripped
+        ),
+        toks AS (
+          SELECT doc_id, CAST(r.i AS BIGINT) AS i,
+                 tl.toks[CAST(r.i AS BIGINT) + 1] AS tok
+          FROM tl, range(2000) r(i) WHERE r.i < len(tl.toks)
+        ),
+        ctoks AS (
+          SELECT doc_id, i,
+                 CASE WHEN (doc_id + i) % 7 = 0 AND len(tok) > 3
+                      THEN substr(tok, 1, len(tok) - 1) ELSE tok END AS ctok
+          FROM toks
+        ),
+        dict AS (
+          SELECT tok AS word, count(*) AS freq FROM toks GROUP BY tok
+        ),
+        distinct_c AS (SELECT DISTINCT ctok FROM ctoks),
+        best AS (
+          SELECT ctok, word FROM (
+            SELECT c.ctok, d.word,
+                   row_number() OVER (
+                     PARTITION BY c.ctok
+                     ORDER BY levenshtein(c.ctok, d.word),
+                              CASE WHEN len(d.word) = len(c.ctok)
+                                   THEN 0 ELSE 1 END,
+                              d.freq DESC, d.word) AS rn
+            FROM distinct_c c CROSS JOIN dict d
+            WHERE levenshtein(c.ctok, d.word) <= 4
+          ) WHERE rn = 1
+        ),
+        agg AS (
+          SELECT t.doc_id,
+                 string_agg(COALESCE(b.word, t.ctok), ' ' ORDER BY t.i)
+                   AS corrected_text
+          FROM ctoks t LEFT JOIN best b ON b.ctok = t.ctok
+          GROUP BY t.doc_id
+        )
+        SELECT d.doc_id, coalesce(a.corrected_text, '') AS corrected_text
+        FROM documents d LEFT JOIN agg a USING (doc_id)
     """,
     "q21_trie_correct": f"""
         WITH tl AS (

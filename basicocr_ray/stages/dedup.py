@@ -1180,13 +1180,34 @@ def verify_pairs_jaccard(
     ref = ray.put(texts_by_id)
 
     def verify(batch: pa.Table) -> pa.Table:
+        from basicocr_ray.core.sketches import shingles as _shingles
+
         lookup = ray.get(ref)
         a = batch["id_a"].to_pylist()
         b = batch["id_b"].to_pylist()
-        sims = [
-            ngram_jaccard(lookup.get(x, ""), lookup.get(y, ""), shingle_k)
-            for x, y in zip(a, b)
-        ]
+        # same memoized + size-ratio-prefiltered kernel as the join
+        # variant: on template-heavy corpora a doc recurs in thousands
+        # of pairs per batch and the per-PAIR shingle rebuild dominated
+        cache: dict[int, set] = {}
+
+        def sh(i: int) -> set:
+            s = cache.get(i)
+            if s is None:
+                s = _shingles(lookup.get(i, ""), shingle_k)
+                cache[i] = s
+            return s
+
+        def jac(x: int, y: int) -> float:
+            sa, sb = sh(x), sh(y)
+            if not sa and not sb:
+                return 1.0
+            la, lb = len(sa), len(sb)
+            if min(la, lb) < threshold * max(la, lb):
+                return 0.0  # exact prefilter: J ≤ min/max
+            inter = len(sa & sb)
+            return inter / (la + lb - inter)
+
+        sims = [jac(x, y) for x, y in zip(a, b)]
         out = pa.table(
             {
                 "id_a": pa.array(a, pa.int64()),
@@ -1207,6 +1228,7 @@ def verify_pairs_jaccard_join(
     threshold: float,
     shingle_k: int = 5,
     num_buckets: int | None = None,
+    broadcast_bytes: int = 0,
 ):
     """Candidate pairs → confirmed near-dups, with texts fetched via two
     bucketed hash joins instead of a driver-side broadcast.
@@ -1214,12 +1236,41 @@ def verify_pairs_jaccard_join(
     The corpus-scale verify path (round 1 built the id→text dict with
     ``ds.take_all()`` — a full-corpus driver materialization): join pairs
     to texts on id_a, then on id_b; each text row shuffles once per join,
-    pairs carry only ids until the per-bucket pandas merge. Use
-    `verify_pairs_jaccard` (broadcast) only when the text table provably
-    fits one machine."""
+    pairs carry only ids until the per-bucket pandas merge.
+
+    ``broadcast_bytes > 0`` arms the adaptive small-side fast path: when
+    ``texts_ds`` is materialized and its MEASURED size is within the
+    budget, the id→text map rides one ``ray.put`` and the pairs stream
+    through `verify_pairs_jaccard` — zero shuffles instead of two. The
+    decision is made on block-metadata bytes per run (the
+    `assign_components` / `adaptive_semi_anti_join` discipline), so the
+    same call sites degrade to the join path the moment the text
+    relation outgrows the budget; a lazy ``texts_ds`` (unknown size)
+    always takes the join path."""
     import pyarrow.compute as _pc
 
     from basicocr_ray.stages.joins import bucketed_hash_join
+
+    if broadcast_bytes:
+        from ray.data.dataset import MaterializedDataset
+
+        sz = None
+        if isinstance(texts_ds, MaterializedDataset):
+            # metadata read — size_bytes() on a LAZY dataset would
+            # execute the plan just to measure it
+            try:
+                sz = texts_ds.size_bytes()
+            except Exception:
+                sz = None
+        if sz is not None and sz <= broadcast_bytes:
+            df = texts_ds.to_pandas()
+            lookup = {
+                int(i): (t or "")
+                for i, t in zip(df[id_column], df[text_column])
+            }
+            return verify_pairs_jaccard(
+                pairs_ds, lookup, threshold, shingle_k
+            )
 
     buckets = num_buckets or _coarse_salts(None)
 

@@ -201,6 +201,95 @@ def bucketed_hash_join(
     )
 
 
+def adaptive_semi_anti_join(
+    left_ds,
+    keys_ds,
+    key: str,
+    left_columns: list[str],
+    join_type: str,
+    broadcast_bytes: int = 64 << 20,
+):
+    """EXISTS / NOT EXISTS against a key set whose size is KNOWN at
+    runtime: broadcast when it fits, shuffle when it doesn't.
+
+    ``keys_ds`` should be materialized (curation decision sets are), so
+    ``size_bytes()`` is block metadata, not an execution. When the key
+    relation is at most ``broadcast_bytes``, the keys ride ONE
+    ``ray.put`` and the left side streams through a vectorized
+    membership filter — the left side (the corpus) never shuffles at
+    all, which is the entire cost of a semi/anti join at 100 TB. When
+    the key set is corpus-sized (exact-dedup winners are one row per
+    unique kept doc), the same call degrades to the single-shuffle
+    `bucketed_hash_join` — the decision is made on measured bytes per
+    run, never on an assumption that a decision set "should" be small
+    (the round-4 `assign_components` single-task-fast-path discipline
+    applied to semi/anti joins).
+
+    ``join_type``: ``"left semi"`` or ``"left anti"``. Output columns:
+    ``key`` + ``left_columns`` (matching the bucketed join's contract)."""
+    if join_type not in ("left semi", "left anti"):
+        raise ValueError(f"unsupported join_type {join_type!r}")
+    from ray.data.dataset import MaterializedDataset
+
+    sz = None
+    if isinstance(keys_ds, MaterializedDataset):
+        # metadata read — size_bytes() on a LAZY dataset would execute
+        # the plan just to measure it
+        try:
+            sz = keys_ds.size_bytes()
+        except Exception:
+            sz = None
+    if sz is None or sz > broadcast_bytes:
+        return bucketed_hash_join(
+            left_ds, keys_ds, key, left_columns, [], join_type=join_type
+        )
+    import ray
+
+    keys_df = keys_ds.to_pandas()
+    anti = join_type == "left anti"
+    cols = [key] + list(left_columns)
+    if len(keys_df) == 0:
+        # empty key set: anti keeps everything, semi keeps nothing (an
+        # all-empty filter pass, so the output schema stays the left's)
+        if anti:
+            return left_ds.map_batches(
+                lambda b: b.select(cols), batch_format="pyarrow"
+            )
+        return left_ds.map_batches(
+            lambda b: b.select(cols).slice(0, 0), batch_format="pyarrow"
+        )
+    key_vals = keys_df[key].to_numpy()
+    if np.issubdtype(key_vals.dtype, np.integer):
+        ref = ray.put(np.unique(key_vals.astype(np.int64, copy=False)))
+
+        def filt(b: pa.Table) -> pa.Table:
+            ks = ray.get(ref)  # np.unique output: already sorted
+            vals = (
+                b[key].combine_chunks()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64, copy=False)
+            )
+            idx = np.searchsorted(ks, vals)
+            idx[idx >= len(ks)] = len(ks) - 1
+            hit = ks[idx] == vals
+            mask = ~hit if anti else hit
+            return b.filter(pa.array(mask)).select(cols)
+
+    else:
+        ref = ray.put(frozenset(key_vals.tolist()))
+
+        def filt(b: pa.Table) -> pa.Table:
+            ks = ray.get(ref)
+            vals = b[key].to_pylist()
+            hit = np.fromiter(
+                (v in ks for v in vals), dtype=bool, count=len(vals)
+            )
+            mask = ~hit if anti else hit
+            return b.filter(pa.array(mask)).select(cols)
+
+    return left_ds.map_batches(filt, batch_format="pyarrow")
+
+
 def interval_join(
     points_ds,
     intervals_ds,

@@ -209,3 +209,74 @@ def test_pagerank_scaled_int_matches_reference():
         got = out.to_pandas().sort_values("h").reset_index(drop=True)
         assert scale == want_scale
         assert {int(r.h): int(r.x) for r in got.itertuples()} == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_adaptive_semi_anti_join_branches_agree():
+    """Broadcast and shuffle branches of the adaptive semi/anti join must
+    return identical rows — the branch is picked on MEASURED bytes, so
+    both must be live and equal (the components fast-path discipline)."""
+    import ray.data
+
+    from basicocr_ray.stages.joins import adaptive_semi_anti_join
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 80, 400),
+            "a": rng.integers(0, 1000, 400),
+            "b": [f"t{i}" for i in range(400)],
+        }
+    )
+    keys = pd.DataFrame({"k": rng.choice(80, 30, replace=False)})
+
+    def run(join_type, broadcast_bytes):
+        ds = adaptive_semi_anti_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(keys).materialize(),
+            "k", ["a", "b"], join_type=join_type,
+            broadcast_bytes=broadcast_bytes,
+        )
+        return (
+            ds.to_pandas()
+            .astype({"k": "int64", "a": "int64"})
+            .sort_values(["k", "a", "b"])
+            .reset_index(drop=True)
+        )
+
+    keyset = set(keys["k"].tolist())
+    for join_type, member in (("left semi", True), ("left anti", False)):
+        broadcast = run(join_type, 64 << 20)  # small side: broadcast path
+        shuffled = run(join_type, 0)  # forced shuffle path
+        want = (
+            left[left["k"].isin(keyset) == member][["k", "a", "b"]]
+            .astype({"k": "int64", "a": "int64"})
+            .sort_values(["k", "a", "b"])
+            .reset_index(drop=True)
+        )
+        assert broadcast.equals(want), join_type
+        assert shuffled.equals(want), join_type
+
+    # string keys take the frozenset branch; empty key set is the
+    # degenerate fast path (anti keeps all, semi keeps none)
+    sleft = left.assign(k=left["k"].astype(str))
+    skeys = pd.DataFrame({"k": [str(k) for k in sorted(keyset)][:10]})
+    got = adaptive_semi_anti_join(
+        ray.data.from_pandas(sleft),
+        ray.data.from_pandas(skeys).materialize(),
+        "k", ["a", "b"], join_type="left semi",
+    ).to_pandas()
+    assert set(got["k"]) == set(skeys["k"]) & set(sleft["k"])
+    empty = pd.DataFrame({"k": pd.array([], dtype="int64")})
+    anti_all = adaptive_semi_anti_join(
+        ray.data.from_pandas(left),
+        ray.data.from_pandas(empty).materialize(),
+        "k", ["a", "b"], join_type="left anti",
+    )
+    assert anti_all.count() == len(left)
+    semi_none = adaptive_semi_anti_join(
+        ray.data.from_pandas(left),
+        ray.data.from_pandas(empty).materialize(),
+        "k", ["a", "b"], join_type="left semi",
+    )
+    assert semi_none.count() == 0
