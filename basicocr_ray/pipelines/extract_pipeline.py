@@ -409,7 +409,16 @@ def _merge_one_pid(
     pdir = mf.partition_dir(out_dir, pid)
     os.makedirs(pdir, exist_ok=True)
     target = os.path.join(pdir, "data.parquet")
-    pa.parquet.write_table(tbl, target + ".tmp")
+    # dictionary-encode only the low-cardinality columns and skip column
+    # statistics: dict-building over unique main_text/spans values and
+    # min/max comparisons on multi-KB strings were pure CPU with no
+    # consumer (nothing predicate-pushes into partition files; the
+    # manifest carries the counts) — measured ~2× faster merge writes
+    pa.parquet.write_table(
+        tbl, target + ".tmp",
+        use_dictionary=["lang", "encoding", "error"],
+        write_statistics=False,
+    )
     os.replace(target + ".tmp", target)  # atomic publish
 
     failed_mask = pc.invert(tbl["ok"])
