@@ -264,14 +264,23 @@ def adaptive_semi_anti_join(
 
         def filt(b: pa.Table) -> pa.Table:
             ks = ray.get(ref)  # np.unique output: already sorted
+            col = b[key].combine_chunks()
+            # null keys match NOTHING (EXISTS semantics) on BOTH
+            # branches: to_numpy on a null-bearing int column yields
+            # float NaN, and NaN→int64 is undefined — fill with a
+            # sentinel, then force those rows to miss
+            nulls = pc.is_null(col).to_numpy(zero_copy_only=False)
+            if nulls.any():
+                col = pc.fill_null(col, 0)
             vals = (
-                b[key].combine_chunks()
-                .to_numpy(zero_copy_only=False)
+                col.to_numpy(zero_copy_only=False)
                 .astype(np.int64, copy=False)
             )
             idx = np.searchsorted(ks, vals)
             idx[idx >= len(ks)] = len(ks) - 1
             hit = ks[idx] == vals
+            if nulls.any():
+                hit &= ~nulls
             mask = ~hit if anti else hit
             return b.filter(pa.array(mask)).select(cols)
 

@@ -280,3 +280,38 @@ def test_adaptive_semi_anti_join_branches_agree():
         "k", ["a", "b"], join_type="left semi",
     )
     assert semi_none.count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_adaptive_semi_anti_join_null_keys():
+    """Null left keys match NOTHING (EXISTS semantics) on both branches —
+    the int broadcast path must not let the NaN→int64 fill value
+    accidentally collide with a real key."""
+    import ray.data
+
+    from basicocr_ray.stages.joins import adaptive_semi_anti_join
+
+    left = pd.DataFrame(
+        {
+            "k": pd.array([1, None, 2, 0, None], dtype="Int64"),
+            "a": [10, 20, 30, 40, 50],
+        }
+    )
+    # 0 is a real key AND the fill_null sentinel — a null row must not
+    # match it
+    keys = pd.DataFrame({"k": pd.array([0, 2], dtype="Int64")})
+    for broadcast_bytes in (64 << 20, 0):
+        semi = adaptive_semi_anti_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(keys).materialize(),
+            "k", ["a"], join_type="left semi",
+            broadcast_bytes=broadcast_bytes,
+        ).to_pandas()
+        assert sorted(semi["a"].tolist()) == [30, 40], broadcast_bytes
+        anti = adaptive_semi_anti_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(keys).materialize(),
+            "k", ["a"], join_type="left anti",
+            broadcast_bytes=broadcast_bytes,
+        ).to_pandas()
+        assert sorted(anti["a"].tolist()) == [10, 20, 50], broadcast_bytes
