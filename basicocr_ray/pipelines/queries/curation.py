@@ -247,9 +247,12 @@ ORACLE_SQL = {
           WHERE rn = 1
         ), sh AS (
           -- near-dup stage: 5-char shingles of the exact-deduped set,
-          -- brute-force Jaccard >= 0.8 pairs (the LSH path must
-          -- reproduce them exactly), min-label components, keep the
-          -- min-id representative per cluster
+          -- brute-force Jaccard >= 0.8 pairs (the LSH path reproduces
+          -- them exactly WHILE no band bucket exceeds max_bucket_size —
+          -- which holds at both driver correctness scales; star-mode
+          -- hot-bucket routing can drop post-verification edges on
+          -- template-heavy corpora, see pipelines/curate.py), min-label
+          -- components, keep the min-id representative per cluster
           SELECT doc_id,
                  list_distinct(list_transform(range(len(lower(text)) - 4),
                    i -> substr(lower(text), CAST(i AS BIGINT) + 1, 5))) AS g5
